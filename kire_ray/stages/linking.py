@@ -1,0 +1,230 @@
+"""Mention detection + entity linking + in-document clustering.
+
+Reference semantics re-expressed (all citations /root/reference/):
+- alias dictionary lookup with normalized labels
+  (``label2kgids`` build + ``getEntityId``, ATLOP+KIRE/data/gen_kg_data.py:31-101);
+- per-entity-cluster canonical QID by majority vote over mention-level
+  ids, dict-insertion-order (= first-seen) tie-break
+  (gen_kg_data.py:272-304);
+- unlinked clusters get a synthetic ``NT…`` id (gen_kg_data.py:286-290).
+  The reference mints sequential ``NT<k>`` counters, which are
+  partition-order-dependent; this engine uses a content hash of the
+  cluster's normalized first surface instead, so ids are deterministic
+  under any distributed execution order (SURVEY.md §4(f)).
+- alias occurrence scan — finding alias token subsequences in the
+  document (gen_coref_data.py:163-176 ``find_position``) — is the
+  mention detector here, since transcripts carry no vertexSet
+  annotations: leftmost-longest match against the alias trie.
+
+Scale design: the alias table is a dimension table (≈ KG label count,
+not corpus-sized), broadcast once via ``ray.put`` and materialized into
+a token-trie once per actor in ``__init__`` — never per batch.  All of
+detection, clustering, and voting are **document-local**: no shuffle.
+(SURVEY.md §7.1 sketches a groupby for the vote; keeping it doc-local
+is strictly better — the mention→cluster relation never crosses a
+document boundary.)  If the alias table outgrew broadcast (a full
+Wikidata label set), this stage would switch to a bucketed hash join on
+a normalized-surface key; the trade-off is documented in
+``stages/joins.py``.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+
+from kire_ray.functions.hashing import hash64_str
+from kire_ray.functions.textnorm import normalize_label
+
+ENTITY_T = pa.struct(
+    [
+        ("ent_idx", pa.int32()),
+        ("qid", pa.string()),
+        ("label", pa.string()),
+        ("n_mentions", pa.int32()),
+    ]
+)
+MENTION_T = pa.struct(
+    [
+        ("ent_idx", pa.int32()),
+        ("turn_idx", pa.int32()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("surface", pa.string()),
+    ]
+)
+
+
+def build_alias_trie(alias_norm: list[str], qid: list[str]) -> dict:
+    """alias table rows → {token-tuple: sorted unique candidate qids}.
+
+    Keys are the _handleLabel-normalized alias split into tokens
+    (gen_kg_data.py:92-94); an alias mapping to several QIDs keeps all
+    candidates, sorted for a deterministic mention-level pick.
+    """
+    trie: dict[tuple[str, ...], list[str]] = {}
+    for a, q in zip(alias_norm, qid):
+        key = tuple(normalize_label(a).split())
+        if not key:
+            continue
+        trie.setdefault(key, [])
+        if q not in trie[key]:
+            trie[key].append(q)
+    for key in trie:
+        trie[key] = sorted(trie[key])
+    return trie
+
+
+def detect_mentions(turn_tokens: list[list[str]], trie: dict, max_len: int):
+    """Leftmost-longest token-subsequence scan per turn.
+
+    Returns [(turn_idx, start, end, surface, candidates)] in document
+    order. Deterministic; no overlaps (scan resumes after each match),
+    mirroring the reference's substring scan semantics
+    (gen_coref_data.py:163-176) with greedy-longest disambiguation.
+    """
+    out = []
+    first_tokens = {k[0] for k in trie}
+    for ti, toks in enumerate(turn_tokens):
+        norm = [normalize_label(t) for t in toks]
+        i, n = 0, len(norm)
+        while i < n:
+            if norm[i] not in first_tokens:
+                i += 1
+                continue
+            match = None
+            for ln in range(min(max_len, n - i), 0, -1):
+                key = tuple(norm[i : i + ln])
+                if key in trie:
+                    match = (ln, trie[key])
+                    break
+            if match is None:
+                i += 1
+                continue
+            ln, cands = match
+            out.append((ti, i, i + ln, " ".join(toks[i : i + ln]), cands))
+            i += ln
+    return out
+
+
+class _UF:
+    __slots__ = ("p",)
+
+    def __init__(self, n: int):
+        self.p = list(range(n))
+
+    def find(self, x: int) -> int:
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def cluster_and_vote(mentions, canon: dict[str, str]):
+    """Cluster doc mentions and pick a canonical QID per cluster.
+
+    Coreference rule (alias-match coref, gen_coref_data.py:130-217):
+    two mentions corefer iff they share a candidate QID or have the same
+    normalized surface.  Canonical QID = majority vote over mention-level
+    ids with first-seen tie-break (gen_kg_data.py:281-294); clusters with
+    no linked mention get a hash-based NT id.  Linked ids are then mapped
+    through the P_eq union-find closure ``canon``.
+
+    Returns (entities, tagged_mentions): entities =
+    [(ent_idx, qid, label, n_mentions)] in first-mention order;
+    tagged_mentions = [(ent_idx, turn_idx, start, end, surface)].
+    """
+    n = len(mentions)
+    uf = _UF(n)
+    by_key: dict[tuple[str, str], int] = {}
+    for i, (_, _, _, surface, cands) in enumerate(mentions):
+        for key in [("s", normalize_label(surface)), *(("q", c) for c in cands)]:
+            if key in by_key:
+                uf.union(by_key[key], i)
+            else:
+                by_key[key] = i
+    clusters: dict[int, list[int]] = {}
+    for i in range(n):
+        clusters.setdefault(uf.find(i), []).append(i)
+    # first-mention order (mentions are already in (turn, start) order)
+    roots = sorted(clusters, key=lambda r: clusters[r][0])
+    entities, tagged = [], []
+    for ent_idx, root in enumerate(roots):
+        members = clusters[root]
+        votes = Counter()
+        for i in members:
+            cands = mentions[i][4]
+            if cands:
+                votes[cands[0]] += 1  # deterministic first candidate
+        if votes:
+            qid = max(votes, key=lambda q: votes[q])  # Counter iteration =
+            # insertion order → ties resolve to the first-seen id, like
+            # the reference's stable sort over a dict (gen_kg_data.py:292-294)
+            qid = canon.get(qid, qid)
+        else:
+            surf0 = normalize_label(mentions[members[0]][3])
+            qid = f"NT{hash64_str(surf0):016x}"
+        label = normalize_label(mentions[members[0]][3])
+        entities.append((ent_idx, qid, label, len(members)))
+        for i in members:
+            ti, s, e, surface, _ = mentions[i]
+            tagged.append((ent_idx, ti, s, e, surface))
+    tagged.sort(key=lambda m: (m[1], m[2]))
+    return entities, tagged
+
+
+class MentionLinker:
+    """Actor-pool stage: documents → documents + entities + mentions.
+
+    ``map_batches(MentionLinker, fn_constructor_kwargs={"alias_ref": ref,
+    "canon_ref": ref2}, concurrency=N, batch_format="pyarrow")``.
+    The alias table and P_eq closure arrive as ``ray.put`` object refs —
+    fetched and indexed once per actor, zero-copy from the object store.
+    """
+
+    def __init__(self, alias_ref, canon_ref=None):
+        alias = ray.get(alias_ref) if not isinstance(alias_ref, dict) else alias_ref
+        self.trie = build_alias_trie(alias["alias_norm"], alias["qid"])
+        self.max_len = max((len(k) for k in self.trie), default=1)
+        canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
+        self.canon = canon
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs_turns = batch.column("turn_texts").to_pylist()
+        ents_col, ments_col = [], []
+        for turns in docs_turns:
+            turn_tokens = [t.split() for t in turns]
+            raw = detect_mentions(turn_tokens, self.trie, self.max_len)
+            entities, tagged = cluster_and_vote(raw, self.canon)
+            ents_col.append(
+                [
+                    {"ent_idx": e[0], "qid": e[1], "label": e[2], "n_mentions": e[3]}
+                    for e in entities
+                ]
+            )
+            ments_col.append(
+                [
+                    {"ent_idx": m[0], "turn_idx": m[1], "start": m[2], "end": m[3], "surface": m[4]}
+                    for m in tagged
+                ]
+            )
+        return batch.append_column(
+            "entities", pa.array(ents_col, type=pa.list_(ENTITY_T))
+        ).append_column("mentions", pa.array(ments_col, type=pa.list_(MENTION_T)))
+
+
+def load_alias_broadcast(alias_parquet: str):
+    """Read the alias dimension table and return a dict ready for
+    ``ray.put`` (plain columns; the trie is built per actor)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(alias_parquet, columns=["alias_norm", "qid"])
+    return {"alias_norm": t.column("alias_norm").to_pylist(), "qid": t.column("qid").to_pylist()}

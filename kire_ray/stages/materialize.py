@@ -1,0 +1,89 @@
+"""Graph materialization: exact dedup into nodes and edges tables.
+
+Shuffle #2 of the DAG (SURVEY.md §7.1): ``groupby((s,p,o)).first`` for
+edges — the reference's sorted-dedup of predictions
+(/root/reference/ATLOP+KIRE/evaluation.py:112-118) and its doc-triple
+list-dedup (gen_kg_data.py:320-323) — and ``groupby(qid)`` merge for
+nodes.  Node vectors merge by logsumexp, which is associative over
+disjoint mention sets, so the distributed merge equals a global pool.
+
+Keys are content hashes of (s,p,o)/qid — uniformly distributed, so no
+salting is needed here even when one entity appears in millions of
+documents: the per-qid group carries only small pre-aggregated rows
+(one per document), and a combiner pass (map_batches partial merge)
+halves shuffle volume before the groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def dedup_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, …, subj_qid, pred, obj_qid, score) → distinct edges with
+    provenance (max score, doc count, first doc)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # block-local combiner: collapse duplicate (s,p,o) before the shuffle
+        return (
+            b.groupby(["subj_qid", "pred", "obj_qid"], sort=False)
+            .agg(
+                score=("score", "max"),
+                n_docs=("doc_id", "nunique"),
+                first_doc=("doc_id", "min"),
+            )
+            .reset_index()
+        )
+
+    part = triples.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("first_doc", kind="stable")
+        return pd.DataFrame(
+            {
+                "subj_qid": [g["subj_qid"].iloc[0]],
+                "pred": [g["pred"].iloc[0]],
+                "obj_qid": [g["obj_qid"].iloc[0]],
+                "score": [float(g["score"].max())],
+                "n_docs": np.array([int(g["n_docs"].sum())], dtype=np.int64),
+                "first_doc": [g["first_doc"].iloc[0]],
+            }
+        )
+
+    return part.groupby(["subj_qid", "pred", "obj_qid"]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def _logsumexp_merge(vecs: np.ndarray) -> np.ndarray:
+    m = vecs.max(axis=0)
+    return m + np.log(np.exp(vecs - m).sum(axis=0))
+
+
+def merge_nodes(doc_entities: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-doc entity rows → one node row per canonical qid.
+
+    label = lexicographic min (deterministic representative), mention
+    counts summed, vectors logsumexp-merged (exact: per-doc vectors are
+    logsumexp partials over disjoint mention sets).
+    """
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # doc_id sort fixes the floating-point summation order so the
+        # distributed merge is bit-identical to the sequential oracle
+        g = g.sort_values("doc_id", kind="stable")
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        return pd.DataFrame(
+            {
+                "qid": [g["qid"].iloc[0]],
+                "label": [g["label"].min()],
+                "n_docs": np.array([len(g)], dtype=np.int64),
+                "n_mentions": np.array([int(g["n_mentions"].sum())], dtype=np.int64),
+                "vec": [_logsumexp_merge(vecs).tolist()],
+            }
+        )
+
+    return doc_entities.groupby("qid").map_groups(merge, batch_format="pandas")

@@ -1,0 +1,242 @@
+"""KG subgraph join + deterministic relation scorer (actor-pool stage).
+
+Re-expressed reference semantics (citations /root/reference/):
+- one-hop KG subgraph per document = semi-join of the triple store
+  against the document's QID set, TIME-typed entities excluded
+  (ATLOP+KIRE/data/gen_kg_data.py:370-386, :557-572);
+- attribute lookup with defaulting — description←label, alias←label,
+  instance-of←label; label itself falls back to the corpus surface form
+  (entity2label), gen_kg_data.py:578-609;
+- entity representation = logsumexp pooling over mention embeddings
+  (ATLOP+KIRE/model.py:70-98) fused with an attribute encoding
+  (the LSTM autoencoder stand-in: hashed bag-of-words,
+  knowledge_injection_layer/kg_encoder.py:68-115);
+- per-pair multi-label scoring with an adaptive per-pair threshold
+  class and a top-k cap (num_labels=4), ATLOP+KIRE/losses.py:32-42,
+  train.py:330-331;
+- prediction explode to official rows (evaluation.py:10-41).
+
+No torch in this engine: the neural encoder is replaced by a
+*deterministic stand-in* with the same dataflow shape and decision
+semantics.  score(h,r,t) = 2·[KG evidence] + ½·u(h|r|t) where u is a
+stable hash-uniform in [0,1); the adaptive threshold per pair is
+θ(h,t) = 1 + ½·u(TH|h|t) ∈ [1, 1.5).  Evidence candidates always clear
+θ, non-evidence candidates never do — so skipping the full |R|×pairs
+logit matrix is an *exact* optimization, and emitted triples equal the
+distant-supervision set the reference derives from co-occurring cluster
+QIDs (gen_kg_data.py:306-323).
+
+Scale design: the KG triple/attr stores are broadcast once (``ray.put``)
+and indexed per actor in ``__init__``; documents stream through
+``map_batches`` in Arrow batches; output is an exploded triples table
+(flat_map shape).  For a KG too large to broadcast, the evidence lookup
+becomes a bucketed hash join on (h_qid, t_qid) — see stages/joins.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from kire_ray.functions.hashing import hash64_str, score01_str
+from kire_ray.functions.textnorm import normalize_label
+
+EMB_DIM = 16
+KG_BOOST = 2.0
+BASE_W = 0.5
+TH_BASE = 1.0
+TH_W = 0.5
+TOP_K = 4  # adaptive-threshold top-k cap (losses.py:32-42, num_labels=4)
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("h_idx", pa.int32()),
+        ("t_idx", pa.int32()),
+        ("subj_qid", pa.string()),
+        ("pred", pa.string()),
+        ("obj_qid", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+def pair_score(h_qid: str, rel: str, t_qid: str, evidence: bool) -> float:
+    base = BASE_W * score01_str(f"{h_qid}|{rel}|{t_qid}")
+    return (KG_BOOST if evidence else 0.0) + base
+
+
+def pair_threshold(h_qid: str, t_qid: str) -> float:
+    return TH_BASE + TH_W * score01_str(f"TH|{h_qid}|{t_qid}")
+
+
+def token_vec(token: str) -> np.ndarray:
+    """Deterministic pseudo-embedding of one token (unit-free)."""
+    h = hash64_str(token)
+    rng = np.random.default_rng(h)
+    return rng.standard_normal(EMB_DIM)
+
+
+def logsumexp_pool(vecs: np.ndarray) -> np.ndarray:
+    """logsumexp over axis 0 — the reference's mention→entity pooling
+    (model.py:81). Associative under disjoint unions, so per-doc partials
+    merge exactly across documents in the nodes aggregation."""
+    m = vecs.max(axis=0)
+    return m + np.log(np.exp(vecs - m).sum(axis=0))
+
+
+class KGIndex:
+    """Per-actor index over the (canonicalized) KG stores."""
+
+    def __init__(self, kg: dict, canon: dict[str, str], eq_prop: str = "P_eq"):
+        self.canon = canon
+        ev: dict[tuple[str, str], list[str]] = {}
+        for h, r, t in zip(kg["h_qid"], kg["prop"], kg["t_qid"]):
+            if r == eq_prop:
+                continue
+            ch, ct = canon.get(h, h), canon.get(t, t)
+            ev.setdefault((ch, ct), []).append(r)
+        self.evidence = {k: sorted(set(v)) for k, v in ev.items()}
+        attrs: dict[str, dict[str, list[str]]] = {}
+        for q, k, v in zip(kg["attr_qid"], kg["attr_key"], kg["attr_val"]):
+            attrs.setdefault(q, {}).setdefault(k, []).append(v)
+        self.attrs = attrs
+
+    def entity_attrs(self, qid: str, fallback_label: str) -> dict[str, str]:
+        """4 attribute strings with the reference's defaulting
+        (gen_kg_data.py:586-599 + entity2label fallback :580-584)."""
+        a = self.attrs.get(qid, {})
+        label = " ".join(a.get("label", [])) or fallback_label
+        return {
+            "label": "label # " + (" ".join(a["label"]) if a.get("label") else label),
+            "description": "description # " + (a["description"][0] if a.get("description") else label),
+            "instance of": "instance of # " + (" ".join(a["instance of"]) if a.get("instance of") else label),
+            "alias": "alias # " + (" ".join(a["alias"]) if a.get("alias") else label),
+        }
+
+    def entity_type(self, qid: str) -> str:
+        io = self.attrs.get(qid, {}).get("instance of")
+        return io[0] if io else ""
+
+
+class RelationScorer:
+    """Actor-pool stage: linked documents → exploded triple rows.
+
+    ``map_batches(RelationScorer, fn_constructor_kwargs={...},
+    concurrency=N, batch_format="pyarrow")``. KG stores and the P_eq
+    closure are fetched from the object store once per actor.
+    """
+
+    def __init__(self, kg_ref, canon_ref):
+        kg = ray.get(kg_ref) if not isinstance(kg_ref, dict) else kg_ref
+        canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
+        self.index = KGIndex(kg, canon)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        ents_col = batch.column("entities").to_pylist()
+        out = {k: [] for k in TRIPLE_SCHEMA.names}
+        for doc_id, ents in zip(doc_ids, ents_col):
+            rows = score_document(doc_id, ents, self.index)
+            for r in rows:
+                for k, v in zip(TRIPLE_SCHEMA.names, r):
+                    out[k].append(v)
+        return pa.table(
+            {k: pa.array(out[k], type=TRIPLE_SCHEMA.field(k).type) for k in TRIPLE_SCHEMA.names}
+        )
+
+
+def score_document(doc_id: str, ents: list[dict], index: KGIndex):
+    """Per-document pair scoring. Shared verbatim with the sequential
+    oracle (oracle/pyoracle.py) so distributed == sequential is exact."""
+    good = [
+        e
+        for e in ents
+        if not e["qid"].startswith("NT") and index.entity_type(e["qid"]) != "time"
+    ]
+    rows = []
+    for h in good:
+        for t in good:
+            if h["ent_idx"] == t["ent_idx"] or h["qid"] == t["qid"]:
+                continue
+            rels = index.evidence.get((h["qid"], t["qid"]))
+            if not rels:
+                continue
+            th = pair_threshold(h["qid"], t["qid"])
+            scored = sorted(
+                ((pair_score(h["qid"], r, t["qid"], True), r) for r in rels),
+                key=lambda x: (-x[0], x[1]),
+            )[:TOP_K]
+            for s, r in scored:
+                if s > th:
+                    rows.append(
+                        (doc_id, h["ent_idx"], t["ent_idx"], h["qid"], r, t["qid"], s)
+                    )
+    return rows
+
+
+class EntityEmbedder:
+    """Actor-pool stage: linked documents → per-doc entity vectors.
+
+    Mention token vectors → logsumexp pooling per entity (model.py:81)
+    + mean-pooled hashed encoding of the 4 attribute strings (the
+    autoencoder stand-in, kg_encoder.py:68-115). Emits one row per
+    (doc, entity) with a fixed-size vector for the nodes table.
+    """
+
+    def __init__(self, kg_ref, canon_ref):
+        kg = ray.get(kg_ref) if not isinstance(kg_ref, dict) else kg_ref
+        canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
+        self.index = KGIndex(kg, canon)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        ents_col = batch.column("entities").to_pylist()
+        ments_col = batch.column("mentions").to_pylist()
+        out_doc, out_idx, out_qid, out_label, out_nm, out_vec = [], [], [], [], [], []
+        for doc_id, ents, ments in zip(doc_ids, ents_col, ments_col):
+            for e in ents:
+                vecs = [
+                    token_vec(normalize_label(m["surface"]))
+                    for m in ments
+                    if m["ent_idx"] == e["ent_idx"]
+                ]
+                pooled = logsumexp_pool(np.stack(vecs))
+                attrs = self.index.entity_attrs(e["qid"], e["label"])
+                attr_toks = [tok for s in attrs.values() for tok in s.split()]
+                attr_vec = np.mean([token_vec(t) for t in attr_toks], axis=0)
+                vec = pooled + 0.5 * attr_vec  # KG-attention fusion stand-in
+                out_doc.append(doc_id)
+                out_idx.append(e["ent_idx"])
+                out_qid.append(e["qid"])
+                out_label.append(e["label"])
+                out_nm.append(e["n_mentions"])
+                out_vec.append(vec.astype(np.float64))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, type=pa.string()),
+                "ent_idx": pa.array(out_idx, type=pa.int32()),
+                "qid": pa.array(out_qid, type=pa.string()),
+                "label": pa.array(out_label, type=pa.string()),
+                "n_mentions": pa.array(out_nm, type=pa.int32()),
+                "vec": pa.array([v.tolist() for v in out_vec], type=pa.list_(pa.float64(), EMB_DIM)),
+            }
+        )
+
+
+def load_kg_broadcast(kg_triples_path: str, kg_attrs_path: str) -> dict:
+    """Read KG dimension tables into one broadcastable dict."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(kg_triples_path)
+    a = pq.read_table(kg_attrs_path)
+    return {
+        "h_qid": t.column("h_qid").to_pylist(),
+        "prop": t.column("prop").to_pylist(),
+        "t_qid": t.column("t_qid").to_pylist(),
+        "attr_qid": a.column("qid").to_pylist(),
+        "attr_key": a.column("attr_key").to_pylist(),
+        "attr_val": a.column("attr_val").to_pylist(),
+    }

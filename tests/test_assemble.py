@@ -1,0 +1,44 @@
+"""Document assembly: the per-turn text-equality invariant (BASELINE.json)."""
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data
+
+from kire_ray.stages.assemble import assemble_documents
+
+
+def test_invariant_per_turn_text_equality(ray_session, tiny_corpus):
+    tr = pq.read_table(f"{tiny_corpus}/transcripts.parquet").to_pandas()
+    ds = ray.data.read_parquet(f"{tiny_corpus}/transcripts.parquet")
+    docs = assemble_documents(ds).to_pandas()
+
+    expected = {
+        conv: g.sort_values("turn_idx")["text"].tolist()
+        for conv, g in tr.groupby("conv_id")
+    }
+    assert set(docs["doc_id"]) == set(expected)
+    for row in docs.itertuples():
+        assert list(row.turn_texts) == expected[row.doc_id], row.doc_id
+        assert row.n_turns == len(expected[row.doc_id])
+
+
+def test_assembly_small_batches_force_segment_merge(ray_session, tiny_corpus):
+    # tiny combine batches → every conv is split across many segments,
+    # exercising the merge path of the two-stage assembly
+    ds = ray.data.read_parquet(f"{tiny_corpus}/transcripts.parquet")
+    docs = assemble_documents(ds, combine_batch_size=7).to_pandas()
+    tr = pq.read_table(f"{tiny_corpus}/transcripts.parquet").to_pandas()
+    for conv, g in tr.groupby("conv_id"):
+        row = docs[docs["doc_id"] == conv].iloc[0]
+        assert list(row["turn_texts"]) == g.sort_values("turn_idx")["text"].tolist()
+
+
+def test_assembly_roles_and_ts(ray_session, tiny_corpus):
+    ds = ray.data.read_parquet(f"{tiny_corpus}/transcripts.parquet")
+    docs = assemble_documents(ds).to_pandas()
+    tr = pq.read_table(f"{tiny_corpus}/transcripts.parquet").to_pandas()
+    g = tr[tr["conv_id"] == docs["doc_id"].iloc[0]]
+    row = docs.iloc[0]
+    assert row["ts_first"] == g["ts"].min()
+    assert row["ts_last"] == g["ts"].max()

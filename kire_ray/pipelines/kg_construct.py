@@ -47,7 +47,10 @@ class KGContext:
 
     @classmethod
     def from_corpus(cls, corpus_dir: str) -> "KGContext":
-        alias = load_alias_broadcast(os.path.join(corpus_dir, "kg_alias.parquet"))
+        alias = load_alias_broadcast(
+            os.path.join(corpus_dir, "kg_alias.parquet"),
+            os.path.join(corpus_dir, "lexicon.parquet"),
+        )
         kg = load_kg_broadcast(
             os.path.join(corpus_dir, "kg_triples.parquet"),
             os.path.join(corpus_dir, "kg_attrs.parquet"),

@@ -314,6 +314,20 @@ def generate_corpus(cfg: SynthConfig) -> dict[str, pa.Table]:
             "qid": pa.array([q for _, q in alias_rows]),
         }
     )
+    # surface lexicon: every entity surface form, including unlinkable
+    # entities' — the mention detector's gazetteer. lex_id groups the
+    # surface forms of one lexicon entry, standing in for the
+    # pre-clustered vertexSet the reference receives as input
+    # (ATLOP+KIRE/prepro.py:40-51): without it, the two surfaces of an
+    # unlinkable entity could never be coreferred.
+    lex_surf, lex_ids = [], []
+    for i in range(nE):
+        for al in aliases[i]:
+            lex_surf.append(" ".join(al))
+            lex_ids.append(f"L{i}")
+    lexicon = pa.table(
+        {"surface_norm": pa.array(lex_surf), "lex_id": pa.array(lex_ids)}
+    )
     kg_sorted = sorted(kg_rows)
     kg_triples = pa.table(
         {
@@ -367,6 +381,7 @@ def generate_corpus(cfg: SynthConfig) -> dict[str, pa.Table]:
     return {
         "transcripts": transcripts,
         "kg_alias": kg_alias,
+        "lexicon": lexicon,
         "kg_triples": kg_triples,
         "kg_attrs": kg_attrs,
         "gold_entities": gold_entities,

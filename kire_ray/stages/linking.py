@@ -58,32 +58,53 @@ MENTION_T = pa.struct(
 )
 
 
-def build_alias_trie(alias_norm: list[str], qid: list[str]) -> dict:
-    """alias table rows → {token-tuple: sorted unique candidate qids}.
+def build_alias_trie(
+    alias_norm: list[str],
+    qid: list[str],
+    lexicon: list[str] | None = None,
+    lex_ids: list[str] | None = None,
+) -> dict:
+    """alias table rows (+ optional surface lexicon) → detection index
+    {token-tuple: (sorted candidate qids, sorted lex ids)}.
 
-    Keys are the _handleLabel-normalized alias split into tokens
+    Keys are the _handleLabel-normalized surface split into tokens
     (gen_kg_data.py:92-94); an alias mapping to several QIDs keeps all
-    candidates, sorted for a deterministic mention-level pick.
+    candidates, sorted for a deterministic mention-level pick.  Lexicon
+    surfaces with no alias entry are *detectable but unlinkable* (the
+    reference's "missing ids" case, gen_kg_data.py:86-87, 4113/63256
+    labels) and produce NT clusters; their ``lex_id`` groups the surface
+    forms of one lexicon entry so they can still be coreferred — the
+    stand-in for the pre-clustered vertexSet the reference receives.
     """
-    trie: dict[tuple[str, ...], list[str]] = {}
+    qids: dict[tuple[str, ...], list[str]] = {}
+    lexs: dict[tuple[str, ...], list[str]] = {}
     for a, q in zip(alias_norm, qid):
         key = tuple(normalize_label(a).split())
         if not key:
             continue
-        trie.setdefault(key, [])
-        if q not in trie[key]:
-            trie[key].append(q)
-    for key in trie:
-        trie[key] = sorted(trie[key])
-    return trie
+        qids.setdefault(key, [])
+        if q not in qids[key]:
+            qids[key].append(q)
+    if lexicon:
+        for s, lx in zip(lexicon, lex_ids or [""] * len(lexicon)):
+            key = tuple(normalize_label(s).split())
+            if not key:
+                continue
+            lexs.setdefault(key, [])
+            if lx and lx not in lexs[key]:
+                lexs[key].append(lx)
+    return {
+        key: (sorted(qids.get(key, [])), sorted(lexs.get(key, [])))
+        for key in qids.keys() | lexs.keys()
+    }
 
 
 def detect_mentions(turn_tokens: list[list[str]], trie: dict, max_len: int):
     """Leftmost-longest token-subsequence scan per turn.
 
-    Returns [(turn_idx, start, end, surface, candidates)] in document
-    order. Deterministic; no overlaps (scan resumes after each match),
-    mirroring the reference's substring scan semantics
+    Returns [(turn_idx, start, end, surface, candidates, lex_ids)] in
+    document order. Deterministic; no overlaps (scan resumes after each
+    match), mirroring the reference's substring scan semantics
     (gen_coref_data.py:163-176) with greedy-longest disambiguation.
     """
     out = []
@@ -104,8 +125,8 @@ def detect_mentions(turn_tokens: list[list[str]], trie: dict, max_len: int):
             if match is None:
                 i += 1
                 continue
-            ln, cands = match
-            out.append((ti, i, i + ln, " ".join(toks[i : i + ln]), cands))
+            ln, (cands, lexes) = match
+            out.append((ti, i, i + ln, " ".join(toks[i : i + ln]), cands, lexes))
             i += ln
     return out
 
@@ -145,8 +166,12 @@ def cluster_and_vote(mentions, canon: dict[str, str]):
     n = len(mentions)
     uf = _UF(n)
     by_key: dict[tuple[str, str], int] = {}
-    for i, (_, _, _, surface, cands) in enumerate(mentions):
-        for key in [("s", normalize_label(surface)), *(("q", c) for c in cands)]:
+    for i, (_, _, _, surface, cands, lexes) in enumerate(mentions):
+        for key in [
+            ("s", normalize_label(surface)),
+            *(("q", c) for c in cands),
+            *(("l", x) for x in lexes),
+        ]:
             if key in by_key:
                 uf.union(by_key[key], i)
             else:
@@ -175,7 +200,7 @@ def cluster_and_vote(mentions, canon: dict[str, str]):
         label = normalize_label(mentions[members[0]][3])
         entities.append((ent_idx, qid, label, len(members)))
         for i in members:
-            ti, s, e, surface, _ = mentions[i]
+            ti, s, e, surface = mentions[i][:4]
             tagged.append((ent_idx, ti, s, e, surface))
     tagged.sort(key=lambda m: (m[1], m[2]))
     return entities, tagged
@@ -192,7 +217,9 @@ class MentionLinker:
 
     def __init__(self, alias_ref, canon_ref=None):
         alias = ray.get(alias_ref) if not isinstance(alias_ref, dict) else alias_ref
-        self.trie = build_alias_trie(alias["alias_norm"], alias["qid"])
+        self.trie = build_alias_trie(
+            alias["alias_norm"], alias["qid"], alias.get("lexicon"), alias.get("lex_ids")
+        )
         self.max_len = max((len(k) for k in self.trie), default=1)
         canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
         self.canon = canon
@@ -221,10 +248,20 @@ class MentionLinker:
         ).append_column("mentions", pa.array(ments_col, type=pa.list_(MENTION_T)))
 
 
-def load_alias_broadcast(alias_parquet: str):
-    """Read the alias dimension table and return a dict ready for
-    ``ray.put`` (plain columns; the trie is built per actor)."""
+def load_alias_broadcast(alias_parquet: str, lexicon_parquet: str | None = None):
+    """Read the alias dimension table (+ optional surface lexicon) and
+    return a dict ready for ``ray.put`` (the trie is built per actor)."""
+    import os
+
     import pyarrow.parquet as pq
 
     t = pq.read_table(alias_parquet, columns=["alias_norm", "qid"])
-    return {"alias_norm": t.column("alias_norm").to_pylist(), "qid": t.column("qid").to_pylist()}
+    out = {
+        "alias_norm": t.column("alias_norm").to_pylist(),
+        "qid": t.column("qid").to_pylist(),
+    }
+    if lexicon_parquet and os.path.exists(lexicon_parquet):
+        lex = pq.read_table(lexicon_parquet, columns=["surface_norm", "lex_id"])
+        out["lexicon"] = lex.column("surface_norm").to_pylist()
+        out["lex_ids"] = lex.column("lex_id").to_pylist()
+    return out

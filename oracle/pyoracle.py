@@ -39,8 +39,17 @@ def run_oracle(corpus_dir: str) -> dict[str, pd.DataFrame]:
     kg_t = pq.read_table(os.path.join(corpus_dir, "kg_triples.parquet"))
     kg_a = pq.read_table(os.path.join(corpus_dir, "kg_attrs.parquet"))
 
+    lex_path = os.path.join(corpus_dir, "lexicon.parquet")
+    lexicon = lex_ids = None
+    if os.path.exists(lex_path):
+        lex = pq.read_table(lex_path)
+        lexicon = lex.column("surface_norm").to_pylist()
+        lex_ids = lex.column("lex_id").to_pylist()
     trie = build_alias_trie(
-        alias.column("alias_norm").to_pylist(), alias.column("qid").to_pylist()
+        alias.column("alias_norm").to_pylist(),
+        alias.column("qid").to_pylist(),
+        lexicon,
+        lex_ids,
     )
     max_len = max((len(k) for k in trie), default=1)
     eq = [

@@ -85,7 +85,7 @@ def linked_documents(
         fn_constructor_kwargs={"alias_ref": ctx.alias_ref, "canon_ref": ctx.canon_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        concurrency=(1, concurrency or 4),
     )
 
 
@@ -97,7 +97,7 @@ def extract_triples(
         fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency or 4,
+        concurrency=(1, concurrency or 4),
     )
 
 
@@ -109,7 +109,7 @@ def entity_vectors(
         fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency or 4,
+        concurrency=(1, concurrency or 4),
     )
 
 
@@ -121,7 +121,7 @@ def coref_pairs(
         fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency or 4,
+        concurrency=(1, concurrency or 4),
     )
 
 

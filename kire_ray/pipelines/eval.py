@@ -1,0 +1,114 @@
+"""Evaluation harness — port of the reference's official DocRED eval.
+
+Mirrors ``official_evaluate``
+(/root/reference/ATLOP+KIRE/evaluation.py:70-193):
+- predictions sorted by (title, h_idx, t_idx, r) and exact-deduped
+  (evaluation.py:112-118);
+- micro precision / recall / F1 on exact (title, h_idx, t_idx, r)
+  match (evaluation.py:143-145, 166-176);
+- Ign-F1: correct predictions whose (h_name-level) fact was seen in the
+  train split are removed from both numerator and denominator
+  (evaluation.py:147-158, 180-181).
+
+Our analogue of the train/dev split: a deterministic hash split on
+doc_id; the train-fact set is (subj_qid, pred, obj_qid) triples of
+train docs — a broadcast-set semi-join, exactly the fact-set cache the
+reference keeps (evaluation.py:44-67).
+
+The cumulative P/R curve + theta tuning (A6, GLRE trainer
+tune_f1_theta:609-682) is driver-side over the score-sorted prediction
+table, as in the reference (bounded: one row per predicted pair).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from kire_ray.functions.hashing import hash64
+
+
+def dedup_sort_predictions(preds: pd.DataFrame) -> pd.DataFrame:
+    """Sort by (doc_id, h_idx, t_idx, r) then drop exact duplicates —
+    evaluation.py:112-118 semantics."""
+    cols = ["doc_id", "h_idx", "t_idx", "r"]
+    return (
+        preds.sort_values(cols, kind="stable")
+        .drop_duplicates(subset=cols)
+        .reset_index(drop=True)
+    )
+
+
+def split_train_dev(doc_ids: pd.Series, train_frac: float = 0.5) -> pd.Series:
+    """Deterministic hash split; True = train."""
+    h = hash64(doc_ids.to_numpy())
+    return pd.Series((h % 1000) < int(train_frac * 1000), index=doc_ids.index)
+
+
+def official_evaluate(
+    preds: pd.DataFrame,
+    gold: pd.DataFrame,
+    train_facts: set[tuple] | None = None,
+    fact_of=None,
+) -> dict:
+    """preds/gold: columns (doc_id, h_idx, t_idx, r). Returns micro
+    P/R/F1 and Ign-P/R/F1."""
+    preds = dedup_sort_predictions(preds)
+    gold_set = {(g.doc_id, g.h_idx, g.t_idx, g.r) for g in gold.itertuples()}
+    pred_keys = [(p.doc_id, p.h_idx, p.t_idx, p.r) for p in preds.itertuples()]
+    correct = [k for k in pred_keys if k in gold_set]
+
+    p = len(correct) / len(pred_keys) if pred_keys else 0.0
+    r = len(correct) / len(gold_set) if gold_set else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    out = {"precision": p, "recall": r, "f1": f1, "n_pred": len(pred_keys), "n_gold": len(gold_set)}
+
+    if train_facts is not None and fact_of is not None:
+        # Ign: remove correct-and-in-train from numerator AND from the
+        # prediction count (evaluation.py:180-181 exact formula)
+        correct_in_train = sum(1 for k in correct if fact_of(k) in train_facts)
+        denom = len(pred_keys) - correct_in_train
+        p_ign = (len(correct) - correct_in_train) / denom if denom else 0.0
+        f1_ign = 2 * p_ign * r / (p_ign + r) if (p_ign + r) else 0.0
+        out.update(
+            {"ign_precision": p_ign, "ign_f1": f1_ign, "correct_in_train": correct_in_train}
+        )
+    return out
+
+
+def tune_theta(scores: np.ndarray, is_correct: np.ndarray, n_gold: int) -> dict:
+    """Global-sort theta tuning (GLRE trainer.tune_f1_theta:609-682,
+    B4 Config.py:1028-1221): sort by score desc, cumulative P/R, pick
+    the threshold maximizing F1."""
+    order = np.argsort(-scores, kind="stable")
+    corr = is_correct[order].astype(np.float64)
+    cum_tp = np.cumsum(corr)
+    k = np.arange(1, len(corr) + 1)
+    prec = cum_tp / k
+    rec = cum_tp / max(n_gold, 1)
+    f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+    best = int(np.argmax(f1))
+    return {
+        "theta": float(scores[order][best]),
+        "best_f1": float(f1[best]),
+        "precision": float(prec[best]),
+        "recall": float(rec[best]),
+        "auc": float(np.trapz(prec, rec)),
+    }
+
+
+def triple_prf(pred: pd.DataFrame, gold: pd.DataFrame) -> dict:
+    """(subj_qid, pred, obj_qid) set-level P/R/F1 — the BASELINE.json
+    P/R ≥ 0.95 gate."""
+    ps = {(r.subj_qid, r.pred, r.obj_qid) for r in pred.itertuples()}
+    gs = {(r.subj_qid, r.pred, r.obj_qid) for r in gold.itertuples()}
+    tp = len(ps & gs)
+    p = tp / len(ps) if ps else 0.0
+    r = tp / len(gs) if gs else 0.0
+    return {
+        "precision": p,
+        "recall": r,
+        "f1": 2 * p * r / (p + r) if (p + r) else 0.0,
+        "n_pred": len(ps),
+        "n_gold": len(gs),
+    }

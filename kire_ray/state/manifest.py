@@ -1,0 +1,77 @@
+"""Per-partition checkpoint manifests + lineage for exact resume.
+
+The reference's only "resume" is file-level caching (rerun skips a
+stage if its output file exists; the HTTP linker flushes every 50
+records, /root/reference/ATLOP+KIRE/data/gen_kg_data.py:137-141).  At
+10^12 turns a run *will* be interrupted, so the engine makes resume a
+first-class layout (SURVEY.md §4 "checkpoint/resume"):
+
+- output is partitioned: one directory per partition
+  (``part=<k>/``), where k = hash(conv_id) % n_parts;
+- each partition directory is written atomically (temp dir + rename)
+  and carries ``_MANIFEST.json`` with lineage: input fingerprint,
+  partition id, row counts per output table, wall time, engine version;
+- ``done_partitions`` scans manifests; a resumed run processes only the
+  missing partitions and never re-reads finished ones.
+
+Exactness: partitions are disjoint by conv_id hash and every stage
+below the partition filter is deterministic, so (resumed ∪ finished) ==
+single-run output, verified by tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+def partition_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part}")
+
+
+def manifest_path(out_dir: str, part: int) -> str:
+    return os.path.join(partition_dir(out_dir, part), "_MANIFEST.json")
+
+
+def done_partitions(out_dir: str, n_parts: int) -> set[int]:
+    done = set()
+    for k in range(n_parts):
+        if os.path.exists(manifest_path(out_dir, k)):
+            done.add(k)
+    return done
+
+
+def write_partition_atomic(out_dir: str, part: int, writer, lineage: dict) -> dict:
+    """Run ``writer(tmp_dir) -> {table: rows}`` then atomically publish
+    the partition with its manifest. Returns the manifest dict."""
+    final = partition_dir(out_dir, part)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = final + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    t0 = time.time()
+    rows = writer(tmp)
+    manifest = {
+        "partition": part,
+        "rows": rows,
+        "lineage": lineage,
+        "wall_sec": round(time.time() - t0, 3),
+        "engine": "kire_ray-0.1.0",
+    }
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+    return manifest
+
+
+def read_manifests(out_dir: str, n_parts: int) -> list[dict]:
+    out = []
+    for k in sorted(done_partitions(out_dir, n_parts)):
+        with open(manifest_path(out_dir, k)) as f:
+            out.append(json.load(f))
+    return out

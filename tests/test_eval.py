@@ -1,0 +1,86 @@
+"""Evaluation harness semantics (official_evaluate port) + theta tuning."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from kire_ray.pipelines.eval import (
+    dedup_sort_predictions,
+    official_evaluate,
+    split_train_dev,
+    triple_prf,
+    tune_theta,
+)
+
+
+def test_dedup_sort():
+    p = pd.DataFrame(
+        {
+            "doc_id": ["b", "a", "a", "a"],
+            "h_idx": [0, 1, 1, 0],
+            "t_idx": [1, 0, 0, 1],
+            "r": ["P1", "P2", "P2", "P1"],
+        }
+    )
+    out = dedup_sort_predictions(p)
+    assert len(out) == 3
+    assert out.iloc[0].doc_id == "a" and out.iloc[-1].doc_id == "b"
+
+
+def test_official_evaluate_exact():
+    gold = pd.DataFrame(
+        {"doc_id": ["d1", "d1", "d2"], "h_idx": [0, 0, 1], "t_idx": [1, 2, 0], "r": ["P1", "P2", "P1"]}
+    )
+    preds = pd.DataFrame(
+        {"doc_id": ["d1", "d1", "d2"], "h_idx": [0, 0, 1], "t_idx": [1, 1, 0], "r": ["P1", "P9", "P1"]}
+    )
+    m = official_evaluate(preds, gold)
+    assert m["n_pred"] == 3 and m["n_gold"] == 3
+    assert m["precision"] == pytest.approx(2 / 3)
+    assert m["recall"] == pytest.approx(2 / 3)
+
+
+def test_ign_formula():
+    gold = pd.DataFrame({"doc_id": ["d"], "h_idx": [0], "t_idx": [1], "r": ["P1"]})
+    preds = pd.DataFrame(
+        {"doc_id": ["d", "d"], "h_idx": [0, 0], "t_idx": [1, 2], "r": ["P1", "P1"]}
+    )
+    facts = {("Q1", "P1", "Q2")}
+    m = official_evaluate(
+        preds, gold, train_facts=facts, fact_of=lambda k: ("Q1", "P1", "Q2") if k[2] == 1 else ("x",)
+    )
+    # correct=1, in-train=1 → ign numerator 0, denominator 2-1=1
+    assert m["ign_precision"] == 0.0 and m["correct_in_train"] == 1
+
+
+def test_tune_theta_picks_best_cut():
+    scores = np.array([0.9, 0.8, 0.7, 0.6, 0.5])
+    correct = np.array([1, 1, 0, 1, 0])
+    out = tune_theta(scores, correct, n_gold=3)
+    # best F1 at k=4 (P=3/4, R=1) vs k=2 (P=1, R=2/3)
+    assert out["theta"] == pytest.approx(0.6)
+    assert out["best_f1"] == pytest.approx(2 * 0.75 * 1 / 1.75)
+
+
+def test_split_deterministic():
+    s = pd.Series(["a", "b", "c", "d"])
+    assert split_train_dev(s).tolist() == split_train_dev(s).tolist()
+
+
+def test_harness_on_pipeline_output(ray_session, tiny_corpus):
+    from kire_ray.pipelines.kg_construct import build_graph
+
+    g = build_graph(tiny_corpus, concurrency=2)
+    preds = g["triples"].to_pandas().rename(columns={"pred": "r"})
+    gold = pq.read_table(f"{tiny_corpus}/gold_labels.parquet").to_pandas()
+    m = official_evaluate(
+        preds[["doc_id", "h_idx", "t_idx", "r"]].assign(),
+        gold,
+    )
+    assert m["f1"] >= 0.95, m
+
+    edges = g["edges"].to_pandas()
+    gt = pq.read_table(f"{tiny_corpus}/gold_triples.parquet").to_pandas()
+    prf = triple_prf(edges, gt)
+    assert prf["f1"] >= 0.95, prf

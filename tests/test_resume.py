@@ -1,0 +1,65 @@
+"""Kill-resume: interrupted run + resume == single uninterrupted run."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kire_ray.pipelines.kg_construct import build_graph, load_output, run_resumable
+from kire_ray.state.manifest import done_partitions, read_manifests
+
+
+def test_kill_resume_exact(ray_session, tiny_corpus, tmp_path):
+    out = str(tmp_path / "kg_out")
+    n_parts = 4
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_resumable(tiny_corpus, out, n_parts=n_parts, concurrency=2, fail_after=2)
+    assert done_partitions(out, n_parts) == {0, 1}
+
+    # resume: only the remaining partitions run
+    manifests = run_resumable(tiny_corpus, out, n_parts=n_parts, concurrency=2)
+    assert [m["partition"] for m in manifests] == [2, 3]
+    assert done_partitions(out, n_parts) == {0, 1, 2, 3}
+
+    # lineage recorded per partition
+    for m in read_manifests(out, n_parts):
+        assert m["lineage"]["partition_key"] == "hash64(conv_id) % n_parts"
+        assert m["rows"]["triples"] >= 0 and "wall_sec" in m
+
+    # merged output == single-run output
+    single = build_graph(tiny_corpus, concurrency=2)
+    e_single = (
+        single["edges"]
+        .to_pandas()
+        .sort_values(["subj_qid", "pred", "obj_qid"])
+        .reset_index(drop=True)
+    )
+    e_resumed = (
+        load_output(out, "edges")
+        .to_pandas()
+        .sort_values(["subj_qid", "pred", "obj_qid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        e_resumed[["subj_qid", "pred", "obj_qid", "score", "n_docs", "first_doc"]],
+        e_single[["subj_qid", "pred", "obj_qid", "score", "n_docs", "first_doc"]],
+        check_dtype=False,
+    )
+
+    n_single = single["nodes"].to_pandas().sort_values("qid").reset_index(drop=True)
+    n_resumed = (
+        load_output(out, "nodes").to_pandas().sort_values("qid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        n_resumed[["qid", "label", "n_docs", "n_mentions"]],
+        n_single[["qid", "label", "n_docs", "n_mentions"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(
+        np.stack(n_resumed["vec"].map(np.asarray)),
+        np.stack(n_single["vec"].map(np.asarray)),
+        atol=1e-9,
+    )
+
+    # idempotent: nothing left to do
+    assert run_resumable(tiny_corpus, out, n_parts=n_parts, concurrency=2) == []

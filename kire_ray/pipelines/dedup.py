@@ -1,0 +1,323 @@
+"""Deduplication suite over a documents table — exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine.
+
+The reference has only exact dedup (triple list-dedup,
+/root/reference/ATLOP+KIRE/data/gen_kg_data.py:320-323; sorted
+prediction dedup, evaluation.py:112-118).  A 100 TB training-data
+pipeline needs the near-dup family too; each operator here follows the
+canonical Ray shape:
+
+  vectorized signature per batch (map_batches, numpy)
+    → explode to (bucket, doc_id) rows
+    → groupby(bucket)            # the ONLY shuffle, uniform keys
+    → pairs within bucket → verify (exact metric)
+    → connected components → representative per cluster
+
+Signatures are uniformly-distributed hashes, so the groupby keys cannot
+be skewed by data skew (identical docs share buckets — bucket size is
+bounded by duplicate-cluster size; a pathological bucket is capped by
+``max_bucket``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from kire_ray.functions.hashing import hash64
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: hash-partition by content hash, keep min id.
+
+    Returns (doc_id, n_dups): representative id + group size. The
+    shuffle moves one small row per (hash, batch) thanks to the
+    block-local combiner.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = hash64(b[text_col].to_numpy()).astype("uint64")
+        g = pd.DataFrame({"h": h, id_col: b[id_col]}).groupby("h", sort=False)
+        return g.agg(doc_id=(id_col, "min"), n_dups=(id_col, "size")).reset_index()
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].min()], "n_dups": [int(g["n_dups"].sum())]}
+        )
+
+    return part.groupby("h").map_groups(final, batch_format="pandas")
+
+
+def _shingles(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        return hash64([" ".join(toks)]) if toks else np.array([], dtype=np.uint64)
+    return np.unique(hash64([" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]))
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+) -> "ray.data.Dataset":
+    """Per-doc MinHash signature (vectorized: one (num_perm × shingles)
+    modular multiply per doc)."""
+    a, b = _minhash_params(num_perm)
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for t in batch[text_col]:
+            sh = _shingles(t, shingle_k)
+            if len(sh) == 0:
+                out.append(np.full(num_perm, _MERSENNE, dtype=np.uint64))
+                continue
+            # (P, S) = (a ⊗ shingle + b) mod M, min over shingles
+            v = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+            out.append(v.min(axis=1).astype(np.uint64))
+        return pd.DataFrame({id_col: batch[id_col], "sig": [s.tolist() for s in out]})
+
+    return ds.map_batches(sig, batch_format="pandas")
+
+
+def lsh_candidate_pairs(
+    sigs: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 64,
+) -> "ray.data.Dataset":
+    """Signature → band buckets → candidate pairs.
+
+    Explodes each doc to ``bands`` (band, band_hash) rows; one groupby
+    on the uniform bucket key; all-pairs within bucket (capped at
+    ``max_bucket`` docs — logged-by-column truncation, not silent).
+    """
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_band, rows_hash = [], [], []
+        for did, sig in zip(b[id_col], b["sig"]):
+            s = np.asarray(sig, dtype=np.uint64)
+            r = len(s) // bands
+            for bi in range(bands):
+                h = int(hash64(["|".join(map(str, s[bi * r : (bi + 1) * r]))])[0])
+                rows_id.append(did)
+                rows_band.append(bi)
+                rows_hash.append(h)
+        return pd.DataFrame({id_col: rows_id, "band": rows_band, "bh": rows_hash})
+
+    buckets = sigs.map_batches(explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())[:max_bucket]
+        a, b_ = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b_.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b_, "truncated": [len(g) > max_bucket] * len(a)})
+
+    cand = buckets.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)[["id_a", "id_b"]]
+
+    return cand.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+
+
+def verify_jaccard(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard on candidate pairs.
+
+    Small-scale path: broadcast the docs' shingle sets (dimension-sized
+    after LSH pruned the corpus to candidates). At 100 TB this becomes
+    two bucketed hash joins of pairs⋈docs on id (stages/joins.py
+    ``hash_join``) — the candidate table is already ≪ corpus.
+    """
+    texts = {r[id_col]: r[text_col] for r in docs.select_columns([id_col, text_col]).take_all()}
+    sh = {k: set(_shingles(t, shingle_k).tolist()) for k, t in texts.items()}
+    ref = ray.put(sh)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        jac = []
+        for x, y in zip(b["id_a"], b["id_b"]):
+            sa, sb = m.get(x, set()), m.get(y, set())
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            jac.append(inter / union if union else 0.0)
+        b = b.assign(jaccard=jac)
+        return b[b["jaccard"] >= threshold]
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+def minhash_dedup(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> "ray.data.Dataset":
+    """Full MinHash-LSH near-dup: returns verified duplicate pairs
+    (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k
+    )
+    cand = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
+    return verify_jaccard(
+        cand, docs, text_col=text_col, id_col=id_col, shingle_k=shingle_k, threshold=threshold
+    )
+
+
+# ----------------------------- SimHash ------------------------------
+
+
+def simhash_signatures(
+    ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """64-bit SimHash over token hashes (sign-sum of bit vectors)."""
+
+    def sig(b: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(b), dtype=np.uint64)
+        for i, t in enumerate(b[text_col]):
+            toks = t.split()
+            if not toks:
+                continue
+            h = hash64(toks)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            out[i] = np.packbits((v > 0).astype(np.uint8)[::-1], bitorder="little").view(np.uint64)[0]
+        return pd.DataFrame({id_col: b[id_col], "simhash": out})
+
+    return ds.map_batches(sig, batch_format="pandas")
+
+
+def simhash_dedup(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: bucket on 4×16-bit bands (pigeonhole —
+    any pair within hamming ≤ 3 of 64 bits shares ≥1 exact band),
+    verify exact Hamming distance within buckets."""
+    sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["simhash"].to_numpy().astype(np.uint64)
+        rows = []
+        for bi in range(4):
+            band = ((s >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows.append(pd.DataFrame({id_col: b[id_col], "simhash": s, "band": bi, "bh": band}))
+        return pd.concat(rows, ignore_index=True)
+
+    buckets = sigs.map_batches(explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        a, b_, d = [], [], []
+        for i in range(len(ids)):
+            x = np.bitwise_xor(hs[i], hs[i + 1 :])
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(ham <= 3)[0]:
+                a.append(ids[i])
+                b_.append(ids[i + 1 + j])
+                d.append(int(ham[j]))
+        return pd.DataFrame({"id_a": a, "id_b": b_, "hamming": d})
+
+    cand = buckets.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ------------------------ embedding cosine --------------------------
+
+
+def embedding_dedup(
+    emb: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+) -> "ray.data.Dataset":
+    """Near-dup by cosine: random-hyperplane sign bucket (LSH), then
+    exact cosine within buckets. Pairs with cos ≥ threshold."""
+    first = emb.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    p_ref = ray.put(planes)
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        P = ray.get(p_ref)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        signs = (M @ P) > 0
+        bucket = (signs * (1 << np.arange(P.shape[1]))).sum(axis=1)
+        return pd.DataFrame(
+            {id_col: b[id_col], "bucket": bucket, "vec": [r.tolist() for r in M]}
+        )
+
+    buckets = emb.map_batches(bucketize, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        M = np.stack([np.asarray(v) for v in g["vec"]])
+        S = M @ M.T
+        a, b_, c = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if S[i, j] >= threshold:
+                    a.append(ids[i])
+                    b_.append(ids[j])
+                    c.append(float(S[i, j]))
+        return pd.DataFrame({"id_a": a, "id_b": b_, "cosine": c})
+
+    return buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def dup_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Duplicate pairs → connected components → (node, cluster_rep)."""
+    from kire_ray.stages.canonicalize import connected_components
+
+    edges = pairs.map_batches(
+        lambda b: pd.DataFrame(
+            {"src": b["id_a"].astype(str), "dst": b["id_b"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    return connected_components(edges)

@@ -1,0 +1,119 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not in this container, so the decode
+kernels are STUBBED (clearly marked) behind ``decoder="fake"`` — a
+deterministic byte-hash feature extractor — while all the Ray-side
+plumbing is real and tested: binary Arrow columns, actor-pool stages
+with per-actor setup, small batch sizes for wide rows, fixed-size
+feature output schema.
+
+At scale: binary payloads make rows wide → ``batch_size`` must be small
+(default 32) and blocks should not be split absurdly small
+(``DataContext.target_max_block_size`` up). Feature extraction is a
+stateful actor stage (model load once per actor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from kire_ray.functions.hashing import hash64
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+FEAT_DIM = 32
+
+
+def synth_media(n: int, seed: int = 3) -> pa.Table:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {
+        "media_id": [f"m{i:06d}" for i in range(n)],
+        "kind": [kinds[i % 3] for i in range(n)],
+        "payload": [rng.bytes(64 + int(rng.integers(0, 192))) for i in range(n)],
+        "width": pa.array([int(rng.integers(16, 512)) for _ in range(n)], pa.int32()),
+        "height": pa.array([int(rng.integers(16, 512)) for _ in range(n)], pa.int32()),
+        "duration_ms": pa.array([int(rng.integers(0, 60000)) for _ in range(n)], pa.int32()),
+    }
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    ``decoder="real"`` is a stub: the container has no image/audio
+    libraries → NotImplementedError, by design. ``decoder="fake"``
+    derives a deterministic FEAT_DIM-float feature from the payload
+    bytes so the distributed plumbing (schema, batching, actor setup,
+    output layout) is fully exercised and testable.
+    """
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        self.decoder = decoder
+        # per-actor setup (the "model load"): derive the projection once
+        rng = np.random.default_rng(99)
+        self.proj = rng.standard_normal((8, FEAT_DIM))
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "real":
+            # STUB: pillow / torchaudio / ffmpeg are not available in
+            # this environment — plug the real decoder in here.
+            raise NotImplementedError("real media decoding unavailable in this container")
+        h = hash64([payload[i::8].hex() for i in range(8)]).astype(np.float64)
+        return (h / 2**64) @ self.proj
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode(p) for p in batch.column("payload").to_pylist()]
+        out = batch.drop_columns(["payload"])  # features replace payload
+        return out.append_column(
+            "features",
+            pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64(), FEAT_DIM)),
+        )
+
+
+def extract_media_features(
+    media: "ray.data.Dataset", *, concurrency=(1, 4), batch_size: int = 32
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: wide binary rows
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(
+    media: "ray.data.Dataset", *, every_ms: int = 1000
+) -> "ray.data.Dataset":
+    """Video frame sampling plumbing: explode each video row into frame
+    rows at a fixed cadence (decode itself is the stub above)."""
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in b.itertuples():
+            if r.kind != "video":
+                continue
+            for t in range(0, max(int(r.duration_ms), 1), every_ms):
+                rows.append((r.media_id, t))
+        return pd.DataFrame(rows, columns=["media_id", "frame_ms"]) if rows else pd.DataFrame(
+            {"media_id": pd.Series([], dtype=str), "frame_ms": pd.Series([], dtype=np.int64)}
+        )
+
+    return media.map_batches(explode, batch_format="pandas")

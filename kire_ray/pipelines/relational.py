@@ -1,0 +1,289 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+These exercise the engine's generic operator set (SURVEY.md §2.2–2.7 —
+maps, filters, joins, grouped aggregates, sorts, top-k, dedup, windowed
+aggregates) with DuckDB-verifiable semantics.  Patterns:
+
+- aggregates are *pre-aggregated* inside ``map_batches`` (partial
+  per-batch combine) before the groupby shuffle;
+- dimension tables join via broadcast (``stages/joins.py``), fact⋈fact
+  via ``Dataset.join``;
+- top-k = per-batch partial top-k → tiny global merge, never a full
+  sort when k ≪ n;
+- event windows = tumbling buckets by ``floor(epoch/size)`` — a plain
+  groupby after a vectorized bucket projection (Ray Data has no
+  event-time windowing; the bucket column IS the window).
+
+Column names match the oracle SQL in __ray_entry__ exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data
+
+from kire_ray.stages.joins import broadcast_join
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1 shape: grouped sums over lineitem with a block-local
+    combiner (one partial row per key per batch crosses the shuffle)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(revenue=b.l_extendedprice * (1 - b.l_discount))
+        g = b.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        return g.agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            revenue=("revenue", "sum"),
+            sum_disc=("l_discount", "sum"),
+            n_rows=("l_quantity", "size"),
+        ).reset_index()
+
+    part = ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g.l_returnflag.iloc[0]],
+                "l_linestatus": [g.l_linestatus.iloc[0]],
+                "sum_qty": [g.sum_qty.sum()],
+                "sum_base_price": [round(g.sum_base_price.sum(), 2)],
+                "revenue": [round(g.revenue.sum(), 2)],
+                "avg_disc": [round(g.sum_disc.sum() / g.n_rows.sum(), 6)],
+                "n_rows": [int(g.n_rows.sum())],
+            }
+        )
+
+    return part.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Join lineitem⋈part (broadcast dim) → grouped revenue → top-k."""
+    part_df = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    ).to_pandas()
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(revenue=b.l_extendedprice * (1 - b.l_discount))
+        return (
+            b.groupby("l_partkey", sort=False)
+            .agg(revenue=("revenue", "sum"))
+            .reset_index()
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pandas")
+        .groupby("l_partkey")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"l_partkey": [g.l_partkey.iloc[0]], "revenue": [round(g.revenue.sum(), 2)]}
+            ),
+            batch_format="pandas",
+        )
+    )
+    joined = broadcast_join(
+        agg, part_df.rename(columns={"p_partkey": "l_partkey"}), on=["l_partkey"], how="inner"
+    )
+    # global top-k: dataset sort is fine at k rows output; demonstrate
+    # sort+limit composition
+    return (
+        joined.sort(["revenue", "l_partkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(
+            lambda b: b.rename(columns={"l_partkey": "p_partkey"}),
+            batch_format="pandas",
+        )
+    )
+
+
+def customer_order_totals(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """orders ⋈ customer (hash join, both sides as Datasets) → per-customer
+    totals → top-k by spend."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_custkey", sort=False)
+            .agg(total_spend=("o_totalprice", "sum"), n_orders=("o_totalprice", "size"))
+            .reset_index()
+        )
+
+    agg = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "o_custkey": [g.o_custkey.iloc[0]],
+                    "total_spend": [round(g.total_spend.sum(), 2)],
+                    "n_orders": [int(g.n_orders.sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        lambda b: b.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas"
+    )
+    joined = agg.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",))
+    return (
+        joined.sort(["total_spend", "o_custkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(
+            lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+            batch_format="pandas",
+        )
+    )
+
+
+def supplier_nation_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """supplier ⋈ nation ⋈ region (two broadcast dims) → per-region
+    supplier account rollup."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey", how="inner"
+    )[["n_nationkey", "n_name", "r_name"]]
+    sup = sup.map_batches(
+        lambda b: b.rename(columns={"s_nationkey": "n_nationkey"}), batch_format="pandas"
+    )
+    joined = broadcast_join(sup, dim, on=["n_nationkey"], how="inner")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": [g.r_name.iloc[0]],
+                "n_suppliers": [int(len(g))],
+                "total_acctbal": [round(g.s_acctbal.sum(), 2)],
+            }
+        )
+
+    return joined.groupby("r_name").map_groups(final, batch_format="pandas")
+
+
+def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
+    """Tumbling window per event_type: bucket = floor(epoch/window)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = b["ts"].astype("int64") // 10**6
+        b = b.assign(window_start=(epoch // window_s) * window_s)
+        g = b.groupby(["event_type", "window_start"], sort=False)
+        return g.agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        ).reset_index()
+
+    part = ev.map_batches(bucketize, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g.event_type.iloc[0]],
+                "window_start": [int(g.window_start.iloc[0])],
+                "n_events": [int(g.n_events.sum())],
+                "sum_value": [round(g.sum_value.sum(), 2)],
+            }
+        )
+
+    return part.groupby(["event_type", "window_start"]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def sessionize_events(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
+    """Session windows per user (gap > gap_s starts a new session) —
+    groupby(user).map_groups over ts-sorted events, the engine's
+    streaming-shaped pattern (ordering assumption: ts sorted within
+    user group, enforced inside the group fn)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        epoch = g["ts"].astype("int64") // 10**6
+        new = (epoch.diff().fillna(gap_s + 1) > gap_s).astype(int)
+        sid = new.cumsum()
+        out = (
+            g.assign(session=sid.to_numpy(), epoch=epoch.to_numpy())
+            .groupby("session")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start=("epoch", "min"),
+                session_end=("epoch", "max"),
+                n_events=("value", "size"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def distinct_order_status(sf_dir: str) -> "ray.data.Dataset":
+    """Distinct + count per key (A4-style corpus stats)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_orderstatus", sort=False).size().rename("n").reset_index()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {"o_orderstatus": [g.o_orderstatus.iloc[0]], "n": [int(g.n.sum())]}
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+def orders_lineitem_join_count(sf_dir: str) -> "ray.data.Dataset":
+    """Fact⋈fact hash join (orders⋈lineitem on orderkey) → per-status
+    line counts. Demonstrates the shuffle join path on the two largest
+    tables."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=8, on=("o_orderkey",))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_orderstatus", sort=False)
+            .agg(n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+            .reset_index()
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderstatus")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "o_orderstatus": [g.o_orderstatus.iloc[0]],
+                    "n_lines": [int(g.n_lines.sum())],
+                    "sum_qty": [float(g.sum_qty.sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_brute_force`` — exact cosine top-k: per-batch numpy matmul
+  against a broadcast query matrix, per-batch partial top-k, then one
+  tiny groupby(query) merge.  Shuffle volume = O(n_queries × k ×
+  n_blocks), never the corpus.
+- ``ann_lsh`` — scale path: random-hyperplane sign buckets; queries
+  probe only their own bucket (+ optional multi-probe by flipping one
+  bit). Recall < 1 by construction; the bench reports recall vs the
+  brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _norm_rows(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+def ann_brute_force(
+    emb: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Exact cosine top-k for each query row. Returns
+    (query_id, vec_id, cosine, rank) with rank 0..k-1 (desc cosine,
+    id-ascending tie-break → fully deterministic)."""
+    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(Q)
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+        ids = b[id_col].to_numpy()
+        S = Qm @ M.T  # (n_q, n_batch)
+        kk = min(k, S.shape[1])
+        out_q, out_id, out_c = [], [], []
+        for qi in range(S.shape[0]):
+            idx = np.argpartition(-S[qi], kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[idx])
+            out_c.extend(S[qi][idx])
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "cosine": out_c})
+
+    partials = emb.map_batches(partial_topk, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ann_lsh(
+    emb: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 6,
+    seed: int = 13,
+) -> "ray.data.Dataset":
+    """LSH-bucketed approximate top-k: only candidates sharing the
+    query's sign-bucket (or 1-bit-flipped neighbors) are scored."""
+    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    dim = Q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qb = ((Q @ planes) > 0).astype(np.int64)
+    q_buckets = (qb * (1 << np.arange(n_planes))).sum(axis=1)
+    # multi-probe radius 2: query bucket + all 1- and 2-bit flips (the
+    # recall/cost knob; radius 2 of 6 planes probes 22/64 buckets)
+    probe: dict[int, list[int]] = {}
+    for qi, bkt in enumerate(q_buckets):
+        cands = {int(bkt)}
+        for b in range(n_planes):
+            cands.add(int(bkt) ^ (1 << b))
+            for b2 in range(b + 1, n_planes):
+                cands.add(int(bkt) ^ (1 << b) ^ (1 << b2))
+        for cand in cands:
+            probe.setdefault(cand, []).append(qi)
+    p_ref = ray.put((planes, probe, Q))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        P, pr, Qm = ray.get(p_ref)
+        M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+        ids = b[id_col].to_numpy()
+        signs = (M @ P) > 0
+        buckets = (signs * (1 << np.arange(P.shape[1]))).sum(axis=1)
+        out_q, out_id, out_c = [], [], []
+        for bkt in np.unique(buckets):
+            qis = pr.get(int(bkt))
+            if not qis:
+                continue
+            mask = buckets == bkt
+            sub, sub_ids = M[mask], ids[mask]
+            S = Qm[qis] @ sub.T
+            kk = min(k, S.shape[1])
+            for row, qi in enumerate(qis):
+                idx = np.argpartition(-S[row], kk - 1)[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(sub_ids[idx])
+                out_c.extend(S[row][idx])
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "cosine": out_c})
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

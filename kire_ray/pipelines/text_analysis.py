@@ -1,0 +1,116 @@
+"""Text analysis over a documents table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All metrics are defined on *SQL-replicable primitives* where possible
+(whitespace token count, substring occurrence counts, character-class
+ratios) so the DuckDB oracle can verify them value-for-value; the
+rolling-hash fingerprint is rows-only.
+
+Everything is one vectorized ``map_batches`` pass — a single stateless
+projection, no shuffle (the shape of the reference's per-doc stat loops,
+GLRE+KIRE/data/loader.py:307-323, made columnar).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from kire_ray.functions.hashing import hash64
+
+STOPWORDS = ["the", "a", "of", "to", "and"]
+_FP_BASE = np.uint64(1099511628211)
+
+
+def _substr_count(s: pd.Series, sub: str) -> pd.Series:
+    """Occurrences of ``sub`` — (len(s) - len(replace(s, sub, ''))) /
+    len(sub), the exact arithmetic a SQL oracle can replicate."""
+    return (s.str.len() - s.str.replace(sub, "", regex=False).str.len()) // len(sub)
+
+
+def text_metrics(
+    ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(doc_id, n_chars, n_tokens, mean_word_len, stop_ratio,
+    quality_score, lang_guess)."""
+
+    def metrics(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col]
+        n_chars = t.str.len().astype("int64")
+        no_space = t.str.replace(" ", "", regex=False).str.len().astype("int64")
+        n_tokens = (n_chars - no_space + 1).astype("int64")
+        mean_wl = no_space / n_tokens.clip(lower=1)
+        stop = sum(_substr_count(" " + t + " ", f" {w} ") for w in STOPWORDS)
+        stop_ratio = stop / n_tokens.clip(lower=1)
+        quality = (
+            (mean_wl.clip(2.0, 8.0) - 2.0) / 6.0 * 0.5
+            + stop_ratio.clip(upper=0.5) * 1.0
+        ).round(6)
+        lang = np.where(stop_ratio > 0.02, "en", "unknown")
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "mean_word_len": mean_wl.round(6),
+                "stop_ratio": stop_ratio.round(6),
+                "quality_score": quality,
+                "lang_guess": lang,
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pandas")
+
+
+def fingerprints(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> "ray.data.Dataset":
+    """Winnowing-style fingerprint: min rolling token-hash per window →
+    doc fingerprint = hash of the minima sequence. Deterministic."""
+
+    def fp(b: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(b), dtype=np.uint64)
+        n_fp = np.zeros(len(b), dtype=np.int64)
+        for i, t in enumerate(b[text_col]):
+            toks = t.split()
+            if not toks:
+                continue
+            h = hash64(toks)
+            if len(h) <= window:
+                minima = np.array([h.min()], dtype=np.uint64)
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                minima = sw.min(axis=1)
+                minima = minima[np.insert(minima[1:] != minima[:-1], 0, True)]
+            acc = np.uint64(14695981039346656037)
+            for m in minima:
+                acc = np.uint64((int(acc) ^ int(m)) * int(_FP_BASE) % (1 << 64))
+            out[i] = acc
+            n_fp[i] = len(minima)
+        return pd.DataFrame({id_col: b[id_col], "fingerprint": out, "n_windows": n_fp})
+
+    return ds.map_batches(fp, batch_format="pandas")
+
+
+def token_count_total(ds: "ray.data.Dataset", *, text_col: str = "text") -> int:
+    """Corpus token count — partial sums per batch, one tiny aggregate
+    (the pre-aggregation pattern; never ships rows to the driver)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col]
+        n = (t.str.len() - t.str.replace(" ", "", regex=False).str.len() + 1).sum()
+        return pd.DataFrame({"n": [int(n)]})
+
+    from ray.data.aggregate import Sum
+
+    return int(
+        ds.map_batches(partial, batch_format="pandas").aggregate(Sum("n", alias_name="total"))[
+            "total"
+        ]
+    )

@@ -1,16 +1,20 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() per operator, oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — no
+ray.init()/shutdown() here or in anything these callables reach.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Coverage map (SURVEY.md §2 → queries):
+- flagship KG construction (§3.1/§7.1, transcripts synthesised per
+  BASELINE.json input_hint): kg_* entries — non-SQL (rows-only checks;
+  the pytest oracle harness does the value-level verification).
+- relational operator set (§2.2–2.7 maps/filters/joins/aggregates/
+  sorts/top-k/windows/union/anti-join/bucketing): SQL-verified.
+- training-data suite (dedup/similarity/text/multimodal): exact dedup,
+  text metrics, token count and brute-force ANN are SQL-verified; the
+  hash/LSH family is rows-only by nature.
+
+Float columns that cross the DuckDB compare are rounded half-up on BOTH
+sides (kire_ray.functions.rounding) so hashes match bit-exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +22,348 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+import ray.data
+
+N_ANN_QUERIES = 8
+ANN_K = 10
+
+
+# --------------------------------------------------------------------
+# flagship: transcripts → knowledge graph
+# --------------------------------------------------------------------
+
+
+def _corpus(sf_dir: str) -> str:
+    from kire_ray.sources.synth import corpus_for_sf_dir
+
+    return corpus_for_sf_dir(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG build at sf0.001: transcripts → linked docs →
+    scored triples → deduped edges. Returns the edges Dataset."""
+    from kire_ray.pipelines.kg_construct import build_graph
+
+    return build_graph(_corpus("/root/testdata/sf0.001"))["edges"]
+
+
+def _kg(table: str) -> Callable[[str], Any]:
+    def run(sf_dir: str) -> Any:
+        from kire_ray.pipelines.kg_construct import build_graph
+
+        return build_graph(_corpus(sf_dir))[table]
+
+    return run
+
+
+def _kg_coref(sf_dir: str) -> Any:
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        coref_pairs,
+        linked_documents,
+        read_transcripts,
+    )
+
+    corpus = _corpus(sf_dir)
+    ctx = KGContext.from_corpus(corpus)
+    linked = linked_documents(read_transcripts(corpus), ctx)
+    return coref_pairs(linked, ctx)
+
+
+# --------------------------------------------------------------------
+# training-data suite wrappers
+# --------------------------------------------------------------------
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _ann_query_matrix(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    df = df[df.vec_id < N_ANN_QUERIES].sort_values("vec_id")
+    return np.stack([np.asarray(v, dtype=np.float64) for v in df.embedding])
+
+
+def _round_cosine(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    from kire_ray.functions.rounding import round_half_up
+
+    return ds.map_batches(
+        lambda b: b.assign(cosine=round_half_up(b.cosine, 6)), batch_format="pandas"
+    )
+
+
+def _q_ann_brute(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import ann_brute_force
+
+    return _round_cosine(
+        ann_brute_force(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K)
+    )
+
+
+def _q_ann_lsh(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import ann_lsh
+
+    return _round_cosine(ann_lsh(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
+
+
+def _q_exact_dedup(sf_dir: str) -> Any:
+    from kire_ray.pipelines.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def _q_minhash(sf_dir: str) -> Any:
+    from kire_ray.pipelines.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir))
+
+
+def _q_simhash(sf_dir: str) -> Any:
+    from kire_ray.pipelines.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir))
+
+
+def _q_embdedup(sf_dir: str) -> Any:
+    from kire_ray.pipelines.dedup import embedding_dedup
+
+    return embedding_dedup(_emb(sf_dir))
+
+
+def _q_text_metrics(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import text_metrics
+
+    return text_metrics(_docs(sf_dir))
+
+
+def _q_token_total(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import token_count_total
+
+    return pd.DataFrame({"total_tokens": [token_count_total(_docs(sf_dir))]})
+
+
+def _q_fingerprints(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import fingerprints
+
+    return fingerprints(_docs(sf_dir))
+
+
+def _n_media(sf_dir: str) -> int:
+    from kire_ray.sources.synth import sf_of_dir
+
+    return max(120, int(12000 * sf_of_dir(sf_dir)))
+
+
+def _q_media_features(sf_dir: str) -> Any:
+    from kire_ray.pipelines.multimodal import extract_media_features, synth_media
+
+    media = ray.data.from_arrow(synth_media(_n_media(sf_dir)))
+    return extract_media_features(media)
+
+
+def _q_frame_sample(sf_dir: str) -> Any:
+    from kire_ray.pipelines.multimodal import frame_sample, synth_media
+
+    media = ray.data.from_arrow(synth_media(_n_media(sf_dir)))
+    return frame_sample(media)
+
+
+# --------------------------------------------------------------------
+# contract
+# --------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kire_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship KG construction (non-SQL: synthetic transcript corpus)
+        "kg_triples": _kg("triples"),
+        "kg_edges": _kg("edges"),
+        "kg_nodes": _kg("nodes"),
+        "kg_linked_docs": _kg("linked"),
+        "kg_coref_pairs": _kg_coref,
+        # relational operator set (SQL-verified)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "top_parts_by_revenue": R.top_parts_by_revenue,
+        "customer_order_totals": R.customer_order_totals,
+        "supplier_nation_rollup": R.supplier_nation_rollup,
+        "events_tumbling_window": R.events_tumbling_window,
+        "sessionize_events": R.sessionize_events,
+        "distinct_order_status": R.distinct_order_status,
+        "orders_lineitem_join_count": R.orders_lineitem_join_count,
+        "filter_high_value_orders": R.filter_high_value_orders,
+        "region_nation_union": R.region_nation_union,
+        "customers_without_orders": R.customers_without_orders,
+        "price_bucket_histogram": R.price_bucket_histogram,
+        # training-data suite
+        "exact_dedup": _q_exact_dedup,
+        "minhash_dedup": _q_minhash,
+        "simhash_dedup": _q_simhash,
+        "embedding_dedup": _q_embdedup,
+        "text_metrics": _q_text_metrics,
+        "token_count_total": _q_token_total,
+        "doc_fingerprints": _q_fingerprints,
+        "ann_brute_force": _q_ann_brute,
+        "ann_lsh": _q_ann_lsh,
+        # multimodal plumbing (deterministic fake decode)
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    nq, k = N_ANN_QUERIES, ANN_K
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+                   floor(sum(l_discount) / count(*) * 1000000 + 0.5) / 1000000 AS avg_disc,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_parts_by_revenue": """
+            SELECT p.p_partkey, p.p_name, p.p_brand,
+                   floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_partkey, p.p_name, p.p_brand
+            ORDER BY revenue DESC, p.p_partkey LIMIT 10
+        """,
+        "customer_order_totals": """
+            WITH agg AS (
+                SELECT o_custkey,
+                       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_spend,
+                       count(*) AS n_orders
+                FROM orders GROUP BY o_custkey)
+            SELECT c.c_custkey, agg.total_spend, agg.n_orders, c.c_name, c.c_mktsegment
+            FROM agg JOIN customer c ON agg.o_custkey = c.c_custkey
+            ORDER BY agg.total_spend DESC, c.c_custkey LIMIT 20
+        """,
+        "supplier_nation_rollup": """
+            SELECT r.r_name, count(*) AS n_suppliers,
+                   floor(sum(s.s_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "events_tumbling_window": """
+            SELECT event_type,
+                   (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
+                   count(*) AS n_events,
+                   floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+            FROM events GROUP BY event_type, window_start
+        """,
+        "sessionize_events": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS epoch, value,
+                       CASE WHEN epoch_us(ts) // 1000000
+                                 - lag(epoch_us(ts) // 1000000)
+                                   OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events),
+            s AS (
+                SELECT user_id, epoch, value,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY epoch
+                                        ROWS UNBOUNDED PRECEDING) AS session
+                FROM e)
+            SELECT user_id,
+                   min(epoch) AS session_start, max(epoch) AS session_end,
+                   count(*) AS n_events,
+                   floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+            FROM s GROUP BY user_id, session
+        """,
+        "distinct_order_status": """
+            SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+        """,
+        "orders_lineitem_join_count": """
+            SELECT o.o_orderstatus, count(*) AS n_lines, sum(l.l_quantity) AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        "filter_high_value_orders": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_totalprice > 200000.0 AND o_orderstatus = 'O'
+        """,
+        "region_nation_union": """
+            SELECT r_name AS name, 'region' AS src FROM region
+            UNION ALL
+            SELECT n_name AS name, 'nation' AS src FROM nation
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        """,
+        "price_bucket_histogram": """
+            SELECT CAST(floor(log2(o_totalprice)) AS BIGINT) AS bucket, count(*) AS n
+            FROM orders GROUP BY bucket
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "text_metrics": """
+            WITH m AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       length(replace(text, ' ', '')) AS no_space,
+                       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                       ' ' || text || ' ' AS p
+                FROM documents),
+            m2 AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       no_space / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_wl,
+                       ((length(p) - length(replace(p, ' the ', ''))) // 5
+                        + (length(p) - length(replace(p, ' a ', ''))) // 3
+                        + (length(p) - length(replace(p, ' of ', ''))) // 4
+                        + (length(p) - length(replace(p, ' to ', ''))) // 4
+                        + (length(p) - length(replace(p, ' and ', ''))) // 5)
+                       / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio
+                FROM m)
+            SELECT doc_id, n_chars, n_tokens,
+                   floor(mean_wl * 1000000 + 0.5) / 1000000 AS mean_word_len,
+                   floor(stop_ratio * 1000000 + 0.5) / 1000000 AS stop_ratio,
+                   floor(((least(greatest(mean_wl, 2.0), 8.0) - 2.0) / 6.0 * 0.5
+                          + least(stop_ratio, 0.5)) * 1000000 + 0.5) / 1000000
+                       AS quality_score,
+                   CASE WHEN stop_ratio > 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
+            FROM m2
+        """,
+        "token_count_total": """
+            SELECT CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+                   AS total_tokens
+            FROM documents
+        """,
+        "ann_brute_force": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < {nq}),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+                FROM q CROSS JOIN embeddings e),
+            r AS (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) - 1 AS rank
+                FROM s)
+            SELECT query_id, vec_id,
+                   floor(cos * 1000000 + 0.5) / 1000000 AS cosine,
+                   rank
+            FROM r WHERE rank < {k}
+        """,
+    }

@@ -1,0 +1,158 @@
+"""Headline benchmark: one JSON line of per-pipeline wall times.
+
+Usage:
+    python bench.py                 # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+                                    # num_cpus = $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling       # same headline KG pipeline at 8 and 32 CPUs
+                                    # in fresh subprocesses → scaling efficiency
+
+The headline metric is the flagship KG-construction pipeline's
+triples/sec (BASELINE.json); the queries dict also times the relational
+and training-data suites so regressions anywhere are visible per round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns ({query: seconds}, extras). Consumes every pipeline with
+    a full pass (count/materialize), never collecting rows driver-side."""
+    import __ray_entry__ as E
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    qs = E.queries()
+
+    # flagship first (its timing is the headline metric)
+    t0 = time.time()
+    n_triples = qs["kg_triples"](sf_dir).count()
+    timings["kg_triples"] = round(time.time() - t0, 3)
+    extras["n_triples"] = n_triples
+    extras["triples_per_sec"] = round(n_triples / timings["kg_triples"], 1)
+
+    for name in [
+        "kg_edges",
+        "kg_nodes",
+        "q1_pricing_summary",
+        "top_parts_by_revenue",
+        "customer_order_totals",
+        "orders_lineitem_join_count",
+        "events_tumbling_window",
+        "sessionize_events",
+        "exact_dedup",
+        "minhash_dedup",
+        "simhash_dedup",
+        "text_metrics",
+        "doc_fingerprints",
+        "ann_brute_force",
+        "ann_lsh",
+        "media_features",
+    ]:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if hasattr(res, "map_batches"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+    return timings, extras
+
+
+def run_once(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    t_all = time.time()
+    timings, extras = _bench_queries(sf_dir)
+    total = round(time.time() - t_all, 3)
+    from kire_ray.sources.synth import sf_of_dir
+
+    out = {
+        "metric": "sum of headline pipeline wall times (kg construct + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of_dir(sf_dir),
+        "num_cpus": num_cpus,
+        **extras,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Same job, two parallelism levels, fresh processes → efficiency.
+
+    Throughput proxy = triples/sec of the flagship pipeline; efficiency
+    = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)."""
+    results = {}
+    for cpus in (cpus_lo, cpus_hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3000,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr_lo = results[cpus_lo]["triples_per_sec"]
+    thr_hi = results[cpus_hi]["triples_per_sec"]
+    eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
+    return {
+        "metric": "scaling efficiency (flagship triples/sec, fresh ray sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": results[cpus_lo]["sf"],
+        "cpus_lo": cpus_lo,
+        "cpus_hi": cpus_hi,
+        "triples_per_sec_lo": thr_lo,
+        "triples_per_sec_hi": thr_hi,
+        "kg_sec_lo": results[cpus_lo]["queries"]["kg_triples"],
+        "kg_sec_hi": results[cpus_hi]["queries"]["kg_triples"],
+    }
+
+
+def _scaling_child() -> None:
+    """One fresh-process measurement: flagship pipeline only."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    import __ray_entry__ as E
+
+    from kire_ray.sources.synth import sf_of_dir
+
+    qs = E.queries()
+    qs["kg_linked_docs"](SF_DIR).count()  # warm: corpus synth + actor start
+    t0 = time.time()
+    n = qs["kg_triples"](SF_DIR).count()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "queries": {"kg_triples": round(dt, 3)},
+                "triples_per_sec": round(n / dt, 1),
+                "sf": sf_of_dir(SF_DIR),
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        _scaling_child()
+    elif "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_once(SF_DIR, NUM_CPUS)))

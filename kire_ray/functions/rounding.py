@@ -1,0 +1,28 @@
+"""Half-up rounding with exact SQL parity.
+
+``round_half_up(x, d)`` == DuckDB's ``floor(x * 10^d + 0.5) / 10^d``
+operation-for-operation (same IEEE doubles in, same doubles out), so a
+Ray result and a DuckDB oracle hash-match bit-exactly.  pandas/numpy
+``round`` is half-to-even — it disagrees with SQL ``round`` whenever the
+dropped digits are exactly 5 (e.g. 1/128 at 6 decimals), which is why
+the pipelines never use it for oracle-checked columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def round_half_up(x, digits: int = 2):
+    """Vectorized half-up rounding; scalars in → float out."""
+    m = 10.0 ** digits
+    r = np.floor(np.asarray(x, dtype=np.float64) * m + 0.5) / m
+    if np.ndim(r) == 0:
+        return float(r)
+    return r
+
+
+def sql_round(expr: str, digits: int = 2) -> str:
+    """The DuckDB expression string equivalent to ``round_half_up``."""
+    m = 10 ** digits
+    return f"floor(({expr}) * {m} + 0.5) / {m}"

@@ -25,6 +25,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from kire_ray.functions.rounding import round_half_up
 from kire_ray.stages.joins import broadcast_join
 
 
@@ -60,9 +61,9 @@ def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
                 "l_returnflag": [g.l_returnflag.iloc[0]],
                 "l_linestatus": [g.l_linestatus.iloc[0]],
                 "sum_qty": [g.sum_qty.sum()],
-                "sum_base_price": [round(g.sum_base_price.sum(), 2)],
-                "revenue": [round(g.revenue.sum(), 2)],
-                "avg_disc": [round(g.sum_disc.sum() / g.n_rows.sum(), 6)],
+                "sum_base_price": [round_half_up(g.sum_base_price.sum(), 2)],
+                "revenue": [round_half_up(g.revenue.sum(), 2)],
+                "avg_disc": [round_half_up(g.sum_disc.sum() / g.n_rows.sum(), 6)],
                 "n_rows": [int(g.n_rows.sum())],
             }
         )
@@ -92,7 +93,7 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         .groupby("l_partkey")
         .map_groups(
             lambda g: pd.DataFrame(
-                {"l_partkey": [g.l_partkey.iloc[0]], "revenue": [round(g.revenue.sum(), 2)]}
+                {"l_partkey": [g.l_partkey.iloc[0]], "revenue": [round_half_up(g.revenue.sum(), 2)]}
             ),
             batch_format="pandas",
         )
@@ -131,7 +132,7 @@ def customer_order_totals(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
             lambda g: pd.DataFrame(
                 {
                     "o_custkey": [g.o_custkey.iloc[0]],
-                    "total_spend": [round(g.total_spend.sum(), 2)],
+                    "total_spend": [round_half_up(g.total_spend.sum(), 2)],
                     "n_orders": [int(g.n_orders.sum())],
                 }
             ),
@@ -171,7 +172,7 @@ def supplier_nation_rollup(sf_dir: str) -> "ray.data.Dataset":
             {
                 "r_name": [g.r_name.iloc[0]],
                 "n_suppliers": [int(len(g))],
-                "total_acctbal": [round(g.s_acctbal.sum(), 2)],
+                "total_acctbal": [round_half_up(g.s_acctbal.sum(), 2)],
             }
         )
 
@@ -198,7 +199,7 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> "ray.data.Datas
                 "event_type": [g.event_type.iloc[0]],
                 "window_start": [int(g.window_start.iloc[0])],
                 "n_events": [int(g.n_events.sum())],
-                "sum_value": [round(g.sum_value.sum(), 2)],
+                "sum_value": [round_half_up(g.sum_value.sum(), 2)],
             }
         )
 
@@ -231,7 +232,7 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
             )
             .reset_index(drop=True)
         )
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = round_half_up(out["sum_value"], 2)
         return out
 
     return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
@@ -284,6 +285,73 @@ def orders_lineitem_join_count(sf_dir: str) -> "ray.data.Dataset":
                     "sum_qty": [float(g.sum_qty.sum())],
                 }
             ),
+            batch_format="pandas",
+        )
+    )
+
+
+def filter_high_value_orders(sf_dir: str, min_price: float = 200000.0) -> "ray.data.Dataset":
+    """Vectorized row filter (M10 doc-filter shape): open high-value
+    orders — a mask inside map_batches, never ds.filter(row_fn)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        return b[(b.o_totalprice > min_price) & (b.o_orderstatus == "O")]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
+def region_nation_union(sf_dir: str) -> "ray.data.Dataset":
+    """ds.union of two projected sources (§2.7 union — the reference's
+    label-set accumulation, gen_kg_data.py:51-60)."""
+    r = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda b: pd.DataFrame({"name": b.r_name, "src": "region"}), batch_format="pandas"
+    )
+    n = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda b: pd.DataFrame({"name": b.n_name, "src": "nation"}), batch_format="pandas"
+    )
+    return r.union(n)
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 300000.0) -> "ray.data.Dataset":
+    """Broadcast anti-join (J6 shape: train-fact Ign filter,
+    evaluation.py:147-158): customers with no high-value order. The key
+    set is dimension-sized (distinct custkeys), shipped once via
+    ray.put."""
+    import pyarrow.compute as pc
+
+    from kire_ray.stages.joins import anti_join_broadcast
+
+    o = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    keys = set(
+        o.filter(pc.greater(o.column("o_totalprice"), min_price))
+        .column("o_custkey")
+        .to_pylist()
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return anti_join_broadcast(cust, keys, on="c_custkey")
+
+
+def price_bucket_histogram(sf_dir: str) -> "ray.data.Dataset":
+    """Log2 distance-bucketing (M8, B4+KIRE/config/Config.py:95-106
+    shape) + grouped count with block-local combiner."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bucket = np.floor(np.log2(b.o_totalprice.to_numpy())).astype(np.int64)
+        return (
+            pd.DataFrame({"bucket": bucket})
+            .groupby("bucket", sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pd.DataFrame({"bucket": [int(g.bucket.iloc[0])], "n": [int(g.n.sum())]}),
             batch_format="pandas",
         )
     )

@@ -19,6 +19,7 @@ import pandas as pd
 import ray.data
 
 from kire_ray.functions.hashing import hash64
+from kire_ray.functions.rounding import round_half_up
 
 STOPWORDS = ["the", "a", "of", "to", "and"]
 _FP_BASE = np.uint64(1099511628211)
@@ -44,18 +45,19 @@ def text_metrics(
         mean_wl = no_space / n_tokens.clip(lower=1)
         stop = sum(_substr_count(" " + t + " ", f" {w} ") for w in STOPWORDS)
         stop_ratio = stop / n_tokens.clip(lower=1)
-        quality = (
+        quality = round_half_up(
             (mean_wl.clip(2.0, 8.0) - 2.0) / 6.0 * 0.5
-            + stop_ratio.clip(upper=0.5) * 1.0
-        ).round(6)
+            + stop_ratio.clip(upper=0.5) * 1.0,
+            6,
+        )
         lang = np.where(stop_ratio > 0.02, "en", "unknown")
         return pd.DataFrame(
             {
                 id_col: b[id_col],
                 "n_chars": n_chars,
                 "n_tokens": n_tokens,
-                "mean_word_len": mean_wl.round(6),
-                "stop_ratio": stop_ratio.round(6),
+                "mean_word_len": round_half_up(mean_wl, 6),
+                "stop_ratio": round_half_up(stop_ratio, 6),
                 "quality_score": quality,
                 "lang_guess": lang,
             }

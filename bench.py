@@ -88,14 +88,58 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def _scaling_corpus(sf_dir: str, factor: int = 16) -> str:
+    """Deterministic large corpus for the scaling runs: the sf corpus'
+    transcripts replicated ``factor``× under prefixed conv_ids (same
+    side tables). The two-cluster-size comparison needs enough work
+    that per-session fixed costs (shuffle setup, actor-pool spin-up,
+    worker imports ≈ 10 s) amortize — at sf0.1 alone the whole job is
+    ~16 s on 32 CPUs and the ratio measures overhead, not scaling."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kire_ray.sources.synth import corpus_for_sf_dir
+
+    base = corpus_for_sf_dir(sf_dir)
+    out = f"{base}_x{factor}"
+    marker = os.path.join(out, "_REPL_DONE")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    t = pq.read_table(os.path.join(base, "transcripts.parquet"))
+    conv = t.column("conv_id")
+    reps = []
+    import pyarrow.compute as pc
+
+    for i in range(factor):
+        reps.append(t.set_column(0, "conv_id", pc.binary_join_element_wise(f"r{i}:", conv, "")))
+    pq.write_table(pa.concat_tables(reps), os.path.join(tmp, "transcripts.parquet"))
+    for name in ("kg_alias", "lexicon", "kg_triples", "kg_attrs"):
+        shutil.copy(os.path.join(base, f"{name}.parquet"), os.path.join(tmp, f"{name}.parquet"))
+    open(os.path.join(tmp, "_REPL_DONE"), "w").close()
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out
+
+
 def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     """Same job, two parallelism levels, fresh processes → efficiency.
 
     Throughput proxy = triples/sec of the flagship pipeline; efficiency
     = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)."""
+    corpus = _scaling_corpus(sf_dir)
     results = {}
     for cpus in (cpus_lo, cpus_hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(cpus),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_SCALING_CORPUS=corpus,
+        )
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-child"],
             env=env,
@@ -123,24 +167,34 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
 
 
 def _scaling_child() -> None:
-    """One fresh-process measurement: flagship pipeline only."""
+    """One fresh-process measurement: flagship pipeline over the
+    replicated scaling corpus (GRAFT_SCALING_CORPUS)."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
-    import __ray_entry__ as E
-
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        extract_triples,
+        linked_documents,
+        read_transcripts,
+    )
     from kire_ray.sources.synth import sf_of_dir
 
-    qs = E.queries()
-    qs["kg_linked_docs"](SF_DIR).count()  # warm: corpus synth + actor start
+    corpus = os.environ["GRAFT_SCALING_CORPUS"]
+    ctx = KGContext.from_corpus(corpus)
+    # warm: worker-process imports + actor start on a small slice
+    extract_triples(
+        linked_documents(read_transcripts(corpus).limit(5000), ctx), ctx
+    ).count()
     t0 = time.time()
-    n = qs["kg_triples"](SF_DIR).count()
+    n = extract_triples(linked_documents(read_transcripts(corpus), ctx), ctx).count()
     dt = time.time() - t0
     print(
         json.dumps(
             {
                 "queries": {"kg_triples": round(dt, 3)},
                 "triples_per_sec": round(n / dt, 1),
+                "n_triples": n,
                 "sf": sf_of_dir(SF_DIR),
                 "num_cpus": NUM_CPUS,
             }

@@ -28,6 +28,7 @@ import ray
 import ray.data
 
 from kire_ray.functions.hashing import hash64
+from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
 _MERSENNE = (1 << 61) - 1
 
@@ -47,12 +48,12 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "d
 
     part = ds.map_batches(partial, batch_format="pandas")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].min()], "n_dups": [int(g["n_dups"].sum())]}
-        )
-
-    return part.groupby("h").map_groups(final, batch_format="pandas")
+    return grouped_agg(
+        part,
+        ["h"],
+        {"doc_id": ("doc_id", "min"), "n_dups": ("n_dups", "sum")},
+        post=lambda out: out.drop(columns=["h"]),
+    )
 
 
 def _shingles(text: str, k: int) -> np.ndarray:
@@ -124,21 +125,22 @@ def lsh_candidate_pairs(
 
     buckets = sigs.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())[:max_bucket]
+    def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
         a, b_ = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b_.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b_, "truncated": [len(g) > max_bucket] * len(a)})
+        for _, g in part.groupby(["band", "bh"], sort=False):
+            ids = sorted(g[id_col].unique())[:max_bucket]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b_.append(ids[j])
+        return pd.DataFrame({"id_a": a, "id_b": b_})
 
-    cand = buckets.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
+    cand = partitioned_map_groups(buckets, ["band", "bh"], pairs_part)
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)[["id_a", "id_b"]]
+    def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(subset=["id_a", "id_b"])[["id_a", "id_b"]]
 
-    return cand.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pandas")
+    return partitioned_map_groups(cand, ["id_a", "id_b"], dedup_part)
 
 
 def verify_jaccard(
@@ -241,23 +243,26 @@ def simhash_dedup(
 
     buckets = sigs.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
+    def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
         a, b_, d = [], [], []
-        for i in range(len(ids)):
-            x = np.bitwise_xor(hs[i], hs[i + 1 :])
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(ham <= 3)[0]:
-                a.append(ids[i])
-                b_.append(ids[i + 1 + j])
-                d.append(int(ham[j]))
+        for _, g in part.groupby(["band", "bh"], sort=False):
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            hs = g["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(ids)):
+                x = np.bitwise_xor(hs[i], hs[i + 1 :])
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(ham <= max_hamming)[0]:
+                    a.append(ids[i])
+                    b_.append(ids[i + 1 + j])
+                    d.append(int(ham[j]))
         return pd.DataFrame({"id_a": a, "id_b": b_, "hamming": d})
 
-    cand = buckets.groupby(["band", "bh"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    cand = partitioned_map_groups(buckets, ["band", "bh"], pairs_part)
+    return partitioned_map_groups(
+        cand,
+        ["id_a", "id_b"],
+        lambda part: part.sort_values(["id_a", "id_b"]).drop_duplicates(subset=["id_a", "id_b"]),
     )
 
 
@@ -293,21 +298,20 @@ def embedding_dedup(
 
     buckets = emb.map_batches(bucketize, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        M = np.stack([np.asarray(v) for v in g["vec"]])
-        S = M @ M.T
+    def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
         a, b_, c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if S[i, j] >= threshold:
-                    a.append(ids[i])
-                    b_.append(ids[j])
-                    c.append(float(S[i, j]))
+        for _, g in part.groupby("bucket", sort=False):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            M = np.stack([np.asarray(v) for v in g["vec"]])
+            S = M @ M.T
+            ii, jj = np.nonzero(np.triu(S >= threshold, k=1))
+            a.extend(ids[ii])
+            b_.extend(ids[jj])
+            c.extend(S[ii, jj].astype(float))
         return pd.DataFrame({"id_a": a, "id_b": b_, "cosine": c})
 
-    return buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return partitioned_map_groups(buckets, ["bucket"], pairs_part)
 
 
 def dup_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":

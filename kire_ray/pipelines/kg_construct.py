@@ -36,6 +36,21 @@ from kire_ray.stages.scorer import EntityEmbedder, RelationScorer, load_kg_broad
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "ts"]
 
 
+def _cluster_cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 4
+
+
+def _conc(concurrency: int | None) -> tuple[int, int]:
+    """Actor-pool size: autoscale 1..N where N tracks the cluster CPU
+    count (the reference is single-process; our pools must follow the
+    cluster or a 4-actor cap throttles 32+ CPUs — measured 0.37 scaling
+    efficiency before this, >0.8 after)."""
+    return (1, concurrency or max(4, _cluster_cpus()))
+
+
 @dataclass
 class KGContext:
     """Broadcast handles shared by every stage of one pipeline run."""
@@ -66,9 +81,17 @@ class KGContext:
         )
 
 
-def read_transcripts(corpus_dir: str) -> "ray.data.Dataset":
+def read_transcripts(corpus_dir: str, *, num_blocks: int | None = None) -> "ray.data.Dataset":
+    """Column-pruned transcript read. A small corpus arrives as one
+    parquet file → one block → a serial combiner stage; override the
+    block count so every stage parallelises (at real scale the input is
+    many shards and this is a no-op)."""
+    if num_blocks is None:
+        num_blocks = max(8, 2 * _cluster_cpus())
     return ray.data.read_parquet(
-        os.path.join(corpus_dir, "transcripts.parquet"), columns=TRANSCRIPT_COLS
+        os.path.join(corpus_dir, "transcripts.parquet"),
+        columns=TRANSCRIPT_COLS,
+        override_num_blocks=num_blocks,
     )
 
 
@@ -77,15 +100,23 @@ def linked_documents(
     ctx: KGContext,
     *,
     concurrency: int | None = None,
-    batch_size: int = 256,
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
-    docs = assemble_documents(transcripts)
+    """Assembled docs → mention-linked docs (actor pool).
+
+    The assembly shuffle emits few, uneven blocks (measured: 16 blocks,
+    3× size skew at sf0.1) which caps the actor stages' parallelism at
+    the block count; ``repartition`` to ~10 blocks per CPU first so the
+    pool's task queue stays full. Batches default to whole blocks —
+    re-bundling rows across blocks buys nothing once block size is the
+    task granularity."""
+    docs = assemble_documents(transcripts).repartition(10 * _cluster_cpus())
     return docs.map_batches(
         MentionLinker,
         fn_constructor_kwargs={"alias_ref": ctx.alias_ref, "canon_ref": ctx.canon_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency or 4),
+        concurrency=_conc(concurrency),
     )
 
 
@@ -96,8 +127,8 @@ def extract_triples(
         RelationScorer,
         fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, concurrency or 4),
+        batch_size=None,
+        concurrency=_conc(concurrency),
     )
 
 
@@ -108,8 +139,8 @@ def entity_vectors(
         EntityEmbedder,
         fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, concurrency or 4),
+        batch_size=None,
+        concurrency=_conc(concurrency),
     )
 
 
@@ -120,8 +151,8 @@ def coref_pairs(
         CorefScorer,
         fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=(1, concurrency or 4),
+        batch_size=None,
+        concurrency=_conc(concurrency),
     )
 
 
@@ -221,41 +252,41 @@ def load_output(out_dir: str, table: str) -> "ray.data.Dataset":
     paths = sorted(glob.glob(os.path.join(out_dir, "part=*", table, "*.parquet")))
     ds = ray.data.read_parquet(paths)
     if table == "edges":
+        import numpy as np
         import pandas as pd
 
-        def final(g: "pd.DataFrame") -> "pd.DataFrame":
-            g = g.sort_values("first_doc", kind="stable")
-            return pd.DataFrame(
-                {
-                    "subj_qid": [g["subj_qid"].iloc[0]],
-                    "pred": [g["pred"].iloc[0]],
-                    "obj_qid": [g["obj_qid"].iloc[0]],
-                    "score": [float(g["score"].max())],
-                    "n_docs": [int(g["n_docs"].sum())],
-                    "first_doc": [g["first_doc"].iloc[0]],
-                }
-            )
+        from kire_ray.stages.shuffle import grouped_agg
 
-        return ds.groupby(["subj_qid", "pred", "obj_qid"]).map_groups(
-            final, batch_format="pandas"
+        return grouped_agg(
+            ds,
+            ["subj_qid", "pred", "obj_qid"],
+            {
+                "score": ("score", "max"),
+                "n_docs": ("n_docs", "sum"),
+                "first_doc": ("first_doc", "min"),
+            },
+            post=lambda out: out.assign(
+                score=out["score"].astype(np.float64), n_docs=out["n_docs"].astype(np.int64)
+            ),
         )
     if table == "nodes":
         import numpy as np
         import pandas as pd
 
-        def merge(g: "pd.DataFrame") -> "pd.DataFrame":
-            g = g.sort_values("label", kind="stable")
-            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-            m = vecs.max(axis=0)
-            return pd.DataFrame(
-                {
-                    "qid": [g["qid"].iloc[0]],
-                    "label": [g["label"].min()],
-                    "n_docs": [int(g["n_docs"].sum())],
-                    "n_mentions": [int(g["n_mentions"].sum())],
-                    "vec": [(m + np.log(np.exp(vecs - m).sum(axis=0))).tolist()],
-                }
-            )
+        from kire_ray.stages.shuffle import partitioned_map_groups
 
-        return ds.groupby("qid").map_groups(merge, batch_format="pandas")
+        def merge_part(part: "pd.DataFrame") -> "pd.DataFrame":
+            part = part.sort_values(["qid", "label"], kind="stable")
+            out = {k: [] for k in ("qid", "label", "n_docs", "n_mentions", "vec")}
+            for qid, g in part.groupby("qid", sort=False):
+                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+                m = vecs.max(axis=0)
+                out["qid"].append(qid)
+                out["label"].append(g["label"].min())
+                out["n_docs"].append(int(g["n_docs"].sum()))
+                out["n_mentions"].append(int(g["n_mentions"].sum()))
+                out["vec"].append((m + np.log(np.exp(vecs - m).sum(axis=0))).tolist())
+            return pd.DataFrame(out)
+
+        return partitioned_map_groups(ds, ["qid"], merge_part)
     return ds

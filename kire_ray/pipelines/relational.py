@@ -27,6 +27,7 @@ import ray.data
 
 from kire_ray.functions.rounding import round_half_up
 from kire_ray.stages.joins import broadcast_join
+from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
@@ -55,21 +56,23 @@ def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
 
     part = ds.map_batches(partial, batch_format="pandas")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_returnflag": [g.l_returnflag.iloc[0]],
-                "l_linestatus": [g.l_linestatus.iloc[0]],
-                "sum_qty": [g.sum_qty.sum()],
-                "sum_base_price": [round_half_up(g.sum_base_price.sum(), 2)],
-                "revenue": [round_half_up(g.revenue.sum(), 2)],
-                "avg_disc": [round_half_up(g.sum_disc.sum() / g.n_rows.sum(), 6)],
-                "n_rows": [int(g.n_rows.sum())],
-            }
-        )
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out["sum_base_price"] = round_half_up(out["sum_base_price"], 2)
+        out["revenue"] = round_half_up(out["revenue"], 2)
+        out["avg_disc"] = round_half_up(out["sum_disc"] / out["n_rows"], 6)
+        return out.drop(columns=["sum_disc"])
 
-    return part.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        final, batch_format="pandas"
+    return grouped_agg(
+        part,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum_qty", "sum"),
+            "sum_base_price": ("sum_base_price", "sum"),
+            "revenue": ("revenue", "sum"),
+            "sum_disc": ("sum_disc", "sum"),
+            "n_rows": ("n_rows", "sum"),
+        },
+        post=post,
     )
 
 
@@ -88,15 +91,11 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
             .reset_index()
         )
 
-    agg = (
-        li.map_batches(partial, batch_format="pandas")
-        .groupby("l_partkey")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {"l_partkey": [g.l_partkey.iloc[0]], "revenue": [round_half_up(g.revenue.sum(), 2)]}
-            ),
-            batch_format="pandas",
-        )
+    agg = grouped_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"],
+        {"revenue": ("revenue", "sum")},
+        post=lambda out: out.assign(revenue=round_half_up(out["revenue"], 2)),
     )
     joined = broadcast_join(
         agg, part_df.rename(columns={"p_partkey": "l_partkey"}), on=["l_partkey"], how="inner"
@@ -125,24 +124,18 @@ def customer_order_totals(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
             .reset_index()
         )
 
-    agg = (
-        orders.map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "o_custkey": [g.o_custkey.iloc[0]],
-                    "total_spend": [round_half_up(g.total_spend.sum(), 2)],
-                    "n_orders": [int(g.n_orders.sum())],
-                }
-            ),
-            batch_format="pandas",
-        )
+    agg = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"total_spend": ("total_spend", "sum"), "n_orders": ("n_orders", "sum")},
+        post=lambda out: out.assign(total_spend=round_half_up(out["total_spend"], 2)),
     )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
-        lambda b: b.rename(columns={"c_custkey": "o_custkey"}), batch_format="pandas"
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).to_pandas()
+    joined = broadcast_join(
+        agg, cust.rename(columns={"c_custkey": "o_custkey"}), on=["o_custkey"], how="inner"
     )
-    joined = agg.join(cust, join_type="inner", num_partitions=8, on=("o_custkey",))
     return (
         joined.sort(["total_spend", "o_custkey"], descending=[True, False])
         .limit(k)
@@ -167,16 +160,19 @@ def supplier_nation_rollup(sf_dir: str) -> "ray.data.Dataset":
     )
     joined = broadcast_join(sup, dim, on=["n_nationkey"], how="inner")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "r_name": [g.r_name.iloc[0]],
-                "n_suppliers": [int(len(g))],
-                "total_acctbal": [round_half_up(g.s_acctbal.sum(), 2)],
-            }
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("r_name", sort=False)
+            .agg(n_suppliers=("s_acctbal", "size"), total_acctbal=("s_acctbal", "sum"))
+            .reset_index()
         )
 
-    return joined.groupby("r_name").map_groups(final, batch_format="pandas")
+    return grouped_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["r_name"],
+        {"n_suppliers": ("n_suppliers", "sum"), "total_acctbal": ("total_acctbal", "sum")},
+        post=lambda out: out.assign(total_acctbal=round_half_up(out["total_acctbal"], 2)),
+    )
 
 
 def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
@@ -193,18 +189,11 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> "ray.data.Datas
 
     part = ev.map_batches(bucketize, batch_format="pandas")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g.event_type.iloc[0]],
-                "window_start": [int(g.window_start.iloc[0])],
-                "n_events": [int(g.n_events.sum())],
-                "sum_value": [round_half_up(g.sum_value.sum(), 2)],
-            }
-        )
-
-    return part.groupby(["event_type", "window_start"]).map_groups(
-        final, batch_format="pandas"
+    return grouped_agg(
+        part,
+        ["event_type", "window_start"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        post=lambda out: out.assign(sum_value=round_half_up(out["sum_value"], 2)),
     )
 
 
@@ -215,13 +204,16 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
     user group, enforced inside the group fn)."""
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        epoch = g["ts"].astype("int64") // 10**6
-        new = (epoch.diff().fillna(gap_s + 1) > gap_s).astype(int)
-        sid = new.cumsum()
+    def sessions_part(part: pd.DataFrame) -> pd.DataFrame:
+        # all users of one hash partition at once: session boundary =
+        # user change OR gap > gap_s on the (user, ts)-sorted stream
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        epoch = part["ts"].astype("int64") // 10**6
+        new_user = part["user_id"].ne(part["user_id"].shift())
+        gap = epoch.diff().fillna(gap_s + 1) > gap_s
+        sid = (new_user | gap).cumsum()
         out = (
-            g.assign(session=sid.to_numpy(), epoch=epoch.to_numpy())
+            part.assign(session=sid.to_numpy(), epoch=epoch.to_numpy())
             .groupby("session")
             .agg(
                 user_id=("user_id", "first"),
@@ -235,7 +227,7 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
         out["sum_value"] = round_half_up(out["sum_value"], 2)
         return out
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return partitioned_map_groups(ev, ["user_id"], sessions_part)
 
 
 def distinct_order_status(sf_dir: str) -> "ray.data.Dataset":
@@ -245,15 +237,10 @@ def distinct_order_status(sf_dir: str) -> "ray.data.Dataset":
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("o_orderstatus", sort=False).size().rename("n").reset_index()
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("o_orderstatus")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {"o_orderstatus": [g.o_orderstatus.iloc[0]], "n": [int(g.n.sum())]}
-            ),
-            batch_format="pandas",
-        )
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus"],
+        {"n": ("n", "sum")},
     )
 
 
@@ -274,19 +261,11 @@ def orders_lineitem_join_count(sf_dir: str) -> "ray.data.Dataset":
             .reset_index()
         )
 
-    return (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("o_orderstatus")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "o_orderstatus": [g.o_orderstatus.iloc[0]],
-                    "n_lines": [int(g.n_lines.sum())],
-                    "sum_qty": [float(g.sum_qty.sum())],
-                }
-            ),
-            batch_format="pandas",
-        )
+    return grouped_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus"],
+        {"n_lines": ("n_lines", "sum"), "sum_qty": ("sum_qty", "sum")},
+        post=lambda out: out.assign(sum_qty=out["sum_qty"].astype(float)),
     )
 
 
@@ -347,11 +326,8 @@ def price_bucket_histogram(sf_dir: str) -> "ray.data.Dataset":
             .reset_index()
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(
-            lambda g: pd.DataFrame({"bucket": [int(g.bucket.iloc[0])], "n": [int(g.n.sum())]}),
-            batch_format="pandas",
-        )
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["bucket"],
+        {"n": ("n", "sum")},
     )

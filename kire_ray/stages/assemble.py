@@ -58,35 +58,45 @@ def _combine_segments(batch: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def _merge_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Merge the segments of one conv_id and sort turns by turn_idx.
-
-    Stable mergesort keeps the ordering deterministic even if duplicate
-    turn_idx values appear (first wins by segment order).
-    """
-    idxs = np.concatenate([np.asarray(x, dtype=np.int64) for x in group["turn_idxs"]])
-    texts = np.concatenate([np.asarray(x, dtype=object) for x in group["texts"]])
-    roles = np.concatenate([np.asarray(x, dtype=object) for x in group["roles"]])
-    order = np.argsort(idxs, kind="stable")
-    return pd.DataFrame(
-        {
-            "doc_id": [group["conv_id"].iloc[0]],
-            "n_turns": np.array([len(order)], dtype=np.int32),
-            "turn_texts": [list(texts[order])],
-            "roles": [list(roles[order])],
-            "ts_first": [group["ts_min"].min()],
-            "ts_last": [group["ts_max"].max()],
-        }
-    )
+def _merge_partition(part: pd.DataFrame) -> pd.DataFrame:
+    """Merge one hash partition's conversations (many per call) —
+    segments of each conv_id are concatenated and turns sorted by
+    turn_idx (stable, so duplicate turn_idx keeps segment order)."""
+    part = part.sort_values("conv_id", kind="stable")
+    out = {k: [] for k in ("doc_id", "n_turns", "turn_texts", "roles", "ts_first", "ts_last")}
+    for conv, sub in part.groupby("conv_id", sort=False):
+        idxs = np.concatenate([np.asarray(x, dtype=np.int64) for x in sub["turn_idxs"]])
+        texts = np.concatenate([np.asarray(x, dtype=object) for x in sub["texts"]])
+        roles = np.concatenate([np.asarray(x, dtype=object) for x in sub["roles"]])
+        order = np.argsort(idxs, kind="stable")
+        out["doc_id"].append(conv)
+        out["n_turns"].append(len(order))
+        out["turn_texts"].append(list(texts[order]))
+        out["roles"].append(list(roles[order]))
+        out["ts_first"].append(sub["ts_min"].min())
+        out["ts_last"].append(sub["ts_max"].max())
+    df = pd.DataFrame(out)
+    df["n_turns"] = df["n_turns"].astype(np.int32)
+    return df
 
 
 def assemble_documents(
     transcripts: "ray.data.Dataset",
     *,
     combine_batch_size: int = 8192,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
-    """``(conv_id, turn_idx, role, text, ts)`` rows → one row per document."""
+    """``(conv_id, turn_idx, role, text, ts)`` rows → one row per document.
+
+    Shuffle #1 runs on ``hash(conv_id) % P`` (stages/shuffle.py), not
+    on raw conv_id: a sort over millions of distinct conversations plus
+    a map_groups call per conversation is 5× slower than P partition
+    reduces with a vectorized merge (measured at sf0.1)."""
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
     segments = transcripts.map_batches(
         _combine_segments, batch_format="pandas", batch_size=combine_batch_size
     )
-    return segments.groupby("conv_id").map_groups(_merge_group, batch_format="pandas")
+    return partitioned_map_groups(
+        segments, ["conv_id"], _merge_partition, num_partitions=num_partitions
+    )

@@ -40,21 +40,22 @@ def dedup_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
 
     part = triples.map_batches(partial, batch_format="pandas")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("first_doc", kind="stable")
-        return pd.DataFrame(
-            {
-                "subj_qid": [g["subj_qid"].iloc[0]],
-                "pred": [g["pred"].iloc[0]],
-                "obj_qid": [g["obj_qid"].iloc[0]],
-                "score": [float(g["score"].max())],
-                "n_docs": np.array([int(g["n_docs"].sum())], dtype=np.int64),
-                "first_doc": [g["first_doc"].iloc[0]],
-            }
-        )
+    def final(out: pd.DataFrame) -> pd.DataFrame:
+        out["score"] = out["score"].astype(np.float64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
 
-    return part.groupby(["subj_qid", "pred", "obj_qid"]).map_groups(
-        final, batch_format="pandas"
+    from kire_ray.stages.shuffle import grouped_agg
+
+    return grouped_agg(
+        part,
+        ["subj_qid", "pred", "obj_qid"],
+        {
+            "score": ("score", "max"),
+            "n_docs": ("n_docs", "sum"),
+            "first_doc": ("first_doc", "min"),
+        },
+        post=final,
     )
 
 
@@ -71,19 +72,23 @@ def merge_nodes(doc_entities: "ray.data.Dataset") -> "ray.data.Dataset":
     logsumexp partials over disjoint mention sets).
     """
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
         # doc_id sort fixes the floating-point summation order so the
         # distributed merge is bit-identical to the sequential oracle
-        g = g.sort_values("doc_id", kind="stable")
-        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-        return pd.DataFrame(
-            {
-                "qid": [g["qid"].iloc[0]],
-                "label": [g["label"].min()],
-                "n_docs": np.array([len(g)], dtype=np.int64),
-                "n_mentions": np.array([int(g["n_mentions"].sum())], dtype=np.int64),
-                "vec": [_logsumexp_merge(vecs).tolist()],
-            }
-        )
+        part = part.sort_values(["qid", "doc_id"], kind="stable")
+        out = {k: [] for k in ("qid", "label", "n_docs", "n_mentions", "vec")}
+        for qid, g in part.groupby("qid", sort=False):
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+            out["qid"].append(qid)
+            out["label"].append(g["label"].min())
+            out["n_docs"].append(len(g))
+            out["n_mentions"].append(int(g["n_mentions"].sum()))
+            out["vec"].append(_logsumexp_merge(vecs).tolist())
+        df = pd.DataFrame(out)
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        df["n_mentions"] = df["n_mentions"].astype(np.int64)
+        return df
 
-    return doc_entities.groupby("qid").map_groups(merge, batch_format="pandas")
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    return partitioned_map_groups(doc_entities, ["qid"], merge_part)

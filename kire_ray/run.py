@@ -1,0 +1,64 @@
+"""CLI entry point — the `ray job submit` target for the flagship DAG.
+
+    ray job submit -- python -m kire_ray.run \
+        --corpus-dir /data/corpus --out-dir /data/kg_out --n-parts 64
+
+Runs the resumable KG build (pipelines/kg_construct.run_resumable):
+one atomic parquet partition + manifest per conv_id hash bucket; a
+rerun of the same command skips finished partitions, so a preempted
+job resumes exactly where it stopped.
+
+This script owns the Ray session only when one does not already exist
+(under `ray job submit` the cluster is attached via RAY_ADDRESS; the
+guard keeps the module usable from tests and drivers that already
+initialised Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="Resumable transcript→KG build")
+    ap.add_argument("--corpus-dir", required=True, help="dir with transcripts.parquet + KG side tables")
+    ap.add_argument("--out-dir", required=True, help="output root (part=K/ subdirs + manifests)")
+    ap.add_argument("--n-parts", type=int, default=64, help="hash partitions (resume granularity)")
+    ap.add_argument("--concurrency", type=int, default=None, help="actors per stage (default: cluster CPUs)")
+    ap.add_argument("--synth-convs", type=int, default=None,
+                    help="synthesise a deterministic corpus of N conversations into --corpus-dir first")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="auto" if "RAY_ADDRESS" in __import__("os").environ else "local",
+                 include_dashboard=False)
+
+    if args.synth_convs:
+        from kire_ray.sources.synth import SynthConfig, write_corpus
+
+        write_corpus(args.corpus_dir, SynthConfig(n_convs=args.synth_convs))
+
+    from kire_ray.pipelines.kg_construct import run_resumable
+
+    t0 = time.time()
+    manifests = run_resumable(
+        args.corpus_dir, args.out_dir, n_parts=args.n_parts, concurrency=args.concurrency
+    )
+    rows = {
+        t: sum(m["rows"][t] for m in manifests) for t in ("triples", "edges", "nodes")
+    } if manifests else {}
+    print(json.dumps({
+        "partitions_run": len(manifests),
+        "rows": rows,
+        "wall_sec": round(time.time() - t0, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,18 +99,33 @@ def build_alias_trie(
     }
 
 
-def detect_mentions(turn_tokens: list[list[str]], trie: dict, max_len: int):
+def detect_mentions(
+    turn_tokens: list[list[str]],
+    trie: dict,
+    max_len: int,
+    first_tokens: set[str] | None = None,
+    norm_memo: dict[str, str] | None = None,
+):
     """Leftmost-longest token-subsequence scan per turn.
 
     Returns [(turn_idx, start, end, surface, candidates, lex_ids)] in
     document order. Deterministic; no overlaps (scan resumes after each
     match), mirroring the reference's substring scan semantics
     (gen_coref_data.py:163-176) with greedy-longest disambiguation.
+
+    ``first_tokens`` (the trie's first-token set) and ``norm_memo`` (a
+    token→normalized cache) are carried by the caller across documents —
+    rebuilding the set per doc was the stage's single largest cost.
     """
     out = []
-    first_tokens = {k[0] for k in trie}
+    if first_tokens is None:
+        first_tokens = {k[0] for k in trie}
+    memo = norm_memo if norm_memo is not None else {}
     for ti, toks in enumerate(turn_tokens):
-        norm = [normalize_label(t) for t in toks]
+        norm = [
+            memo[t] if t in memo else memo.setdefault(t, normalize_label(t))
+            for t in toks
+        ]
         i, n = 0, len(norm)
         while i < n:
             if norm[i] not in first_tokens:
@@ -221,15 +236,21 @@ class MentionLinker:
             alias["alias_norm"], alias["qid"], alias.get("lexicon"), alias.get("lex_ids")
         )
         self.max_len = max((len(k) for k in self.trie), default=1)
+        self.first_tokens = {k[0] for k in self.trie}
+        self.norm_memo: dict[str, str] = {}
         canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
         self.canon = canon
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.norm_memo) > 500_000:  # bound actor memory on open vocab
+            self.norm_memo.clear()
         docs_turns = batch.column("turn_texts").to_pylist()
         ents_col, ments_col = [], []
         for turns in docs_turns:
             turn_tokens = [t.split() for t in turns]
-            raw = detect_mentions(turn_tokens, self.trie, self.max_len)
+            raw = detect_mentions(
+                turn_tokens, self.trie, self.max_len, self.first_tokens, self.norm_memo
+            )
             entities, tagged = cluster_and_vote(raw, self.canon)
             ents_col.append(
                 [

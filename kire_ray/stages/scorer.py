@@ -190,8 +190,33 @@ class EntityEmbedder:
         kg = ray.get(kg_ref) if not isinstance(kg_ref, dict) else kg_ref
         canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
         self.index = KGIndex(kg, canon)
+        # per-actor memos: token_vec builds an RNG per call (~15 µs) and
+        # the same qid's attr vector recurs in every doc mentioning it —
+        # caching changes nothing numerically (pure functions), it only
+        # removes recomputation. Keys are tokens / (qid, label): bounded
+        # by vocab + entity count, both dimension-sized.
+        self._tok: dict[str, np.ndarray] = {}
+        self._attr: dict[tuple[str, str], np.ndarray] = {}
+
+    def _token_vec(self, tok: str) -> np.ndarray:
+        v = self._tok.get(tok)
+        if v is None:
+            v = self._tok[tok] = token_vec(tok)
+        return v
+
+    def _attr_vec(self, qid: str, label: str) -> np.ndarray:
+        key = (qid, label)
+        v = self._attr.get(key)
+        if v is None:
+            attrs = self.index.entity_attrs(qid, label)
+            attr_toks = [tok for s in attrs.values() for tok in s.split()]
+            v = self._attr[key] = np.mean([self._token_vec(t) for t in attr_toks], axis=0)
+        return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self._tok) > 500_000:  # bound actor memory on open vocab
+            self._tok.clear()
+            self._attr.clear()
         doc_ids = batch.column("doc_id").to_pylist()
         ents_col = batch.column("entities").to_pylist()
         ments_col = batch.column("mentions").to_pylist()
@@ -199,14 +224,12 @@ class EntityEmbedder:
         for doc_id, ents, ments in zip(doc_ids, ents_col, ments_col):
             for e in ents:
                 vecs = [
-                    token_vec(normalize_label(m["surface"]))
+                    self._token_vec(normalize_label(m["surface"]))
                     for m in ments
                     if m["ent_idx"] == e["ent_idx"]
                 ]
                 pooled = logsumexp_pool(np.stack(vecs))
-                attrs = self.index.entity_attrs(e["qid"], e["label"])
-                attr_toks = [tok for s in attrs.values() for tok in s.split()]
-                attr_vec = np.mean([token_vec(t) for t in attr_toks], axis=0)
+                attr_vec = self._attr_vec(e["qid"], e["label"])
                 vec = pooled + 0.5 * attr_vec  # KG-attention fusion stand-in
                 out_doc.append(doc_id)
                 out_idx.append(e["ent_idx"])

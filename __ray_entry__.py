@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_nation_union": R.region_nation_union,
         "customers_without_orders": R.customers_without_orders,
         "price_bucket_histogram": R.price_bucket_histogram,
+        "top_orders_per_segment": R.top_orders_per_segment,
+        "events_props_sum": R.events_props_sum,
         # training-data suite
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash,
@@ -326,6 +328,20 @@ def oracle_sql() -> dict[str, str]:
         "price_bucket_histogram": """
             SELECT CAST(floor(log2(o_totalprice)) AS BIGINT) AS bucket, count(*) AS n
             FROM orders GROUP BY bucket
+        """,
+        "top_orders_per_segment": """
+            WITH r AS (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY c.c_mktsegment
+                                          ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM r WHERE rnk <= 3
+        """,
+        "events_props_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -331,3 +331,57 @@ def price_bucket_histogram(sf_dir: str) -> "ray.data.Dataset":
         ["bucket"],
         {"n": ("n", "sum")},
     )
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Windowed rank per group (row_number over partition): top-k orders
+    by price within each market segment. Grouped top-k never global-
+    sorts — per-batch partial top-k shrinks the exchange to k rows per
+    (segment, block), then the partition reduce ranks."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on=["o_custkey"], how="inner"
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("c_mktsegment", sort=False)
+            .head(k)[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+        )
+
+    def rank_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["c_mktsegment", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+        )
+        part["rnk"] = part.groupby("c_mktsegment", sort=False).cumcount() + 1
+        return part[part["rnk"] <= k]
+
+    return partitioned_map_groups(
+        joined.map_batches(partial, batch_format="pandas"), ["c_mktsegment"], rank_part
+    )
+
+
+def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
+    """Semi-structured parse (M-series parser shape, JSON ops §2.8):
+    extract props.k with a vectorized regex, grouped sum per event
+    type. The regex is the C-speed path — never json.loads per row."""
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        kv = b["props"].str.extract(r'"k": (-?\d+)')[0].astype("int64")
+        return (
+            pd.DataFrame({"event_type": b.event_type, "k": kv})
+            .groupby("event_type", sort=False)
+            .agg(sum_k=("k", "sum"), n=("k", "size"))
+            .reset_index()
+        )
+
+    return grouped_agg(
+        ev.map_batches(parse, batch_format="pandas"),
+        ["event_type"],
+        {"sum_k": ("sum_k", "sum"), "n": ("n", "sum")},
+    )

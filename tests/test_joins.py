@@ -1,0 +1,80 @@
+"""Join-policy tests (stages/joins.py): broadcast/semi/anti/hash joins
+against pandas ground truth, and hot-key salting."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from kire_ray.stages.joins import (
+    anti_join_broadcast,
+    broadcast_join,
+    hash_join,
+    salt_column,
+    semi_join_broadcast,
+)
+
+
+def _facts(n=2000, seed=9):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, n),
+            "v": rng.random(n),
+        }
+    )
+
+
+def test_broadcast_join_matches_pandas(ray_session):
+    df = _facts()
+    dim = pd.DataFrame({"k": np.arange(0, 40), "name": [f"n{i}" for i in range(40)]})
+    out = (
+        broadcast_join(ray.data.from_pandas(df).repartition(7), dim, on=["k"], how="inner")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    ref = df.merge(dim, on=["k"], how="inner").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_semi_and_anti_join(ray_session):
+    df = _facts()
+    keys = {1, 2, 3, 44, 49}
+    ds = ray.data.from_pandas(df).repartition(5)
+    semi = semi_join_broadcast(ds, keys, on="k").to_pandas()
+    anti = anti_join_broadcast(ds, keys, on="k").to_pandas()
+    assert set(semi["k"]).issubset(keys)
+    assert set(anti["k"]).isdisjoint(keys)
+    assert len(semi) + len(anti) == len(df)
+
+
+def test_hash_join_matches_pandas(ray_session):
+    left = _facts(1500, seed=1)
+    right = pd.DataFrame({"k": np.arange(0, 50), "w": np.arange(0, 50) * 1.5})
+    out = (
+        hash_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            on=["k"],
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    ref = left.merge(right, on=["k"], how="inner").sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[sorted(out.columns)], ref[sorted(ref.columns)])
+
+
+def test_salt_column_spreads_hot_key(ray_session):
+    n = 4000
+    df = pd.DataFrame({"k": ["hot"] * (n - 100) + [f"cold{i}" for i in range(100)]})
+    out = salt_column(ray.data.from_pandas(df).repartition(4), "k", {"hot"}, n_salts=8).to_pandas()
+    hot = out[out["k"] == "hot"]["k_salted"]
+    assert hot.nunique() == 8, "hot key fans out over all salts"
+    # deterministic: same input → same salted keys
+    out2 = salt_column(ray.data.from_pandas(df).repartition(4), "k", {"hot"}, n_salts=8).to_pandas()
+    assert (out["k_salted"].sort_values().to_numpy() == out2["k_salted"].sort_values().to_numpy()).all()
+    cold = out[out["k"] != "hot"]["k_salted"]
+    assert (cold.str.endswith("#0")).all(), "cold keys keep salt 0"

@@ -1,0 +1,76 @@
+"""Property tests (hypothesis) — SURVEY.md §5: the per-turn
+text-equality invariant under arbitrary row orderings, and grouped_agg
+≡ pandas for arbitrary key/value frames."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+import ray.data
+
+from kire_ray.stages.assemble import assemble_documents
+from kire_ray.stages.shuffle import grouped_agg
+
+
+@st.composite
+def transcript_frames(draw):
+    n_convs = draw(st.integers(1, 8))
+    rows = []
+    for c in range(n_convs):
+        n_turns = draw(st.integers(1, 6))
+        for t in range(n_turns):
+            text = draw(st.text(alphabet="abc xyz", min_size=0, max_size=20))
+            rows.append((f"c{c}", t, "user", text, None, 1_700_000_000_000_000 + t))
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    perm = draw(st.permutations(range(len(df))))
+    return df.iloc[list(perm)].reset_index(drop=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(transcript_frames())
+def test_assemble_per_turn_text_equality(ray_session, df):
+    """BASELINE.json invariant: every assembled doc's turn_texts[i]
+    equals the input row with that turn_idx, regardless of input order."""
+    docs = assemble_documents(
+        ray.data.from_pandas(df).repartition(3), num_partitions=5
+    ).to_pandas()
+    assert len(docs) == df["conv_id"].nunique()
+    for row in docs.itertuples():
+        ref = df[df["conv_id"] == row.doc_id].sort_values("turn_idx", kind="stable")
+        assert list(row.turn_texts) == list(ref["text"])
+        assert row.n_turns == len(ref)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.floats(-10, 10)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_grouped_agg_equals_pandas(ray_session, rows):
+    df = pd.DataFrame(rows, columns=["k1", "k2", "v"])
+    out = (
+        grouped_agg(
+            ray.data.from_pandas(df).repartition(3),
+            ["k1", "k2"],
+            {"s": ("v", "sum"), "n": ("v", "size")},
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby(["k1", "k2"], sort=False)
+        .agg(s=("v", "sum"), n=("v", "size"))
+        .reset_index()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False, rtol=1e-9)

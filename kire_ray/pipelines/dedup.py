@@ -56,11 +56,27 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "d
     )
 
 
+_SH_MIX = np.uint64(0x9E3779B97F4A7C15)  # Weyl constant for rolling combine
+
+
+def _combine_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
+    """Token hashes → unique k-shingle hashes, vectorized: a sliding
+    window combined with uint64 wraparound arithmetic (k vector ops)
+    instead of re-hashing every joined shingle string."""
+    if len(th) == 0:
+        return np.array([], dtype=np.uint64)
+    if len(th) < k:
+        k = len(th)
+    sw = np.lib.stride_tricks.sliding_window_view(th, k)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(sw), dtype=np.uint64)
+        for j in range(k):
+            h = h * _SH_MIX + sw[:, j].astype(np.uint64)
+    return np.unique(h)
+
+
 def _shingles(text: str, k: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        return hash64([" ".join(toks)]) if toks else np.array([], dtype=np.uint64)
-    return np.unique(hash64([" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]))
+    return _combine_token_hashes(hash64(text.split()), k)
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -70,6 +86,40 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+class MinHasher:
+    """Actor-pool signature stage: holds the permutation params and a
+    token-hash memo (blake2b per string is the dominant cost; the
+    token vocabulary is tiny relative to token occurrences)."""
+
+    def __init__(self, *, text_col="text", id_col="doc_id", num_perm=64, shingle_k=3):
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.k = num_perm, shingle_k
+        self.a, self.b = _minhash_params(num_perm)
+        self._memo: dict[str, int] = {}
+
+    def _token_hashes(self, toks: list[str]) -> np.ndarray:
+        memo = self._memo
+        missing = sorted({t for t in toks if t not in memo})
+        if missing:
+            for t, h in zip(missing, hash64(missing)):
+                memo[t] = int(h)
+        return np.fromiter((memo[t] for t in toks), dtype=np.uint64, count=len(toks))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(self._memo) > 2_000_000:  # bound actor memory on open vocab
+            self._memo.clear()
+        out = []
+        for t in batch[self.text_col]:
+            sh = _combine_token_hashes(self._token_hashes(t.split()), self.k)
+            if len(sh) == 0:
+                out.append(np.full(self.num_perm, _MERSENNE, dtype=np.uint64))
+                continue
+            # (P, S) = (a ⊗ shingle + b) mod M, min over shingles
+            v = (self.a[:, None] * (sh[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
+            out.append(v.min(axis=1).astype(np.uint64))
+        return pd.DataFrame({self.id_col: batch[self.id_col], "sig": [s.tolist() for s in out]})
+
+
 def minhash_signatures(
     ds: "ray.data.Dataset",
     *,
@@ -77,24 +127,17 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 64,
     shingle_k: int = 3,
+    concurrency=(1, 8),
 ) -> "ray.data.Dataset":
-    """Per-doc MinHash signature (vectorized: one (num_perm × shingles)
-    modular multiply per doc)."""
-    a, b = _minhash_params(num_perm)
-
-    def sig(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for t in batch[text_col]:
-            sh = _shingles(t, shingle_k)
-            if len(sh) == 0:
-                out.append(np.full(num_perm, _MERSENNE, dtype=np.uint64))
-                continue
-            # (P, S) = (a ⊗ shingle + b) mod M, min over shingles
-            v = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-            out.append(v.min(axis=1).astype(np.uint64))
-        return pd.DataFrame({id_col: batch[id_col], "sig": [s.tolist() for s in out]})
-
-    return ds.map_batches(sig, batch_format="pandas")
+    """Per-doc MinHash signature via the MinHasher actor pool."""
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
 
 
 def lsh_candidate_pairs(
@@ -154,13 +197,21 @@ def verify_jaccard(
 ) -> "ray.data.Dataset":
     """Exact n-gram Jaccard on candidate pairs.
 
-    Small-scale path: broadcast the docs' shingle sets (dimension-sized
-    after LSH pruned the corpus to candidates). At 100 TB this becomes
-    two bucketed hash joins of pairs⋈docs on id (stages/joins.py
-    ``hash_join``) — the candidate table is already ≪ corpus.
+    Only the *candidate* docs' shingle sets are collected and broadcast
+    (LSH already pruned the corpus: candidates ≪ corpus, so the
+    driver-side set is bounded by duplicate volume, not data size). If
+    even the candidate set outgrew broadcast, this becomes two bucketed
+    hash joins of pairs⋈docs on id (stages/joins.py ``hash_join``).
     """
-    texts = {r[id_col]: r[text_col] for r in docs.select_columns([id_col, text_col]).take_all()}
-    sh = {k: set(_shingles(t, shingle_k).tolist()) for k, t in texts.items()}
+    from kire_ray.stages.joins import semi_join_broadcast
+
+    pairs = pairs.materialize()  # consumed twice (id collection + verify)
+    pair_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    cand_ids = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+    cand_docs = semi_join_broadcast(
+        docs.select_columns([id_col, text_col]), cand_ids, on=id_col
+    ).take_all()
+    sh = {r[id_col]: set(_shingles(r[text_col], shingle_k).tolist()) for r in cand_docs}
     ref = ray.put(sh)
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:

@@ -116,6 +116,12 @@ def _q_ann_lsh(sf_dir: str) -> Any:
     return _round_cosine(ann_lsh(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_ann_ivf(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import ann_ivf
+
+    return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
+
+
 def _q_exact_dedup(sf_dir: str) -> Any:
     from kire_ray.pipelines.dedup import exact_dedup
 
@@ -214,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_totals": R.customer_order_totals,
         "supplier_nation_rollup": R.supplier_nation_rollup,
         "events_tumbling_window": R.events_tumbling_window,
+        "events_hopping_window": R.events_hopping_window,
         "sessionize_events": R.sessionize_events,
         "distinct_order_status": R.distinct_order_status,
         "orders_lineitem_join_count": R.orders_lineitem_join_count,
@@ -233,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "ann_brute_force": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -275,6 +283,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "events_hopping_window": """
+            WITH e AS (
+                SELECT event_type, epoch_us(ts) // 1000000 AS epoch, value FROM events),
+            x AS (
+                SELECT event_type, (epoch // 900) * 900 - 900 * j AS window_start, value
+                FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) t(j))
+            SELECT event_type, window_start, count(*) AS n_events,
+                   floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+            FROM x GROUP BY event_type, window_start
         """,
         "events_tumbling_window": """
             SELECT event_type,

@@ -385,3 +385,41 @@ def events_props_sum(sf_dir: str) -> "ray.data.Dataset":
         ["event_type"],
         {"sum_k": ("sum_k", "sum"), "n": ("n", "sum")},
     )
+
+
+def events_hopping_window(
+    sf_dir: str, window_s: int = 3600, hop_s: int = 900
+) -> "ray.data.Dataset":
+    """Hopping (sliding) window per event_type: each event lands in
+    window_s/hop_s overlapping windows — a vectorized explode (numpy
+    tile, no per-row loop) + partial agg + one grouped exchange."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    fan = window_s // hop_s
+
+    def explode_agg(b: pd.DataFrame) -> pd.DataFrame:
+        epoch = (b["ts"].astype("int64") // 10**6).to_numpy()
+        ws_max = (epoch // hop_s) * hop_s
+        parts = []
+        for j in range(fan):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "event_type": b["event_type"].to_numpy(),
+                        "window_start": ws_max - j * hop_s,
+                        "value": b["value"].to_numpy(),
+                    }
+                )
+            )
+        x = pd.concat(parts, ignore_index=True)
+        return (
+            x.groupby(["event_type", "window_start"], sort=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+
+    return grouped_agg(
+        ev.map_batches(explode_agg, batch_format="pandas"),
+        ["event_type", "window_start"],
+        {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
+        post=lambda out: out.assign(sum_value=round_half_up(out["sum_value"], 2)),
+    )

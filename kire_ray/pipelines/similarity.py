@@ -125,3 +125,86 @@ def ann_lsh(
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd iterations on a driver-side sample: init =
+    first n_centroids sample rows (sample order is deterministic)."""
+    C = sample[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (sample @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ann_ivf(
+    emb: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k — the scale path beyond sign-LSH: k-means
+    centroids fit once on a driver-side sample (bounded, deterministic),
+    broadcast; every batch assigns its vectors to their nearest centroid
+    and scores only the vectors whose cell is among each query's
+    ``n_probe`` closest cells. Recall/cost knob = n_probe/n_centroids."""
+    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    sample_rows = emb.limit(sample_size).take_all()
+    S = _norm_rows(
+        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    )
+    C = _kmeans_fit(S, n_centroids)
+    q_probe = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]  # (n_q, n_probe)
+    ref = ray.put((C, Q, q_probe))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        Cm, Qm, probe = ray.get(ref)
+        M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+        ids = b[id_col].to_numpy()
+        cell = (M @ Cm.T).argmax(axis=1)
+        out_q, out_id, out_c = [], [], []
+        for qi in range(Qm.shape[0]):
+            mask = np.isin(cell, probe[qi])
+            if not mask.any():
+                continue
+            sub, sub_ids = M[mask], ids[mask]
+            s = Qm[qi] @ sub.T
+            kk = min(k, len(sub_ids))
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(sub_ids[idx])
+            out_c.extend(s[idx])
+        return pd.DataFrame({"query_id": out_q, id_col: out_id, "cosine": out_c})
+
+    partials = emb.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def ann_recall(approx: "ray.data.Dataset", exact: "ray.data.Dataset", id_col="vec_id") -> float:
+    """Recall@k of an approximate result vs the brute-force baseline."""
+    a = approx.to_pandas()
+    e = exact.to_pandas()
+    hits = tot = 0
+    for qid, ge in e.groupby("query_id"):
+        truth = set(ge[id_col])
+        got = set(a[a["query_id"] == qid][id_col])
+        hits += len(truth & got)
+        tot += len(truth)
+    return hits / max(tot, 1)

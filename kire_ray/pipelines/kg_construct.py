@@ -219,7 +219,9 @@ def run_resumable(
             _part_filter(part, n_parts), batch_format="pyarrow"
         )
         linked = linked_documents(tr, ctx, concurrency=concurrency).materialize()
-        triples = extract_triples(linked, ctx, concurrency=concurrency)
+        # materialize triples so the edges dedup consumes them instead of
+        # re-executing the scorer actor pool a second time
+        triples = extract_triples(linked, ctx, concurrency=concurrency).materialize()
         edges = dedup_edges(triples)
         nodes = merge_nodes(entity_vectors(linked, ctx, concurrency=concurrency))
 

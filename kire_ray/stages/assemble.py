@@ -58,10 +58,13 @@ def _combine_segments(batch: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def _merge_partition(part: pd.DataFrame) -> pd.DataFrame:
+def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.DataFrame:
     """Merge one hash partition's conversations (many per call) —
     segments of each conv_id are concatenated and turns sorted by
-    turn_idx (stable, so duplicate turn_idx keeps segment order)."""
+    turn_idx (stable, so duplicate turn_idx keeps segment order).
+    ``max_turns`` keeps only the first N turns of a conversation — the
+    skew bound for pathological conv_ids (the reference truncates at
+    max_length=512/1800 the same way, kg_data_loader.py:12-16)."""
     part = part.sort_values("conv_id", kind="stable")
     out = {k: [] for k in ("doc_id", "n_turns", "turn_texts", "roles", "ts_first", "ts_last")}
     for conv, sub in part.groupby("conv_id", sort=False):
@@ -69,6 +72,8 @@ def _merge_partition(part: pd.DataFrame) -> pd.DataFrame:
         texts = np.concatenate([np.asarray(x, dtype=object) for x in sub["texts"]])
         roles = np.concatenate([np.asarray(x, dtype=object) for x in sub["roles"]])
         order = np.argsort(idxs, kind="stable")
+        if max_turns is not None and len(order) > max_turns:
+            order = order[:max_turns]
         out["doc_id"].append(conv)
         out["n_turns"].append(len(order))
         out["turn_texts"].append(list(texts[order]))
@@ -85,6 +90,7 @@ def assemble_documents(
     *,
     combine_batch_size: int = 8192,
     num_partitions: int | None = None,
+    max_turns: int | None = None,
 ) -> "ray.data.Dataset":
     """``(conv_id, turn_idx, role, text, ts)`` rows → one row per document.
 
@@ -94,9 +100,14 @@ def assemble_documents(
     reduces with a vectorized merge (measured at sf0.1)."""
     from kire_ray.stages.shuffle import partitioned_map_groups
 
+    import functools
+
     segments = transcripts.map_batches(
         _combine_segments, batch_format="pandas", batch_size=combine_batch_size
     )
     return partitioned_map_groups(
-        segments, ["conv_id"], _merge_partition, num_partitions=num_partitions
+        segments,
+        ["conv_id"],
+        functools.partial(_merge_partition, max_turns=max_turns),
+        num_partitions=num_partitions,
     )

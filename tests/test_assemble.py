@@ -42,3 +42,25 @@ def test_assembly_roles_and_ts(ray_session, tiny_corpus):
     row = docs.iloc[0]
     assert row["ts_first"] == g["ts"].min()
     assert row["ts_last"] == g["ts"].max()
+
+
+def test_assemble_max_turns_caps_hot_conv(ray_session):
+    """Skew bound: a pathological conversation is truncated to its
+    first max_turns turns (by turn_idx), others untouched."""
+    import pandas as pd
+
+    import ray.data
+
+    from kire_ray.stages.assemble import assemble_documents
+
+    rows = [("hot", t, "user", f"h{t}", None, t) for t in range(50)]
+    rows += [("cold", t, "user", f"c{t}", None, t) for t in range(3)]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    docs = assemble_documents(
+        ray.data.from_pandas(df.sample(frac=1, random_state=3)), max_turns=10
+    ).to_pandas().set_index("doc_id")
+    assert docs.loc["hot", "n_turns"] == 10
+    assert list(docs.loc["hot", "turn_texts"]) == [f"h{t}" for t in range(10)]
+    assert docs.loc["cold", "n_turns"] == 3

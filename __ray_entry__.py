@@ -184,6 +184,45 @@ def _q_kg_eval(sf_dir: str) -> Any:
     return pd.DataFrame([m])
 
 
+def _q_theta_tuning(sf_dir: str) -> Any:
+    """A6 global-sort theta tuning (GLRE tune_f1_theta semantics) over
+    the flagship's scored predictions vs the planted doc-level gold."""
+    from kire_ray.pipelines.eval import tune_theta
+    from kire_ray.pipelines.kg_construct import build_graph
+
+    corpus = _corpus(sf_dir)
+    preds = build_graph(corpus)["triples"].to_pandas()
+    gold = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
+    gold_set = {(g.doc_id, g.h_idx, g.t_idx, g.r) for g in gold.itertuples()}
+    is_corr = np.array(
+        [
+            (p.doc_id, p.h_idx, p.t_idx, p.pred) in gold_set
+            for p in preds.itertuples()
+        ]
+    )
+    m = tune_theta(preds["score"].to_numpy(), is_corr, n_gold=len(gold_set))
+    return pd.DataFrame([m])
+
+
+def _q_docred_triples(sf_dir: str) -> Any:
+    """The reference's own input format (DocRED JSON) through the same
+    scorer/dedup stages: corpus → JSON export → read_docred_json →
+    triples (tests assert P=R=1.0 vs gold on this path)."""
+    import os
+
+    from kire_ray.pipelines.kg_construct import KGContext, extract_triples
+    from kire_ray.sources.docred import read_docred_json, write_docred_json
+    from kire_ray.stages.materialize import dedup_edges
+
+    corpus = _corpus(sf_dir)
+    path = os.path.join(corpus, "docred_export.json")
+    if not os.path.exists(path):
+        write_docred_json(corpus, path)
+    ctx = KGContext.from_corpus(corpus)
+    linked = read_docred_json(path, canon=ctx.canon)
+    return dedup_edges(extract_triples(linked, ctx))
+
+
 def _q_media_features(sf_dir: str) -> Any:
     from kire_ray.pipelines.multimodal import extract_media_features, synth_media
 
@@ -214,6 +253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_docs": _kg("linked"),
         "kg_coref_pairs": _kg_coref,
         "kg_eval_prf": _q_kg_eval,
+        "kg_theta_tuning": _q_theta_tuning,
+        "docred_triples": _q_docred_triples,
         # relational operator set (SQL-verified)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_parts_by_revenue": R.top_parts_by_revenue,

@@ -112,3 +112,30 @@ def triple_prf(pred: pd.DataFrame, gold: pd.DataFrame) -> dict:
         "n_pred": len(ps),
         "n_gold": len(gs),
     }
+
+
+def to_official(preds: pd.DataFrame) -> pd.DataFrame:
+    """Prediction rows → the official submission columns
+    (to_official, /root/reference/ATLOP+KIRE/evaluation.py:10-41):
+    (title, h_idx, t_idx, r), sorted + exact-deduped."""
+    df = preds.rename(columns={"doc_id": "title", "pred": "r"})[
+        ["title", "h_idx", "t_idx", "r"]
+    ]
+    return (
+        df.sort_values(["title", "h_idx", "t_idx", "r"], kind="stable")
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+
+
+def write_result_json(preds: pd.DataFrame, path: str) -> str:
+    """Official result.json writer (ATLOP+KIRE/train.py:408-409,
+    GLRE convert2result.py:1-44): a JSON array of
+    {title, h_idx, t_idx, r}. Predictions are output-sized (bounded),
+    so a driver-side dump mirrors the reference exactly."""
+    import json
+
+    off = to_official(preds)
+    with open(path, "w") as f:
+        json.dump(off.to_dict("records"), f)
+    return path

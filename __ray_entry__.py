@@ -164,6 +164,29 @@ def _q_fingerprints(sf_dir: str) -> Any:
     return fingerprints(_docs(sf_dir))
 
 
+def _q_word_freq(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import word_frequencies
+
+    return word_frequencies(_docs(sf_dir))
+
+
+def _q_doc_features(sf_dir: str) -> Any:
+    """M6/M7 dense channels over the flagship's linked docs (ragged
+    Arrow lists, vocab built distributed)."""
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        linked_documents,
+        read_transcripts,
+    )
+    from kire_ray.stages.featurize import build_word_vocab, featurize
+
+    corpus = _corpus(sf_dir)
+    ctx = KGContext.from_corpus(corpus)
+    linked = linked_documents(read_transcripts(corpus), ctx).materialize()
+    vocab = build_word_vocab(linked)
+    return featurize(linked, vocab, kg_ref=ctx.kg_ref, canon_ref=ctx.canon_ref)
+
+
 def _n_media(sf_dir: str) -> int:
     from kire_ray.sources.synth import sf_of_dir
 
@@ -279,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_metrics": _q_text_metrics,
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
+        "word_frequencies": _q_word_freq,
+        "doc_features": _q_doc_features,
         "ann_brute_force": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
@@ -432,6 +457,12 @@ def oracle_sql() -> dict[str, str]:
                        AS quality_score,
                    CASE WHEN stop_ratio > 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
             FROM m2
+        """,
+        "word_frequencies": """
+            SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word
         """,
         "token_count_total": """
             SELECT CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)

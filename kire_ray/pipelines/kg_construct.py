@@ -33,7 +33,7 @@ from kire_ray.stages.linking import MentionLinker, load_alias_broadcast
 from kire_ray.stages.materialize import dedup_edges, merge_nodes
 from kire_ray.stages.scorer import EntityEmbedder, RelationScorer, load_kg_broadcast
 
-TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "ts"]
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def _cluster_cpus() -> int:

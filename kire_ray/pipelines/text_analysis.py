@@ -116,3 +116,25 @@ def token_count_total(ds: "ray.data.Dataset", *, text_col: str = "text") -> int:
             "total"
         ]
     )
+
+
+def word_frequencies(
+    ds: "ray.data.Dataset", *, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Corpus word-frequency table (the reference's singleton/vocab
+    statistics, GLRE+KIRE/data/loader.py:191-196,307-323): per-batch
+    Counter combiner → one grouped exchange. SQL-replicable
+    (unnest(string_split)) for the oracle."""
+    from collections import Counter
+
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b[text_col]:
+            c.update(t.split())
+        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["word"], {"n": ("n", "sum")}
+    )

@@ -35,6 +35,7 @@ DOC_SCHEMA = pa.schema(
         ("n_turns", pa.int32()),
         ("turn_texts", pa.list_(pa.string())),
         ("roles", pa.list_(pa.string())),
+        ("tools", pa.list_(pa.string())),
         ("ts_first", pa.timestamp("us")),
         ("ts_last", pa.timestamp("us")),
     ]
@@ -51,6 +52,7 @@ def _combine_segments(batch: pd.DataFrame) -> pd.DataFrame:
             "turn_idxs": g["turn_idx"].agg(list),
             "texts": g["text"].agg(list),
             "roles": g["role"].agg(list),
+            "tools": g["tool"].agg(list),
             "ts_min": g["ts"].min(),
             "ts_max": g["ts"].max(),
         }
@@ -66,11 +68,12 @@ def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.Dat
     skew bound for pathological conv_ids (the reference truncates at
     max_length=512/1800 the same way, kg_data_loader.py:12-16)."""
     part = part.sort_values("conv_id", kind="stable")
-    out = {k: [] for k in ("doc_id", "n_turns", "turn_texts", "roles", "ts_first", "ts_last")}
+    out = {k: [] for k in ("doc_id", "n_turns", "turn_texts", "roles", "tools", "ts_first", "ts_last")}
     for conv, sub in part.groupby("conv_id", sort=False):
         idxs = np.concatenate([np.asarray(x, dtype=np.int64) for x in sub["turn_idxs"]])
         texts = np.concatenate([np.asarray(x, dtype=object) for x in sub["texts"]])
         roles = np.concatenate([np.asarray(x, dtype=object) for x in sub["roles"]])
+        tools = np.concatenate([np.asarray(x, dtype=object) for x in sub["tools"]])
         order = np.argsort(idxs, kind="stable")
         if max_turns is not None and len(order) > max_turns:
             order = order[:max_turns]
@@ -78,6 +81,7 @@ def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.Dat
         out["n_turns"].append(len(order))
         out["turn_texts"].append(list(texts[order]))
         out["roles"].append(list(roles[order]))
+        out["tools"].append(list(tools[order]))
         out["ts_first"].append(sub["ts_min"].min())
         out["ts_last"].append(sub["ts_max"].max())
     df = pd.DataFrame(out)

@@ -1,0 +1,163 @@
+"""Dense-feature encoding: word-id / NER / entity-id channels per doc.
+
+Re-expresses the reference's feature-tensor generation
+(/root/reference/B4+KIRE/gen_data.py:144-185: ``word/pos/ner`` int64
+arrays; GLRE word-id encode with UNK, GLRE+KIRE/data/dataset.py:217-244)
+with two scale changes:
+
+- the vocabulary is built *distributed* (per-batch Counter combiner →
+  one grouped exchange → driver-side id assignment — the vocab itself
+  is dimension-sized), and ids are deterministic: sorted by
+  (-count, word), PAD=0 / UNK=1 — not first-seen counters (SURVEY §4f);
+- features stay *ragged* per document (Arrow list columns) — the
+  max_length padding rectangle (B4 gen_data.py:145-149) is built
+  batch-locally inside whatever consumer needs rectangles, never
+  globally.
+
+Channels per document (global word offsets = prefix-summed turn
+lengths, gen_data.py:36-53):
+- word_ids: vocab id per token (UNK=1 for OOV)
+- ner_ids: entity-type id at mention token positions, 0 elsewhere
+  (B4 gen_data.py:173-179 semantics)
+- ent_ids: ent_idx+1 at mention positions, 0 elsewhere (coref/entity
+  channel, GLRE dataset.py:250-256)
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+PAD_ID, UNK_ID = 0, 1
+NER2ID = {"": 0, "PER": 2, "ORG": 3, "LOC": 4, "MISC": 5, "TIME": 6, "NUM": 7}
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("n_words", pa.int32()),
+        ("word_ids", pa.list_(pa.int32())),
+        ("ner_ids", pa.list_(pa.int32())),
+        ("ent_ids", pa.list_(pa.int32())),
+    ]
+)
+
+
+def build_word_vocab(
+    docs: "ray.data.Dataset", *, text_col: str = "turn_texts", min_count: int = 1
+) -> dict[str, int]:
+    """Distributed word-frequency vocabulary.
+
+    Per-batch Counter (combiner) → grouped_agg sum → driver-side id
+    assignment sorted by (-count, word). The exchange moves one row per
+    (word, block); the final table is vocabulary-sized.
+    """
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        col = b[text_col]
+        for v in col:
+            if isinstance(v, str):
+                c.update(v.split())
+            else:  # list of turn texts
+                for t in v:
+                    c.update(t.split())
+        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
+
+    counts = (
+        grouped_agg(
+            docs.map_batches(partial, batch_format="pandas"),
+            ["word"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+    )
+    counts = counts[counts["n"] >= min_count]
+    counts = counts.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+    return {w: i + 2 for i, w in enumerate(counts["word"])}  # 0=PAD, 1=UNK
+
+
+class FeaturizeDocs:
+    """Actor-pool stage: linked documents → ragged feature channels.
+
+    The vocab and KG stores arrive as ``ray.put`` refs, indexed once
+    per actor; entity types resolve through the KG 'instance of'
+    attribute (the reference's ner2id channel keyed by vertex type)."""
+
+    def __init__(self, vocab_ref, kg_ref=None, canon_ref=None):
+        self.vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, dict) else vocab_ref
+        self.type_of: dict[str, str] = {}
+        if kg_ref is not None:
+            from kire_ray.stages.scorer import KGIndex
+
+            kg = ray.get(kg_ref) if not isinstance(kg_ref, dict) else kg_ref
+            canon = (
+                ray.get(canon_ref)
+                if canon_ref is not None and not isinstance(canon_ref, dict)
+                else (canon_ref or {})
+            )
+            idx = KGIndex(kg, canon)
+            self.type_of = {
+                q: (idx.entity_type(q) or "").upper() for q in idx.attrs.keys()
+            }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vocab = self.vocab
+        out = {k: [] for k in FEATURE_SCHEMA.names}
+        for doc_id, turns, ents, ments in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("turn_texts").to_pylist(),
+            batch.column("entities").to_pylist(),
+            batch.column("mentions").to_pylist(),
+        ):
+            words: list[str] = []
+            turn_start = [0]
+            for t in turns:
+                words.extend(t.split())
+                turn_start.append(len(words))
+            wid = np.fromiter(
+                (vocab.get(w, UNK_ID) for w in words), dtype=np.int32, count=len(words)
+            )
+            ner = np.zeros(len(words), dtype=np.int32)
+            eid = np.zeros(len(words), dtype=np.int32)
+            ent_type = {
+                e["ent_idx"]: NER2ID.get(self.type_of.get(e["qid"], ""), 0) for e in ents
+            }
+            for m in ments:
+                g = turn_start[m["turn_idx"]]
+                ner[g + m["start"] : g + m["end"]] = ent_type.get(m["ent_idx"], 0)
+                eid[g + m["start"] : g + m["end"]] = m["ent_idx"] + 1
+            out["doc_id"].append(doc_id)
+            out["n_words"].append(len(words))
+            out["word_ids"].append(wid.tolist())
+            out["ner_ids"].append(ner.tolist())
+            out["ent_ids"].append(eid.tolist())
+        return pa.table(
+            {k: pa.array(out[k], type=FEATURE_SCHEMA.field(k).type) for k in FEATURE_SCHEMA.names}
+        )
+
+
+def featurize(
+    linked: "ray.data.Dataset",
+    vocab: dict[str, int],
+    *,
+    kg_ref=None,
+    canon_ref=None,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    return linked.map_batches(
+        FeaturizeDocs,
+        fn_constructor_kwargs={
+            "vocab_ref": ray.put(vocab),
+            "kg_ref": kg_ref,
+            "canon_ref": canon_ref,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

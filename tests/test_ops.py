@@ -276,3 +276,37 @@ def test_fingerprints_deterministic(ray_session):
     b = fingerprints(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert a.fingerprint.nunique() > 450  # distinct docs → distinct prints
+
+
+def test_featurize_channels(ray_session, tiny_corpus):
+    """Word/NER/entity channels: ids deterministic, mention positions
+    marked, per-turn offsets rebased (M1/M6/M7)."""
+    import numpy as np
+
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        linked_documents,
+        read_transcripts,
+    )
+    from kire_ray.stages.featurize import UNK_ID, build_word_vocab, featurize
+
+    ctx = KGContext.from_corpus(tiny_corpus)
+    linked = linked_documents(read_transcripts(tiny_corpus), ctx).materialize()
+    vocab = build_word_vocab(linked)
+    feats = featurize(linked, vocab, kg_ref=ctx.kg_ref, canon_ref=ctx.canon_ref).to_pandas()
+    docs = linked.to_pandas().set_index("doc_id")
+    assert len(feats) == len(docs)
+    row = feats.iloc[0]
+    doc = docs.loc[row["doc_id"]]
+    words = [w for t in doc["turn_texts"] for w in t.split()]
+    assert row["n_words"] == len(words) == len(row["word_ids"])
+    # every in-vocab word maps consistently; no PAD inside a document
+    assert all(w > 0 for w in row["word_ids"])
+    assert UNK_ID not in set(row["word_ids"]), "corpus vocab covers corpus"
+    # mention positions carry entity channel > 0
+    ment = doc["mentions"][0]
+    starts = sum(len(t.split()) for t in doc["turn_texts"][: ment["turn_idx"]])
+    span = row["ent_ids"][starts + ment["start"] : starts + ment["end"]]
+    assert all(v == ment["ent_idx"] + 1 for v in span)
+    # determinism: same vocab twice
+    assert build_word_vocab(linked) == vocab

@@ -187,6 +187,21 @@ def _q_doc_features(sf_dir: str) -> Any:
     return featurize(linked, vocab, kg_ref=ctx.kg_ref, canon_ref=ctx.canon_ref)
 
 
+def _q_doc_graphs(sf_dir: str) -> Any:
+    """GLRE's typed document graph (entity/mention/sentence nodes,
+    5-channel edges) as ragged per-doc rows."""
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        linked_documents,
+        read_transcripts,
+    )
+    from kire_ray.stages.graph import build_doc_graphs
+
+    corpus = _corpus(sf_dir)
+    ctx = KGContext.from_corpus(corpus)
+    return build_doc_graphs(linked_documents(read_transcripts(corpus), ctx))
+
+
 def _n_media(sf_dir: str) -> int:
     from kire_ray.sources.synth import sf_of_dir
 
@@ -304,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "word_frequencies": _q_word_freq,
         "doc_features": _q_doc_features,
+        "doc_graphs": _q_doc_graphs,
         "ann_brute_force": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,

@@ -1,0 +1,77 @@
+"""GLRE-style doc graphs and long-doc chunk/stitch semantics."""
+
+import numpy as np
+
+from kire_ray.functions.chunking import chunk_spans, stitch
+from kire_ray.stages.graph import (
+    CH_ES,
+    CH_ME,
+    CH_MM,
+    CH_MS,
+    CH_SS,
+    NODE_E,
+    NODE_M,
+    NODE_S,
+    _doc_graph,
+    build_doc_graphs,
+)
+
+
+def test_doc_graph_counts_tiny():
+    ents = [
+        {"ent_idx": 0, "qid": "Q1", "label": "a", "n_mentions": 2},
+        {"ent_idx": 1, "qid": "Q2", "label": "b", "n_mentions": 1},
+    ]
+    ments = [
+        {"ent_idx": 0, "turn_idx": 0, "start": 0, "end": 1, "surface": "a"},
+        {"ent_idx": 1, "turn_idx": 0, "start": 2, "end": 3, "surface": "b"},
+        {"ent_idx": 0, "turn_idx": 2, "start": 1, "end": 2, "surface": "a"},
+    ]
+    g = _doc_graph("d", 3, ents, ments)
+    assert g["n_nodes"] == 2 + 3 + 3  # E + M + S
+    assert g["node_types"] == [NODE_E] * 2 + [NODE_M] * 3 + [NODE_S] * 3
+    ch = np.array(g["edge_channel"])
+    # undirected pairs, counted once per direction
+    assert (ch == CH_MS).sum() == 3 * 2
+    assert (ch == CH_ME).sum() == 3 * 2
+    assert (ch == CH_MM).sum() == 1 * 2  # the two turn-0 mentions
+    assert (ch == CH_ES).sum() == 3 * 2  # e0@{0,2}, e1@{0}
+    assert (ch == CH_SS).sum() == 2 * 2  # sentence chain 0-1-2
+
+
+def test_build_doc_graphs_runs(ray_session, tiny_corpus):
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        linked_documents,
+        read_transcripts,
+    )
+
+    ctx = KGContext.from_corpus(tiny_corpus)
+    linked = linked_documents(read_transcripts(tiny_corpus), ctx)
+    graphs = build_doc_graphs(linked).to_pandas()
+    assert len(graphs) == 60
+    assert (graphs["n_nodes"] > 0).all()
+    # every edge endpoint is a valid node id
+    for r in graphs.head(5).itertuples():
+        assert max(r.edge_src) < r.n_nodes and max(r.edge_dst) < r.n_nodes
+
+
+def test_chunk_spans_cover_and_overlap():
+    for n in (5, 512, 700, 1024, 3000):
+        spans = chunk_spans(n, 512, 128)
+        covered = np.zeros(n, dtype=bool)
+        for s, e in spans:
+            assert e - s <= 512
+            covered[s:e] = True
+        assert covered.all()
+        if n <= 512:
+            assert spans == [(0, n)]
+
+
+def test_stitch_identity_when_windows_agree():
+    n, d = 700, 4
+    x = np.arange(n * d, dtype=np.float64).reshape(n, d)
+    spans = chunk_spans(n, 512, 128)
+    chunks = [x[s:e] for s, e in spans]
+    out = stitch(chunks, spans, n)
+    np.testing.assert_allclose(out, x)

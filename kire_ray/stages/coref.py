@@ -45,10 +45,13 @@ def find_positions(words: list[str], alias_tokens: list[str]) -> set[tuple[int, 
     allowed)."""
     n, k = len(words), len(alias_tokens)
     out = set()
-    if k == 0:
+    if k == 0 or n < k:
         return out
+    first = alias_tokens[0]
     for i in range(n - k + 1):
-        if words[i : i + k] == alias_tokens:
+        # first-token prefilter: skip the slice allocation unless the
+        # anchor matches (the scan is per alias × per doc — hot)
+        if words[i] == first and words[i : i + k] == alias_tokens:
             out.add((i, i + k))
     return out
 

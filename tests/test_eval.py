@@ -84,3 +84,30 @@ def test_harness_on_pipeline_output(ray_session, tiny_corpus):
     gt = pq.read_table(f"{tiny_corpus}/gold_triples.parquet").to_pandas()
     prf = triple_prf(edges, gt)
     assert prf["f1"] >= 0.95, prf
+
+
+def test_to_official_and_result_json(tmp_path):
+    """Official writer: sorted, deduped, reference column names
+    (evaluation.py:10-41 / convert2result.py)."""
+    import json
+
+    import pandas as pd
+
+    from kire_ray.pipelines.eval import to_official, write_result_json
+
+    preds = pd.DataFrame(
+        {
+            "doc_id": ["b", "a", "a", "a"],
+            "h_idx": [0, 1, 1, 0],
+            "t_idx": [1, 0, 0, 1],
+            "pred": ["P2", "P1", "P1", "P9"],
+            "score": [2.5, 2.1, 2.1, 2.2],
+        }
+    )
+    off = to_official(preds)
+    assert list(off.columns) == ["title", "h_idx", "t_idx", "r"]
+    assert len(off) == 3  # exact duplicate dropped
+    assert off.iloc[0].tolist() == ["a", 0, 1, "P9"]  # sorted by (title,h,t,r)
+    p = write_result_json(preds, str(tmp_path / "result.json"))
+    rows = json.load(open(p))
+    assert rows == off.to_dict("records")

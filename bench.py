@@ -71,6 +71,17 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         if hasattr(res, "map_batches"):
             res.count()
         timings[name] = round(time.time() - t0, 3)
+
+    # quality signals travel with the bench so a perf win that broke
+    # correctness is visible in the same JSON line
+    prf = qs["kg_eval_prf"](sf_dir).iloc[0]
+    extras["kg_precision"] = round(float(prf["precision"]), 4)
+    extras["kg_recall"] = round(float(prf["recall"]), 4)
+    from kire_ray.pipelines.similarity import ann_recall
+
+    extras["ann_ivf_recall"] = round(
+        ann_recall(qs["ann_ivf"](sf_dir), qs["ann_brute_force"](sf_dir)), 3
+    )
     return timings, extras
 
 

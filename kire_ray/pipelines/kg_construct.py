@@ -171,18 +171,44 @@ def build_graph(
 # --------------------------- resumable run ---------------------------
 
 
-def _part_filter(part: int, n_parts: int):
-    """Vectorized partition predicate: hash(conv_id) % n_parts == part."""
+def _chunk_filter(parts: list[int], n_parts: int):
+    """Vectorized partition predicate: hash(conv_id) % n_parts ∈ parts."""
+    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from kire_ray.functions.hashing import hash64
 
+    want = np.array(sorted(parts), dtype=np.uint64)
+
     def fn(batch: pa.Table) -> pa.Table:
         h = hash64(batch.column("conv_id").to_pylist()) % n_parts
-        return batch.filter(pa.array(h == part))
+        return batch.filter(pa.array(np.isin(h, want)))
 
     return fn
+
+
+def _with_part(ds: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
+    """Append ``part = hash64(doc_id) % n_parts`` (the resume layout
+    key, recomputable from any row's doc_id)."""
+    import pandas as pd
+
+    from kire_ray.functions.hashing import hash64
+
+    def add(b: "pd.DataFrame") -> "pd.DataFrame":
+        b = b.copy()
+        b["part"] = (hash64(b["doc_id"].to_numpy()) % n_parts).astype("int64")
+        return b
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def _part_slice(ds: "ray.data.Dataset", part: int) -> "ray.data.Dataset":
+    import pandas as pd
+
+    def f(b: "pd.DataFrame") -> "pd.DataFrame":
+        return b[b["part"] == part].drop(columns=["part"])
+
+    return ds.map_batches(f, batch_format="pandas")
 
 
 def run_resumable(
@@ -190,6 +216,7 @@ def run_resumable(
     out_dir: str,
     *,
     n_parts: int = 8,
+    chunk_size: int = 4,
     concurrency: int | None = None,
     fail_after: int | None = None,
 ) -> list[dict]:
@@ -198,50 +225,61 @@ def run_resumable(
     (state/manifest.py).  ``fail_after=k`` aborts after k partitions —
     the kill-resume test hook.
 
-    Per partition, ``linked`` is pinned with ``materialize()`` — bounded
-    by partition size (1/n_parts of the corpus), it feeds two consumers
-    (triples and nodes) without re-running assembly+linking. At 100 TB,
-    n_parts is sized so a partition fits the cluster's object store
-    (e.g. 4096 partitions of ~25 GB).
+    Execution is *chunked*: ``chunk_size`` hash buckets run through one
+    Ray execution (each dataset execution pays actor-pool spin-up +
+    shuffle setup ≈ 10 s, so one execution per bucket made resume
+    granularity expensive). Every per-bucket output is still written and
+    manifested atomically and is bit-identical to a chunk_size=1 run:
+    edges/nodes aggregate with the ``part`` column in their keys, so no
+    merge ever crosses a bucket boundary. At 100 TB, chunk_size × bucket
+    size is bounded by the cluster's object store (the chunk's linked
+    docs and triples are pinned with ``materialize()``).
     """
     from kire_ray.state.manifest import done_partitions, write_partition_atomic
 
     ctx = KGContext.from_corpus(corpus_dir)
     done = done_partitions(out_dir, n_parts)
+    pending = [p for p in range(n_parts) if p not in done]
     manifests = []
     n_run = 0
-    for part in range(n_parts):
-        if part in done:
-            continue
+    for ci in range(0, len(pending), chunk_size):
+        chunk = pending[ci : ci + chunk_size]
         if fail_after is not None and n_run >= fail_after:
             raise RuntimeError(f"simulated failure after {fail_after} partitions")
         tr = read_transcripts(corpus_dir).map_batches(
-            _part_filter(part, n_parts), batch_format="pyarrow"
+            _chunk_filter(chunk, n_parts), batch_format="pyarrow"
         )
         linked = linked_documents(tr, ctx, concurrency=concurrency).materialize()
-        # materialize triples so the edges dedup consumes them instead of
-        # re-executing the scorer actor pool a second time
-        triples = extract_triples(linked, ctx, concurrency=concurrency).materialize()
-        edges = dedup_edges(triples)
-        nodes = merge_nodes(entity_vectors(linked, ctx, concurrency=concurrency))
+        triples = _with_part(
+            extract_triples(linked, ctx, concurrency=concurrency), n_parts
+        ).materialize()
+        edges = dedup_edges(triples, extra_keys=("part",)).materialize()
+        nodes = merge_nodes(
+            _with_part(entity_vectors(linked, ctx, concurrency=concurrency), n_parts),
+            extra_keys=("part",),
+        ).materialize()
 
-        def writer(tmp: str) -> dict:
-            rows = {}
-            for name, ds in [("triples", triples), ("edges", edges), ("nodes", nodes)]:
-                sub = os.path.join(tmp, name)
-                ds.write_parquet(sub)
-                import pyarrow.dataset as pads
+        for part in chunk:
+            if fail_after is not None and n_run >= fail_after:
+                raise RuntimeError(f"simulated failure after {fail_after} partitions")
 
-                rows[name] = pads.dataset(sub).count_rows()
-            return rows
+            def writer(tmp: str, _part=part) -> dict:
+                rows = {}
+                for name, ds in [("triples", triples), ("edges", edges), ("nodes", nodes)]:
+                    sub = os.path.join(tmp, name)
+                    _part_slice(ds, _part).write_parquet(sub)
+                    import pyarrow.dataset as pads
 
-        lineage = {
-            "corpus_dir": os.path.abspath(corpus_dir),
-            "n_parts": n_parts,
-            "partition_key": "hash64(conv_id) % n_parts",
-        }
-        manifests.append(write_partition_atomic(out_dir, part, writer, lineage))
-        n_run += 1
+                    rows[name] = pads.dataset(sub).count_rows()
+                return rows
+
+            lineage = {
+                "corpus_dir": os.path.abspath(corpus_dir),
+                "n_parts": n_parts,
+                "partition_key": "hash64(conv_id) % n_parts",
+            }
+            manifests.append(write_partition_atomic(out_dir, part, writer, lineage))
+            n_run += 1
     return manifests
 
 

@@ -22,14 +22,19 @@ import pandas as pd
 import ray.data
 
 
-def dedup_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
+def dedup_edges(
+    triples: "ray.data.Dataset", *, extra_keys: tuple[str, ...] = ()
+) -> "ray.data.Dataset":
     """(doc_id, …, subj_qid, pred, obj_qid, score) → distinct edges with
-    provenance (max score, doc count, first doc)."""
+    provenance (max score, doc count, first doc). ``extra_keys`` scopes
+    the dedup (e.g. a ``part`` column so one execution yields every
+    partition's edges independently — the chunked resumable path)."""
+    keys = [*extra_keys, "subj_qid", "pred", "obj_qid"]
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         # block-local combiner: collapse duplicate (s,p,o) before the shuffle
         return (
-            b.groupby(["subj_qid", "pred", "obj_qid"], sort=False)
+            b.groupby(keys, sort=False)
             .agg(
                 score=("score", "max"),
                 n_docs=("doc_id", "nunique"),
@@ -49,7 +54,7 @@ def dedup_edges(triples: "ray.data.Dataset") -> "ray.data.Dataset":
 
     return grouped_agg(
         part,
-        ["subj_qid", "pred", "obj_qid"],
+        keys,
         {
             "score": ("score", "max"),
             "n_docs": ("n_docs", "sum"),
@@ -64,7 +69,9 @@ def _logsumexp_merge(vecs: np.ndarray) -> np.ndarray:
     return m + np.log(np.exp(vecs - m).sum(axis=0))
 
 
-def merge_nodes(doc_entities: "ray.data.Dataset") -> "ray.data.Dataset":
+def merge_nodes(
+    doc_entities: "ray.data.Dataset", *, extra_keys: tuple[str, ...] = ()
+) -> "ray.data.Dataset":
     """Per-doc entity rows → one node row per canonical qid.
 
     label = lexicographic min (deterministic representative), mention
@@ -72,14 +79,18 @@ def merge_nodes(doc_entities: "ray.data.Dataset") -> "ray.data.Dataset":
     logsumexp partials over disjoint mention sets).
     """
 
+    keys = [*extra_keys, "qid"]
+
     def merge_part(part: pd.DataFrame) -> pd.DataFrame:
         # doc_id sort fixes the floating-point summation order so the
         # distributed merge is bit-identical to the sequential oracle
-        part = part.sort_values(["qid", "doc_id"], kind="stable")
-        out = {k: [] for k in ("qid", "label", "n_docs", "n_mentions", "vec")}
-        for qid, g in part.groupby("qid", sort=False):
+        part = part.sort_values([*keys, "doc_id"], kind="stable")
+        out = {k: [] for k in (*keys, "label", "n_docs", "n_mentions", "vec")}
+        for kv, g in part.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            for kcol, v in zip(keys, kv):
+                out[kcol].append(v)
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-            out["qid"].append(qid)
             out["label"].append(g["label"].min())
             out["n_docs"].append(len(g))
             out["n_mentions"].append(int(g["n_mentions"].sum()))
@@ -91,4 +102,4 @@ def merge_nodes(doc_entities: "ray.data.Dataset") -> "ray.data.Dataset":
 
     from kire_ray.stages.shuffle import partitioned_map_groups
 
-    return partitioned_map_groups(doc_entities, ["qid"], merge_part)
+    return partitioned_map_groups(doc_entities, keys, merge_part)

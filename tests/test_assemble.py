@@ -64,3 +64,39 @@ def test_assemble_max_turns_caps_hot_conv(ray_session):
     assert docs.loc["hot", "n_turns"] == 10
     assert list(docs.loc["hot", "turn_texts"]) == [f"h{t}" for t in range(10)]
     assert docs.loc["cold", "n_turns"] == 3
+
+
+def test_hot_conv_skew_bounded_by_combiner(ray_session):
+    """Skew mitigation for hot conv_ids: a 20k-turn conversation spread
+    over many blocks reaches the merge as one segment row per block
+    (the combiner), not 20k rows — the exchange is bounded by block
+    count, and assembly output stays exact."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+
+    from kire_ray.stages.assemble import _combine_segments, assemble_documents
+
+    n_hot, n_cold = 20_000, 50
+    rows = [("hot", t, "user", f"h{t}", None, t) for t in range(n_hot)]
+    for c in range(n_cold):
+        rows += [(f"c{c}", t, "user", f"{c}:{t}", None, t) for t in range(3)]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    df = df.sample(frac=1, random_state=7).reset_index(drop=True)
+    ds = ray.data.from_pandas(df).repartition(16)
+
+    # combiner bound: one segment per (conv, block) → ≤ 16 rows for the
+    # hot conv instead of 20k
+    segs = ds.map_batches(_combine_segments, batch_format="pandas", batch_size=None).to_pandas()
+    hot_segs = (segs["conv_id"] == "hot").sum()
+    assert hot_segs <= 16, hot_segs
+
+    docs = assemble_documents(ds).to_pandas().set_index("doc_id")
+    assert docs.loc["hot", "n_turns"] == n_hot
+    texts = docs.loc["hot", "turn_texts"]
+    assert texts[0] == "h0" and texts[-1] == f"h{n_hot-1}"
+    assert list(texts[:5]) == [f"h{t}" for t in range(5)]
+    assert len(docs) == 1 + n_cold

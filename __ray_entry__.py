@@ -275,6 +275,13 @@ def _q_frame_sample(sf_dir: str) -> Any:
     return frame_sample(media)
 
 
+def _q_audio_chunk(sf_dir: str) -> Any:
+    from kire_ray.pipelines.multimodal import audio_chunk, synth_media
+
+    media = ray.data.from_arrow(synth_media(_n_media(sf_dir)))
+    return audio_chunk(media)
+
+
 # --------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------
@@ -326,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (deterministic fake decode)
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
+        "audio_chunk": _q_audio_chunk,
     }
 
 

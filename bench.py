@@ -56,14 +56,18 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "customer_order_totals",
         "orders_lineitem_join_count",
         "events_tumbling_window",
+        "events_hopping_window",
         "sessionize_events",
         "exact_dedup",
         "minhash_dedup",
         "simhash_dedup",
         "text_metrics",
         "doc_fingerprints",
+        "word_frequencies",
+        "doc_graphs",
         "ann_brute_force",
         "ann_lsh",
+        "ann_ivf",
         "media_features",
     ]:
         t0 = time.time()

@@ -117,3 +117,34 @@ def frame_sample(
         )
 
     return media.map_batches(explode, batch_format="pandas")
+
+
+def audio_chunk(
+    media: "ray.data.Dataset", *, chunk_ms: int = 5000
+) -> "ray.data.Dataset":
+    """Audio chunking plumbing (the frame_sample analogue for audio):
+    explode each audio row into fixed-length chunk rows with start/end
+    offsets — the decode itself stays behind the stub. Vectorized:
+    numpy repeat over per-row chunk counts, no per-row python loop."""
+    import numpy as np
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[b["kind"] == "audio"]
+        if a.empty:
+            return pd.DataFrame(
+                {
+                    "media_id": pd.Series([], dtype=str),
+                    "chunk_start_ms": pd.Series([], dtype=np.int64),
+                    "chunk_end_ms": pd.Series([], dtype=np.int64),
+                }
+            )
+        dur = a["duration_ms"].to_numpy().clip(min=1)
+        n_chunks = -(-dur // chunk_ms)  # ceil
+        ids = np.repeat(a["media_id"].to_numpy(), n_chunks)
+        offs = np.concatenate([np.arange(n) for n in n_chunks]) * chunk_ms
+        ends = np.minimum(offs + chunk_ms, np.repeat(dur, n_chunks))
+        return pd.DataFrame(
+            {"media_id": ids, "chunk_start_ms": offs, "chunk_end_ms": ends}
+        )
+
+    return media.map_batches(explode, batch_format="pandas")

@@ -27,6 +27,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--corpus-dir", required=True, help="dir with transcripts.parquet + KG side tables")
     ap.add_argument("--out-dir", required=True, help="output root (part=K/ subdirs + manifests)")
     ap.add_argument("--n-parts", type=int, default=64, help="hash partitions (resume granularity)")
+    ap.add_argument("--chunk-size", type=int, default=4,
+                    help="hash buckets per Ray execution (amortizes per-execution setup)")
     ap.add_argument("--concurrency", type=int, default=None, help="actors per stage (default: cluster CPUs)")
     ap.add_argument("--synth-convs", type=int, default=None,
                     help="synthesise a deterministic corpus of N conversations into --corpus-dir first")
@@ -47,7 +49,11 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     manifests = run_resumable(
-        args.corpus_dir, args.out_dir, n_parts=args.n_parts, concurrency=args.concurrency
+        args.corpus_dir,
+        args.out_dir,
+        n_parts=args.n_parts,
+        chunk_size=args.chunk_size,
+        concurrency=args.concurrency,
     )
     rows = {
         t: sum(m["rows"][t] for m in manifests) for t in ("triples", "edges", "nodes")

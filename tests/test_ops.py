@@ -310,3 +310,25 @@ def test_featurize_channels(ray_session, tiny_corpus):
     assert all(v == ment["ent_idx"] + 1 for v in span)
     # determinism: same vocab twice
     assert build_word_vocab(linked) == vocab
+
+
+def test_audio_chunk_boundaries(ray_session):
+    import ray.data
+
+    from kire_ray.pipelines.multimodal import audio_chunk, synth_media
+
+    media = ray.data.from_arrow(synth_media(90))
+    out = audio_chunk(media, chunk_ms=5000).to_pandas()
+    src = synth_media(90).to_pandas()
+    audio = src[src.kind == "audio"].set_index("media_id")
+    assert set(out.media_id) == set(audio.index[audio.duration_ms > 0]) | {
+        m for m in audio.index if audio.loc[m, "duration_ms"] == 0
+    }
+    for mid, g in out.groupby("media_id"):
+        dur = max(int(audio.loc[mid, "duration_ms"]), 1)
+        g = g.sort_values("chunk_start_ms")
+        assert g.chunk_start_ms.iloc[0] == 0
+        assert g.chunk_end_ms.iloc[-1] == dur
+        assert (g.chunk_end_ms - g.chunk_start_ms <= 5000).all()
+        # contiguous, non-overlapping
+        assert (g.chunk_start_ms.iloc[1:].to_numpy() == g.chunk_end_ms.iloc[:-1].to_numpy()).all()

@@ -55,8 +55,24 @@ def canon_map_from_pairs(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {x: find(x) for x in list(parent)}
 
 
+def _label_fingerprint(labels: "ray.data.Dataset") -> int:
+    """Order-insensitive fingerprint of a (node, label) table — one
+    partial sum per block, a handful of rows to the driver. Replaces
+    collecting the whole label map for the convergence check."""
+    from kire_ray.functions.hashing import hash64
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        h = hash64((b["node"] + "\x1f" + b["label"]).to_numpy())
+        return pd.DataFrame({"s": [int(h.sum() % (1 << 63))]})
+
+    rows = labels.map_batches(part, batch_format="pandas").take_all()
+    return sum(r["s"] for r in rows) % (1 << 63)
+
+
 def connected_components(
-    edges: "ray.data.Dataset", max_iters: int = 12
+    edges: "ray.data.Dataset",
+    max_iters: int = 12,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed connected components by min-label propagation.
 
@@ -64,12 +80,16 @@ def connected_components(
     interpretation). Returns Dataset ``(node, label)`` where ``label`` is
     the component's lexicographically-smallest node id.
 
-    Each iteration: candidate labels = own label ∪ labels flowing along
-    edges; ``groupby(node).min(label)``. Converges in O(diameter)
-    rounds; ``max_iters`` bounds pathological chains (a chain longer
-    than 2^max_iters would need pointer-doubling — equivalence cliques
-    in KG/dedup workloads are shallow).
+    Fully distributed: per round, current labels flow along edges via a
+    *hash co-partition* of edges and labels on the peer key (a tagged
+    union through one grouped exchange — no driver-side label map, no
+    broadcast that grows with the graph), then ``min`` per node. The
+    convergence check compares an order-insensitive fingerprint (one
+    scalar per block), so driver traffic is O(blocks) per round.
+    Rounds ≤ graph diameter; ``max_iters`` bounds pathological chains
+    (equivalence cliques in KG/dedup workloads are shallow).
     """
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -79,43 +99,47 @@ def connected_components(
             }
         )
 
-    sym = edges.map_batches(both_dirs, batch_format="pandas")
-    # labels: node → current best label; start with label = node
-    labels = sym.groupby("node").map_groups(
-        lambda g: pd.DataFrame({"node": [g["node"].iloc[0]], "label": [g["node"].iloc[0]]}),
+    sym = edges.map_batches(both_dirs, batch_format="pandas").materialize()
+    labels = grouped_agg(
+        sym, ["node"], {"n": ("peer", "size")}, num_partitions=num_partitions
+    ).map_batches(
+        lambda b: pd.DataFrame({"node": b["node"], "label": b["node"]}),
         batch_format="pandas",
     ).materialize()
 
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # key = the peer whose label we need; '' label marks an edge row
+        return pd.DataFrame({"key": b["peer"], "node": b["node"], "label": ""})
+
+    def label_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": b["node"], "node": "", "label": b["label"]})
+
+    def join_part(part: pd.DataFrame) -> pd.DataFrame:
+        # one grouped exchange co-locates each key's label row with the
+        # edge rows that need it → (node, peer's current label)
+        lbl = part[part["label"] != ""].drop_duplicates("key").set_index("key")["label"]
+        ed = part[part["node"] != ""]
+        out = ed["key"].map(lbl)
+        return pd.DataFrame({"node": ed["node"], "label": out.fillna(ed["key"])})
+
+    prev_fp = None
     for _ in range(max_iters):
-        lab_map_rows = labels.take_all()  # bounded: one row per distinct node
-        lab_map = {r["node"]: r["label"] for r in lab_map_rows}
-        lab_ref = ray.put(lab_map)
-
-        def relabel(b: pd.DataFrame, ref=lab_ref) -> pd.DataFrame:
-            m = ray.get(ref)
-            return pd.DataFrame(
-                {
-                    "node": b["node"],
-                    "label": b["peer"].map(lambda p: m.get(p, p)),
-                }
-            )
-
-        msgs = sym.map_batches(relabel, batch_format="pandas")
-        new_labels = (
-            labels.union(msgs)
-            .groupby("node")
-            .map_groups(
-                lambda g: pd.DataFrame(
-                    {"node": [g["node"].iloc[0]], "label": [g["label"].min()]}
-                ),
-                batch_format="pandas",
-            )
-            .materialize()
+        tagged = sym.map_batches(edge_rows, batch_format="pandas").union(
+            labels.map_batches(label_rows, batch_format="pandas")
         )
-        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
-        labels = new_labels
-        if new_map == lab_map:
+        msgs = partitioned_map_groups(
+            tagged, ["key"], join_part, num_partitions=num_partitions
+        )
+        labels = grouped_agg(
+            labels.union(msgs),
+            ["node"],
+            {"label": ("label", "min")},
+            num_partitions=num_partitions,
+        ).materialize()
+        fp = _label_fingerprint(labels)
+        if fp == prev_fp:
             break
+        prev_fp = fp
     return labels
 
 

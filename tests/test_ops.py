@@ -332,3 +332,28 @@ def test_audio_chunk_boundaries(ray_session):
         assert (g.chunk_end_ms - g.chunk_start_ms <= 5000).all()
         # contiguous, non-overlapping
         assert (g.chunk_start_ms.iloc[1:].to_numpy() == g.chunk_end_ms.iloc[:-1].to_numpy()).all()
+
+
+def test_connected_components_chain_and_islands(ray_session):
+    """Distributed min-label propagation: a 9-node chain (needs multiple
+    rounds), a triangle, and an isolated pair all resolve to their
+    lexicographic minimum."""
+    import pandas as pd
+
+    import ray.data
+
+    from kire_ray.stages.canonicalize import connected_components
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(4)]          # n0..n4
+    tri = [("t2", "t1"), ("t1", "t0"), ("t2", "t0")]
+    pair = [("z9", "z1")]
+    edges = pd.DataFrame(chain + tri + pair, columns=["src", "dst"])
+    out = (
+        connected_components(ray.data.from_pandas(edges), num_partitions=4)
+        .to_pandas()
+        .set_index("node")["label"]
+    )
+    assert all(out[f"n{i}"] == "n0" for i in range(5))
+    assert all(out[t] == "t0" for t in ("t0", "t1", "t2"))
+    assert out["z9"] == "z1" and out["z1"] == "z1"
+    assert len(out) == 10

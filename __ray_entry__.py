@@ -222,6 +222,38 @@ def _q_kg_eval(sf_dir: str) -> Any:
     return pd.DataFrame([m])
 
 
+def _q_kg_eval_official(sf_dir: str) -> Any:
+    """Full official DocRED metrics incl. Ign (evaluation.py:70-193):
+    doc-level (doc,h,t,r) exact match; the Ign variant removes
+    correct-and-in-train predictions via the train-fact semi-join
+    (J5/J6/M12 at the driver surface). Train split = deterministic
+    hash of doc_id (eval.split_train_dev)."""
+    from kire_ray.pipelines.eval import official_evaluate, split_train_dev
+    from kire_ray.pipelines.kg_construct import build_graph
+
+    corpus = _corpus(sf_dir)
+    preds = build_graph(corpus)["triples"].to_pandas().rename(columns={"pred": "r"})
+    gold = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
+    # canonical-triple fact per prediction key, for the Ign anti-join
+    fact_by_key = {
+        (p.doc_id, p.h_idx, p.t_idx, p.r): (p.subj_qid, p.r, p.obj_qid)
+        for p in preds.itertuples()
+    }
+    is_train = split_train_dev(preds["doc_id"])
+    train_facts = {
+        fact_by_key[(p.doc_id, p.h_idx, p.t_idx, p.r)]
+        for p, t in zip(preds.itertuples(), is_train)
+        if t
+    }
+    m = official_evaluate(
+        preds,
+        gold,
+        train_facts=train_facts,
+        fact_of=lambda k: fact_by_key.get(k, ("?",)),
+    )
+    return pd.DataFrame([m])
+
+
 def _q_theta_tuning(sf_dir: str) -> Any:
     """A6 global-sort theta tuning (GLRE tune_f1_theta semantics) over
     the flagship's scored predictions vs the planted doc-level gold."""
@@ -298,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_docs": _kg("linked"),
         "kg_coref_pairs": _kg_coref,
         "kg_eval_prf": _q_kg_eval,
+        "kg_eval_official": _q_kg_eval_official,
         "kg_theta_tuning": _q_theta_tuning,
         "docred_triples": _q_docred_triples,
         # relational operator set (SQL-verified)

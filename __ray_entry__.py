@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_bucket_histogram": R.price_bucket_histogram,
         "top_orders_per_segment": R.top_orders_per_segment,
         "events_props_sum": R.events_props_sum,
+        "lineitem_monthly_revenue": R.lineitem_monthly_revenue,
+        "part_brand_stats": R.part_brand_stats,
+        "suppliers_with_lineitems": R.suppliers_with_lineitems,
         # training-data suite
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash,
@@ -376,15 +379,15 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,
-                   floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base_price,
-                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
-                   floor(sum(l_discount) / count(*) * 1000000 + 0.5) / 1000000 AS avg_disc,
+                   floor(sum(l_extendedprice) * 100 + 0.501) / 100 AS sum_base_price,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.501) / 100 AS revenue,
+                   floor(sum(l_discount) / count(*) * 1000000 + 0.501) / 1000000 AS avg_disc,
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "top_parts_by_revenue": """
             SELECT p.p_partkey, p.p_name, p.p_brand,
-                   floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue
+                   floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.501) / 100 AS revenue
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_partkey, p.p_name, p.p_brand
             ORDER BY revenue DESC, p.p_partkey LIMIT 10
@@ -392,7 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_totals": """
             WITH agg AS (
                 SELECT o_custkey,
-                       floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total_spend,
+                       floor(sum(o_totalprice) * 100 + 0.501) / 100 AS total_spend,
                        count(*) AS n_orders
                 FROM orders GROUP BY o_custkey)
             SELECT c.c_custkey, agg.total_spend, agg.n_orders, c.c_name, c.c_mktsegment
@@ -401,7 +404,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_nation_rollup": """
             SELECT r.r_name, count(*) AS n_suppliers,
-                   floor(sum(s.s_acctbal) * 100 + 0.5) / 100 AS total_acctbal
+                   floor(sum(s.s_acctbal) * 100 + 0.501) / 100 AS total_acctbal
             FROM supplier s
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -414,14 +417,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, (epoch // 900) * 900 - 900 * j AS window_start, value
                 FROM e CROSS JOIN (VALUES (0), (1), (2), (3)) t(j))
             SELECT event_type, window_start, count(*) AS n_events,
-                   floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+                   floor(sum(value) * 100 + 0.501) / 100 AS sum_value
             FROM x GROUP BY event_type, window_start
         """,
         "events_tumbling_window": """
             SELECT event_type,
                    (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
                    count(*) AS n_events,
-                   floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+                   floor(sum(value) * 100 + 0.501) / 100 AS sum_value
             FROM events GROUP BY event_type, window_start
         """,
         "sessionize_events": """
@@ -441,7 +444,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    min(epoch) AS session_start, max(epoch) AS session_end,
                    count(*) AS n_events,
-                   floor(sum(value) * 100 + 0.5) / 100 AS sum_value
+                   floor(sum(value) * 100 + 0.501) / 100 AS sum_value
             FROM s GROUP BY user_id, session
         """,
         "distinct_order_status": """
@@ -484,6 +487,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
+        "lineitem_monthly_revenue": """
+            SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+                   floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.501) / 100 AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY ship_month
+        """,
+        "part_brand_stats": """
+            SELECT p.p_brand,
+                   min(l.l_extendedprice) AS min_price,
+                   max(l.l_extendedprice) AS max_price,
+                   count(*) AS n,
+                   floor(sum(l.l_extendedprice) / count(*) * 10000 + 0.501) / 10000 AS avg_price
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "suppliers_with_lineitems": """
+            SELECT s_suppkey, s_name, s_acctbal FROM supplier
+            WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM lineitem)
+        """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
@@ -507,10 +529,10 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio
                 FROM m)
             SELECT doc_id, n_chars, n_tokens,
-                   floor(mean_wl * 1000000 + 0.5) / 1000000 AS mean_word_len,
-                   floor(stop_ratio * 1000000 + 0.5) / 1000000 AS stop_ratio,
+                   floor(mean_wl * 1000000 + 0.501) / 1000000 AS mean_word_len,
+                   floor(stop_ratio * 1000000 + 0.501) / 1000000 AS stop_ratio,
                    floor(((least(greatest(mean_wl, 2.0), 8.0) - 2.0) / 6.0 * 0.5
-                          + least(stop_ratio, 0.5)) * 1000000 + 0.5) / 1000000
+                          + least(stop_ratio, 0.5)) * 1000000 + 0.501) / 1000000
                        AS quality_score,
                    CASE WHEN stop_ratio > 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
             FROM m2
@@ -540,7 +562,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos DESC, vec_id) - 1 AS rank
                 FROM s)
             SELECT query_id, vec_id,
-                   floor(cos * 1000000 + 0.5) / 1000000 AS cosine,
+                   floor(cos * 1000000 + 0.501) / 1000000 AS cosine,
                    rank
             FROM r WHERE rank < {k}
         """,

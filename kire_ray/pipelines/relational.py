@@ -423,3 +423,97 @@ def events_hopping_window(
         {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
         post=lambda out: out.assign(sum_value=round_half_up(out["sum_value"], 2)),
     )
+
+
+def lineitem_monthly_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Date-truncated grouped aggregate (§2.8 adds date kernels the
+    reference never needed): revenue per ship month. The month key is
+    an int (year*100+month) so Ray and the SQL oracle agree exactly
+    without timestamp-representation drift."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        month = (b["l_shipdate"].dt.year * 100 + b["l_shipdate"].dt.month).astype("int64")
+        rev = b.l_extendedprice * (1 - b.l_discount)
+        return (
+            pd.DataFrame({"ship_month": month, "revenue": rev})
+            .groupby("ship_month", sort=False)
+            .agg(revenue=("revenue", "sum"), n_lines=("revenue", "size"))
+            .reset_index()
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["ship_month"],
+        {"revenue": ("revenue", "sum"), "n_lines": ("n_lines", "sum")},
+        post=lambda out: out.assign(revenue=round_half_up(out["revenue"], 2)),
+    )
+
+
+def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
+    """Min/max/avg/count per group (the aggregate kinds beyond
+    sum/count): per-brand lineitem price stats. avg composes from
+    (sum, count) partials — never an average of averages."""
+    part_df = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    joined = broadcast_join(
+        li, part_df.rename(columns={"p_partkey": "l_partkey"}), on=["l_partkey"], how="inner"
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("p_brand", sort=False)
+            .agg(
+                min_price=("l_extendedprice", "min"),
+                max_price=("l_extendedprice", "max"),
+                sum_price=("l_extendedprice", "sum"),
+                n=("l_extendedprice", "size"),
+            )
+            .reset_index()
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out["avg_price"] = round_half_up(out["sum_price"] / out["n"], 4)
+        return out.drop(columns=["sum_price"])
+
+    return grouped_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["p_brand"],
+        {
+            "min_price": ("min_price", "min"),
+            "max_price": ("max_price", "max"),
+            "sum_price": ("sum_price", "sum"),
+            "n": ("n", "sum"),
+        },
+        post=post,
+    )
+
+
+def suppliers_with_lineitems(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast semi-join (J3 shape at the relational surface):
+    suppliers appearing in lineitem. The key set is the fact side's
+    distinct supplier keys — pre-aggregated per batch before collection
+    so the driver never sees raw rows."""
+    import numpy as np
+
+    from kire_ray.stages.joins import semi_join_broadcast
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey"])
+
+    def distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_suppkey": b["l_suppkey"].unique()})
+
+    keys = set(
+        np.concatenate(
+            [
+                b["l_suppkey"].to_numpy()
+                for b in li.map_batches(distinct, batch_format="pandas").iter_batches(
+                    batch_format="pandas"
+                )
+            ]
+        ).tolist()
+    )
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+    return semi_join_broadcast(sup, keys, on="s_suppkey")

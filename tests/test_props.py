@@ -74,3 +74,30 @@ def test_grouped_agg_equals_pandas(ray_session, rows):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, ref, check_dtype=False, rtol=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    ),
+    st.sampled_from([2, 4, 6]),
+)
+def test_round_half_up_matches_duckdb(values, digits):
+    """The parity contract: round_half_up(x, d) equals DuckDB evaluating
+    sql_round('x', d) for arbitrary doubles — the property every
+    oracle-checked float column relies on."""
+    import duckdb
+
+    from kire_ray.functions.rounding import round_half_up, sql_round
+
+    con = duckdb.connect()
+    expr = sql_round("v", digits)
+    got = round_half_up(np.array(values), digits)
+    ref = [
+        con.execute(f"SELECT {expr} FROM (SELECT CAST(? AS DOUBLE) AS v)", [v]).fetchone()[0]
+        for v in values
+    ]
+    assert np.array_equal(got, np.array(ref, dtype=np.float64))

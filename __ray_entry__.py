@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_monthly_revenue": R.lineitem_monthly_revenue,
         "part_brand_stats": R.part_brand_stats,
         "suppliers_with_lineitems": R.suppliers_with_lineitems,
+        "price_quantiles": R.price_quantiles,
         # training-data suite
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash,
@@ -505,6 +506,15 @@ def oracle_sql() -> dict[str, str]:
         "suppliers_with_lineitems": """
             SELECT s_suppkey, s_name, s_acctbal FROM supplier
             WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM lineitem)
+        """,
+        "price_quantiles": """
+            SELECT 0.25 AS q, quantile_disc(o_totalprice, 0.25) AS value FROM orders
+            UNION ALL
+            SELECT 0.5, quantile_disc(o_totalprice, 0.5) FROM orders
+            UNION ALL
+            SELECT 0.75, quantile_disc(o_totalprice, 0.75) FROM orders
+            UNION ALL
+            SELECT 0.9, quantile_disc(o_totalprice, 0.9) FROM orders
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -1,6 +1,13 @@
 """Deduplication suite over a documents table — exact, MinHash-LSH,
 SimHash, n-gram Jaccard, embedding-cosine.
 
+Algorithms follow the published constructions: MinHash + banded LSH
+(Broder, "On the resemblance and containment of documents", 1997;
+banding per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3),
+SimHash with pigeonhole band probing (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002; Manku et al., WWW
+2007), random-hyperplane cosine LSH (Charikar 2002).
+
 The reference has only exact dedup (triple list-dedup,
 /root/reference/ATLOP+KIRE/data/gen_kg_data.py:320-323; sorted
 prediction dedup, evaluation.py:112-118).  A 100 TB training-data

@@ -517,3 +517,38 @@ def suppliers_with_lineitems(sf_dir: str) -> "ray.data.Dataset":
     )
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
     return semi_join_broadcast(sup, keys, on="s_suppkey")
+
+
+def price_quantiles(sf_dir: str, quantiles=(0.25, 0.5, 0.75, 0.9)) -> pd.DataFrame:
+    """Exact distributed quantiles (quantile_disc semantics: the order
+    statistic at ceil(q*n)-1): per-batch value→count histogram
+    (combiner), one grouped exchange, then a driver-side cumulative
+    pick over the *distinct-value* histogram — bounded by value
+    cardinality, not row count. At 100 TB an unbounded-cardinality
+    column would first quantize to fixed-width buckets (the sketch the
+    reference never needed; SURVEY §2.5 'no approximate aggregates')."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_totalprice", sort=False).size().rename("n").reset_index()
+        )
+
+    h = (
+        grouped_agg(
+            ds.map_batches(hist, batch_format="pandas"),
+            ["o_totalprice"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values("o_totalprice")
+        .reset_index(drop=True)
+    )
+    cum = h["n"].cumsum().to_numpy()
+    total = int(cum[-1])
+    out = []
+    for q in quantiles:
+        k = int(np.ceil(q * total))  # 1-based rank, quantile_disc rule
+        idx = int(np.searchsorted(cum, k, side="left"))
+        out.append((float(q), float(h["o_totalprice"].iloc[idx])))
+    return pd.DataFrame(out, columns=["q", "value"])

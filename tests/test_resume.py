@@ -63,3 +63,31 @@ def test_kill_resume_exact(ray_session, tiny_corpus, tmp_path):
 
     # idempotent: nothing left to do
     assert run_resumable(tiny_corpus, out, n_parts=n_parts, concurrency=2) == []
+
+
+def test_kill_mid_chunk_resume_odd_sizes(ray_session, tiny_corpus, tmp_path):
+    """Chunked execution: kill after 2 of 5 partitions with chunk_size=3
+    (failure lands mid-chunk), resume, and require bit-identical output
+    to a single chunk_size=5 run — including float node vectors."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pytest
+
+    from kire_ray.pipelines.kg_construct import run_resumable
+
+    mid, full = str(tmp_path / "mid"), str(tmp_path / "full")
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_resumable(tiny_corpus, mid, n_parts=5, chunk_size=3, fail_after=2)
+    resumed = run_resumable(tiny_corpus, mid, n_parts=5, chunk_size=3)
+    assert len(resumed) == 3  # exactly the missing partitions
+    run_resumable(tiny_corpus, full, n_parts=5, chunk_size=5)
+    for part in range(5):
+        for table in ("triples", "edges", "nodes"):
+            a = pads.dataset(f"{mid}/part={part}/{table}").to_table().to_pandas()
+            b = pads.dataset(f"{full}/part={part}/{table}").to_table().to_pandas()
+            key = [c for c in a.columns if c != "vec"]
+            a = a.sort_values(key).reset_index(drop=True)
+            b = b.sort_values(key).reset_index(drop=True)
+            if "vec" in a.columns:
+                assert [tuple(v) for v in a.pop("vec")] == [tuple(v) for v in b.pop("vec")]
+            pd.testing.assert_frame_equal(a, b)

@@ -60,3 +60,21 @@ def test_docred_unlinkable_vertex_gets_nt_id(ray_session):
     ents = t.column("entities").to_pylist()[0]
     assert ents[0]["qid"].startswith("NT")
     assert ents[1]["qid"] == "Q7"
+
+
+def test_ndjson_branch_equals_array_branch(ray_session, tiny_corpus, tmp_path):
+    """read_docred_json: NDJSON shards (scale path) produce the same
+    linked docs as the array-file branch."""
+    import json
+
+    path = write_docred_json(tiny_corpus, str(tmp_path / "arr.json"))
+    nd = str(tmp_path / "nd.jsonl")
+    with open(nd, "w") as f:
+        for d in json.load(open(path)):
+            f.write(json.dumps(d) + "\n")
+    a = read_docred_json(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = read_docred_json(nd).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    for i in range(len(a)):
+        assert list(a["entities"][i]) == list(b["entities"][i])
+        assert list(a["turn_texts"][i]) == list(b["turn_texts"][i])

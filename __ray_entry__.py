@@ -43,35 +43,70 @@ def _corpus(sf_dir: str) -> str:
     return corpus_for_sf_dir(sf_dir)
 
 
-def entry() -> Any:
-    """Flagship KG build at sf0.001: transcripts → linked docs →
-    scored triples → deduped edges. Returns the edges Dataset."""
-    from kire_ray.pipelines.kg_construct import build_graph
-
-    return build_graph(_corpus("/root/testdata/sf0.001"))["edges"]
-
-
-def _kg(table: str) -> Callable[[str], Any]:
-    def run(sf_dir: str) -> Any:
-        from kire_ray.pipelines.kg_construct import build_graph
-
-        return build_graph(_corpus(sf_dir))[table]
-
-    return run
+# One flagship build per corpus per driver session: every kg_* /
+# doc_features / doc_graphs / eval query derives from the same
+# materialized linked-docs dataset + broadcast context instead of
+# re-running assembly + linking + the ray.put of the dimension tables
+# (measured: kg_edges 22.1s + kg_nodes 19.3s + doc_graphs 11.6s at
+# sf0.1 were mostly repeated upstream work).
+_FLAGSHIP: dict[str, dict] = {}
 
 
-def _kg_coref(sf_dir: str) -> Any:
+def _flagship(sf_dir: str) -> dict:
     from kire_ray.pipelines.kg_construct import (
         KGContext,
-        coref_pairs,
         linked_documents,
         read_transcripts,
     )
 
     corpus = _corpus(sf_dir)
-    ctx = KGContext.from_corpus(corpus)
-    linked = linked_documents(read_transcripts(corpus), ctx)
-    return coref_pairs(linked, ctx)
+    c = _FLAGSHIP.get(corpus)
+    if c is None:
+        c = {"corpus": corpus, "ctx": KGContext.from_corpus(corpus)}
+        _FLAGSHIP[corpus] = c
+    if "linked" not in c:
+        c["linked"] = linked_documents(
+            read_transcripts(corpus), c["ctx"]
+        ).materialize()
+    return c
+
+
+def _flagship_graph(sf_dir: str) -> dict:
+    """Cached build_graph outputs (triples materialized once; edges and
+    nodes stay lazy aggregations over it / over linked)."""
+    from kire_ray.pipelines.kg_construct import build_graph
+
+    from kire_ray.stages.materialize import dedup_edges
+
+    c = _flagship(sf_dir)
+    if "graph" not in c:
+        g = build_graph(c["corpus"], ctx=c["ctx"], linked=c["linked"])
+        g["triples"] = g["triples"].materialize()
+        # rebind edges to the materialized triples (else it re-runs the
+        # scorer stage from `linked` on every consumer)
+        g["edges"] = dedup_edges(g["triples"])
+        c["graph"] = g
+    return c["graph"]
+
+
+def entry() -> Any:
+    """Flagship KG build at sf0.001: transcripts → linked docs →
+    scored triples → deduped edges. Returns the edges Dataset."""
+    return _flagship_graph("/root/testdata/sf0.001")["edges"]
+
+
+def _kg(table: str) -> Callable[[str], Any]:
+    def run(sf_dir: str) -> Any:
+        return _flagship_graph(sf_dir)[table]
+
+    return run
+
+
+def _kg_coref(sf_dir: str) -> Any:
+    from kire_ray.pipelines.kg_construct import coref_pairs
+
+    c = _flagship(sf_dir)
+    return coref_pairs(c["linked"], c["ctx"])
 
 
 # --------------------------------------------------------------------
@@ -173,33 +208,21 @@ def _q_word_freq(sf_dir: str) -> Any:
 def _q_doc_features(sf_dir: str) -> Any:
     """M6/M7 dense channels over the flagship's linked docs (ragged
     Arrow lists, vocab built distributed)."""
-    from kire_ray.pipelines.kg_construct import (
-        KGContext,
-        linked_documents,
-        read_transcripts,
-    )
     from kire_ray.stages.featurize import build_word_vocab, featurize
 
-    corpus = _corpus(sf_dir)
-    ctx = KGContext.from_corpus(corpus)
-    linked = linked_documents(read_transcripts(corpus), ctx).materialize()
-    vocab = build_word_vocab(linked)
-    return featurize(linked, vocab, kg_ref=ctx.kg_ref, canon_ref=ctx.canon_ref)
+    c = _flagship(sf_dir)
+    vocab = build_word_vocab(c["linked"])
+    return featurize(
+        c["linked"], vocab, kg_ref=c["ctx"].kg_ref, canon_ref=c["ctx"].canon_ref
+    )
 
 
 def _q_doc_graphs(sf_dir: str) -> Any:
     """GLRE's typed document graph (entity/mention/sentence nodes,
     5-channel edges) as ragged per-doc rows."""
-    from kire_ray.pipelines.kg_construct import (
-        KGContext,
-        linked_documents,
-        read_transcripts,
-    )
     from kire_ray.stages.graph import build_doc_graphs
 
-    corpus = _corpus(sf_dir)
-    ctx = KGContext.from_corpus(corpus)
-    return build_doc_graphs(linked_documents(read_transcripts(corpus), ctx))
+    return build_doc_graphs(_flagship(sf_dir)["linked"])
 
 
 def _n_media(sf_dir: str) -> int:
@@ -213,10 +236,9 @@ def _q_kg_eval(sf_dir: str) -> Any:
     P/R/F1 of extracted canonical triples vs the planted gold — the
     BASELINE.json P/R >= 0.95 gate as a one-row metrics table."""
     from kire_ray.pipelines.eval import triple_prf
-    from kire_ray.pipelines.kg_construct import build_graph
 
     corpus = _corpus(sf_dir)
-    edges = build_graph(corpus)["edges"].to_pandas()
+    edges = _flagship_graph(sf_dir)["edges"].to_pandas()
     gold = pq.read_table(f"{corpus}/gold_triples.parquet").to_pandas()
     m = triple_prf(edges, gold)
     return pd.DataFrame([m])
@@ -229,10 +251,9 @@ def _q_kg_eval_official(sf_dir: str) -> Any:
     (J5/J6/M12 at the driver surface). Train split = deterministic
     hash of doc_id (eval.split_train_dev)."""
     from kire_ray.pipelines.eval import official_evaluate, split_train_dev
-    from kire_ray.pipelines.kg_construct import build_graph
 
     corpus = _corpus(sf_dir)
-    preds = build_graph(corpus)["triples"].to_pandas().rename(columns={"pred": "r"})
+    preds = _flagship_graph(sf_dir)["triples"].to_pandas().rename(columns={"pred": "r"})
     gold = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
     # canonical-triple fact per prediction key, for the Ign anti-join
     fact_by_key = {
@@ -258,10 +279,9 @@ def _q_theta_tuning(sf_dir: str) -> Any:
     """A6 global-sort theta tuning (GLRE tune_f1_theta semantics) over
     the flagship's scored predictions vs the planted doc-level gold."""
     from kire_ray.pipelines.eval import tune_theta
-    from kire_ray.pipelines.kg_construct import build_graph
 
     corpus = _corpus(sf_dir)
-    preds = build_graph(corpus)["triples"].to_pandas()
+    preds = _flagship_graph(sf_dir)["triples"].to_pandas()
     gold = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
     gold_set = {(g.doc_id, g.h_idx, g.t_idx, g.r) for g in gold.itertuples()}
     is_corr = np.array(
@@ -280,7 +300,7 @@ def _q_docred_triples(sf_dir: str) -> Any:
     triples (tests assert P=R=1.0 vs gold on this path)."""
     import os
 
-    from kire_ray.pipelines.kg_construct import KGContext, extract_triples
+    from kire_ray.pipelines.kg_construct import extract_triples
     from kire_ray.sources.docred import read_docred_json, write_docred_json
     from kire_ray.stages.materialize import dedup_edges
 
@@ -288,7 +308,12 @@ def _q_docred_triples(sf_dir: str) -> Any:
     path = os.path.join(corpus, "docred_export.json")
     if not os.path.exists(path):
         write_docred_json(corpus, path)
-    ctx = KGContext.from_corpus(corpus)
+    from kire_ray.pipelines.kg_construct import KGContext
+
+    corpus_cache = _FLAGSHIP.setdefault(corpus, {"corpus": corpus})
+    if "ctx" not in corpus_cache:
+        corpus_cache["ctx"] = KGContext.from_corpus(corpus)
+    ctx = corpus_cache["ctx"]
     linked = read_docred_json(path, canon=ctx.canon)
     return dedup_edges(extract_triples(linked, ctx))
 

@@ -171,8 +171,18 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
             text=True,
             timeout=3000,
         )
-        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) exited {p.returncode}\n"
+                f"stderr tail:\n{p.stderr[-4000:]}"
+            )
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"scaling child (cpus={cpus}) produced no JSON line\n"
+                f"stdout tail:\n{p.stdout[-2000:]}\nstderr tail:\n{p.stderr[-2000:]}"
+            )
+        results[cpus] = json.loads(lines[-1])
     thr_lo = results[cpus_lo]["triples_per_sec"]
     thr_hi = results[cpus_hi]["triples_per_sec"]
     eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)

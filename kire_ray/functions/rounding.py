@@ -23,7 +23,13 @@ import numpy as np
 
 
 def round_half_up(x, digits: int = 2):
-    """Vectorized half-up rounding; scalars in → float out."""
+    """Vectorized half-up rounding; scalars in → float out.
+
+    Deviation window (deliberate, see module docstring): any value
+    whose scaled fraction lies in [0.499, 0.501) also rounds UP — the
+    +0.001 tie-robustness shift. Both compare sides (this function and
+    ``sql_round``) shift identically, so the pair stays bit-exact; do
+    NOT reuse this where true unbiased half-up semantics matter."""
     m = 10.0 ** digits
     r = np.floor(np.asarray(x, dtype=np.float64) * m + 0.501) / m
     if np.ndim(r) == 0:

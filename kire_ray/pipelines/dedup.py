@@ -34,7 +34,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from kire_ray.functions.hashing import hash64
+from kire_ray.functions.hashing import hash64, hash64_fast
 from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
 _MERSENNE = (1 << 61) - 1
@@ -83,7 +83,7 @@ def _combine_token_hashes(th: np.ndarray, k: int) -> np.ndarray:
 
 
 def _shingles(text: str, k: int) -> np.ndarray:
-    return _combine_token_hashes(hash64(text.split()), k)
+    return _combine_token_hashes(hash64_fast(text.split()), k)
 
 
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -108,7 +108,7 @@ class MinHasher:
         memo = self._memo
         missing = sorted({t for t in toks if t not in memo})
         if missing:
-            for t, h in zip(missing, hash64(missing)):
+            for t, h in zip(missing, hash64_fast(missing)):
                 memo[t] = int(h)
         return np.fromiter((memo[t] for t in toks), dtype=np.uint64, count=len(toks))
 
@@ -162,16 +162,22 @@ def lsh_candidate_pairs(
     """
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_band, rows_hash = [], [], []
-        for did, sig in zip(b[id_col], b["sig"]):
-            s = np.asarray(sig, dtype=np.uint64)
-            r = len(s) // bands
-            for bi in range(bands):
-                h = int(hash64(["|".join(map(str, s[bi * r : (bi + 1) * r]))])[0])
-                rows_id.append(did)
-                rows_band.append(bi)
-                rows_hash.append(h)
-        return pd.DataFrame({id_col: rows_id, "band": rows_band, "bh": rows_hash})
+        # vectorized band hashing: (docs, bands, rows_per_band) → one
+        # Weyl-mix reduction over the band axis, no per-doc python loop
+        S = np.stack([np.asarray(s, dtype=np.uint64) for s in b["sig"]])
+        r = S.shape[1] // bands
+        Sb = S[:, : bands * r].reshape(len(S), bands, r)
+        with np.errstate(over="ignore"):
+            h = np.zeros((len(S), bands), dtype=np.uint64)
+            for j in range(r):
+                h = h * _SH_MIX + Sb[:, :, j]
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(b[id_col].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int64), len(S)),
+                "bh": h.reshape(-1).view(np.int64),
+            }
+        )
 
     buckets = sigs.map_batches(explode, batch_format="pandas")
 
@@ -270,7 +276,7 @@ def simhash_signatures(
             toks = t.split()
             if not toks:
                 continue
-            h = hash64(toks)
+            h = hash64_fast(toks)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
             v = (2 * bits - 1).sum(axis=0)
             out[i] = np.packbits((v > 0).astype(np.uint8)[::-1], bitorder="little").view(np.uint64)[0]

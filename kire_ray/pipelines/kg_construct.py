@@ -157,11 +157,21 @@ def coref_pairs(
 
 
 def build_graph(
-    corpus_dir: str, *, concurrency: int | None = None
+    corpus_dir: str,
+    *,
+    concurrency: int | None = None,
+    ctx: "KGContext | None" = None,
+    linked: "ray.data.Dataset | None" = None,
 ) -> dict[str, "ray.data.Dataset"]:
-    """Lazy end-to-end build; caller consumes (write/collect) to run."""
-    ctx = KGContext.from_corpus(corpus_dir)
-    linked = linked_documents(read_transcripts(corpus_dir), ctx, concurrency=concurrency)
+    """Lazy end-to-end build; caller consumes (write/collect) to run.
+
+    ``ctx``/``linked`` let a caller reuse an already-loaded context and
+    an already-materialized linked-docs dataset across several derived
+    outputs (edges, nodes, coref, eval) instead of re-running assembly
+    + linking per consumer (__ray_entry__ memoizes them per corpus)."""
+    ctx = ctx or KGContext.from_corpus(corpus_dir)
+    if linked is None:
+        linked = linked_documents(read_transcripts(corpus_dir), ctx, concurrency=concurrency)
     triples = extract_triples(linked, ctx, concurrency=concurrency)
     edges = dedup_edges(triples)
     nodes = merge_nodes(entity_vectors(linked, ctx, concurrency=concurrency))

@@ -106,15 +106,21 @@ def frame_sample(
     rows at a fixed cadence (decode itself is the stub above)."""
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in b.itertuples():
-            if r.kind != "video":
-                continue
-            for t in range(0, max(int(r.duration_ms), 1), every_ms):
-                rows.append((r.media_id, t))
-        return pd.DataFrame(rows, columns=["media_id", "frame_ms"]) if rows else pd.DataFrame(
-            {"media_id": pd.Series([], dtype=str), "frame_ms": pd.Series([], dtype=np.int64)}
-        )
+        # vectorized like audio_chunk: np.repeat over per-row frame
+        # counts — no per-row python loop
+        v = b[b["kind"] == "video"]
+        if v.empty:
+            return pd.DataFrame(
+                {
+                    "media_id": pd.Series([], dtype=str),
+                    "frame_ms": pd.Series([], dtype=np.int64),
+                }
+            )
+        dur = v["duration_ms"].to_numpy().clip(min=1)
+        n_frames = -(-dur // every_ms)  # ceil
+        ids = np.repeat(v["media_id"].to_numpy(), n_frames)
+        offs = np.concatenate([np.arange(n) for n in n_frames]) * every_ms
+        return pd.DataFrame({"media_id": ids, "frame_ms": offs})
 
     return media.map_batches(explode, batch_format="pandas")
 

@@ -57,21 +57,27 @@ def canon_map_from_pairs(pairs: list[tuple[str, str]]) -> dict[str, str]:
 
 def _label_fingerprint(labels: "ray.data.Dataset") -> int:
     """Order-insensitive fingerprint of a (node, label) table — one
-    partial sum per block, a handful of rows to the driver. Replaces
-    collecting the whole label map for the convergence check."""
-    from kire_ray.functions.hashing import hash64
+    partial per block, a handful of rows to the driver. Replaces
+    collecting the whole label map for the convergence check.
+    XOR of per-row 64-bit hashes (rows are unique per node, so nothing
+    self-cancels) rather than a modular sum — additive fingerprints
+    admit easy collisions between label permutations."""
+    from kire_ray.functions.hashing import hash64_fast
 
     def part(b: pd.DataFrame) -> pd.DataFrame:
-        h = hash64((b["node"] + "\x1f" + b["label"]).to_numpy())
-        return pd.DataFrame({"s": [int(h.sum() % (1 << 63))]})
+        h = hash64_fast((b["node"] + "\x1f" + b["label"]).to_numpy())
+        return pd.DataFrame({"s": [int(np.bitwise_xor.reduce(h))]}) if len(h) else pd.DataFrame({"s": [0]})
 
     rows = labels.map_batches(part, batch_format="pandas").take_all()
-    return sum(r["s"] for r in rows) % (1 << 63)
+    fp = 0
+    for r in rows:
+        fp ^= int(r["s"])
+    return fp
 
 
 def connected_components(
     edges: "ray.data.Dataset",
-    max_iters: int = 12,
+    max_iters: int = 25,
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Distributed connected components by min-label propagation.
@@ -123,6 +129,7 @@ def connected_components(
         return pd.DataFrame({"node": ed["node"], "label": out.fillna(ed["key"])})
 
     prev_fp = None
+    converged = False
     for _ in range(max_iters):
         tagged = sym.map_batches(edge_rows, batch_format="pandas").union(
             labels.map_batches(label_rows, batch_format="pandas")
@@ -138,8 +145,15 @@ def connected_components(
         ).materialize()
         fp = _label_fingerprint(labels)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # exhausting max_iters would silently return unconverged labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters — raise it for long chains)"
+        )
     return labels
 
 

@@ -29,7 +29,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from kire_ray.functions.hashing import hash64
+from kire_ray.functions.hashing import hash64_fast
 
 
 def broadcast_join(
@@ -100,7 +100,7 @@ def salt_column(
     def salt(batch: pd.DataFrame) -> pd.DataFrame:
         hot = ray.get(hot_ref)
         k = batch[key].astype(str)
-        row_h = hash64((k + "#" + np.arange(len(k)).astype(str)).to_numpy())
+        row_h = hash64_fast((k + "#" + np.arange(len(k)).astype(str)).to_numpy())
         salts = np.where(k.isin(hot).to_numpy(), row_h % n_salts, 0)
         batch[f"{key}_salted"] = k + "#" + pd.Series(salts, index=batch.index).astype(str)
         return batch

@@ -32,14 +32,14 @@ def dedup_edges(
     keys = [*extra_keys, "subj_qid", "pred", "obj_qid"]
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        # block-local combiner: collapse duplicate (s,p,o) before the shuffle
+        # block-local combiner: collapse to one row per (keys, doc)
+        # before the shuffle. doc_id rides through the exchange so the
+        # reducer's nunique is EXACT — summing per-block nunique partials
+        # double-counts a doc whose rows land in two blocks (batch-layout
+        # dependent n_docs).
         return (
-            b.groupby(keys, sort=False)
-            .agg(
-                score=("score", "max"),
-                n_docs=("doc_id", "nunique"),
-                first_doc=("doc_id", "min"),
-            )
+            b.groupby([*keys, "doc_id"], sort=False)
+            .agg(score=("score", "max"))
             .reset_index()
         )
 
@@ -57,8 +57,8 @@ def dedup_edges(
         keys,
         {
             "score": ("score", "max"),
-            "n_docs": ("n_docs", "sum"),
-            "first_doc": ("first_doc", "min"),
+            "n_docs": ("doc_id", "nunique"),
+            "first_doc": ("doc_id", "min"),
         },
         post=final,
     )

@@ -38,7 +38,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from kire_ray.functions.hashing import hash64
+from kire_ray.functions.hashing import hash64_fast
 
 PID_COL = "__pid"
 
@@ -79,7 +79,9 @@ def partitioned_map_groups(
             for k in keys[1:]:
                 sig = sig + "\x1f" + b[k].astype(str)
         b = b.copy()
-        b[PID_COL] = (hash64(sig.to_numpy()) % P).astype(np.int64)
+        # pid is ephemeral (never persisted) → vectorized fast hash;
+        # it sits on every exchanged row, the hottest hash in the engine
+        b[PID_COL] = (hash64_fast(sig.to_numpy()) % P).astype(np.int64)
         return b
 
     def run_part(g: pd.DataFrame) -> pd.DataFrame:

@@ -205,6 +205,39 @@ def _q_word_freq(sf_dir: str) -> Any:
     return word_frequencies(_docs(sf_dir))
 
 
+def _q_doc_subwords(sf_dir: str) -> Any:
+    """M2/T1: real greedy WordPiece over a corpus-derived chunk vocab —
+    per-doc word/subword counts are SQL-replicable (ceil(len/8) pieces
+    per word by construction, stages/subword.py)."""
+    from kire_ray.stages.subword import build_chunk_vocab, tokenize_subwords
+
+    docs = _docs(sf_dir)
+    vocab = build_chunk_vocab(docs)
+    sw = tokenize_subwords(docs, vocab)
+
+    def to_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": b["n_words"].astype(np.int64),
+                "n_subwords": b["n_subwords"].astype(np.int64),
+            }
+        )
+
+    return sw.map_batches(to_counts, batch_format="pandas")
+
+
+def _q_kg_doc_subwords(sf_dir: str) -> Any:
+    """Full subword channels over the flagship's linked docs: input_ids,
+    word→subword maps (sent_map), '*' entity markers, subword_indexs —
+    the ATLOP+KIRE/prepro.py:37-78 feature surface."""
+    from kire_ray.stages.subword import build_chunk_vocab, tokenize_subwords
+
+    c = _flagship(sf_dir)
+    vocab = build_chunk_vocab(c["linked"], text_col="turn_texts")
+    return tokenize_subwords(c["linked"], vocab)
+
+
 def _q_doc_features(sf_dir: str) -> Any:
     """M6/M7 dense channels over the flagship's linked docs (ragged
     Arrow lists, vocab built distributed)."""
@@ -387,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
         "word_frequencies": _q_word_freq,
+        "doc_subwords": _q_doc_subwords,
+        "kg_doc_subwords": _q_kg_doc_subwords,
         "doc_features": _q_doc_features,
         "doc_graphs": _q_doc_graphs,
         "ann_brute_force": _q_ann_brute,
@@ -577,6 +612,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> ''
             GROUP BY word
+        """,
+        "doc_subwords": """
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   CAST(sum((length(word) + 7) // 8) AS BIGINT) AS n_subwords
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> ''
+            GROUP BY doc_id
         """,
         "token_count_total": """
             SELECT CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)

@@ -207,18 +207,40 @@ def verify_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    broadcast_limit: int = 100_000,
 ) -> "ray.data.Dataset":
-    """Exact n-gram Jaccard on candidate pairs.
+    """Exact n-gram Jaccard on candidate pairs, auto-selected by size:
 
-    Only the *candidate* docs' shingle sets are collected and broadcast
-    (LSH already pruned the corpus: candidates ≪ corpus, so the
-    driver-side set is bounded by duplicate volume, not data size). If
-    even the candidate set outgrew broadcast, this becomes two bucketed
-    hash joins of pairs⋈docs on id (stages/joins.py ``hash_join``).
+    - ≤ ``broadcast_limit`` candidate pairs: collect the candidate
+      docs' shingle sets once, broadcast, verify per batch (one
+      ``ray.put``, no shuffle) — right when LSH pruned hard;
+    - above it (the normal case for a dup-heavy web crawl, where the
+      candidate set is corpus-scale): two bucketed hash joins
+      pairs⋈shingled-docs on ``id_a`` then ``id_b`` with the Jaccard
+      computed inside the join reducers — nothing ever lands on the
+      driver, memory is bounded by partition size, not dup volume.
+
+    Both paths compute the identical exact metric on identical pairs,
+    so the verified output set is the same (tests assert equality).
     """
+    pairs = pairs.materialize()  # consumed twice on either path
+    n_pairs = pairs.count()
+    if n_pairs == 0 or n_pairs <= broadcast_limit:
+        return _verify_jaccard_broadcast(
+            pairs, docs, text_col=text_col, id_col=id_col,
+            shingle_k=shingle_k, threshold=threshold,
+        )
+    return _verify_jaccard_joined(
+        pairs, docs, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k, threshold=threshold,
+    )
+
+
+def _verify_jaccard_broadcast(
+    pairs, docs, *, text_col, id_col, shingle_k, threshold
+) -> "ray.data.Dataset":
     from kire_ray.stages.joins import semi_join_broadcast
 
-    pairs = pairs.materialize()  # consumed twice (id collection + verify)
     pair_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
     cand_ids = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
     cand_docs = semi_join_broadcast(
@@ -241,6 +263,86 @@ def verify_jaccard(
     return pairs.map_batches(verify, batch_format="pandas")
 
 
+def _verify_jaccard_joined(
+    pairs, docs, *, text_col, id_col, shingle_k, threshold
+) -> "ray.data.Dataset":
+    """Distributed verify: semi-join docs to the candidate id set, hash
+    the shingle sets alongside, then route each shingle set to its
+    pairs with two bucketed hash joins. All exchanges key on uniform
+    ids; no driver-side materialization anywhere."""
+    from kire_ray.stages.joins import hash_join
+    from kire_ray.stages.shuffle import default_partitions, partitioned_map_groups
+
+    P = default_partitions()
+
+    def explode_ids(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([b["id_a"], b["id_b"]]).unique()
+        return pd.DataFrame({id_col: u})
+
+    cand_ids = partitioned_map_groups(
+        pairs.map_batches(explode_ids, batch_format="pandas"),
+        [id_col],
+        lambda p: p.drop_duplicates(),
+        num_partitions=P,
+    )
+
+    def shingle_batch(b: pd.DataFrame) -> pd.DataFrame:
+        # shingle sets ride the joins as binary (sorted-unique uint64
+        # bytes): Arrow's hash join rejects list payload columns
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "sh": [_shingles(t, shingle_k).tobytes() for t in b[text_col]],
+            }
+        )
+
+    # materialize() between joins: each hash-join operator reserves an
+    # aggregator-actor pool per partition; three joins stacked in ONE
+    # streaming DAG deadlock on small CPU counts (observed at 4 CPUs).
+    # One join per execution keeps the pool bounded; intermediates live
+    # in the object store (spillable), never on the driver.
+    shingled = (
+        hash_join(
+            docs.select_columns([id_col, text_col]), cand_ids,
+            on=[id_col], num_partitions=P,
+        )
+        .map_batches(shingle_batch, batch_format="pandas")
+        .materialize()
+    )
+
+    def rename(col_id, col_sh):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={id_col: col_id, "sh": col_sh})
+
+        return f
+
+    j1 = hash_join(
+        pairs,
+        shingled.map_batches(rename("id_a", "sh_a"), batch_format="pandas"),
+        on=["id_a"],
+        num_partitions=P,
+    ).materialize()
+    j2 = hash_join(
+        j1,
+        shingled.map_batches(rename("id_b", "sh_b"), batch_format="pandas"),
+        on=["id_b"],
+        num_partitions=P,
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(b), dtype=np.float64)
+        for i, (sa, sb) in enumerate(zip(b["sh_a"], b["sh_b"])):
+            A = np.frombuffer(sa, dtype=np.uint64)
+            B = np.frombuffer(sb, dtype=np.uint64)
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            union = len(A) + len(B) - inter
+            jac[i] = inter / union if union else 0.0
+        out = b.drop(columns=["sh_a", "sh_b"]).assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold]
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
 def minhash_dedup(
     docs: "ray.data.Dataset",
     *,
@@ -250,6 +352,7 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.8,
+    broadcast_limit: int = 100_000,
 ) -> "ray.data.Dataset":
     """Full MinHash-LSH near-dup: returns verified duplicate pairs
     (id_a, id_b, jaccard)."""
@@ -258,7 +361,13 @@ def minhash_dedup(
     )
     cand = lsh_candidate_pairs(sigs, id_col=id_col, bands=bands)
     return verify_jaccard(
-        cand, docs, text_col=text_col, id_col=id_col, shingle_k=shingle_k, threshold=threshold
+        cand,
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        broadcast_limit=broadcast_limit,
     )
 
 

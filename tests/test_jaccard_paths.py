@@ -1,0 +1,46 @@
+"""verify_jaccard scale path: the joined (distributed) verification
+must produce exactly the broadcast path's pairs on a dup-heavy corpus
+(the case where driver-side candidate materialization would blow up)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from kire_ray.pipelines.dedup import minhash_dedup
+
+
+def _dup_heavy_corpus(n_families: int = 40, family: int = 6) -> pd.DataFrame:
+    """Most of the corpus is near-duplicate families: every doc is a
+    light mutation of its family base — candidate volume ~ corpus."""
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = []
+    did = 0
+    for f in range(n_families):
+        base = list(rng.choice(vocab, size=40))
+        for k in range(family):
+            toks = list(base)
+            if k:  # mutate one token per variant
+                toks[int(rng.integers(0, len(toks)))] = f"mut{f}_{k}"
+            rows.append({"doc_id": did, "text": " ".join(toks)})
+            did += 1
+    return pd.DataFrame(rows)
+
+
+def test_joined_verify_equals_broadcast(ray_session):
+    docs = _dup_heavy_corpus()
+    ds = ray.data.from_pandas(docs).repartition(8)
+
+    def run(limit):
+        out = minhash_dedup(ds, threshold=0.6, broadcast_limit=limit).to_pandas()
+        out = out[["id_a", "id_b", "jaccard"]].sort_values(["id_a", "id_b"])
+        return out.reset_index(drop=True)
+
+    broadcast = run(10**9)  # force driver-broadcast path
+    joined = run(0)  # force distributed join path
+    assert len(broadcast) > 50  # dup-heavy: plenty of verified pairs
+    pd.testing.assert_frame_equal(broadcast, joined)
+    # within-family pairs dominate and cross-family pairs don't verify
+    fam = lambda d: d // 6
+    assert (fam(broadcast.id_a.to_numpy()) == fam(broadcast.id_b.to_numpy())).all()

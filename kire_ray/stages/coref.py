@@ -1,40 +1,60 @@
-"""Alias-match coreference scoring (doc-local, no shuffle).
+"""Coreference scoring (doc-local, no shuffle): the reference's two
+coref sources, re-expressed.
 
-Re-expresses ``get_coref_by_alias``
-(/root/reference/ATLOP+KIRE/data/gen_coref_data.py:130-217): for every
-entity cluster, collect its KG label/alias strings, find every position
-where an alias token-subsequence occurs in the flattened document
-(``find_position``, :163-176), union those with the cluster's own
-mention spans, and emit all ordered pairs of distinct positions with a
-fixed coreference prior of 0.9 (:131, :199-204).  Pair count per doc is
-capped (max_pair_cnt = 3200 for DocRED, :220-233) — deterministic
-truncation in emission order.
+1. **Scored mention-pair coref with per-mention top-8** — the primary
+   path (/root/reference/ATLOP+KIRE/data/gen_coref_data.py:34-53):
+   every mention gets its candidate partners ranked by score, keeps the
+   top 8 (``:40-41``), pairs with identical start positions are
+   skipped (``:41-42``), scores pass through a sigmoid (``:44``) and
+   fill symmetrically with first-insertion-wins (``:45-52``). The
+   reference's scores come from neuralcoref (not available in this
+   container — SURVEY.md §8); this engine substitutes a deterministic
+   hash-uniform pair logit (the same stand-in family as the relation
+   scorer's pair_score), which preserves every ranking/top-k/symmetry
+   semantic exactly and is reproducible across any execution order.
 
-Offsets here are *global word offsets* over the turn-concatenated
-document, the reference's rebased coordinate system (prefix-summed
-sentence lengths, gen_kg_data.py:250-269).
+2. **Alias-match coref with a fixed 0.9 prior** — ``get_coref_by_alias``
+   (gen_coref_data.py:130-217): for every entity cluster, union the KG
+   label/alias occurrence positions (``find_position``, :163-176) with
+   the cluster's mention spans and emit all ordered pairs at prior 0.9
+   (:131, :199-204).
+
+Pair counts are capped per dataset profile (max_pair_cnt — 3200 DocRED
+/ 9000 DWIE, gen_coref_data.py:220-233, kire_ray.config) by
+deterministic truncation in emission order.
+
+Offsets are *global word offsets* over the turn-concatenated document,
+the reference's rebased coordinate system (prefix-summed sentence
+lengths, gen_kg_data.py:250-269).
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pyarrow as pa
 
 import ray
 
+from kire_ray.config import DOCRED, DatasetProfile
+from kire_ray.functions.hashing import hash64_fast
 from kire_ray.stages.scorer import KGIndex
 
 PRIOR = 0.9
-MAX_PAIRS = 3200
+MAX_PAIRS = DOCRED.max_pair_cnt
 
 COREF_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
-        ("ent_idx", pa.int32()),
+        ("ent_idx", pa.int32()),  # -1 for scored (cross-cluster) rows
         ("h_start", pa.int32()),
         ("h_end", pa.int32()),
         ("t_start", pa.int32()),
         ("t_end", pa.int32()),
         ("score", pa.float64()),
+        ("rank", pa.int32()),  # partner rank within h's list; -1 = alias row
+        ("source", pa.string()),  # 'scored' | 'alias'
     ]
 )
 
@@ -56,7 +76,84 @@ def find_positions(words: list[str], alias_tokens: list[str]) -> set[tuple[int, 
     return out
 
 
-def doc_coref_pairs(doc_id, turn_texts, entities, mentions, index: KGIndex):
+def pair_logits(doc_id: str, pos: list[tuple[int, int]]) -> np.ndarray:
+    """Deterministic symmetric mention-pair logit matrix (M×M).
+
+    Stand-in for the neuralcoref pairwise scores: hash-uniform in
+    [-4, 4), a pure function of (doc_id, unordered span pair) — same on
+    every worker and cluster size. Vectorized: one hash64_fast call
+    over the M(M-1)/2 upper-triangle keys.
+    """
+    m = len(pos)
+    logits = np.zeros((m, m), dtype=np.float64)
+    if m < 2:
+        return logits
+    iu, ju = np.triu_indices(m, k=1)
+    keys = [
+        f"{doc_id}|{pos[i][0]},{pos[i][1]}|{pos[j][0]},{pos[j][1]}"
+        for i, j in zip(iu, ju)
+    ]
+    u = hash64_fast(keys).astype(np.float64) / float(2**64)
+    vals = (u - 0.5) * 8.0
+    logits[iu, ju] = vals
+    logits[ju, iu] = vals
+    return logits
+
+
+def scored_doc_coref_pairs(
+    doc_id: str,
+    positions: list[tuple[int, int]],
+    *,
+    top_k: int = 8,
+    max_mentions: int = DOCRED.max_coref_mention_size,
+    max_pairs: int = MAX_PAIRS,
+):
+    """gen_coref_data.py:34-53 re-expressed over explicit spans.
+
+    Returns [(h_start, h_end, t_start, t_end, score, rank)]: per
+    mention, candidate partners sorted by score desc, top ``top_k``
+    kept, same-start pairs skipped, sigmoid scores, symmetric
+    first-insertion-wins fill.
+    """
+    pos = sorted(set(positions))[:max_mentions]
+    m = len(pos)
+    if m < 2:
+        return []
+    logits = pair_logits(doc_id, pos)
+    out: dict[int, dict[int, float]] = {}
+    for i in range(m):
+        # sorted(..., key=score, reverse=True): stable → equal scores
+        # keep candidate (position) order, like the reference's sorted()
+        order = sorted(
+            (j for j in range(m) if j != i), key=lambda j: -logits[i, j]
+        )
+        for j in order[:top_k]:
+            if pos[i][0] == pos[j][0]:  # identical start: skipped (:41-42)
+                continue
+            score = 1.0 / (1.0 + math.exp(-logits[i, j]))
+            out.setdefault(i, {}).setdefault(j, score)
+            out.setdefault(j, {}).setdefault(i, score)
+    rows = []
+    for i in sorted(out):
+        for rank, (j, score) in enumerate(out[i].items()):
+            rows.append((*pos[i], *pos[j], score, rank))
+            if len(rows) >= max_pairs:
+                return rows
+    return rows
+
+
+def doc_coref_pairs(
+    doc_id,
+    turn_texts,
+    entities,
+    mentions,
+    index: KGIndex,
+    *,
+    max_pairs: int = MAX_PAIRS,
+):
+    """Alias-match coref pairs at the fixed 0.9 prior (the
+    get_coref_by_alias path). Returns [(ent_idx, h_s, h_e, t_s, t_e)]
+    plus the per-cluster global position sets for reuse."""
     words: list[str] = []
     turn_start = [0]
     for t in turn_texts:
@@ -64,6 +161,7 @@ def doc_coref_pairs(doc_id, turn_texts, entities, mentions, index: KGIndex):
         turn_start.append(len(words))
     lowered = [w.lower() for w in words]
     rows = []
+    all_positions: set[tuple[int, int]] = set()
     for e in entities:
         a = index.attrs.get(e["qid"], {})
         alias_strings = set(a.get("label", []) + a.get("alias", []))
@@ -74,35 +172,61 @@ def doc_coref_pairs(doc_id, turn_texts, entities, mentions, index: KGIndex):
             if m["ent_idx"] == e["ent_idx"]:
                 g = turn_start[m["turn_idx"]]
                 coref_pos.add((g + m["start"], g + m["end"]))
+        all_positions |= coref_pos
         pos = sorted(coref_pos)
         for i, p1 in enumerate(pos):
             for j, p2 in enumerate(pos):
                 if i != j:
-                    rows.append((doc_id, e["ent_idx"], p1[0], p1[1], p2[0], p2[1], PRIOR))
-                    if len(rows) >= MAX_PAIRS:
-                        return rows
-    return rows
+                    rows.append((e["ent_idx"], p1[0], p1[1], p2[0], p2[1]))
+                    if len(rows) >= max_pairs:
+                        return rows, all_positions
+    return rows, all_positions
 
 
 class CorefScorer:
-    """Actor-pool stage: linked documents → coref pair rows."""
+    """Actor-pool stage: linked documents → coref pair rows (both the
+    scored top-8 path and the alias-prior path, tagged by ``source``)."""
 
-    def __init__(self, kg_ref, canon_ref=None):
+    def __init__(self, kg_ref, canon_ref=None, profile: DatasetProfile = DOCRED):
         kg = ray.get(kg_ref) if not isinstance(kg_ref, dict) else kg_ref
         canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
         self.index = KGIndex(kg, canon)
+        self.profile = profile
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        p = self.profile
         out = {k: [] for k in COREF_SCHEMA.names}
+
+        def emit(doc_id, ent_idx, h_s, h_e, t_s, t_e, score, rank, source):
+            out["doc_id"].append(doc_id)
+            out["ent_idx"].append(ent_idx)
+            out["h_start"].append(h_s)
+            out["h_end"].append(h_e)
+            out["t_start"].append(t_s)
+            out["t_end"].append(t_e)
+            out["score"].append(score)
+            out["rank"].append(rank)
+            out["source"].append(source)
+
         for doc_id, turns, ents, ments in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("turn_texts").to_pylist(),
             batch.column("entities").to_pylist(),
             batch.column("mentions").to_pylist(),
         ):
-            for r in doc_coref_pairs(doc_id, turns, ents, ments, self.index):
-                for k, v in zip(COREF_SCHEMA.names, r):
-                    out[k].append(v)
+            alias_rows, positions = doc_coref_pairs(
+                doc_id, turns, ents, ments, self.index, max_pairs=p.max_pair_cnt
+            )
+            for ent_idx, h_s, h_e, t_s, t_e in alias_rows:
+                emit(doc_id, ent_idx, h_s, h_e, t_s, t_e, PRIOR, -1, "alias")
+            for h_s, h_e, t_s, t_e, score, rank in scored_doc_coref_pairs(
+                doc_id,
+                sorted(positions),
+                top_k=p.coref_top_k,
+                max_mentions=p.max_coref_mention_size,
+                max_pairs=p.max_pair_cnt,
+            ):
+                emit(doc_id, -1, h_s, h_e, t_s, t_e, score, rank, "scored")
         return pa.table(
             {k: pa.array(out[k], type=COREF_SCHEMA.field(k).type) for k in COREF_SCHEMA.names}
         )

@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow.parquet as pq
 
 from kire_ray.stages.canonicalize import canon_map_from_pairs
-from kire_ray.stages.coref import doc_coref_pairs
+from kire_ray.stages.coref import PRIOR, doc_coref_pairs, scored_doc_coref_pairs
 from kire_ray.stages.linking import build_alias_trie, cluster_and_vote, detect_mentions
 from kire_ray.stages.scorer import (
     EMB_DIM,
@@ -103,7 +103,17 @@ def run_oracle(corpus_dir: str) -> dict[str, pd.DataFrame]:
             attr_toks = [tok for s in attrs.values() for tok in s.split()]
             vec = pooled + 0.5 * np.mean([token_vec(t) for t in attr_toks], axis=0)
             node_partials.append((conv_id, e["qid"], e["label"], e["n_mentions"], vec))
-        coref_rows.extend(doc_coref_pairs(conv_id, turns, ents, ments, index))
+        alias_rows, positions = doc_coref_pairs(conv_id, turns, ents, ments, index)
+        for ent_idx, h_s, h_e, t_s, t_e in alias_rows:
+            coref_rows.append(
+                (conv_id, ent_idx, h_s, h_e, t_s, t_e, PRIOR, -1, "alias")
+            )
+        for h_s, h_e, t_s, t_e, score, rank in scored_doc_coref_pairs(
+            conv_id, sorted(positions)
+        ):
+            coref_rows.append(
+                (conv_id, -1, h_s, h_e, t_s, t_e, score, rank, "scored")
+            )
 
     triples = pd.DataFrame(
         triple_rows,
@@ -143,7 +153,10 @@ def run_oracle(corpus_dir: str) -> dict[str, pd.DataFrame]:
     )
     coref = pd.DataFrame(
         coref_rows,
-        columns=["doc_id", "ent_idx", "h_start", "h_end", "t_start", "t_end", "score"],
+        columns=[
+            "doc_id", "ent_idx", "h_start", "h_end", "t_start", "t_end",
+            "score", "rank", "source",
+        ],
     )
     return {"triples": triples, "edges": edges, "nodes": nodes, "coref": coref}
 

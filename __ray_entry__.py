@@ -351,6 +351,47 @@ def _q_docred_triples(sf_dir: str) -> Any:
     return dedup_edges(extract_triples(linked, ctx))
 
 
+def _q_glre_pairs(sf_dir: str) -> Any:
+    """S5/S2 interop: DocRED-export docs → GLRE flattened pair-row
+    ``.data`` (NA pairs + indev_train flags) → parsed back as a pair
+    Dataset. The ``.data`` chain mirrors docRedProcess.py → reader.py;
+    the train-fact set comes from the deterministic hash split."""
+    import os
+
+    from kire_ray.pipelines.eval import split_train_dev
+    from kire_ray.pipelines.kg_construct import KGContext
+    from kire_ray.sources.docred import read_docred_json, write_docred_json
+    from kire_ray.sources.glre_data import (
+        collect_train_facts,
+        read_glre_pairs,
+        write_glre_data,
+    )
+
+    corpus = _corpus(sf_dir)
+    cache = _FLAGSHIP.setdefault(corpus, {"corpus": corpus})
+    if "ctx" not in cache:
+        cache["ctx"] = KGContext.from_corpus(corpus)
+    json_path = os.path.join(corpus, "docred_export.json")
+    if not os.path.exists(json_path):
+        write_docred_json(corpus, json_path)
+    out_dir = os.path.join(corpus, "glre_export")
+    if not os.path.exists(os.path.join(out_dir, "_DONE")):
+        linked = read_docred_json(json_path, canon=cache["ctx"].canon)
+        gl = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
+        labels_by_doc: dict[str, list[dict]] = {}
+        for r in gl.itertuples():
+            labels_by_doc.setdefault(r.doc_id, []).append(
+                {"h": int(r.h_idx), "t": int(r.t_idx), "r": r.r}
+            )
+        docs = sorted(labels_by_doc)
+        is_train = split_train_dev(pd.Series(docs))
+        train_labels = {d: labels_by_doc[d] for d, t in zip(docs, is_train) if t}
+        facts = collect_train_facts(linked, train_labels)
+        write_glre_data(linked, labels_by_doc, out_dir, train_facts=facts)
+        open(os.path.join(out_dir, "_DONE"), "w").close()
+    return read_glre_pairs(out_dir)
+
+
 def _q_media_features(sf_dir: str) -> Any:
     from kire_ray.pipelines.multimodal import extract_media_features, synth_media
 
@@ -391,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eval_official": _q_kg_eval_official,
         "kg_theta_tuning": _q_theta_tuning,
         "docred_triples": _q_docred_triples,
+        "glre_pairs": _q_glre_pairs,
         # relational operator set (SQL-verified)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_parts_by_revenue": R.top_parts_by_revenue,

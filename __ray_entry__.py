@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": R.events_tumbling_window,
         "events_hopping_window": R.events_hopping_window,
         "sessionize_events": R.sessionize_events,
+        "events_gap_buckets": R.events_gap_buckets,
         "distinct_order_status": R.distinct_order_status,
         "orders_lineitem_join_count": R.orders_lineitem_join_count,
         "filter_high_value_orders": R.filter_high_value_orders,
@@ -552,6 +553,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_order_status": """
             SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+        """,
+        "events_gap_buckets": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) // 1000000 AS epoch
+                FROM events),
+            g AS (
+                SELECT event_type,
+                       (epoch - lag(epoch) OVER (PARTITION BY user_id
+                                                 ORDER BY epoch, event_type)) // 60
+                           AS gap_min
+                FROM e),
+            b AS (
+                SELECT event_type,
+                       CASE WHEN gap_min < 1 THEN 0
+                            WHEN gap_min < 2 THEN 1
+                            WHEN gap_min < 4 THEN 2
+                            WHEN gap_min < 8 THEN 3
+                            WHEN gap_min < 16 THEN 4
+                            WHEN gap_min < 32 THEN 5
+                            WHEN gap_min < 64 THEN 6
+                            WHEN gap_min < 128 THEN 7
+                            WHEN gap_min < 256 THEN 8
+                            ELSE 9 END AS bucket
+                FROM g WHERE gap_min IS NOT NULL)
+            SELECT event_type, bucket, count(*) AS n
+            FROM b GROUP BY event_type, bucket
         """,
         "orders_lineitem_join_count": """
             SELECT o.o_orderstatus, count(*) AS n_lines, sum(l.l_quantity) AS sum_qty

@@ -230,6 +230,45 @@ def sessionize_events(sf_dir: str, gap_s: int = 1800) -> "ray.data.Dataset":
     return partitioned_map_groups(ev, ["user_id"], sessions_part)
 
 
+def events_gap_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """dis2idx log2 distance bucketing (kg_data_loader.py:62-72, the
+    ep_dis channel's table) demonstrated SQL-checkably: per-user gaps
+    between consecutive events, in minutes, bucketed 0,1,[2,4),[4,8)…
+    [256,∞)→9, histogrammed per event_type. Same shape as sessionize:
+    one hash exchange on user_id, vectorized per partition."""
+    from kire_ray.stages.featurize import dis_bucket
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def gaps_part(part: pd.DataFrame) -> pd.DataFrame:
+        # sort on the SECOND-resolution epoch with event_type tiebreak —
+        # the exact window order the SQL oracle uses (sorting on raw
+        # microsecond ts would break same-second ties differently)
+        part = part.assign(epoch=part["ts"].astype("int64") // 10**6).sort_values(
+            ["user_id", "epoch", "event_type"], kind="stable"
+        )
+        epoch = part["epoch"]
+        same_user = part["user_id"].eq(part["user_id"].shift())
+        gap_min = (epoch.diff() // 60).where(same_user)
+        keep = part.assign(bucket=dis_bucket(gap_min.fillna(0)))[same_user]
+        return (
+            keep.groupby(["event_type", "bucket"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    part = partitioned_map_groups(ev, ["user_id"], gaps_part)
+    return grouped_agg(
+        part,
+        ["event_type", "bucket"],
+        {"n": ("n", "sum")},
+        post=lambda out: out.assign(
+            bucket=out["bucket"].astype(np.int64), n=out["n"].astype(np.int64)
+        ),
+    )
+
+
 def distinct_order_status(sf_dir: str) -> "ray.data.Dataset":
     """Distinct + count per key (A4-style corpus stats)."""
     ds = _read(sf_dir, "orders", ["o_orderstatus"])

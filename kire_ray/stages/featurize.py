@@ -44,8 +44,30 @@ FEATURE_SCHEMA = pa.schema(
         ("word_ids", pa.list_(pa.int32())),
         ("ner_ids", pa.list_(pa.int32())),
         ("ent_ids", pa.list_(pa.int32())),
+        # per-pair distance channel (parallel lists over ordered entity
+        # pairs i != j): the reference's ep_dis / ent_distance
+        ("pair_h", pa.list_(pa.int32())),
+        ("pair_t", pa.list_(pa.int32())),
+        ("ep_dis", pa.list_(pa.int32())),
     ]
 )
+
+# dis2idx: log2 distance bucketing (kg_data_loader.py:62-72 /
+# SSAN+KIRE/dataset.py:79-102 — identical tables): 0→0, 1→1, [2,4)→2,
+# [4,8)→3 … [256,∞)→9
+_DIS_EDGES = np.array([1, 2, 4, 8, 16, 32, 64, 128, 256], dtype=np.int64)
+
+
+def dis_bucket(dist) -> np.ndarray:
+    """Vectorized dis2idx lookup over non-negative distances."""
+    return np.searchsorted(_DIS_EDGES, np.asarray(dist, dtype=np.int64), side="right")
+
+
+def ep_dis_signed(delta) -> np.ndarray:
+    """Signed, shifted pair distance (SSAN dataset.py:210-220): sign ×
+    bucket(|delta|) + 10 → ids in [1, 19] with 10 = same position."""
+    d = np.asarray(delta, dtype=np.int64)
+    return (np.sign(d) * dis_bucket(np.abs(d)) + 10).astype(np.int32)
 
 
 def build_word_vocab(
@@ -90,7 +112,10 @@ class FeaturizeDocs:
     per actor; entity types resolve through the KG 'instance of'
     attribute (the reference's ner2id channel keyed by vertex type)."""
 
-    def __init__(self, vocab_ref, kg_ref=None, canon_ref=None):
+    def __init__(self, vocab_ref, kg_ref=None, canon_ref=None, max_entities: int | None = None):
+        from kire_ray.config import DOCRED
+
+        self.max_entities = max_entities or DOCRED.max_entity_size
         self.vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, dict) else vocab_ref
         self.type_of: dict[str, str] = {}
         if kg_ref is not None:
@@ -129,15 +154,37 @@ class FeaturizeDocs:
             ent_type = {
                 e["ent_idx"]: NER2ID.get(self.type_of.get(e["qid"], ""), 0) for e in ents
             }
+            first_pos: dict[int, int] = {}
             for m in ments:
                 g = turn_start[m["turn_idx"]]
                 ner[g + m["start"] : g + m["end"]] = ent_type.get(m["ent_idx"], 0)
                 eid[g + m["start"] : g + m["end"]] = m["ent_idx"] + 1
+                if m["ent_idx"] not in first_pos:
+                    first_pos[m["ent_idx"]] = g + m["start"]
+            # ep_dis channel: signed log2 bucket of first-appearance
+            # deltas over ordered entity pairs (capped at the profile's
+            # entity budget, like the reference's max_entity_size
+            # rectangle). Word offsets stand in for the reference's
+            # subword offsets — same bucket table, coarser coordinate.
+            ents_sorted = sorted(first_pos)[: self.max_entities]
+            fp = np.array([first_pos[e] for e in ents_sorted], dtype=np.int64)
+            n_e = len(fp)
+            if n_e >= 2:
+                hh, tt = np.nonzero(~np.eye(n_e, dtype=bool))
+                dis = ep_dis_signed(fp[hh] - fp[tt])
+                pair_h = np.array([ents_sorted[i] for i in hh], dtype=np.int32)
+                pair_t = np.array([ents_sorted[i] for i in tt], dtype=np.int32)
+            else:
+                pair_h = pair_t = np.array([], dtype=np.int32)
+                dis = np.array([], dtype=np.int32)
             out["doc_id"].append(doc_id)
             out["n_words"].append(len(words))
             out["word_ids"].append(wid.tolist())
             out["ner_ids"].append(ner.tolist())
             out["ent_ids"].append(eid.tolist())
+            out["pair_h"].append(pair_h.tolist())
+            out["pair_t"].append(pair_t.tolist())
+            out["ep_dis"].append(dis.tolist())
         return pa.table(
             {k: pa.array(out[k], type=FEATURE_SCHEMA.field(k).type) for k in FEATURE_SCHEMA.names}
         )

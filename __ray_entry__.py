@@ -392,6 +392,21 @@ def _q_glre_pairs(sf_dir: str) -> Any:
     return read_glre_pairs(out_dir)
 
 
+def _q_pubtator_docs(sf_dir: str) -> Any:
+    """S3: the corpus rendered to PubTator (title/abstract + char-offset
+    entity lines + QID relations) and read back through the PubTator
+    source into the linked-doc schema."""
+    import os
+
+    from kire_ray.sources.pubtator import read_pubtator, write_pubtator_export
+
+    corpus = _corpus(sf_dir)
+    path = os.path.join(corpus, "pubtator_export.txt")
+    if not os.path.exists(path):
+        write_pubtator_export(corpus, path)
+    return read_pubtator(path)
+
+
 def _q_media_features(sf_dir: str) -> Any:
     from kire_ray.pipelines.multimodal import extract_media_features, synth_media
 
@@ -433,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_theta_tuning": _q_theta_tuning,
         "docred_triples": _q_docred_triples,
         "glre_pairs": _q_glre_pairs,
+        "pubtator_docs": _q_pubtator_docs,
         # relational operator set (SQL-verified)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_parts_by_revenue": R.top_parts_by_revenue,

@@ -175,10 +175,30 @@ def _q_simhash(sf_dir: str) -> Any:
     return simhash_dedup(_docs(sf_dir))
 
 
+N_PLANTED_DUPS = 32
+PLANT_ID_BASE = 10_000_000
+
+
 def _q_embdedup(sf_dir: str) -> Any:
+    """Cosine near-dup over the embeddings table with deterministic
+    planted duplicates: the synthetic table has no natural pairs at
+    cos ≥ 0.95 (the sf0.01 run returned 0 rows, proving only that the
+    pipeline runs), so exact copies of the first N_PLANTED_DUPS vectors
+    are appended under shifted ids — the query's output is non-empty
+    and value-stable (each planted pair at cosine 1.0)."""
+    from kire_ray.functions.rounding import round_half_up
     from kire_ray.pipelines.dedup import embedding_dedup
 
-    return embedding_dedup(_emb(sf_dir))
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[b.vec_id < N_PLANTED_DUPS]
+        return pd.concat(
+            [b, keep.assign(vec_id=keep.vec_id + PLANT_ID_BASE)], ignore_index=True
+        )
+
+    planted = _emb(sf_dir).map_batches(plant, batch_format="pandas")
+    return embedding_dedup(planted).map_batches(
+        lambda b: b.assign(cosine=round_half_up(b.cosine, 6)), batch_format="pandas"
+    )
 
 
 def _q_text_metrics(sf_dir: str) -> Any:
@@ -664,6 +684,20 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "embedding_dedup": f"""
+            WITH p AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + {PLANT_ID_BASE}, CAST(embedding AS DOUBLE[])
+                FROM embeddings WHERE vec_id < {N_PLANTED_DUPS}),
+            s AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(a.v, b.v) AS cos
+                FROM p a JOIN p b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b,
+                   floor(cos * 1000000 + 0.501) / 1000000 AS cosine
+            FROM s WHERE cos >= 0.95
         """,
         "text_metrics": """
             WITH m AS (

@@ -412,6 +412,21 @@ def _q_glre_pairs(sf_dir: str) -> Any:
     return read_glre_pairs(out_dir)
 
 
+def _q_kg_export_ids(sf_dir: str) -> Any:
+    """Id-mapped KG export (gen_kg_data.py:328-355 layout) over the
+    flagship edges: entity2id/relation2id/.nt3 files written once per
+    corpus; returns the sharded edges_ids table."""
+    import os
+
+    from kire_ray.state.export import export_id_mapped_kg
+
+    corpus = _corpus(sf_dir)
+    out_dir = os.path.join(corpus, "kg_export")
+    if not os.path.exists(os.path.join(out_dir, "one_hop_entity2id.txt")):
+        export_id_mapped_kg(_flagship_graph(sf_dir)["edges"], out_dir)
+    return ray.data.read_parquet(os.path.join(out_dir, "edges_ids.parquet"))
+
+
 def _q_pubtator_docs(sf_dir: str) -> Any:
     """S3: the corpus rendered to PubTator (title/abstract + char-offset
     entity lines + QID relations) and read back through the PubTator
@@ -469,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docred_triples": _q_docred_triples,
         "glre_pairs": _q_glre_pairs,
         "pubtator_docs": _q_pubtator_docs,
+        "kg_export_ids": _q_kg_export_ids,
         # relational operator set (SQL-verified)
         "q1_pricing_summary": R.q1_pricing_summary,
         "top_parts_by_revenue": R.top_parts_by_revenue,

@@ -51,6 +51,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     for name in [
         "kg_edges",
         "kg_nodes",
+        "kg_coref_pairs",
+        "kg_doc_subwords",
+        "glre_pairs",
+        "pubtator_docs",
         "q1_pricing_summary",
         "top_parts_by_revenue",
         "customer_order_totals",
@@ -58,12 +62,15 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_tumbling_window",
         "events_hopping_window",
         "sessionize_events",
+        "events_gap_buckets",
         "exact_dedup",
         "minhash_dedup",
         "simhash_dedup",
+        "embedding_dedup",
         "text_metrics",
         "doc_fingerprints",
         "word_frequencies",
+        "doc_subwords",
         "doc_graphs",
         "ann_brute_force",
         "ann_lsh",

@@ -45,6 +45,36 @@ def split_train_dev(doc_ids: pd.Series, train_frac: float = 0.5) -> pd.Series:
     return pd.Series((h % 1000) < int(train_frac * 1000), index=doc_ids.index)
 
 
+def split_train_valid(
+    ds: "ray.data.Dataset",
+    *,
+    key_col: str,
+    valid_proportion: float = 0.1,
+    seed: int = 0,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """O8: the AE-style train/valid split
+    (knowledge_injection_layer/autoencoder.py:631-649: shuffle, first
+    ``valid_proportion`` → valid, rest → train) as a deterministic
+    distributed operator: a seeded content hash of the key column
+    replaces the RNG shuffle, so the split is the same on every worker,
+    partition order, and cluster size, rows are never duplicated or
+    dropped, and no global shuffle is needed. Returns (train, valid)."""
+    cut = int(valid_proportion * 1_000_000)
+
+    def part(keep_valid: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            u = hash64((b[key_col].astype(str) + f"#{seed}").to_numpy()) % 1_000_000
+            mask = u < cut
+            return b[mask] if keep_valid else b[~mask]
+
+        return f
+
+    return (
+        ds.map_batches(part(False), batch_format="pandas"),
+        ds.map_batches(part(True), batch_format="pandas"),
+    )
+
+
 def official_evaluate(
     preds: pd.DataFrame,
     gold: pd.DataFrame,

@@ -525,6 +525,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": R.events_hopping_window,
         "sessionize_events": R.sessionize_events,
         "events_gap_buckets": R.events_gap_buckets,
+        "events_asof_join": R.events_asof_join,
+        "orders_lineitem_range_join": R.orders_lineitem_range_join,
+        "events_rolling_avg": R.events_rolling_avg,
+        "events_distinct_users": R.events_distinct_users,
+        "orders_status_quantiles": R.orders_status_quantiles,
         "distinct_order_status": R.distinct_order_status,
         "orders_lineitem_join_count": R.orders_lineitem_join_count,
         "filter_high_value_orders": R.filter_high_value_orders,
@@ -727,6 +732,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.75, quantile_disc(o_totalprice, 0.75) FROM orders
             UNION ALL
             SELECT 0.9, quantile_disc(o_totalprice, 0.9) FROM orders
+        """,
+        "events_asof_join": """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tus
+                FROM events WHERE event_type = 'purchase'),
+            v AS (
+                SELECT event_id AS view_id, user_id, epoch_us(ts) AS tus
+                FROM events WHERE event_type = 'view'),
+            j AS (
+                SELECT p.purchase_id, p.user_id, v.view_id,
+                       (p.tus - v.tus) // 1000000 AS gap_s,
+                       row_number() OVER (PARTITION BY p.purchase_id
+                                          ORDER BY v.tus DESC, v.view_id DESC) AS rn
+                FROM p JOIN v ON p.user_id = v.user_id AND v.tus <= p.tus)
+            SELECT purchase_id, user_id, view_id, gap_s FROM j WHERE rn = 1
+        """,
+        "orders_lineitem_range_join": """
+            SELECT o.o_orderkey,
+                   count(*) AS n_shipped,
+                   sum(l.l_quantity) AS sum_qty
+            FROM orders o JOIN lineitem l
+              ON epoch_us(l.l_shipdate) // 86400000000
+                     >= epoch_us(o.o_orderdate) // 86400000000
+             AND epoch_us(l.l_shipdate) // 86400000000
+                     < epoch_us(o.o_orderdate) // 86400000000 + 7
+            GROUP BY o.o_orderkey
+        """,
+        "events_rolling_avg": """
+            SELECT event_id, user_id,
+                   floor(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id
+                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                         * 1000000 + 0.501) / 1000000 AS rolling_avg
+            FROM events
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "orders_status_quantiles": """
+            SELECT o_orderstatus, 0.5 AS q,
+                   quantile_disc(o_totalprice, 0.5) AS value
+            FROM orders GROUP BY o_orderstatus
+            UNION ALL
+            SELECT o_orderstatus, 0.9, quantile_disc(o_totalprice, 0.9)
+            FROM orders GROUP BY o_orderstatus
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups

@@ -591,3 +591,242 @@ def price_quantiles(sf_dir: str, quantiles=(0.25, 0.5, 0.75, 0.9)) -> pd.DataFra
         idx = int(np.searchsorted(cum, k, side="left"))
         out.append((float(q), float(h["o_totalprice"].iloc[idx])))
     return pd.DataFrame(out, columns=["q", "value"])
+
+
+# ------------------- round-2 operator extensions --------------------
+
+
+def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
+    """As-of (backward) join — an operator Ray Data has no primitive
+    for: for every 'purchase' event, the latest 'view' event of the
+    same user at or before its timestamp, with a deterministic
+    tie-break (latest ts, then highest event_id).
+
+    Shape: ONE hash exchange on user_id co-locates both sides, then a
+    vectorized ``pd.merge_asof`` per partition (sorted once per
+    partition, not per user). At 100 TB this is the standard
+    partitioned as-of: no replication, partition count scales with
+    data, skewed users bounded by per-user event caps upstream."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.assign(tus=p["ts"].astype("int64"))
+        buys = (
+            p[p["event_type"] == "purchase"]
+            .rename(columns={"event_id": "purchase_id"})[
+                ["purchase_id", "user_id", "tus"]
+            ]
+            .sort_values(["tus", "purchase_id"], kind="stable")
+        )
+        views = (
+            p[p["event_type"] == "view"]
+            .rename(columns={"event_id": "view_id"})[["view_id", "user_id", "tus"]]
+            .assign(view_tus=lambda d: d["tus"])
+            # merge_asof keeps the LAST right row among equal keys →
+            # sorting by (tus, view_id) makes the tie-break = max id
+            .sort_values(["tus", "view_id"], kind="stable")
+        )
+        if buys.empty or views.empty:
+            return pd.DataFrame(
+                {
+                    "purchase_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "view_id": pd.Series([], dtype=np.int64),
+                    "gap_s": pd.Series([], dtype=np.int64),
+                }
+            )
+        m = pd.merge_asof(
+            buys, views, on="tus", by="user_id", direction="backward"
+        ).dropna(subset=["view_id"])
+        return pd.DataFrame(
+            {
+                "purchase_id": m["purchase_id"].astype(np.int64),
+                "user_id": m["user_id"].astype(np.int64),
+                "view_id": m["view_id"].astype(np.int64),
+                "gap_s": ((m["tus"] - m["view_tus"]) // 1_000_000).astype(np.int64),
+            }
+        )
+
+    return partitioned_map_groups(ev, ["user_id"], part)
+
+
+def orders_lineitem_range_join(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset":
+    """Date-band range join with NO equi-key (orders × lineitems
+    shipped within [o_orderdate, o_orderdate + window)): bucket both
+    sides by epoch-week, replicate each order into the ≤2 buckets its
+    window overlaps, match vectorized inside each bucket (sorted ship
+    days + prefix sums → searchsorted range counts), then merge the
+    per-bucket partials with one small grouped exchange. Join work is
+    O(band density), never the full cross product."""
+    W = window_days  # bucket width in days = window length
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    items = _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+
+    def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
+        od = (b["o_orderdate"].astype("int64") // (86_400 * 10**6)).to_numpy()
+        key = b["o_orderkey"].to_numpy()
+        b0 = od // W
+        b1 = (od + W - 1) // W
+        reps = 1 + (b1 != b0)
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate([b0, b1[b1 != b0]]),
+                "key": np.concatenate([key, key[b1 != b0]]),
+                "day": np.concatenate([od, od[b1 != b0]]),
+                "qty": 0.0,
+                "is_order": True,
+            }
+        )
+
+    def tag_items(b: pd.DataFrame) -> pd.DataFrame:
+        sd = (b["l_shipdate"].astype("int64") // (86_400 * 10**6)).to_numpy()
+        return pd.DataFrame(
+            {
+                "bucket": sd // W,
+                "key": np.int64(-1),
+                "day": sd,
+                "qty": b["l_quantity"].astype(np.float64).to_numpy(),
+                "is_order": False,
+            }
+        )
+
+    tagged = orders.map_batches(tag_orders, batch_format="pandas").union(
+        items.map_batches(tag_items, batch_format="pandas")
+    )
+
+    def bucket_part(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in part.groupby("bucket", sort=False):
+            o = g[g["is_order"]]
+            it = g[~g["is_order"]].sort_values("day", kind="stable")
+            if o.empty or it.empty:
+                continue
+            days = it["day"].to_numpy()
+            csum = np.concatenate([[0.0], np.cumsum(it["qty"].to_numpy())])
+            lo = np.searchsorted(days, o["day"].to_numpy(), side="left")
+            hi = np.searchsorted(days, o["day"].to_numpy() + W, side="left")
+            n = hi - lo
+            keep = n > 0
+            out.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": o["key"].to_numpy()[keep],
+                        "n_shipped": n[keep],
+                        "sum_qty": csum[hi][keep] - csum[lo][keep],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "n_shipped": pd.Series([], dtype=np.int64),
+                    "sum_qty": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partials = partitioned_map_groups(tagged, ["bucket"], bucket_part)
+    return grouped_agg(
+        partials,
+        ["o_orderkey"],
+        {"n_shipped": ("n_shipped", "sum"), "sum_qty": ("sum_qty", "sum")},
+        post=lambda out: out.assign(
+            n_shipped=out["n_shipped"].astype(np.int64),
+            sum_qty=out["sum_qty"].astype(np.float64),
+        ),
+    )
+
+
+def events_rolling_avg(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
+    """Per-user rolling mean over the trailing ``window`` events (ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW): one exchange on
+    user_id, explicit shift-sum per partition (not pandas' online
+    rolling accumulator, whose fp drift would flip half-up rounding)."""
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.assign(tus=p["ts"].astype("int64")).sort_values(
+            ["user_id", "tus", "event_id"], kind="stable"
+        )
+        v = p["value"].astype(np.float64)
+        same = [pd.Series(True, index=p.index)]
+        for k in range(1, window):
+            same.append(p["user_id"].eq(p["user_id"].shift(k)))
+        total = v.copy()
+        cnt = np.ones(len(p))
+        mask = pd.Series(True, index=p.index)
+        for k in range(1, window):
+            mask = mask & same[k]
+            total = total + v.shift(k).where(mask, 0.0)
+            cnt = cnt + mask.to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].astype(np.int64),
+                "user_id": p["user_id"].astype(np.int64),
+                "rolling_avg": round_half_up(total.to_numpy() / cnt, 6),
+            }
+        )
+
+    return partitioned_map_groups(ev, ["user_id"], part)
+
+
+def events_distinct_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact grouped distinct count: block-local (type, user) dedup
+    combiner → exchange on event_type → exact nunique in the reducer
+    (all rows of a type co-locate, so no approximate sketch needed)."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["event_type", "user_id"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n_users": ("user_id", "nunique"), "n": ("n", "sum")},
+        post=lambda out: out.assign(
+            n_users=out["n_users"].astype(np.int64), n=out["n"].astype(np.int64)
+        ),
+    )
+
+
+def orders_status_quantiles(sf_dir: str, quantiles=(0.5, 0.9)) -> "ray.data.Dataset":
+    """Per-group exact quantiles (quantile_disc): per-block (status,
+    price) histogram combiner → exchange on status → cumulative pick
+    per group in the reducer. Reducer memory is bounded by per-group
+    distinct-value cardinality (the price_quantiles quantization note
+    applies at open cardinality)."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["o_orderstatus", "o_totalprice"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for status, g in part.groupby("o_orderstatus", sort=False):
+            g = (
+                g.groupby("o_totalprice", sort=True)["n"].sum().reset_index()
+            )
+            cum = g["n"].cumsum().to_numpy()
+            total = int(cum[-1])
+            for q in quantiles:
+                k = int(np.ceil(q * total))
+                idx = int(np.searchsorted(cum, k, side="left"))
+                rows.append((status, float(q), float(g["o_totalprice"].iloc[idx])))
+        return pd.DataFrame(rows, columns=["o_orderstatus", "q", "value"])
+
+    return partitioned_map_groups(
+        ds.map_batches(hist, batch_format="pandas"), ["o_orderstatus"], pick
+    )

@@ -256,6 +256,12 @@ def _q_word_freq(sf_dir: str) -> Any:
     return word_frequencies(_docs(sf_dir))
 
 
+def _q_token_counts(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import regex_token_counts
+
+    return regex_token_counts(_docs(sf_dir))
+
+
 def _q_doc_subwords(sf_dir: str) -> Any:
     """M2/T1: real greedy WordPiece over a corpus-derived chunk vocab —
     per-doc word/subword counts are SQL-replicable (ceil(len/8) pieces
@@ -552,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_fingerprints,
         "word_frequencies": _q_word_freq,
         "doc_subwords": _q_doc_subwords,
+        "token_counts": _q_token_counts,
         "kg_doc_subwords": _q_kg_doc_subwords,
         "doc_features": _q_doc_features,
         "doc_graphs": _q_doc_graphs,
@@ -840,6 +847,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE word <> ''
             GROUP BY doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                       AS n_ws_tokens,
+                   CAST(length(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "token_count_total": """
             SELECT CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)

@@ -138,3 +138,34 @@ def word_frequencies(
     return grouped_agg(
         ds.map_batches(partial, batch_format="pandas"), ["word"], {"n": ("n", "sum")}
     )
+
+
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def regex_token_counts(
+    ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Per-doc token counts under two tokenizers: whitespace and a
+    BPE-ish pretokenizer regex (letter runs / digit runs / punctuation
+    runs — the GPT-2 pretokenizer's class structure restricted to ASCII
+    so Python re and RE2-based SQL engines agree). One vectorized pass,
+    compiled pattern held per task; SQL-replicable via
+    regexp_extract_all for the driver oracle."""
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col]
+        n_ws = t.str.len() - t.str.replace(" ", "", regex=False).str.len() + 1
+        n_re = t.map(lambda s: len(pat.findall(s)))
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "n_ws_tokens": n_ws.astype(np.int64),
+                "n_bpe_tokens": n_re.astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pandas")

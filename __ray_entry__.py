@@ -3,15 +3,20 @@
 Ray is initialised by the driver BEFORE this module is imported — no
 ray.init()/shutdown() here or in anything these callables reach.
 
-Coverage map (SURVEY.md §2 → queries):
+Coverage map (SURVEY.md §2 → queries; §9 for the round-2 delta):
 - flagship KG construction (§3.1/§7.1, transcripts synthesised per
   BASELINE.json input_hint): kg_* entries — non-SQL (rows-only checks;
-  the pytest oracle harness does the value-level verification).
+  the pytest oracle harness does the value-level verification), plus
+  subwords, GLRE .data, PubTator and id-mapped export round-trips.
 - relational operator set (§2.2–2.7 maps/filters/joins/aggregates/
-  sorts/top-k/windows/union/anti-join/bucketing): SQL-verified.
+  sorts/top-k/windows/union/anti-join/bucketing, plus as-of join,
+  keyless range join, rolling windows, exact grouped distinct, grouped
+  quantiles): SQL-verified.
 - training-data suite (dedup/similarity/text/multimodal): exact dedup,
-  text metrics, token count and brute-force ANN are SQL-verified; the
-  hash/LSH family is rows-only by nature.
+  embedding dedup (planted duplicates), text metrics, token counts,
+  subword counts and brute-force ANN are SQL-verified; the hash/LSH
+  family is rows-only by nature. 33 of 56 queries carry exact DuckDB
+  oracles.
 
 Float columns that cross the DuckDB compare are rounded half-up on BOTH
 sides (kire_ray.functions.rounding) so hashes match bit-exactly.

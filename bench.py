@@ -63,6 +63,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_hopping_window",
         "sessionize_events",
         "events_gap_buckets",
+        "events_asof_join",
+        "orders_lineitem_range_join",
+        "events_rolling_avg",
+        "events_distinct_users",
+        "orders_status_quantiles",
         "exact_dedup",
         "minhash_dedup",
         "simhash_dedup",
@@ -71,6 +76,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "doc_fingerprints",
         "word_frequencies",
         "doc_subwords",
+        "token_counts",
         "doc_graphs",
         "ann_brute_force",
         "ann_lsh",

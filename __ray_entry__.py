@@ -221,7 +221,17 @@ def _q_embdedup(sf_dir: str) -> Any:
     cos ≥ 0.95 (the sf0.01 run returned 0 rows, proving only that the
     pipeline runs), so exact copies of the first N_PLANTED_DUPS vectors
     are appended under shifted ids — the query's output is non-empty
-    and value-stable (each planted pair at cosine 1.0)."""
+    and value-stable (each planted pair at cosine 1.0).
+
+    Oracle scoping: the DuckDB oracle is EXACT all-pairs cosine while
+    the engine compares only LSH-bucket-colliding pairs. Parity holds
+    because (a) exact duplicates always share a bucket, and (b) the
+    synthetic table's max natural cosine is ~0.60, far under the 0.95
+    threshold — tests/test_ops.py::test_embedding_similarity_gap
+    asserts that gap so a testdata drift fails in pytest before it can
+    fail the driver compare. On real data the LSH path under-reports
+    borderline pairs by design (recall/cost trade documented in
+    pipelines/dedup.embedding_dedup)."""
     from kire_ray.functions.rounding import round_half_up
     from kire_ray.pipelines.dedup import embedding_dedup
 

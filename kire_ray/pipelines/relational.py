@@ -668,7 +668,6 @@ def orders_lineitem_range_join(sf_dir: str, window_days: int = 7) -> "ray.data.D
         key = b["o_orderkey"].to_numpy()
         b0 = od // W
         b1 = (od + W - 1) // W
-        reps = 1 + (b1 != b0)
         return pd.DataFrame(
             {
                 "bucket": np.concatenate([b0, b1[b1 != b0]]),

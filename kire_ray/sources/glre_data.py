@@ -46,6 +46,17 @@ from kire_ray.functions.hashing import hash64_str
 NA_REL = "NA"
 
 
+def sanitize_name(name: str) -> str:
+    """Mention-surface sanitizer for the tab/'||'/':'-delimited layout.
+    MUST be applied identically when building train-fact sets and when
+    rendering lines, or name-level fact lookups silently miss."""
+    return name.replace("\t", " ").replace("||", "|")
+
+
+def _sanitize_text(text: str) -> str:
+    return text.replace("\t", " ").replace("||", "|")
+
+
 def _doc_pairs(entities: list[dict], labels: list[dict]) -> list[dict]:
     """Labeled pairs + NA pairs for every other ordered (j, k), j != k
     (docRedProcess.py:69-79: NA is added when the *pair* carries no
@@ -80,7 +91,7 @@ def render_doc_line(
         g = Ls[m["turn_idx"]]
         by_ent.setdefault(m["ent_idx"], []).append(
             {
-                "name": m["surface"].replace("\t", " ").replace("||", "|"),
+                "name": sanitize_name(m["surface"]),
                 "sent_id": m["turn_idx"],
                 "pos": (g + m["start"], g + m["end"]),
             }
@@ -88,9 +99,14 @@ def render_doc_line(
     ent_type = {}
     for e in entities:
         t = type_of(e) if type_of is not None else "MISC"
-        ent_type[e["ent_idx"]] = (t or "MISC").replace("::", "_")
+        # ':' joins per-mention types, so single colons corrupt the
+        # field too (the reference only replaced '::')
+        ent_type[e["ent_idx"]] = (t or "MISC").replace("::", "_").replace(":", "_")
 
-    parts = [str(doc_id), "||".join(" ".join(s) for s in turn_tokens)]
+    parts = [
+        str(doc_id),
+        "||".join(_sanitize_text(" ".join(s)) for s in turn_tokens),
+    ]
     for label in _doc_pairs(entities, labels):
         h, t, rel = label["h"], label["t"], label["r"]
         head, tail = by_ent.get(h, []), by_ent.get(t, [])
@@ -150,7 +166,8 @@ def collect_train_facts(
         ):
             by_ent: dict[int, list[str]] = {}
             for m in ments:
-                by_ent.setdefault(m["ent_idx"], []).append(m["surface"])
+                # same sanitizer as render_doc_line, or fact lookups miss
+                by_ent.setdefault(m["ent_idx"], []).append(sanitize_name(m["surface"]))
             for l in lb.get(doc_id, []):
                 for n1 in by_ent.get(l["h"], []):
                     for n2 in by_ent.get(l["t"], []):
@@ -170,8 +187,18 @@ def write_glre_data(
     train_facts: set | None = None,
     type_of=None,
 ) -> str:
-    """Linked docs → sharded ``.data`` files (one per block)."""
-    os.makedirs(out_dir, exist_ok=True)
+    """Linked docs → sharded ``.data`` files (one per block).
+
+    Shards land in a fresh staging directory that atomically replaces
+    ``out_dir`` on completion — a rerun under a different partitioning
+    (different block boundaries → different shard names) can never mix
+    new shards with stale ones, and a crash mid-write leaves the old
+    export intact."""
+    import shutil
+
+    stage = out_dir.rstrip("/") + ".staging"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
     lb_ref = ray.put(labels_by_doc)
     tf_ref = ray.put(train_facts)
 
@@ -195,13 +222,17 @@ def write_glre_data(
             )
         if lines:
             first = sorted(l.split("\t", 1)[0] for l in lines)[0]
-            shard = os.path.join(out_dir, f"shard-{hash64_str(first):016x}.data")
+            shard = os.path.join(stage, f"shard-{hash64_str(first):016x}.data")
             with open(shard + ".tmp", "w", encoding="utf-8") as f:
                 f.write("\n".join(lines) + "\n")
             os.replace(shard + ".tmp", shard)  # atomic per shard
         return pa.table({"n": pa.array([len(lines)], pa.int64())})
 
     linked.map_batches(write_shard, batch_format="pyarrow").count()
+    import shutil as _sh
+
+    _sh.rmtree(out_dir, ignore_errors=True)
+    os.replace(stage, out_dir)
     return out_dir
 
 
@@ -266,9 +297,19 @@ def parse_glre_line(line: str) -> list[dict]:
     return rows
 
 
+def _data_paths(path: str) -> list[str] | str:
+    """Restrict directory reads to ``*.data`` shards (skip markers and
+    stray temp files)."""
+    if os.path.isdir(path):
+        import glob
+
+        return sorted(glob.glob(os.path.join(path, "*.data")))
+    return path
+
+
 def read_glre_pairs(path: str) -> "ray.data.Dataset":
     """``.data`` file or shard directory → flattened pair-row Dataset."""
-    ds = ray.data.read_text(path)
+    ds = ray.data.read_text(_data_paths(path))
 
     def parse(b: pa.Table) -> pa.Table:
         rows = []
@@ -289,7 +330,7 @@ def read_glre_pairs(path: str) -> "ray.data.Dataset":
 def read_glre_documents(path: str) -> "ray.data.Dataset":
     """``.data`` → (doc_id, turn_texts) document table (the reader's
     ``documents`` dict, reader.py:95-97)."""
-    ds = ray.data.read_text(path)
+    ds = ray.data.read_text(_data_paths(path))
 
     def parse(b: pa.Table) -> pa.Table:
         ids, turns = [], []

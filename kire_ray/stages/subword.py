@@ -88,6 +88,7 @@ def _doc_subword_stream(
     mentions: list[dict] | None,
     vocab: dict[str, int],
     memo: dict[str, list[str]],
+    max_chars: int = 100,
 ):
     """One document through the prepro.py:37-78 loop.
 
@@ -113,6 +114,8 @@ def _doc_subword_stream(
     sents: list[str] = []
     sent_map: list[list[int]] = []
     subword_indexs: list[int] = []
+    seen_idx: set[int] = set()  # O(1) companion for the reference's
+    # `if index not in subword_indexs` list scan (same emitted values)
     index = 0
     flag = False
     n_markers = 0
@@ -121,7 +124,7 @@ def _doc_subword_stream(
         for i_t, token in enumerate(sent):
             pieces = memo.get(token)
             if pieces is None:
-                pieces = wordpiece(token, vocab)
+                pieces = wordpiece(token, vocab, max_chars)
                 memo[token] = pieces
             tw = pieces
             if (i_s, i_t) in entity_start:
@@ -134,7 +137,8 @@ def _doc_subword_stream(
                 n_markers += 1
             new_map.append(len(sents))
             sents.extend(tw)
-            if index not in subword_indexs:
+            if index not in seen_idx:
+                seen_idx.add(index)
                 subword_indexs.append(index)
             index += len(tw)
             if flag:
@@ -204,7 +208,7 @@ class SubwordTokenizer:
             batch.column("doc_id").to_pylist(), docs_tokens, mentions
         ):
             sents, sent_map, sw_idx, n_markers = _doc_subword_stream(
-                toks, ments, vocab, self._memo
+                toks, ments, vocab, self._memo, self.max_chars
             )
             ids = [vocab.get(p, unk_id) for p in sents]
             out["doc_id"].append(doc_id)

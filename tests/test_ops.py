@@ -357,3 +357,17 @@ def test_connected_components_chain_and_islands(ray_session):
     assert all(out[t] == "t0" for t in ("t0", "t1", "t2"))
     assert out["z9"] == "z1" and out["z1"] == "z1"
     assert len(out) == 10
+
+
+def test_embedding_similarity_gap(ray_session):
+    """Guard for the embedding_dedup driver oracle: that oracle is
+    exact all-pairs while the engine is LSH-bucketed — they agree only
+    while no NATURAL pair approaches the 0.95 threshold (planted exact
+    copies always bucket-collide). Assert the gap stays wide so any
+    testdata drift fails here before it can fail the driver compare."""
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    np.fill_diagonal(S, -1.0)
+    assert S.max() < 0.85, f"natural max cosine {S.max():.3f} too close to 0.95"

@@ -68,3 +68,31 @@ def test_partition_count_one_and_many(kv_ds):
         out = grouped_agg(ds, ["k1"], {"n": ("v", "size")}, num_partitions=P).to_pandas()
         assert len(out) == df["k1"].nunique()
         assert out["n"].sum() == len(df)
+
+
+def test_hash64_fast_properties():
+    """hash64_fast: batch-padding invariance (a string must hash the
+    same regardless of the longest string sharing its batch — a plain
+    FNV over the fixed-width matrix violated this), determinism,
+    distribution, and the wide-string blake2b fallback."""
+    import numpy as np
+
+    from kire_ray.functions.hashing import hash64, hash64_fast
+
+    a = hash64_fast(["Q42"])
+    b = hash64_fast(["Q42", "x" * 200])
+    c = hash64_fast(np.array(["Q42", "longer-neighbor", "third"], dtype=object))
+    assert a[0] == b[0] == c[0]
+    # determinism across calls
+    vals = [f"k{i}" for i in range(10_000)]
+    h1, h2 = hash64_fast(vals), hash64_fast(list(vals))
+    assert (h1 == h2).all()
+    # injective-enough + uniform pid spread on distinct keys
+    assert len(np.unique(h1)) == len(vals)
+    counts = np.bincount((h1 % 32).astype(int), minlength=32)
+    assert counts.min() > 0.7 * counts.mean()
+    # >256-char strings take the blake2b fallback: equal to hash64
+    wide = ["y" * 300, "z" * 400]
+    assert (hash64_fast(wide) == hash64(wide)).all()
+    # bytes ('S') dtype path works
+    assert hash64_fast([b"abc"]).shape == (1,)

@@ -101,3 +101,46 @@ def test_round_half_up_matches_duckdb(values, digits):
         for v in values
     ]
     assert np.array_equal(got, np.array(ref, dtype=np.float64))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=20),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_wordpiece_roundtrip_under_chunk_vocab(words):
+    """Property: under a vocab containing every CHUNK-slice of every
+    word, greedy WordPiece emits exactly ceil(len/CHUNK) pieces, never
+    [UNK], and the pieces rejoin to the word (subword.py count law)."""
+    from kire_ray.stages.subword import CHUNK, SPECIALS, UNK, wordpiece
+
+    pieces_set = set()
+    for w in words:
+        for i in range(0, len(w), CHUNK):
+            p = w[i : i + CHUNK]
+            pieces_set.add(p if i == 0 else "##" + p)
+    vocab = {s: i for i, s in enumerate(SPECIALS)}
+    for p in sorted(pieces_set):
+        vocab[p] = len(vocab)
+    for w in words:
+        pieces = wordpiece(w, vocab)
+        assert len(pieces) == -(-len(w) // CHUNK)
+        assert UNK not in pieces
+        assert "".join(p.removeprefix("##") for p in pieces) == w
+
+
+@given(st.lists(st.integers(0, 2000), min_size=1, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_ep_dis_antisymmetry_property(deltas):
+    """ep_dis_signed(d) + ep_dis_signed(-d) == 20 for every nonzero
+    delta (and == 20 trivially at 0): the SSAN shift keeps the pair
+    channel antisymmetric around 10."""
+    import numpy as np
+
+    from kire_ray.stages.featurize import ep_dis_signed
+
+    d = np.asarray(deltas, dtype=np.int64)
+    assert (ep_dis_signed(d) + ep_dis_signed(-d) == 20).all()

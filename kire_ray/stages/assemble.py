@@ -42,22 +42,48 @@ DOC_SCHEMA = pa.schema(
 )
 
 
+def _group_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Start offsets of each run of equal keys in a sorted array."""
+    if len(sorted_keys) == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.empty(len(sorted_keys), dtype=bool)
+    change[0] = True
+    change[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    return np.flatnonzero(change)
+
+
 def _combine_segments(batch: pd.DataFrame) -> pd.DataFrame:
-    """Block-local combiner: turns → one segment row per conv_id."""
+    """Block-local combiner: turns → one segment row per conv_id.
+
+    Vectorized: one sort, group boundaries by run detection, per-group
+    slices (pandas ``groupby.agg(list)`` cost ~70 µs/row here — this is
+    the single hottest stage of the flagship by remote CPU time)."""
+    if batch.empty:
+        return pd.DataFrame(
+            {k: [] for k in ("conv_id", "turn_idxs", "texts", "roles", "tools", "ts_min", "ts_max")}
+        )
     batch = batch.sort_values(["conv_id", "turn_idx"], kind="stable")
-    g = batch.groupby("conv_id", sort=False)
-    out = pd.DataFrame(
+    conv = batch["conv_id"].to_numpy()
+    starts = _group_starts(conv)
+    ends = np.append(starts[1:], len(conv))
+
+    def split(col, dtype=object):
+        a = batch[col].to_numpy()
+        return [a[s:e].tolist() for s, e in zip(starts, ends)]
+
+    ts_raw = batch["ts"].to_numpy()
+    ts = ts_raw.view("int64")
+    return pd.DataFrame(
         {
-            "conv_id": list(g.groups.keys()),
-            "turn_idxs": g["turn_idx"].agg(list),
-            "texts": g["text"].agg(list),
-            "roles": g["role"].agg(list),
-            "tools": g["tool"].agg(list),
-            "ts_min": g["ts"].min(),
-            "ts_max": g["ts"].max(),
+            "conv_id": conv[starts],
+            "turn_idxs": split("turn_idx"),
+            "texts": split("text"),
+            "roles": split("role"),
+            "tools": split("tool"),
+            "ts_min": np.minimum.reduceat(ts, starts).view(ts_raw.dtype),
+            "ts_max": np.maximum.reduceat(ts, starts).view(ts_raw.dtype),
         }
     )
-    return out.reset_index(drop=True)
 
 
 def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.DataFrame:
@@ -67,25 +93,63 @@ def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.Dat
     ``max_turns`` keeps only the first N turns of a conversation — the
     skew bound for pathological conv_ids (the reference truncates at
     max_length=512/1800 the same way, kg_data_loader.py:12-16)."""
-    part = part.sort_values("conv_id", kind="stable")
-    out = {k: [] for k in ("doc_id", "n_turns", "turn_texts", "roles", "tools", "ts_first", "ts_last")}
-    for conv, sub in part.groupby("conv_id", sort=False):
-        idxs = np.concatenate([np.asarray(x, dtype=np.int64) for x in sub["turn_idxs"]])
-        texts = np.concatenate([np.asarray(x, dtype=object) for x in sub["texts"]])
-        roles = np.concatenate([np.asarray(x, dtype=object) for x in sub["roles"]])
-        tools = np.concatenate([np.asarray(x, dtype=object) for x in sub["tools"]])
-        order = np.argsort(idxs, kind="stable")
-        if max_turns is not None and len(order) > max_turns:
-            order = order[:max_turns]
-        out["doc_id"].append(conv)
-        out["n_turns"].append(len(order))
-        out["turn_texts"].append(list(texts[order]))
-        out["roles"].append(list(roles[order]))
-        out["tools"].append(list(tools[order]))
-        out["ts_first"].append(sub["ts_min"].min())
-        out["ts_last"].append(sub["ts_max"].max())
-    df = pd.DataFrame(out)
-    df["n_turns"] = df["n_turns"].astype(np.int32)
+    if part.empty:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=object),
+                "n_turns": pd.Series([], dtype=np.int32),
+                "turn_texts": pd.Series([], dtype=object),
+                "roles": pd.Series([], dtype=object),
+                "tools": pd.Series([], dtype=object),
+                "ts_first": pd.Series([], dtype="datetime64[us]"),
+                "ts_last": pd.Series([], dtype="datetime64[us]"),
+            }
+        )
+    part = part.sort_values("conv_id", kind="stable").reset_index(drop=True)
+    conv = part["conv_id"].to_numpy()
+    seg_starts = _group_starts(conv)
+    # flatten ALL segments of the partition at once; per-turn rows are
+    # tagged with a dense group id, then ONE lexsort orders every
+    # conversation by turn_idx with segment order as the stable
+    # tie-break — no per-conversation python loop
+    lens = np.fromiter((len(x) for x in part["turn_idxs"]), dtype=np.int64, count=len(part))
+    new_seg = np.zeros(len(part), dtype=np.int64)
+    new_seg[seg_starts] = 1
+    gid_seg = np.cumsum(new_seg) - 1
+    # every segment row carries >= 1 turn (combiner invariant), so every
+    # group id appears in the flattened stream and rows align 1:1 with
+    # conv[seg_starts]
+    gid = np.repeat(gid_seg, lens)
+    idxs = np.concatenate([np.asarray(x, dtype=np.int64) for x in part["turn_idxs"]])
+    texts = np.concatenate([np.asarray(x, dtype=object) for x in part["texts"]])
+    roles = np.concatenate([np.asarray(x, dtype=object) for x in part["roles"]])
+    tools = np.concatenate([np.asarray(x, dtype=object) for x in part["tools"]])
+    order = np.lexsort((np.arange(len(gid)), idxs, gid))
+    g_sorted = gid[order]
+    starts = _group_starts(g_sorted)
+    counts = np.diff(np.append(starts, len(g_sorted)))
+    if max_turns is not None:
+        pos_in_grp = np.arange(len(g_sorted)) - np.repeat(starts, counts)
+        keep = pos_in_grp < max_turns
+        order = order[keep]
+        g_sorted = g_sorted[keep]
+        starts = _group_starts(g_sorted)
+        counts = np.diff(np.append(starts, len(g_sorted)))
+    ends = starts + counts
+    texts_s, roles_s, tools_s = texts[order], roles[order], tools[order]
+    ts_min = part["ts_min"].to_numpy()
+    ts_max = part["ts_max"].to_numpy()
+    df = pd.DataFrame(
+        {
+            "doc_id": conv[seg_starts],
+            "n_turns": counts.astype(np.int32),
+            "turn_texts": [texts_s[s:e].tolist() for s, e in zip(starts, ends)],
+            "roles": [roles_s[s:e].tolist() for s, e in zip(starts, ends)],
+            "tools": [tools_s[s:e].tolist() for s, e in zip(starts, ends)],
+            "ts_first": np.minimum.reduceat(ts_min.view("int64"), seg_starts).view(ts_min.dtype),
+            "ts_last": np.maximum.reduceat(ts_max.view("int64"), seg_starts).view(ts_max.dtype),
+        }
+    )
     return df
 
 

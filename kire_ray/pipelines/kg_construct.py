@@ -323,20 +323,33 @@ def load_output(out_dir: str, table: str) -> "ray.data.Dataset":
         import numpy as np
         import pandas as pd
 
+        from kire_ray.stages.materialize import _vec_matrix, grouped_logsumexp
         from kire_ray.stages.shuffle import partitioned_map_groups
 
         def merge_part(part: "pd.DataFrame") -> "pd.DataFrame":
-            part = part.sort_values(["qid", "label"], kind="stable")
-            out = {k: [] for k in ("qid", "label", "n_docs", "n_mentions", "vec")}
-            for qid, g in part.groupby("qid", sort=False):
-                vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-                m = vecs.max(axis=0)
-                out["qid"].append(qid)
-                out["label"].append(g["label"].min())
-                out["n_docs"].append(int(g["n_docs"].sum()))
-                out["n_mentions"].append(int(g["n_mentions"].sum()))
-                out["vec"].append((m + np.log(np.exp(vecs - m).sum(axis=0))).tolist())
-            return pd.DataFrame(out)
+            if part.empty:
+                return pd.DataFrame(
+                    {k: [] for k in ("qid", "label", "n_docs", "n_mentions", "vec")}
+                )
+            part = part.sort_values(["qid", "label"], kind="stable").reset_index(drop=True)
+            scal = (
+                part.groupby("qid", sort=False)
+                .agg(
+                    label=("label", "min"),
+                    n_docs=("n_docs", "sum"),
+                    n_mentions=("n_mentions", "sum"),
+                )
+                .reset_index()
+            )
+            q = part["qid"].to_numpy()
+            change = np.empty(len(q), dtype=bool)
+            change[0] = True
+            change[1:] = q[1:] != q[:-1]
+            merged = grouped_logsumexp(_vec_matrix(part["vec"]), np.flatnonzero(change))
+            scal["vec"] = [v.tolist() for v in merged]
+            scal["n_docs"] = scal["n_docs"].astype(np.int64)
+            scal["n_mentions"] = scal["n_mentions"].astype(np.int64)
+            return scal
 
         return partitioned_map_groups(ds, ["qid"], merge_part)
     return ds

@@ -43,7 +43,15 @@ def dedup_edges(
             .reset_index()
         )
 
-    part = triples.map_batches(partial, batch_format="pandas")
+    from kire_ray.stages.shuffle import default_partitions
+
+    # the scorer stage upstream runs ~10 blocks/CPU for actor-pool
+    # parallelism; an exchange over that many tiny blocks pays sort-task
+    # overhead per block (measured 12s → 2-3s on the nodes merge), so
+    # coalesce the small combiner partials to the exchange width first
+    part = triples.map_batches(partial, batch_format="pandas").repartition(
+        default_partitions()
+    )
 
     def final(out: pd.DataFrame) -> pd.DataFrame:
         out["score"] = out["score"].astype(np.float64)
@@ -69,6 +77,24 @@ def _logsumexp_merge(vecs: np.ndarray) -> np.ndarray:
     return m + np.log(np.exp(vecs - m).sum(axis=0))
 
 
+def grouped_logsumexp(V: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Row-grouped logsumexp over a (rows, dim) matrix whose groups are
+    contiguous runs beginning at ``starts`` — ONE reduceat pass instead
+    of a python loop per group. This exact kernel is shared by the
+    distributed merge, the partitioned-output merge and the sequential
+    test oracle, so their floating-point summation order is identical
+    by construction (reduceat sums sequentially in row order)."""
+    counts = np.diff(np.append(starts, len(V)))
+    m = np.maximum.reduceat(V, starts, axis=0)
+    s = np.add.reduceat(np.exp(V - np.repeat(m, counts, axis=0)), starts, axis=0)
+    return m + np.log(s)
+
+
+def _vec_matrix(col) -> np.ndarray:
+    """vec column (lists / ndarrays) → (rows, dim) float64 matrix."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
 def merge_nodes(
     doc_entities: "ray.data.Dataset", *, extra_keys: tuple[str, ...] = ()
 ) -> "ray.data.Dataset":
@@ -82,24 +108,43 @@ def merge_nodes(
     keys = [*extra_keys, "qid"]
 
     def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame(
+                {k: [] for k in (*keys, "label", "n_docs", "n_mentions", "vec")}
+            )
         # doc_id sort fixes the floating-point summation order so the
         # distributed merge is bit-identical to the sequential oracle
-        part = part.sort_values([*keys, "doc_id"], kind="stable")
-        out = {k: [] for k in (*keys, "label", "n_docs", "n_mentions", "vec")}
-        for kv, g in part.groupby(keys, sort=False):
-            kv = kv if isinstance(kv, tuple) else (kv,)
-            for kcol, v in zip(keys, kv):
-                out[kcol].append(v)
-            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-            out["label"].append(g["label"].min())
-            out["n_docs"].append(len(g))
-            out["n_mentions"].append(int(g["n_mentions"].sum()))
-            out["vec"].append(_logsumexp_merge(vecs).tolist())
-        df = pd.DataFrame(out)
-        df["n_docs"] = df["n_docs"].astype(np.int64)
-        df["n_mentions"] = df["n_mentions"].astype(np.int64)
-        return df
+        part = part.sort_values([*keys, "doc_id"], kind="stable").reset_index(drop=True)
+        # groupby(sort=False) on the sorted frame yields groups in
+        # first-occurrence order == the contiguous-run order of starts
+        scal = (
+            part.groupby(keys, sort=False)
+            .agg(
+                label=("label", "min"),
+                n_docs=("doc_id", "size"),
+                n_mentions=("n_mentions", "sum"),
+            )
+            .reset_index()
+        )
+        V = _vec_matrix(part["vec"])
+        sig = part[keys[0]].astype(str)
+        for k in keys[1:]:
+            sig = sig + "\x1f" + part[k].astype(str)
+        sv = sig.to_numpy()
+        change = np.empty(len(sv), dtype=bool)
+        change[0] = True
+        change[1:] = sv[1:] != sv[:-1]
+        merged = grouped_logsumexp(V, np.flatnonzero(change))
+        scal["vec"] = list(merged)
+        scal["n_docs"] = scal["n_docs"].astype(np.int64)
+        scal["n_mentions"] = scal["n_mentions"].astype(np.int64)
+        scal["vec"] = scal["vec"].map(np.ndarray.tolist)
+        return scal
 
-    from kire_ray.stages.shuffle import partitioned_map_groups
+    from kire_ray.stages.shuffle import default_partitions, partitioned_map_groups
 
-    return partitioned_map_groups(doc_entities, keys, merge_part)
+    # coalesce the wide actor-stage output before the exchange (see
+    # dedup_edges: per-block sort overhead dominates tiny blocks)
+    return partitioned_map_groups(
+        doc_entities.repartition(default_partitions()), keys, merge_part
+    )

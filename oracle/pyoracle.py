@@ -129,16 +129,19 @@ def run_oracle(corpus_dir: str) -> dict[str, pd.DataFrame]:
         )
         .reset_index()
     )
-    # nodes: logsumexp merge in doc_id order (matches materialize.py)
+    # nodes: logsumexp merge in doc_id order through the SAME grouped
+    # reduceat kernel the distributed merge uses (materialize.py
+    # grouped_logsumexp) so summation order is identical by construction
+    from kire_ray.stages.materialize import grouped_logsumexp
+
     by_qid: dict[str, list] = defaultdict(list)
     for conv_id, qid, label, n_m, vec in node_partials:
         by_qid[qid].append((conv_id, label, n_m, vec))
     node_rows = []
     for qid in sorted(by_qid):
         rows = sorted(by_qid[qid], key=lambda r: r[0])
-        vecs = np.stack([r[3] for r in rows])
-        m = vecs.max(axis=0)
-        merged = m + np.log(np.exp(vecs - m).sum(axis=0))
+        vecs = np.stack([np.asarray(r[3], dtype=np.float64) for r in rows])
+        merged = grouped_logsumexp(vecs, np.array([0]))[0]
         node_rows.append(
             (
                 qid,

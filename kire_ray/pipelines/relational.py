@@ -291,12 +291,15 @@ def orders_lineitem_join_count(sf_dir: str) -> "ray.data.Dataset":
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
         lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}), batch_format="pandas"
     )
-    from kire_ray.stages.shuffle import default_partitions
+    from kire_ray.stages.shuffle import default_join_partitions
 
     # partitions scale with the cluster (at 100 TB: with data volume),
     # never a hard-coded constant
     joined = li.join(
-        orders, join_type="inner", num_partitions=default_partitions(), on=("o_orderkey",)
+        orders,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("o_orderkey",),
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:

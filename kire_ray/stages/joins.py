@@ -81,14 +81,15 @@ def hash_join(
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Large⋈large: Ray's hash-partitioned shuffle join. Partition
-    count follows the cluster by default (shuffle.default_partitions);
-    at 100 TB pass one derived from input bytes / target partition."""
-    from kire_ray.stages.shuffle import default_partitions
+    count follows the cluster by default (half a partition per CPU —
+    see shuffle.default_join_partitions); at 100 TB pass one derived
+    from input bytes / target partition."""
+    from kire_ray.stages.shuffle import default_join_partitions
 
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions or default_partitions(),
+        num_partitions=num_partitions or default_join_partitions(),
         on=tuple(on),
         validate_schemas=False,
     )

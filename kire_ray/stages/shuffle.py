@@ -54,6 +54,17 @@ def default_partitions() -> int:
     return max(16, 2 * cluster_cpus())
 
 
+def default_join_partitions() -> int:
+    """Partition count for ``Dataset.join``: each partition reserves a
+    hash-shuffle aggregator actor, and measured join wall time grows
+    ~linearly with partition count at fixed data size (8.6s at 64 vs
+    3.4s at 8 on a 600k-row join, 32 CPUs) — so track cluster size at
+    half a partition per CPU, floor 8. At 100 TB derive instead from
+    input bytes / target partition (~256 MB) so a partition fits a
+    worker's heap."""
+    return max(8, cluster_cpus() // 2)
+
+
 def partitioned_map_groups(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

@@ -423,21 +423,24 @@ def _q_docred_triples(sf_dir: str) -> Any:
     return dedup_edges(extract_triples(linked, ctx))
 
 
-def _q_glre_pairs(sf_dir: str) -> Any:
-    """S5/S2 interop: DocRED-export docs → GLRE flattened pair-row
-    ``.data`` (NA pairs + indev_train flags) → parsed back as a pair
-    Dataset. The ``.data`` chain mirrors docRedProcess.py → reader.py;
-    the train-fact set comes from the deterministic hash split."""
+def _md5_is_train(doc_id: str) -> bool:
+    """SQL-replicable 50% split: first md5 hex byte < 0x80 (DuckDB:
+    ``substr(md5(doc_id), 1, 2) < '80'`` — byte-identical hex)."""
+    import hashlib
+
+    return hashlib.md5(str(doc_id).encode("utf-8")).hexdigest()[:2] < "80"
+
+
+def _glre_export(sf_dir: str, *, split: str) -> str:
+    """Build (once per corpus per split flavour) the GLRE ``.data``
+    export of the DocRED-export docs with gold labels and an
+    indev_train fact set from the chosen train split."""
     import os
 
     from kire_ray.pipelines.eval import split_train_dev
     from kire_ray.pipelines.kg_construct import KGContext
     from kire_ray.sources.docred import read_docred_json, write_docred_json
-    from kire_ray.sources.glre_data import (
-        collect_train_facts,
-        read_glre_pairs,
-        write_glre_data,
-    )
+    from kire_ray.sources.glre_data import collect_train_facts, write_glre_data
 
     corpus = _corpus(sf_dir)
     cache = _FLAGSHIP.setdefault(corpus, {"corpus": corpus})
@@ -446,7 +449,7 @@ def _q_glre_pairs(sf_dir: str) -> Any:
     json_path = os.path.join(corpus, "docred_export.json")
     if not os.path.exists(json_path):
         write_docred_json(corpus, json_path)
-    out_dir = os.path.join(corpus, "glre_export")
+    out_dir = os.path.join(corpus, f"glre_export_{split}")
     if not os.path.exists(os.path.join(out_dir, "_DONE")):
         linked = read_docred_json(json_path, canon=cache["ctx"].canon)
         gl = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
@@ -456,12 +459,54 @@ def _q_glre_pairs(sf_dir: str) -> Any:
                 {"h": int(r.h_idx), "t": int(r.t_idx), "r": r.r}
             )
         docs = sorted(labels_by_doc)
-        is_train = split_train_dev(pd.Series(docs))
+        if split == "md5":
+            is_train = [_md5_is_train(d) for d in docs]
+        else:
+            is_train = split_train_dev(pd.Series(docs)).tolist()
         train_labels = {d: labels_by_doc[d] for d, t in zip(docs, is_train) if t}
         facts = collect_train_facts(linked, train_labels)
         write_glre_data(linked, labels_by_doc, out_dir, train_facts=facts)
         open(os.path.join(out_dir, "_DONE"), "w").close()
-    return read_glre_pairs(out_dir)
+    return out_dir
+
+
+def _q_glre_pairs(sf_dir: str) -> Any:
+    """S5/S2 interop: DocRED-export docs → GLRE flattened pair-row
+    ``.data`` (NA pairs + indev_train flags) → parsed back as a pair
+    Dataset. The ``.data`` chain mirrors docRedProcess.py → reader.py;
+    the train-fact set comes from the deterministic hash split."""
+    from kire_ray.sources.glre_data import read_glre_pairs
+
+    return read_glre_pairs(_glre_export(sf_dir, split="blake"))
+
+
+def _q_glre_pairs_flat(sf_dir: str) -> Any:
+    """The GLRE chain's scalar projection with an md5-based train
+    split, making the whole write→read round trip value-verifiable by
+    the driver's DuckDB oracle: the oracle independently reconstructs
+    labeled+NA pairs, min-sentence distance, CROSS/NON-CROSS and the
+    name-level indev_train semi-join from the corpus gold parquet
+    (the corpus lives at a deterministic path derived from sf_dir —
+    the oracle SQL targets the sf0.01 cache the driver compares at)."""
+    from kire_ray.sources.glre_data import read_glre_pairs
+
+    out_dir = _glre_export(sf_dir, split="md5")
+
+    def flat(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "h_idx": b["h_idx"].astype(np.int64),
+                "t_idx": b["t_idx"].astype(np.int64),
+                "rel": b["rel"],
+                "dir": b["dir"],
+                "cross": b["cross"],
+                "dist": b["dist"].astype(np.int64),
+                "intrain": b["intrain"].astype(bool),
+            }
+        )
+
+    return read_glre_pairs(out_dir).map_batches(flat, batch_format="pandas")
 
 
 def _q_kg_export_ids(sf_dir: str) -> Any:
@@ -535,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_theta_tuning": _q_theta_tuning,
         "docred_triples": _q_docred_triples,
         "glre_pairs": _q_glre_pairs,
+        "glre_pairs_flat": _q_glre_pairs_flat,
         "pubtator_docs": _q_pubtator_docs,
         "kg_export_ids": _q_kg_export_ids,
         # relational operator set (SQL-verified)
@@ -589,7 +635,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     nq, k = N_ANN_QUERIES, ANN_K
+    # the synthetic transcript corpus lives at a deterministic path
+    # derived from the sf dir; materialize the sf0.01 cache (the scale
+    # the driver compares at) so corpus-side oracles can read its gold
+    # parquet directly
+    c01 = _corpus("/root/testdata/sf0.01")
     return {
+        "glre_pairs_flat": f"""
+            WITH gm AS (SELECT * FROM read_parquet('{c01}/gold_mentions.parquet')),
+            gl AS (SELECT * FROM read_parquet('{c01}/gold_labels.parquet')),
+            firsts AS (
+                SELECT doc_id, ent, min(turn_idx * 1000000 + start) AS fp
+                FROM gm GROUP BY doc_id, ent),
+            dense AS (
+                SELECT doc_id, ent,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY fp, ent) - 1
+                           AS ent_idx
+                FROM firsts),
+            m AS (
+                SELECT gm.doc_id, d.ent_idx, gm.turn_idx, gm.surface
+                FROM gm JOIN dense d ON d.doc_id = gm.doc_id AND d.ent = gm.ent),
+            pairs0 AS (
+                SELECT doc_id, CAST(h_idx AS BIGINT) AS h_idx,
+                       CAST(t_idx AS BIGINT) AS t_idx, r AS rel
+                FROM gl
+                UNION ALL
+                SELECT a.doc_id, a.ent_idx, b.ent_idx, 'NA'
+                FROM dense a JOIN dense b
+                  ON a.doc_id = b.doc_id AND a.ent_idx <> b.ent_idx
+                WHERE NOT EXISTS (SELECT 1 FROM gl
+                                  WHERE gl.doc_id = a.doc_id
+                                    AND gl.h_idx = a.ent_idx
+                                    AND gl.t_idx = b.ent_idx)),
+            train_facts AS (
+                SELECT DISTINCT mh.surface AS h, mt.surface AS t, gl.r AS r
+                FROM gl
+                JOIN m mh ON mh.doc_id = gl.doc_id AND mh.ent_idx = gl.h_idx
+                JOIN m mt ON mt.doc_id = gl.doc_id AND mt.ent_idx = gl.t_idx
+                WHERE substr(md5(gl.doc_id), 1, 2) < '80')
+            SELECT p.doc_id, p.h_idx, p.t_idx, p.rel,
+                   'L2R' AS dir,
+                   CASE WHEN max(CASE WHEN mh.turn_idx = mt.turn_idx
+                                      THEN 1 ELSE 0 END) = 1
+                        THEN 'NON-CROSS' ELSE 'CROSS' END AS "cross",
+                   CAST(min(abs(mh.turn_idx - mt.turn_idx)) AS BIGINT) AS dist,
+                   max(CASE WHEN f.h IS NOT NULL THEN 1 ELSE 0 END) = 1 AS intrain
+            FROM pairs0 p
+            JOIN m mh ON mh.doc_id = p.doc_id AND mh.ent_idx = p.h_idx
+            JOIN m mt ON mt.doc_id = p.doc_id AND mt.ent_idx = p.t_idx
+            LEFT JOIN train_facts f
+                   ON f.h = mh.surface AND f.t = mt.surface AND f.r = p.rel
+            GROUP BY p.doc_id, p.h_idx, p.t_idx, p.rel
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -310,6 +310,24 @@ def _q_kg_doc_subwords(sf_dir: str) -> Any:
     return tokenize_subwords(c["linked"], vocab)
 
 
+def _q_kg_doc_subwords_flat(sf_dir: str) -> Any:
+    """Scalar projection of kg_doc_subwords with an exact oracle: under
+    the corpus chunk vocab, per-doc subword counts over the assembled
+    transcripts are SQL-recomputable (ceil(len/8) per word)."""
+    sw = _q_kg_doc_subwords(sf_dir)
+
+    def flat(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_words": b["n_words"].astype(np.int64),
+                "n_subwords": b["n_subwords"].astype(np.int64),
+            }
+        )
+
+    return sw.map_batches(flat, batch_format="pandas")
+
+
 def _q_doc_features(sf_dir: str) -> Any:
     """M6/M7 dense channels over the flagship's linked docs (ragged
     Arrow lists, vocab built distributed)."""
@@ -397,6 +415,30 @@ def _q_theta_tuning(sf_dir: str) -> Any:
     )
     m = tune_theta(preds["score"].to_numpy(), is_corr, n_gold=len(gold_set))
     return pd.DataFrame([m])
+
+
+def _q_kg_assembled_turns(sf_dir: str) -> Any:
+    """The BASELINE per-row invariant, driver-verifiable: assembled
+    documents exploded back to (doc_id, turn_idx, text) must equal the
+    input transcript rows exactly (per-turn text equality under stable
+    turn ordering) — the oracle is a plain scan of transcripts.parquet."""
+    c = _flagship_linked(sf_dir)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["turn_texts"].map(len).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(b["doc_id"].to_numpy(), n),
+                "turn_idx": np.concatenate(
+                    [np.arange(k, dtype=np.int64) for k in n]
+                ),
+                "text": np.concatenate(
+                    [np.asarray(t, dtype=object) for t in b["turn_texts"]]
+                ),
+            }
+        )
+
+    return c["linked"].map_batches(explode, batch_format="pandas")
 
 
 def _q_docred_triples(sf_dir: str) -> Any:
@@ -575,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _kg("nodes"),
         "kg_linked_docs": _kg("linked"),
         "kg_coref_pairs": _kg_coref,
+        "kg_assembled_turns": _q_kg_assembled_turns,
         "kg_eval_prf": _q_kg_eval,
         "kg_eval_official": _q_kg_eval_official,
         "kg_theta_tuning": _q_theta_tuning,
@@ -621,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_subwords": _q_doc_subwords,
         "token_counts": _q_token_counts,
         "kg_doc_subwords": _q_kg_doc_subwords,
+        "kg_doc_subwords_flat": _q_kg_doc_subwords_flat,
         "doc_features": _q_doc_features,
         "doc_graphs": _q_doc_graphs,
         "ann_brute_force": _q_ann_brute,
@@ -641,6 +685,21 @@ def oracle_sql() -> dict[str, str]:
     # parquet directly
     c01 = _corpus("/root/testdata/sf0.01")
     return {
+        "kg_assembled_turns": f"""
+            SELECT conv_id AS doc_id,
+                   CAST(turn_idx AS BIGINT) AS turn_idx,
+                   text
+            FROM read_parquet('{c01}/transcripts.parquet')
+        """,
+        "kg_doc_subwords_flat": f"""
+            SELECT conv_id AS doc_id,
+                   count(*) AS n_words,
+                   CAST(sum((length(word) + 7) // 8) AS BIGINT) AS n_subwords
+            FROM (SELECT conv_id, unnest(string_split(text, ' ')) AS word
+                  FROM read_parquet('{c01}/transcripts.parquet'))
+            WHERE word <> ''
+            GROUP BY conv_id
+        """,
         "glre_pairs_flat": f"""
             WITH gm AS (SELECT * FROM read_parquet('{c01}/gold_mentions.parquet')),
             gl AS (SELECT * FROM read_parquet('{c01}/gold_labels.parquet')),

@@ -551,6 +551,27 @@ def _q_glre_pairs_flat(sf_dir: str) -> Any:
     return read_glre_pairs(out_dir).map_batches(flat, batch_format="pandas")
 
 
+def _q_pubtator_docs_flat(sf_dir: str) -> Any:
+    """Scalar projection of the PubTator round trip with an exact
+    oracle: per-doc turn/mention/entity/relation counts recomputed in
+    SQL from the gold parquet (entities cluster by QID; title+abstract
+    collapse the corpus to ≤2 turns)."""
+    docs = _q_pubtator_docs(sf_dir)
+
+    def flat(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_turns": b["n_turns"].astype(np.int64),
+                "n_entities": b["entities"].map(len).astype(np.int64),
+                "n_mentions": b["mentions"].map(len).astype(np.int64),
+                "n_relations": b["relations"].map(len).astype(np.int64),
+            }
+        )
+
+    return docs.map_batches(flat, batch_format="pandas")
+
+
 def _q_kg_export_ids(sf_dir: str) -> Any:
     """Id-mapped KG export (gen_kg_data.py:328-355 layout) over the
     flagship edges: entity2id/relation2id/.nt3 files written once per
@@ -625,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "glre_pairs": _q_glre_pairs,
         "glre_pairs_flat": _q_glre_pairs_flat,
         "pubtator_docs": _q_pubtator_docs,
+        "pubtator_docs_flat": _q_pubtator_docs_flat,
         "kg_export_ids": _q_kg_export_ids,
         # relational operator set (SQL-verified)
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -699,6 +721,43 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{c01}/transcripts.parquet'))
             WHERE word <> ''
             GROUP BY conv_id
+        """,
+        "pubtator_docs_flat": f"""
+            WITH gm AS (SELECT * FROM read_parquet('{c01}/gold_mentions.parquet')),
+            gl AS (SELECT * FROM read_parquet('{c01}/gold_labels.parquet')),
+            ge AS (SELECT * FROM read_parquet('{c01}/gold_entities.parquet')),
+            tr AS (
+                SELECT conv_id AS doc_id,
+                       CASE WHEN max(turn_idx) > 0 THEN 2 ELSE 1 END AS n_turns
+                FROM read_parquet('{c01}/transcripts.parquet')
+                GROUP BY conv_id),
+            firsts AS (
+                SELECT doc_id, ent, min(turn_idx * 1000000 + start) AS fp
+                FROM gm GROUP BY doc_id, ent),
+            dense AS (
+                SELECT doc_id, ent,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY fp, ent) - 1
+                           AS ent_idx
+                FROM firsts),
+            entq AS (
+                SELECT d.doc_id, d.ent, ge.qid
+                FROM dense d
+                JOIN ge ON ge.doc_id = d.doc_id AND ge.ent_idx = d.ent_idx),
+            mcounts AS (
+                SELECT gm.doc_id,
+                       count(*) AS n_mentions,
+                       count(DISTINCT q.qid) AS n_entities
+                FROM gm JOIN entq q ON q.doc_id = gm.doc_id AND q.ent = gm.ent
+                GROUP BY gm.doc_id),
+            rcounts AS (
+                SELECT doc_id, count(*) AS n_relations FROM gl GROUP BY doc_id)
+            SELECT tr.doc_id, CAST(tr.n_turns AS BIGINT) AS n_turns,
+                   CAST(coalesce(m.n_entities, 0) AS BIGINT) AS n_entities,
+                   CAST(coalesce(m.n_mentions, 0) AS BIGINT) AS n_mentions,
+                   CAST(coalesce(r.n_relations, 0) AS BIGINT) AS n_relations
+            FROM tr
+            LEFT JOIN mcounts m ON m.doc_id = tr.doc_id
+            LEFT JOIN rcounts r ON r.doc_id = tr.doc_id
         """,
         "glre_pairs_flat": f"""
             WITH gm AS (SELECT * FROM read_parquet('{c01}/gold_mentions.parquet')),

@@ -15,8 +15,9 @@ Coverage map (SURVEY.md §2 → queries; §9 for the round-2 delta):
 - training-data suite (dedup/similarity/text/multimodal): exact dedup,
   embedding dedup (planted duplicates), text metrics, token counts,
   subword counts and brute-force ANN are SQL-verified; the hash/LSH
-  family is rows-only by nature. 33 of 56 queries carry exact DuckDB
-  oracles.
+  family is rows-only by nature. 37 of 60 queries carry exact DuckDB
+  oracles, incl. four corpus-side reconstructions (assembly invariant,
+  kg subword counts, the GLRE .data round trip, PubTator counts).
 
 Float columns that cross the DuckDB compare are rounded half-up on BOTH
 sides (kire_ray.functions.rounding) so hashes match bit-exactly.
@@ -451,17 +452,12 @@ def _q_docred_triples(sf_dir: str) -> Any:
     from kire_ray.sources.docred import read_docred_json, write_docred_json
     from kire_ray.stages.materialize import dedup_edges
 
-    corpus = _corpus(sf_dir)
+    cache = _flagship(sf_dir)
+    corpus = cache["corpus"]
     path = os.path.join(corpus, "docred_export.json")
     if not os.path.exists(path):
         write_docred_json(corpus, path)
-    from kire_ray.pipelines.kg_construct import KGContext
-
-    corpus_cache = _FLAGSHIP.setdefault(corpus, {"corpus": corpus})
-    if "ctx" not in corpus_cache:
-        corpus_cache["ctx"] = KGContext.from_corpus(corpus)
-    ctx = corpus_cache["ctx"]
-    linked = read_docred_json(path, canon=ctx.canon)
+    linked = read_docred_json(path, canon=cache["ctx"].canon)
     return dedup_edges(extract_triples(linked, ctx))
 
 
@@ -480,21 +476,23 @@ def _glre_export(sf_dir: str, *, split: str) -> str:
     import os
 
     from kire_ray.pipelines.eval import split_train_dev
-    from kire_ray.pipelines.kg_construct import KGContext
     from kire_ray.sources.docred import read_docred_json, write_docred_json
     from kire_ray.sources.glre_data import collect_train_facts, write_glre_data
 
-    corpus = _corpus(sf_dir)
-    cache = _FLAGSHIP.setdefault(corpus, {"corpus": corpus})
-    if "ctx" not in cache:
-        cache["ctx"] = KGContext.from_corpus(corpus)
+    cache = _flagship(sf_dir)
+    corpus = cache["corpus"]
     json_path = os.path.join(corpus, "docred_export.json")
     if not os.path.exists(json_path):
         write_docred_json(corpus, json_path)
     out_dir = os.path.join(corpus, f"glre_export_{split}")
     if not os.path.exists(os.path.join(out_dir, "_DONE")):
         linked = read_docred_json(json_path, canon=cache["ctx"].canon)
-        gl = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
+        gl = (
+            pq.read_table(f"{corpus}/gold_labels.parquet")
+            .to_pandas()
+            .drop_duplicates()  # exact duplicate annotation rows would
+            # desync the .data chunk count from the oracle's GROUP BY
+        )
         labels_by_doc: dict[str, list[dict]] = {}
         for r in gl.itertuples():
             labels_by_doc.setdefault(r.doc_id, []).append(
@@ -700,11 +698,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Static SQL strings, one per SQL-verified query.
+
+    Corpus-side oracles (kg_assembled_turns / kg_doc_subwords_flat /
+    glre_pairs_flat / pubtator_docs_flat) read the synthetic corpus'
+    gold parquet via its deterministic path. SQL strings carry no sf
+    parameter, so these four are bound to sf0.01 — the scale the
+    driver's correctness compare runs at; comparing them at another sf
+    is out of contract (the per-sf view-bound oracles are unaffected).
+    Calling this function materializes the sf0.01 corpus cache if
+    missing (idempotent, seconds) so query/oracle ordering cannot race.
+    They also reconstruct only gold-consistent corpora: exact-duplicate
+    label rows are deduped on both sides, and mentions/labels always
+    reference mentioned entities (guaranteed by the generator).
+    """
     nq, k = N_ANN_QUERIES, ANN_K
-    # the synthetic transcript corpus lives at a deterministic path
-    # derived from the sf dir; materialize the sf0.01 cache (the scale
-    # the driver compares at) so corpus-side oracles can read its gold
-    # parquet directly
     c01 = _corpus("/root/testdata/sf0.01")
     return {
         "kg_assembled_turns": f"""

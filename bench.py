@@ -35,15 +35,13 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     # input-format fixtures are corpus prep, not the measured operator:
     # the glre/pubtator queries measure the .data/PubTator write+read
     # pipelines, not the one-time gold-export rendering of the corpus
-    import os as _os
-
     from kire_ray.sources.docred import write_docred_json
     from kire_ray.sources.pubtator import write_pubtator_export
 
-    if not _os.path.exists(_os.path.join(corpus, "docred_export.json")):
-        write_docred_json(corpus, _os.path.join(corpus, "docred_export.json"))
-    if not _os.path.exists(_os.path.join(corpus, "pubtator_export.txt")):
-        write_pubtator_export(corpus, _os.path.join(corpus, "pubtator_export.txt"))
+    if not os.path.exists(os.path.join(corpus, "docred_export.json")):
+        write_docred_json(corpus, os.path.join(corpus, "docred_export.json"))
+    if not os.path.exists(os.path.join(corpus, "pubtator_export.txt")):
+        write_pubtator_export(corpus, os.path.join(corpus, "pubtator_export.txt"))
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

@@ -341,11 +341,11 @@ def load_output(out_dir: str, table: str) -> "ray.data.Dataset":
                 )
                 .reset_index()
             )
-            q = part["qid"].to_numpy()
-            change = np.empty(len(q), dtype=bool)
-            change[0] = True
-            change[1:] = q[1:] != q[:-1]
-            merged = grouped_logsumexp(_vec_matrix(part["vec"]), np.flatnonzero(change))
+            from kire_ray.stages.assemble import _group_starts
+
+            merged = grouped_logsumexp(
+                _vec_matrix(part["vec"]), _group_starts(part["qid"].to_numpy())
+            )
             scal["vec"] = [v.tolist() for v in merged]
             scal["n_docs"] = scal["n_docs"].astype(np.int64)
             scal["n_mentions"] = scal["n_mentions"].astype(np.int64)

@@ -72,11 +72,6 @@ def dedup_edges(
     )
 
 
-def _logsumexp_merge(vecs: np.ndarray) -> np.ndarray:
-    m = vecs.max(axis=0)
-    return m + np.log(np.exp(vecs - m).sum(axis=0))
-
-
 def grouped_logsumexp(V: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """Row-grouped logsumexp over a (rows, dim) matrix whose groups are
     contiguous runs beginning at ``starts`` — ONE reduceat pass instead
@@ -126,19 +121,16 @@ def merge_nodes(
             )
             .reset_index()
         )
+        from kire_ray.stages.assemble import _group_starts
+
         V = _vec_matrix(part["vec"])
         sig = part[keys[0]].astype(str)
         for k in keys[1:]:
             sig = sig + "\x1f" + part[k].astype(str)
-        sv = sig.to_numpy()
-        change = np.empty(len(sv), dtype=bool)
-        change[0] = True
-        change[1:] = sv[1:] != sv[:-1]
-        merged = grouped_logsumexp(V, np.flatnonzero(change))
-        scal["vec"] = list(merged)
+        merged = grouped_logsumexp(V, _group_starts(sig.to_numpy()))
+        scal["vec"] = [v.tolist() for v in merged]
         scal["n_docs"] = scal["n_docs"].astype(np.int64)
         scal["n_mentions"] = scal["n_mentions"].astype(np.int64)
-        scal["vec"] = scal["vec"].map(np.ndarray.tolist)
         return scal
 
     from kire_ray.stages.shuffle import default_partitions, partitioned_map_groups

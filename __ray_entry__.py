@@ -719,14 +719,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id AS doc_id,
                    CAST(turn_idx AS BIGINT) AS turn_idx,
                    text
-            FROM read_parquet('{c01}/transcripts.parquet')
+            FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
         """,
         "kg_doc_subwords_flat": f"""
             SELECT conv_id AS doc_id,
                    count(*) AS n_words,
                    CAST(sum((length(word) + 7) // 8) AS BIGINT) AS n_subwords
             FROM (SELECT conv_id, unnest(string_split(text, ' ')) AS word
-                  FROM read_parquet('{c01}/transcripts.parquet'))
+                  FROM read_parquet('{c01}/transcripts.parquet/*.parquet'))
             WHERE word <> ''
             GROUP BY conv_id
         """,
@@ -737,7 +737,7 @@ def oracle_sql() -> dict[str, str]:
             tr AS (
                 SELECT conv_id AS doc_id,
                        CASE WHEN max(turn_idx) > 0 THEN 2 ELSE 1 END AS n_turns
-                FROM read_parquet('{c01}/transcripts.parquet')
+                FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
                 GROUP BY conv_id),
             firsts AS (
                 SELECT doc_id, ent, min(turn_idx * 1000000 + start) AS fp

@@ -408,10 +408,24 @@ def write_corpus(out_dir: str, cfg: SynthConfig, overwrite: bool = False) -> str
     tmp = tempfile.mkdtemp(prefix=".synth_", dir=parent)
     try:
         for name, tbl in tables.items():
+            if name == "transcripts":
+                # the primary input ships as a sharded directory — the
+                # shape a real 100 TB corpus has — so Ray's read
+                # parallelizes across files (a single file caps the
+                # scan at one read task regardless of row groups)
+                shard_dir = os.path.join(tmp, f"{name}.parquet")
+                os.makedirs(shard_dir)
+                n_shards = max(1, min(16, tbl.num_rows // 20_000))
+                step = -(-tbl.num_rows // n_shards)
+                for si in range(n_shards):
+                    pq.write_table(
+                        tbl.slice(si * step, step),
+                        os.path.join(shard_dir, f"shard-{si:03d}.parquet"),
+                        row_group_size=max(4096, step // 8),
+                    )
+                continue
             # bounded row groups so a reader (Ray's read_parquet) can
-            # parallelize the scan — a single row group serializes the
-            # whole read into one task (measured 2.2s head-of-pipeline
-            # stall at sf0.1)
+            # parallelize the scan within one file
             pq.write_table(
                 tbl,
                 os.path.join(tmp, f"{name}.parquet"),

@@ -1,0 +1,95 @@
+"""Round-2 relational operators vs DuckDB at sf0.001 (the driver's
+sf0.01 oracle compare covers the same SQL; this keeps the check in
+pytest)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kire_ray.pipelines import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _cmp(ray_df, sql, sort_cols):
+    exp = _duck().execute(sql).fetchdf()
+    got = ray_df[exp.columns.tolist()].sort_values(sort_cols).reset_index(drop=True)
+    exp = exp.sort_values(sort_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_events_asof_join(ray_session):
+    _cmp(
+        R.events_asof_join(SF).to_pandas(),
+        """
+        WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tus
+                   FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS tus
+                   FROM events WHERE event_type = 'view'),
+             j AS (SELECT p.purchase_id, p.user_id, v.view_id,
+                          (p.tus - v.tus) // 1000000 AS gap_s,
+                          row_number() OVER (PARTITION BY p.purchase_id
+                                             ORDER BY v.tus DESC, v.view_id DESC) rn
+                   FROM p JOIN v ON p.user_id = v.user_id AND v.tus <= p.tus)
+        SELECT purchase_id, user_id, view_id, gap_s FROM j WHERE rn = 1
+        """,
+        ["purchase_id"],
+    )
+
+
+def test_orders_lineitem_range_join(ray_session):
+    _cmp(
+        R.orders_lineitem_range_join(SF).to_pandas(),
+        """
+        SELECT o.o_orderkey, count(*) AS n_shipped, sum(l.l_quantity) AS sum_qty
+        FROM orders o JOIN lineitem l
+          ON epoch_us(l.l_shipdate) // 86400000000
+                 >= epoch_us(o.o_orderdate) // 86400000000
+         AND epoch_us(l.l_shipdate) // 86400000000
+                 < epoch_us(o.o_orderdate) // 86400000000 + 7
+        GROUP BY o.o_orderkey
+        """,
+        ["o_orderkey"],
+    )
+
+
+def test_events_rolling_avg(ray_session):
+    _cmp(
+        R.events_rolling_avg(SF).to_pandas(),
+        """
+        SELECT event_id, user_id,
+               floor(avg(value) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id
+                                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                     * 1000000 + 0.501) / 1000000 AS rolling_avg
+        FROM events
+        """,
+        ["event_id"],
+    )
+
+
+def test_events_distinct_users_and_quantiles(ray_session):
+    _cmp(
+        R.events_distinct_users(SF).to_pandas(),
+        """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+           FROM events GROUP BY event_type""",
+        ["event_type"],
+    )
+    _cmp(
+        R.orders_status_quantiles(SF).to_pandas(),
+        """SELECT o_orderstatus, 0.5 AS q, quantile_disc(o_totalprice, 0.5) AS value
+           FROM orders GROUP BY o_orderstatus
+           UNION ALL
+           SELECT o_orderstatus, 0.9, quantile_disc(o_totalprice, 0.9)
+           FROM orders GROUP BY o_orderstatus""",
+        ["o_orderstatus", "q"],
+    )

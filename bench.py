@@ -186,39 +186,57 @@ def _scaling_corpus(sf_dir: str, factor: int = 64) -> str:
     return out
 
 
-def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+def _scaling_child_run(cpus: int, sf_dir: str, corpus: str) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(cpus),
+        GRAFT_SF_DIR=sf_dir,
+        GRAFT_SCALING_CORPUS=corpus,
+    )
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}) exited {p.returncode}\n"
+            f"stderr tail:\n{p.stderr[-4000:]}"
+        )
+    lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}) produced no JSON line\n"
+            f"stdout tail:\n{p.stdout[-2000:]}\nstderr tail:\n{p.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
+
+
+def run_scaling(
+    sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32, repeats: int = 2
+) -> dict:
     """Same job, two parallelism levels, fresh processes → efficiency.
 
     Throughput proxy = triples/sec of the flagship pipeline; efficiency
-    = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)."""
+    = (thr_hi / thr_lo) / (cpus_hi / cpus_lo). Each leg runs
+    ``repeats`` times and keeps its best throughput: this box carries
+    intermittent external load, and contamination is strictly additive
+    slowdown, so max-per-leg measures the engine rather than the
+    neighbor (single-run efficiencies observed 0.69-1.40 across an
+    otherwise identical binary)."""
     corpus = _scaling_corpus(sf_dir)
     results = {}
+    all_runs: dict[int, list[float]] = {}
     for cpus in (cpus_lo, cpus_hi):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(cpus),
-            GRAFT_SF_DIR=sf_dir,
-            GRAFT_SCALING_CORPUS=corpus,
-        )
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3000,
-        )
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"scaling child (cpus={cpus}) exited {p.returncode}\n"
-                f"stderr tail:\n{p.stderr[-4000:]}"
-            )
-        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(
-                f"scaling child (cpus={cpus}) produced no JSON line\n"
-                f"stdout tail:\n{p.stdout[-2000:]}\nstderr tail:\n{p.stderr[-2000:]}"
-            )
-        results[cpus] = json.loads(lines[-1])
+        best = None
+        for _ in range(repeats):
+            r = _scaling_child_run(cpus, sf_dir, corpus)
+            all_runs.setdefault(cpus, []).append(r["triples_per_sec"])
+            if best is None or r["triples_per_sec"] > best["triples_per_sec"]:
+                best = r
+        results[cpus] = best
     thr_lo = results[cpus_lo]["triples_per_sec"]
     thr_hi = results[cpus_hi]["triples_per_sec"]
     eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
@@ -233,6 +251,8 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
         "triples_per_sec_hi": thr_hi,
         "kg_sec_lo": results[cpus_lo]["queries"]["kg_triples"],
         "kg_sec_hi": results[cpus_hi]["queries"]["kg_triples"],
+        "runs_lo": all_runs[cpus_lo],
+        "runs_hi": all_runs[cpus_hi],
     }
 
 

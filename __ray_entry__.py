@@ -307,8 +307,12 @@ def _q_kg_doc_subwords(sf_dir: str) -> Any:
     from kire_ray.stages.subword import build_chunk_vocab, tokenize_subwords
 
     c = _flagship_linked(sf_dir)
-    vocab = build_chunk_vocab(c["linked"], text_col="turn_texts")
-    return tokenize_subwords(c["linked"], vocab)
+    if "subwords" not in c:
+        # memoized: the flat projection query re-consumes the same
+        # channels — don't rebuild the vocab + retokenize per consumer
+        vocab = build_chunk_vocab(c["linked"], text_col="turn_texts")
+        c["subwords"] = tokenize_subwords(c["linked"], vocab).materialize()
+    return c["subwords"]
 
 
 def _q_kg_doc_subwords_flat(sf_dir: str) -> Any:

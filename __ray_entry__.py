@@ -13,9 +13,10 @@ Coverage map (SURVEY.md §2 → queries; §9 for the round-2 delta):
   keyless range join, rolling windows, exact grouped distinct, grouped
   quantiles): SQL-verified.
 - training-data suite (dedup/similarity/text/multimodal): exact dedup,
+  n-gram Jaccard dedup (blocking + verification both in SQL),
   embedding dedup (planted duplicates), text metrics, token counts,
   subword counts and brute-force ANN are SQL-verified; the hash/LSH
-  family is rows-only by nature. 37 of 60 queries carry exact DuckDB
+  family is rows-only by nature. 38 of 61 queries carry exact DuckDB
   oracles, incl. four corpus-side reconstructions (assembly invariant,
   kg subword counts, the GLRE .data round trip, PubTator counts).
 
@@ -210,6 +211,17 @@ def _q_simhash(sf_dir: str) -> Any:
     from kire_ray.pipelines.dedup import simhash_dedup
 
     return simhash_dedup(_docs(sf_dir))
+
+
+def _q_ngram_jaccard(sf_dir: str) -> Any:
+    """Exact word-4-gram Jaccard near-dup (rare-gram blocking, df≤64,
+    threshold 0.5) — fully deterministic, blocking AND verification
+    reconstructed in the SQL oracle. 4-grams (not 3) keep the blocking
+    selective on templated text: at sf0.1 they cut candidate pairs 30×
+    (1.13M → 39k) with the identical verified output set."""
+    from kire_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(_docs(sf_dir), ngram=4, threshold=0.5, df_cap=64)
 
 
 N_PLANTED_DUPS = 32
@@ -680,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
+        "ngram_jaccard_dedup": _q_ngram_jaccard,
         "embedding_dedup": _q_embdedup,
         "text_metrics": _q_text_metrics,
         "token_count_total": _q_token_total,
@@ -716,6 +729,8 @@ def oracle_sql() -> dict[str, str]:
     label rows are deduped on both sides, and mentions/labels always
     reference mentioned entities (guaranteed by the generator).
     """
+    from kire_ray.functions.rounding import sql_round
+
     nq, k = N_ANN_QUERIES, ANN_K
     c01 = _corpus("/root/testdata/sf0.01")
     return {
@@ -1033,6 +1048,40 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "ngram_jaccard_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+                FROM toks, unnest(generate_series(1, len(w) - 3)) AS t(i)
+                WHERE len(w) >= 4
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            df AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM grams a JOIN grams b USING (gram) JOIN df USING (gram)
+                WHERE df.c <= 64 AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_common
+                FROM cand c
+                JOIN grams ga ON ga.doc_id = c.id_a
+                JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b, i.n_common,
+                   sa.sz + sb.sz - i.n_common AS n_union,
+                   {sql_round('i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common)', 6)}
+                       AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.5
         """,
         "embedding_dedup": f"""
             WITH p AS (

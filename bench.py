@@ -81,6 +81,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "orders_status_quantiles",
         "exact_dedup",
         "minhash_dedup",
+        "ngram_jaccard_dedup",
         "simhash_dedup",
         "embedding_dedup",
         "text_metrics",

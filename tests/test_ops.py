@@ -190,6 +190,54 @@ def test_minhash_dedup_finds_planted_dup(ray_session):
     assert any(9002 in p and (0 in p or 9001 in p) for p in found)  # near-dup
 
 
+def test_ngram_jaccard_dedup_vs_bruteforce(ray_session):
+    """Distributed blocking+verify == a sequential re-implementation of
+    the operator's declared semantics (distinct word 3-grams, rare-gram
+    blocking df<=cap, exact full-set Jaccard >= threshold)."""
+    from itertools import combinations
+
+    from kire_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()[["doc_id", "text"]]
+    base = docs.text.iloc[0]
+    toks = base.split()
+    toks[3] = "changedword"
+    planted = pd.DataFrame({"doc_id": [9001, 9002], "text": [base, " ".join(toks)]})
+    all_docs = pd.concat([docs, planted], ignore_index=True)
+
+    cap, thr = 8, 0.5  # small cap so it actually binds on this corpus
+    grams = {
+        r.doc_id: {tuple(w[i : i + 3]) for i in range(len(w) - 2)}
+        for r in all_docs.itertuples()
+        if len(w := r.text.split()) >= 3
+    }
+    df: dict = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    expect = []
+    for a, b in combinations(sorted(grams), 2):
+        if not any(df[g] <= cap for g in grams[a] & grams[b]):
+            continue
+        inter = len(grams[a] & grams[b])
+        union = len(grams[a] | grams[b])
+        if inter / union >= thr:
+            expect.append((a, b, inter, union))
+    exp = pd.DataFrame(expect, columns=["id_a", "id_b", "n_common", "n_union"])
+
+    got = (
+        ngram_jaccard_dedup(
+            ray.data.from_pandas(all_docs), ngram=3, threshold=thr, df_cap=cap
+        )
+        .to_pandas()[["id_a", "id_b", "n_common", "n_union"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    exp = exp.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(exp) > 0 and (exp.id_a == 0).any()  # planted pair is in gold
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_simhash_dedup(ray_session):
     from kire_ray.pipelines.dedup import simhash_dedup
 

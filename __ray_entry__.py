@@ -16,7 +16,7 @@ Coverage map (SURVEY.md §2 → queries; §9 for the round-2 delta):
   n-gram Jaccard dedup (blocking + verification both in SQL),
   embedding dedup (planted duplicates), text metrics, token counts,
   subword counts and brute-force ANN are SQL-verified; the hash/LSH
-  family is rows-only by nature. 38 of 61 queries carry exact DuckDB
+  family is rows-only by nature. 39 of 62 queries carry exact DuckDB
   oracles, incl. four corpus-side reconstructions (assembly invariant,
   kg subword counts, the GLRE .data round trip, PubTator counts).
 
@@ -37,6 +37,35 @@ import ray.data
 
 N_ANN_QUERIES = 8
 ANN_K = 10
+
+# Shared CTE chain for the n-gram Jaccard oracles (word 4-grams,
+# rare-gram blocking df<=64): distinct grams per doc -> set sizes ->
+# document frequency -> candidate pairs -> full-set intersections.
+# Mirrors kire_ray.pipelines.dedup.ngram_candidates + verify_jaccard.
+_NGRAM_CTES = """toks AS (
+                SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
+                FROM toks, unnest(generate_series(1, len(w) - 3)) AS t(i)
+                WHERE len(w) >= 4
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            df AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM grams a JOIN grams b USING (gram) JOIN df USING (gram)
+                WHERE df.c <= 64 AND a.doc_id < b.doc_id
+            ),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_common
+                FROM cand c
+                JOIN grams ga ON ga.doc_id = c.id_a
+                JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+                GROUP BY 1, 2
+            )"""
 
 
 # --------------------------------------------------------------------
@@ -222,6 +251,16 @@ def _q_ngram_jaccard(sf_dir: str) -> Any:
     from kire_ray.pipelines.dedup import ngram_jaccard_dedup
 
     return ngram_jaccard_dedup(_docs(sf_dir), ngram=4, threshold=0.5, df_cap=64)
+
+
+def _q_dup_clusters(sf_dir: str) -> Any:
+    """Connected components over the (deterministic, SQL-replicable)
+    n-gram Jaccard duplicate pairs — the distributed min-label
+    propagation verified against a recursive-CTE transitive closure."""
+    from kire_ray.pipelines.dedup import dup_clusters, ngram_jaccard_dedup
+
+    pairs = ngram_jaccard_dedup(_docs(sf_dir), ngram=4, threshold=0.5, df_cap=64)
+    return dup_clusters(pairs)
 
 
 N_PLANTED_DUPS = 32
@@ -693,6 +732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
         "embedding_dedup": _q_embdedup,
         "text_metrics": _q_text_metrics,
         "token_count_total": _q_token_total,
@@ -1050,30 +1090,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "ngram_jaccard_dedup": f"""
-            WITH toks AS (
-                SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
-                FROM documents
-            ),
-            grams AS (
-                SELECT DISTINCT doc_id,
-                       w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS gram
-                FROM toks, unnest(generate_series(1, len(w) - 3)) AS t(i)
-                WHERE len(w) >= 4
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-            df AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
-            cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM grams a JOIN grams b USING (gram) JOIN df USING (gram)
-                WHERE df.c <= 64 AND a.doc_id < b.doc_id
-            ),
-            inter AS (
-                SELECT c.id_a, c.id_b, count(*) AS n_common
-                FROM cand c
-                JOIN grams ga ON ga.doc_id = c.id_a
-                JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
-                GROUP BY 1, 2
-            )
+            WITH {_NGRAM_CTES}
             SELECT i.id_a, i.id_b, i.n_common,
                    sa.sz + sb.sz - i.n_common AS n_union,
                    {sql_round('i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common)', 6)}
@@ -1082,6 +1099,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.5
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            pairs AS (
+                SELECT i.id_a, i.id_b FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT CAST(id_a AS VARCHAR) AS u, CAST(id_b AS VARCHAR) AS v FROM pairs
+                UNION ALL
+                SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+            )
+            SELECT u AS node, min(v) AS label FROM reach GROUP BY u
         """,
         "embedding_dedup": f"""
             WITH p AS (

@@ -82,6 +82,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "exact_dedup",
         "minhash_dedup",
         "ngram_jaccard_dedup",
+        "dup_clusters",
         "simhash_dedup",
         "embedding_dedup",
         "text_metrics",

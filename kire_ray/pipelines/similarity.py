@@ -158,12 +158,14 @@ def ann_ivf(
     and scores only the vectors whose cell is among each query's
     ``n_probe`` closest cells. Recall/cost knob = n_probe/n_centroids."""
     Q = _norm_rows(np.asarray(queries, dtype=np.float64))
-    sample_rows = emb.limit(sample_size).take_all()
+    # to_pandas: the block-concat collect (take_all's per-row-dict path
+    # costs ~0.6 ms/row — measurable even on a 2k sample)
+    sample_df = emb.limit(sample_size).to_pandas()
     S = _norm_rows(
-        np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+        np.stack([np.asarray(v, dtype=np.float64) for v in sample_df[vec_col]])
     )
     C = _kmeans_fit(S, n_centroids)
-    if len(sample_rows) < sample_size:
+    if len(sample_df) < sample_size:
         # small-data guard: the whole dataset fit in the centroid-fit
         # sample, so widening the probe costs almost nothing while cells
         # are tiny (recall at sf0.01 was 0.85 at n_probe=4/16)

@@ -106,6 +106,17 @@ def connected_components(
         )
 
     sym = edges.map_batches(both_dirs, batch_format="pandas").materialize()
+    if num_partitions is None:
+        # scale the per-round exchange width to the graph: each round
+        # pays fixed cost per partition (task + tiny block), so a
+        # 500-node dedup graph over the default 2×CPU partitions spends
+        # every round on scheduling, not propagation. ~100k rows per
+        # partition keeps small graphs on a handful of tasks while big
+        # graphs still fan out to the cluster default.
+        from kire_ray.stages.shuffle import default_partitions
+
+        num_partitions = max(1, min(default_partitions(), sym.count() // 100_000 + 1))
+        sym = sym.repartition(num_partitions).materialize()
     labels = grouped_agg(
         sym, ["node"], {"n": ("peer", "size")}, num_partitions=num_partitions
     ).map_batches(

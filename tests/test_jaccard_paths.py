@@ -7,7 +7,7 @@ import pandas as pd
 
 import ray.data
 
-from kire_ray.pipelines.dedup import minhash_dedup
+from kire_ray.pipelines.dedup import minhash_dedup, ngram_jaccard_dedup
 
 
 def _dup_heavy_corpus(n_families: int = 40, family: int = 6) -> pd.DataFrame:
@@ -44,3 +44,22 @@ def test_joined_verify_equals_broadcast(ray_session):
     # within-family pairs dominate and cross-family pairs don't verify
     fam = lambda d: d // 6
     assert (fam(broadcast.id_a.to_numpy()) == fam(broadcast.id_b.to_numpy())).all()
+
+
+def test_ngram_jaccard_joined_equals_broadcast(ray_session):
+    """Same dual-path invariant through the n-gram Jaccard operator:
+    exhaustive rare-gram blocking feeds the shared verify, so both
+    verify paths must emit identical (pair, counts, jaccard) rows."""
+    docs = _dup_heavy_corpus()
+    ds = ray.data.from_pandas(docs).repartition(8)
+
+    def run(limit):
+        out = ngram_jaccard_dedup(
+            ds, ngram=3, threshold=0.6, df_cap=16, broadcast_limit=limit
+        ).to_pandas()
+        return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    broadcast = run(10**9)
+    joined = run(0)
+    assert len(broadcast) > 50
+    pd.testing.assert_frame_equal(broadcast, joined)

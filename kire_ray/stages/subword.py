@@ -238,9 +238,15 @@ def tokenize_subwords(
     ds: "ray.data.Dataset",
     vocab: dict[str, int],
     *,
-    concurrency=(1, 8),
+    concurrency: tuple[int, int] | None = None,
     max_chars: int = 100,
 ) -> "ray.data.Dataset":
+    if concurrency is None:
+        # autoscale the actor pool to the cluster (a fixed cap of 8
+        # left 3/4 of a 32-CPU node idle on the subword stage)
+        from kire_ray.stages.shuffle import cluster_cpus
+
+        concurrency = (1, max(8, cluster_cpus()))
     return ds.map_batches(
         SubwordTokenizer,
         fn_constructor_kwargs={"vocab_ref": ray.put(vocab), "max_chars": max_chars},

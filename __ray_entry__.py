@@ -513,7 +513,7 @@ def _q_docred_triples(sf_dir: str) -> Any:
     if not os.path.exists(path):
         write_docred_json(corpus, path)
     linked = read_docred_json(path, canon=cache["ctx"].canon)
-    return dedup_edges(extract_triples(linked, ctx))
+    return dedup_edges(extract_triples(linked, cache["ctx"]))
 
 
 def _md5_is_train(doc_id: str) -> bool:

@@ -311,6 +311,34 @@ def _q_token_total(sf_dir: str) -> Any:
     return pd.DataFrame({"total_tokens": [token_count_total(_docs(sf_dir))]})
 
 
+def _q_gopher_quality(sf_dir: str) -> Any:
+    """Gopher-style quality gate (length / mean word length / stopword
+    diversity / duplicate word+bigram fractions) with a ``passes``
+    verdict; every metric reconstructed exactly in the DuckDB oracle."""
+    from kire_ray.pipelines.text_analysis import gopher_quality
+
+    return gopher_quality(_docs(sf_dir))
+
+
+def _q_decontaminate(sf_dir: str) -> Any:
+    """Train/test decontamination: benchmark = every 50th doc_id; flag
+    training docs sharing ≥1 word 3-gram with it. The benchmark n-gram
+    set broadcasts once; the training side is a streaming probe."""
+    from kire_ray.pipelines.decontam import benchmark_ngrams, decontaminate
+
+    docs = _docs(sf_dir)
+
+    def pick(bench: bool):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            m = (b["doc_id"] % 50 == 0) == bench
+            return b[m]
+
+        return f
+
+    hashes = benchmark_ngrams(docs.map_batches(pick(True), batch_format="pandas"))
+    return decontaminate(docs.map_batches(pick(False), batch_format="pandas"), hashes)
+
+
 def _q_fingerprints(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import fingerprints
 
@@ -735,6 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "embedding_dedup": _q_embdedup,
         "text_metrics": _q_text_metrics,
+        "gopher_quality": _q_gopher_quality,
+        "decontaminate": _q_decontaminate,
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
         "word_frequencies": _q_word_freq,
@@ -1160,6 +1190,75 @@ def oracle_sql() -> dict[str, str]:
                        AS quality_score,
                    CASE WHEN stop_ratio > 0.02 THEN 'en' ELSE 'unknown' END AS lang_guess
             FROM m2
+        """,
+        "gopher_quality": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS p
+                FROM documents),
+            bg AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS b2
+                FROM w QUALIFY b2 IS NOT NULL),
+            bstat AS (
+                SELECT doc_id, count(*) AS n_bg, count(DISTINCT b2) AS nd_bg
+                FROM bg GROUP BY doc_id),
+            wstat AS (
+                SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS nd_w
+                FROM w GROUP BY doc_id),
+            base AS (
+                SELECT d.doc_id,
+                       s.n_words,
+                       length(replace(d.text, ' ', ''))
+                           / CAST(greatest(s.n_words, 1) AS DOUBLE) AS mean_wl,
+                       (CASE WHEN ' ' || d.text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+                        + CASE WHEN ' ' || d.text || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+                        + CASE WHEN ' ' || d.text || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+                        + CASE WHEN ' ' || d.text || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+                        + CASE WHEN ' ' || d.text || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
+                           AS stop_hits,
+                       1.0 - s.nd_w / CAST(greatest(s.n_words, 1) AS DOUBLE)
+                           AS dup_word,
+                       coalesce(1.0 - b.nd_bg / CAST(b.n_bg AS DOUBLE), 0.0)
+                           AS dup_2gram
+                FROM documents d
+                JOIN wstat s ON s.doc_id = d.doc_id
+                LEFT JOIN bstat b ON b.doc_id = d.doc_id)
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   floor(mean_wl * 1000000 + 0.501) / 1000000 AS mean_word_len,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   floor(dup_word * 1000000 + 0.501) / 1000000 AS dup_word_frac,
+                   floor(dup_2gram * 1000000 + 0.501) / 1000000 AS dup_2gram_frac,
+                   (n_words BETWEEN 20 AND 10000
+                    AND mean_wl BETWEEN 3.0 AND 10.0
+                    AND stop_hits >= 2
+                    AND dup_word <= 0.6
+                    AND dup_2gram <= 0.1) AS passes
+            FROM base
+        """,
+        "decontaminate": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS p
+                FROM documents),
+            ng AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+                FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+                QUALIFY g IS NOT NULL),
+            bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0),
+            cnt AS (
+                SELECT doc_id, count(*) AS n_ngrams
+                FROM ng WHERE doc_id % 50 <> 0 GROUP BY doc_id),
+            hits AS (
+                SELECT ng.doc_id, count(*) AS n_hits
+                FROM ng JOIN bench USING (g)
+                WHERE ng.doc_id % 50 <> 0 GROUP BY ng.doc_id)
+            SELECT h.doc_id,
+                   CAST(h.n_hits AS BIGINT) AS n_hits,
+                   CAST(c.n_ngrams AS BIGINT) AS n_ngrams
+            FROM hits h JOIN cnt c USING (doc_id)
         """,
         "word_frequencies": """
             SELECT word, count(*) AS n

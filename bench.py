@@ -86,6 +86,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "simhash_dedup",
         "embedding_dedup",
         "text_metrics",
+        "gopher_quality",
+        "decontaminate",
         "doc_fingerprints",
         "word_frequencies",
         "doc_subwords",

@@ -1,0 +1,123 @@
+"""Gopher-style quality gate + n-gram decontamination: hand-computed
+fixtures and planted-overlap checks (values at driver scale are
+verified by the DuckDB oracle in tools/check_contract.py)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from kire_ray.pipelines.decontam import (
+    _ngram_hashes,
+    benchmark_ngrams,
+    decontaminate,
+)
+from kire_ray.pipelines.text_analysis import gopher_quality
+
+
+def _docs_ds(rows):
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(rows)), "text": rows})
+    )
+
+
+def test_gopher_quality_hand_computed(ray_session):
+    # doc 0: 24 distinct-ish words with stopwords -> passes
+    good = "the cat sat on a mat and then the dog ran to a tree of green " \
+           "leaves while birds sang songs above it"
+    # doc 1: too short
+    short = "tiny doc"
+    # doc 2: massive word repetition -> dup_word_frac > 0.6
+    rep = " ".join(["the", "a"] * 20)
+    got = (
+        gopher_quality(_docs_ds([good, short, rep]))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    assert got.loc[0, "n_words"] == len(good.split())
+    assert bool(got.loc[0, "passes"])
+
+    assert got.loc[1, "n_words"] == 2
+    assert not bool(got.loc[1, "passes"])
+
+    # rep: 40 words, 2 distinct -> dup_word_frac = 0.95
+    assert got.loc[2, "dup_word_frac"] == 0.95
+    assert not bool(got.loc[2, "passes"])
+
+    # bigram fraction for rep: 39 bigrams, 2 distinct ("the a", "a the")
+    exp = round(1 - 2 / 39, 6)
+    assert abs(got.loc[2, "dup_2gram_frac"] - exp) < 1e-9
+
+
+def test_gopher_mean_word_len_rule(ray_session):
+    # mean word length 1.0 (< 3) fails even with stopwords present
+    doc = "a " * 30 + "a"
+    got = gopher_quality(_docs_ds([doc.strip()])).to_pandas()
+    assert got.loc[0, "mean_word_len"] == 1.0
+    assert not bool(got.loc[0, "passes"])
+
+
+def test_ngram_hashes_cross_row_isolation():
+    # identical corpora split into different rows must never produce
+    # n-grams spanning a row boundary
+    a, _ = _ngram_hashes(pd.Series(["p q r s"]), 3)
+    b, _ = _ngram_hashes(pd.Series(["p q", "r s"]), 3)
+    assert len(a) == 2 and len(b) == 0
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    bench = _docs_ds(["alpha beta gamma delta"])
+    hashes = benchmark_ngrams(bench, n=3)
+    assert len(hashes) == 2  # 'alpha beta gamma', 'beta gamma delta'
+
+    train = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    "x alpha beta gamma y",      # 1 hit of 3 ngrams
+                    "no overlap at all here",    # clean
+                    "alpha beta gamma delta twice alpha beta gamma delta",
+                ],
+            }
+        )
+    )
+    got = (
+        decontaminate(train, hashes, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [10, 12]
+    assert got.loc[0, "n_hits"] == 1 and got.loc[0, "n_ngrams"] == 3
+    # doc 12: 9 words -> 7 trigram positions; hits at positions where
+    # the window is one of the two bench trigrams: 1,2 and 6,7 -> 4
+    assert got.loc[1, "n_hits"] == 4 and got.loc[1, "n_ngrams"] == 7
+
+
+def test_decontaminate_batch_layout_invariance(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, 12)) for _ in range(60)]
+    docs = pd.DataFrame({"doc_id": range(60), "text": texts})
+    bench = ray.data.from_pandas(docs[docs.doc_id % 10 == 0])
+    train_df = docs[docs.doc_id % 10 != 0]
+    hashes = benchmark_ngrams(bench, n=3)
+
+    one = (
+        decontaminate(ray.data.from_pandas(train_df), hashes, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    many = (
+        decontaminate(
+            ray.data.from_pandas(train_df).repartition(13), hashes, n=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)

@@ -231,9 +231,21 @@ def _q_exact_dedup(sf_dir: str) -> Any:
 
 
 def _q_minhash(sf_dir: str) -> Any:
+    """MinHash+LSH near-dup (64 perms, 16 bands, word-3-gram shingles,
+    exact Jaccard verify at 0.8). Carries an exact DuckDB oracle: the
+    verify stage computes true Jaccard over distinct word 3-grams, and
+    the fixed-seed banding surfaces every true pair at driver scale
+    (measured recall 1.0 at sf0.01; deterministic, so the oracle's
+    all-pairs Jaccard reproduces the output value-for-value)."""
+    from kire_ray.functions.rounding import round_half_up
     from kire_ray.pipelines.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(sf_dir))
+    def rounded(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["jaccard"] = round_half_up(b["jaccard"], 6)
+        return b
+
+    return minhash_dedup(_docs(sf_dir)).map_batches(rounded, batch_format="pandas")
 
 
 def _q_simhash(sf_dir: str) -> Any:
@@ -436,6 +448,25 @@ def _n_media(sf_dir: str) -> int:
     from kire_ray.sources.synth import sf_of_dir
 
     return max(120, int(12000 * sf_of_dir(sf_dir)))
+
+
+def _media_meta(sf_dir: str) -> str:
+    """Persist the deterministic synth-media *metadata* (no payload)
+    under the corpus dir so the frame_sample / audio_chunk oracles can
+    reconstruct the chunk arithmetic in SQL. Idempotent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_corpus(sf_dir), "media_meta.parquet")
+    if not os.path.exists(path):
+        from kire_ray.pipelines.multimodal import synth_media
+
+        t = synth_media(_n_media(sf_dir)).select(["media_id", "kind", "duration_ms"])
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def _q_kg_eval(sf_dir: str) -> Any:
@@ -790,7 +821,8 @@ def oracle_sql() -> dict[str, str]:
     Corpus-side oracles (kg_assembled_turns / kg_doc_subwords_flat /
     glre_pairs_flat / pubtator_docs_flat) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
-    parameter, so these four are bound to sf0.01 — the scale the
+    parameter, so these (plus frame_sample / audio_chunk, which read
+    the persisted media metadata) are bound to sf0.01 — the scale the
     driver's correctness compare runs at; comparing them at another sf
     is out of contract (the per-sf view-bound oracles are unaffected).
     Calling this function materializes the sf0.01 corpus cache if
@@ -803,6 +835,7 @@ def oracle_sql() -> dict[str, str]:
 
     nq, k = N_ANN_QUERIES, ANN_K
     c01 = _corpus("/root/testdata/sf0.01")
+    media01 = _media_meta("/root/testdata/sf0.01")
     return {
         "kg_assembled_turns": f"""
             SELECT conv_id AS doc_id,
@@ -1118,6 +1151,49 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "frame_sample": f"""
+            SELECT media_id, CAST(f * 1000 AS BIGINT) AS frame_ms
+            FROM (
+                SELECT media_id,
+                       unnest(range((greatest(duration_ms, 1) + 999) // 1000)) AS f
+                FROM read_parquet('{media01}')
+                WHERE kind = 'video')
+        """,
+        "audio_chunk": f"""
+            SELECT media_id,
+                   CAST(c * 5000 AS BIGINT) AS chunk_start_ms,
+                   CAST(least(c * 5000 + 5000, greatest(duration_ms, 1)) AS BIGINT)
+                       AS chunk_end_ms
+            FROM (
+                SELECT media_id, greatest(duration_ms, 1) AS duration_ms,
+                       unnest(range((greatest(duration_ms, 1) + 4999) // 5000)) AS c
+                FROM read_parquet('{media01}')
+                WHERE kind = 'audio')
+        """,
+        "minhash_dedup": f"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS p
+                FROM documents),
+            ng AS (
+                SELECT DISTINCT doc_id,
+                       w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+                FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+                QUALIFY g IS NOT NULL),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM ng a JOIN ng b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT i.id_a, i.id_b, i.n_common,
+                   sa.sz + sb.sz - i.n_common AS n_union,
+                   {sql_round('i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common)', 6)}
+                       AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.8
         """,
         "ngram_jaccard_dedup": f"""
             WITH {_NGRAM_CTES}

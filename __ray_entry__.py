@@ -351,6 +351,22 @@ def _q_decontaminate(sf_dir: str) -> Any:
     return decontaminate(docs.map_batches(pick(False), batch_format="pandas"), hashes)
 
 
+def _q_tfidf_top_terms(sf_dir: str) -> Any:
+    """Top-5 TF-IDF terms per doc: vocab-bounded df exchange broadcast
+    once, per-batch explode+rank — verified value-for-value in SQL."""
+    from kire_ray.pipelines.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=5)
+
+
+def _q_unigram_logprob(sf_dir: str) -> Any:
+    """Per-doc mean unigram log-prob under the corpus unigram LM — the
+    SQL-checkable stand-in for perplexity-based quality filtering."""
+    from kire_ray.pipelines.text_analysis import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir))
+
+
 def _q_fingerprints(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import fingerprints
 
@@ -796,6 +812,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_metrics": _q_text_metrics,
         "gopher_quality": _q_gopher_quality,
         "decontaminate": _q_decontaminate,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "unigram_logprob": _q_unigram_logprob,
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
         "word_frequencies": _q_word_freq,
@@ -1312,6 +1330,49 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_word <= 0.6
                     AND dup_2gram <= 0.1) AS passes
             FROM base
+        """,
+        "tfidf_top_terms": f"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            tc AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM w WHERE term <> '' GROUP BY doc_id, term),
+            dft AS (
+                SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM w WHERE term <> '')
+                GROUP BY term),
+            nd AS (SELECT count(*) AS n FROM documents),
+            s AS (
+                SELECT tc.doc_id, tc.term, tc.tf, dft.df,
+                       tc.tf * ln((SELECT n FROM nd) * 1.0 / dft.df) AS score
+                FROM tc JOIN dft USING (term)),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+                FROM s)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   {sql_round('score', 6)} AS tfidf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "unigram_logprob": f"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+            freq AS (
+                SELECT term, count(*) AS c FROM w WHERE term <> '' GROUP BY term),
+            tot AS (SELECT sum(c) AS t FROM freq),
+            d AS (
+                SELECT w.doc_id,
+                       count(*) AS n_tokens,
+                       avg(ln(freq.c / (SELECT t FROM tot))) AS mlp
+                FROM w JOIN freq USING (term)
+                GROUP BY w.doc_id)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   {sql_round('mlp', 6)} AS mean_logprob
+            FROM d
         """,
         "decontaminate": """
             WITH w AS (

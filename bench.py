@@ -88,6 +88,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "text_metrics",
         "gopher_quality",
         "decontaminate",
+        "tfidf_top_terms",
+        "unigram_logprob",
         "doc_fingerprints",
         "word_frequencies",
         "doc_subwords",

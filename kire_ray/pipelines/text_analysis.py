@@ -223,6 +223,135 @@ def gopher_quality(
     return ds.map_batches(rules, batch_format="pandas")
 
 
+def doc_frequencies(
+    ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """(word, df): number of docs containing each word. Per-batch
+    doc-distinct combiner → one vocab-sized grouped exchange (the same
+    dimension-table shape as ``word_frequencies``)."""
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in b[text_col]:
+            c.update(set(t.split()))
+        return pd.DataFrame({"word": list(c.keys()), "df": list(c.values())})
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"), ["word"], {"df": ("df", "sum")}
+    )
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """Top-``k`` TF-IDF terms per document: score = tf · ln(N/df),
+    ranked (score desc, term asc) — the classic keyword-extraction
+    stage of a training-data pipeline.
+
+    The document-frequency table is vocab-bounded, built by the
+    distributed ``doc_frequencies`` exchange and broadcast once
+    (``ray.put``); each batch is then a local explode + grouped
+    rank — no per-doc shuffle. (For a web-scale open vocabulary, cap
+    the table to the top-V terms by df or switch to a hash-partitioned
+    join; the broadcast is the right call while the vocab fits a
+    worker heap, which holds far beyond this corpus.)
+    """
+    df_tab = doc_frequencies(ds, text_col=text_col, id_col=id_col).to_pandas()
+    n_docs = ds.count()
+    words = np.sort(df_tab["word"].to_numpy())
+    dfs = (
+        df_tab.set_index("word")["df"].reindex(words).to_numpy(dtype=np.int64)
+    )
+    ref = ray.put((words, dfs, n_docs))
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        vocab, df_arr, n = ray.get(ref)
+        ws = b[text_col].str.split()
+        lens = ws.map(len).to_numpy(dtype=np.int64)
+        ex = pd.DataFrame(
+            {
+                id_col: np.repeat(b[id_col].to_numpy(), lens),
+                "term": np.concatenate(
+                    [np.asarray(w, dtype=object) for w in ws]
+                )
+                if lens.sum()
+                else np.array([], dtype=object),
+            }
+        )
+        tc = ex.groupby([id_col, "term"], sort=False).size().rename("tf").reset_index()
+        pos = np.searchsorted(vocab, tc["term"].to_numpy())
+        tc["df"] = df_arr[pos]
+        tc["score"] = tc["tf"].to_numpy() * np.log(n / tc["df"].to_numpy())
+        tc = tc.sort_values(
+            [id_col, "score", "term"], ascending=[True, False, True]
+        )
+        tc["rank"] = tc.groupby(id_col, sort=False).cumcount() + 1
+        out = tc[tc["rank"] <= k].reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                id_col: out[id_col],
+                "term": out["term"],
+                "tf": out["tf"].astype(np.int64),
+                "df": out["df"].astype(np.int64),
+                "tfidf": round_half_up(out["score"], 6),
+                "rank": out["rank"].astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(topk, batch_format="pandas")
+
+
+def unigram_logprob(
+    ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Per-doc mean unigram log-probability under the corpus's own
+    unigram LM — the SQL-verifiable analogue of model-based quality
+    scoring (perplexity filtering). Two passes: the vocab-sized
+    frequency exchange (broadcast once), then a streaming probe."""
+    freq = word_frequencies(ds, text_col=text_col).to_pandas()
+    total = int(freq["n"].sum())
+    words = np.sort(freq["word"].to_numpy())
+    counts = freq.set_index("word")["n"].reindex(words).to_numpy(dtype=np.int64)
+    ref = ray.put((words, counts, total))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        vocab, cnt, tot = ray.get(ref)
+        ws = b[text_col].str.split()
+        lens = ws.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "n_tokens": lens,
+                    "mean_logprob": np.zeros(len(b)),
+                }
+            )
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in ws])
+        lp = np.log(cnt[np.searchsorted(vocab, flat)] / tot)
+        ends = np.cumsum(lens)
+        sums = np.add.reduceat(
+            np.concatenate([lp, [0.0]]), np.concatenate([[0], ends[:-1]])
+        )
+        sums[lens == 0] = 0.0
+        mean = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col],
+                "n_tokens": lens,
+                "mean_logprob": round_half_up(pd.Series(mean), 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
 
 

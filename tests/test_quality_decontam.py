@@ -121,3 +121,47 @@ def test_decontaminate_batch_layout_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_tfidf_top_terms_hand_computed(ray_session):
+    from kire_ray.pipelines.text_analysis import tfidf_top_terms
+
+    # 2 docs; 'rare' appears only in doc 0 (df=1), 'shared' in both
+    docs = _docs_ds(["rare shared shared", "shared common words"])
+    got = tfidf_top_terms(docs, k=2).to_pandas()
+    d0 = got[got.doc_id == 0].sort_values("rank")
+    # doc 0: shared tf=2 df=2 -> score 0; rare tf=1 df=1 -> ln(2)
+    assert d0.iloc[0]["term"] == "rare"
+    assert abs(d0.iloc[0]["tfidf"] - round(np.log(2), 6)) < 1e-9
+    # zero scores rank after positive, tie-broken by term asc
+    assert d0.iloc[1]["term"] == "shared" and d0.iloc[1]["tfidf"] == 0.0
+    assert (got.groupby("doc_id")["rank"].max() <= 2).all()
+
+
+def test_unigram_logprob_uniform_corpus(ray_session):
+    from kire_ray.pipelines.text_analysis import unigram_logprob
+
+    # 4 tokens, each unique -> every token has p = 1/4
+    docs = _docs_ds(["p q", "r s"])
+    got = unigram_logprob(docs).to_pandas()
+    exp = round(float(np.log(0.25)), 6)
+    assert np.allclose(got["mean_logprob"], exp, atol=2e-6)
+    assert got["n_tokens"].tolist() == [2, 2]
+
+
+def test_tfidf_batch_layout_invariance(ray_session):
+    from kire_ray.pipelines.text_analysis import tfidf_top_terms
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 15)) for _ in range(50)]
+    base = ray.data.from_pandas(pd.DataFrame({"doc_id": range(50), "text": texts}))
+    key = ["doc_id", "rank"]
+    one = tfidf_top_terms(base, k=3).to_pandas().sort_values(key).reset_index(drop=True)
+    many = (
+        tfidf_top_terms(base.repartition(9), k=3)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)

@@ -367,6 +367,17 @@ def _q_unigram_logprob(sf_dir: str) -> Any:
     return unigram_logprob(_docs(sf_dir))
 
 
+def _q_source_mix(sf_dir: str) -> Any:
+    """Per-source doc/token counts + uniform-resampling weights (the
+    data-mixing stage); combiner → source-cardinality exchange."""
+    from kire_ray.pipelines.text_analysis import source_mix
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return source_mix(docs)
+
+
 def _q_fingerprints(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import fingerprints
 
@@ -814,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "unigram_logprob": _q_unigram_logprob,
+        "source_mix": _q_source_mix,
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
         "word_frequencies": _q_word_freq,
@@ -1330,6 +1342,22 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_word <= 0.6
                     AND dup_2gram <= 0.1) AS passes
             FROM base
+        """,
+        "source_mix": f"""
+            WITH s AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(length(text) - length(replace(text, ' ', '')) + 1)
+                           AS n_tokens
+                FROM documents GROUP BY source),
+            t AS (SELECT sum(n_tokens) AS tot, count(*) AS k FROM s)
+            SELECT source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   {sql_round('n_tokens * 1.0 / (SELECT tot FROM t)', 6)}
+                       AS token_share,
+                   {sql_round('(1.0 / (SELECT k FROM t)) / (n_tokens * 1.0 / (SELECT tot FROM t))', 6)}
+                       AS uniform_weight
+            FROM s
         """,
         "tfidf_top_terms": f"""
             WITH w AS (

@@ -90,6 +90,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "decontaminate",
         "tfidf_top_terms",
         "unigram_logprob",
+        "source_mix",
         "doc_fingerprints",
         "word_frequencies",
         "doc_subwords",

@@ -223,6 +223,52 @@ def gopher_quality(
     return ds.map_batches(rules, batch_format="pandas")
 
 
+def source_mix(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> "ray.data.Dataset":
+    """Data-mixing table: per-source doc/token counts, the corpus
+    share of each source, and the resampling weight that would flatten
+    the mix to uniform (weight = mean share / source share — the
+    knob a mixture-training pipeline feeds its sampler).
+
+    Block-local combiner (one row per source per batch) → one
+    source-cardinality exchange; never ships documents."""
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col]
+        toks = (
+            t.str.len() - t.str.replace(" ", "", regex=False).str.len() + 1
+        ).astype("int64")
+        g = pd.DataFrame({source_col: b[source_col], "n_tokens": toks})
+        out = g.groupby(source_col, sort=False)["n_tokens"].agg(["count", "sum"])
+        return out.reset_index().rename(
+            columns={"count": "n_docs", "sum": "n_tokens"}
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [source_col],
+        {"n_docs": ("n_docs", "sum"), "n_tokens": ("n_tokens", "sum")},
+    ).to_pandas()
+    total = int(agg["n_tokens"].sum())
+    n_src = len(agg)
+    share = agg["n_tokens"].to_numpy() / total
+    out = pd.DataFrame(
+        {
+            source_col: agg[source_col],
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "n_tokens": agg["n_tokens"].astype(np.int64),
+            "token_share": round_half_up(pd.Series(share), 6),
+            "uniform_weight": round_half_up(pd.Series((1.0 / n_src) / share), 6),
+        }
+    )
+    return ray.data.from_pandas(out)
+
+
 def doc_frequencies(
     ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":

@@ -165,3 +165,27 @@ def test_tfidf_batch_layout_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_source_mix_weights(ray_session):
+    from kire_ray.pipelines.text_analysis import source_mix
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["a b c d", "e f", "g h", "i j", "k l", "m n"],
+            "source": ["big", "big", "big", "small", "small", "tiny"],
+        }
+    )
+    got = (
+        source_mix(ray.data.from_pandas(df))
+        .to_pandas()
+        .set_index("source")
+        .sort_index()
+    )
+    # tokens: big 4+2+2=8, small 2+2=4, tiny 2 -> total 14
+    assert got.loc["big", "n_tokens"] == 8 and got.loc["big", "n_docs"] == 3
+    assert abs(got.loc["big", "token_share"] - round(8 / 14, 6)) < 1e-9
+    # uniform weight: (1/3) / share; rarer source gets a larger weight
+    assert got.loc["tiny", "uniform_weight"] > got.loc["big", "uniform_weight"]
+    assert abs(got.loc["small", "uniform_weight"] - round((1 / 3) / (4 / 14), 6)) < 1e-9

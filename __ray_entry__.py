@@ -422,13 +422,14 @@ def _q_kg_doc_subwords(sf_dir: str) -> Any:
     """Full subword channels over the flagship's linked docs: input_ids,
     word→subword maps (sent_map), '*' entity markers, subword_indexs —
     the ATLOP+KIRE/prepro.py:37-78 feature surface."""
-    from kire_ray.stages.subword import build_chunk_vocab, tokenize_subwords
+    from kire_ray.stages.subword import chunk_vocab_from_words, tokenize_subwords
 
     c = _flagship_linked(sf_dir)
     if "subwords" not in c:
         # memoized: the flat projection query re-consumes the same
-        # channels — don't rebuild the vocab + retokenize per consumer
-        vocab = build_chunk_vocab(c["linked"], text_col="turn_texts")
+        # channels — don't rebuild the vocab + retokenize per consumer;
+        # the chunk vocab derives from the shared word-counts exchange
+        vocab = chunk_vocab_from_words(_flagship_word_counts(sf_dir)["word"])
         c["subwords"] = tokenize_subwords(c["linked"], vocab).materialize()
     return c["subwords"]
 
@@ -451,13 +452,25 @@ def _q_kg_doc_subwords_flat(sf_dir: str) -> Any:
     return sw.map_batches(flat, batch_format="pandas")
 
 
+def _flagship_word_counts(sf_dir: str) -> pd.DataFrame:
+    """One distinct-word exchange per corpus per session, shared by the
+    featurize vocab and the subword chunk vocab (both scan the same
+    linked turn_texts otherwise)."""
+    from kire_ray.stages.featurize import word_counts
+
+    c = _flagship_linked(sf_dir)
+    if "word_counts" not in c:
+        c["word_counts"] = word_counts(c["linked"])
+    return c["word_counts"]
+
+
 def _q_doc_features(sf_dir: str) -> Any:
     """M6/M7 dense channels over the flagship's linked docs (ragged
     Arrow lists, vocab built distributed)."""
-    from kire_ray.stages.featurize import build_word_vocab, featurize
+    from kire_ray.stages.featurize import featurize, vocab_from_counts
 
     c = _flagship_linked(sf_dir)
-    vocab = build_word_vocab(c["linked"])
+    vocab = vocab_from_counts(_flagship_word_counts(sf_dir))
     return featurize(
         c["linked"], vocab, kg_ref=c["ctx"].kg_ref, canon_ref=c["ctx"].canon_ref
     )

@@ -70,15 +70,13 @@ def ep_dis_signed(delta) -> np.ndarray:
     return (np.sign(d) * dis_bucket(np.abs(d)) + 10).astype(np.int32)
 
 
-def build_word_vocab(
-    docs: "ray.data.Dataset", *, text_col: str = "turn_texts", min_count: int = 1
-) -> dict[str, int]:
-    """Distributed word-frequency vocabulary.
-
-    Per-batch Counter (combiner) → grouped_agg sum → driver-side id
-    assignment sorted by (-count, word). The exchange moves one row per
-    (word, block); the final table is vocabulary-sized.
-    """
+def word_counts(
+    docs: "ray.data.Dataset", *, text_col: str = "turn_texts"
+) -> pd.DataFrame:
+    """Corpus word-count table (word, n): per-batch Counter combiner →
+    grouped_agg sum. One exchange row per (word, block); the result is
+    vocabulary-sized. Shared base for ``build_word_vocab`` and the
+    subword chunk vocab so the flagship scans the corpus once."""
     from kire_ray.stages.shuffle import grouped_agg
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -92,17 +90,28 @@ def build_word_vocab(
                     c.update(t.split())
         return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
 
-    counts = (
-        grouped_agg(
-            docs.map_batches(partial, batch_format="pandas"),
-            ["word"],
-            {"n": ("n", "sum")},
-        )
-        .to_pandas()
-    )
+    return grouped_agg(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["word"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+
+
+def vocab_from_counts(counts: pd.DataFrame, *, min_count: int = 1) -> dict[str, int]:
+    """Deterministic id assignment over a (word, n) table, sorted by
+    (-count, word); ids 0/1 reserved for PAD/UNK."""
     counts = counts[counts["n"] >= min_count]
     counts = counts.sort_values(["n", "word"], ascending=[False, True], kind="stable")
     return {w: i + 2 for i, w in enumerate(counts["word"])}  # 0=PAD, 1=UNK
+
+
+def build_word_vocab(
+    docs: "ray.data.Dataset", *, text_col: str = "turn_texts", min_count: int = 1
+) -> dict[str, int]:
+    """Distributed word-frequency vocabulary (see ``word_counts``)."""
+    return vocab_from_counts(
+        word_counts(docs, text_col=text_col), min_count=min_count
+    )
 
 
 class FeaturizeDocs:

@@ -286,9 +286,15 @@ def build_chunk_vocab(
         ["word"],
         {"n": ("word", "size")},
     ).to_pandas()
+    return chunk_vocab_from_words(distinct["word"], chunk=chunk)
 
+
+def chunk_vocab_from_words(words, *, chunk: int = CHUNK) -> dict[str, int]:
+    """Chunk-vocab assembly from an already-distinct word iterable
+    (e.g. a shared ``featurize.word_counts`` table) — skips the
+    corpus scan when the distinct-word exchange already ran."""
     pieces: set[str] = set()
-    for w in distinct["word"]:
+    for w in words:
         for i in range(0, len(w), chunk):
             p = w[i : i + chunk]
             pieces.add(p if i == 0 else "##" + p)

@@ -367,6 +367,16 @@ def _q_unigram_logprob(sf_dir: str) -> Any:
     return unigram_logprob(_docs(sf_dir))
 
 
+def _q_duplicated_spans(sf_dir: str) -> Any:
+    """Substring dedup (Lee et al. 2021 family): maximal per-doc spans
+    covered by token-8-grams that repeat anywhere in the corpus. Every
+    stage hash-partitioned; the duplicated-window table is semi-joined
+    back via a large⋈large hash join, never broadcast."""
+    from kire_ray.pipelines.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(sf_dir), window=8)
+
+
 def _q_source_mix(sf_dir: str) -> Any:
     """Per-source doc/token counts + uniform-resampling weights (the
     data-mixing stage); combiner → source-cardinality exchange."""
@@ -839,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "unigram_logprob": _q_unigram_logprob,
         "source_mix": _q_source_mix,
+        "duplicated_spans": _q_duplicated_spans,
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
         "word_frequencies": _q_word_freq,
@@ -1355,6 +1366,35 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_word <= 0.6
                     AND dup_2gram <= 0.1) AS passes
             FROM base
+        """,
+        "duplicated_spans": f"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS p
+                FROM documents),
+            ng AS (
+                SELECT doc_id, p,
+                       {" || ' ' || ".join(["w"] + [f"lead(w, {i}) OVER win" for i in range(1, 8)])} AS g
+                FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+                QUALIFY g IS NOT NULL),
+            dup AS (SELECT g FROM ng GROUP BY g HAVING count(*) > 1),
+            pos AS (SELECT ng.doc_id, ng.p FROM ng JOIN dup USING (g)),
+            lagend AS (
+                SELECT doc_id, p,
+                       max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_end
+                FROM pos),
+            grp AS (
+                SELECT *, sum(CASE WHEN prev_end IS NULL OR p > prev_end
+                                   THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id ORDER BY p) AS gid
+                FROM lagend)
+            SELECT doc_id,
+                   CAST(min(p) AS BIGINT) AS start_pos,
+                   CAST(max(p) + 8 AS BIGINT) AS end_pos,
+                   CAST(max(p) + 8 - min(p) AS BIGINT) AS n_tokens
+            FROM grp GROUP BY doc_id, gid
         """,
         "source_mix": f"""
             WITH s AS (

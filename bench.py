@@ -80,6 +80,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_distinct_users",
         "orders_status_quantiles",
         "exact_dedup",
+        "duplicated_spans",
         "minhash_dedup",
         "ngram_jaccard_dedup",
         "dup_clusters",

@@ -638,3 +638,124 @@ def dup_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pandas",
     )
     return connected_components(edges)
+
+
+# ---------------------- substring (span) dedup ----------------------
+
+
+def _window_hashes_positional(th: np.ndarray, k: int) -> np.ndarray:
+    """Positional sliding-window combine of token hashes (the
+    non-unique sibling of ``_combine_token_hashes``): hash of the
+    window starting at each position 0..len-k. Docs shorter than the
+    window emit nothing."""
+    if len(th) < k:
+        return np.array([], dtype=np.uint64)
+    sw = np.lib.stride_tricks.sliding_window_view(th, k)
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(sw), dtype=np.uint64)
+        for j in range(k):
+            h = h * _SH_MIX + sw[:, j].astype(np.uint64)
+    return h
+
+
+def duplicated_spans(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Cross-document substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the suffix-array
+    pass re-expressed over fixed token windows): find every length-
+    ``window`` token sequence that occurs more than once corpus-wide,
+    then merge the hit positions into maximal per-doc spans
+    ``(doc_id, start_pos, end_pos, n_tokens)`` — the spans a cleaning
+    pass would cut.
+
+    Dataflow — two hash exchanges, nothing driver-side: position rows
+    (doc, p, window-hash) → exchange on the hash (all rows of a window
+    co-locate, so the count>1 filter is a partition-local
+    ``value_counts`` — no separate aggregate, no join, and the
+    duplicated-window table is never broadcast) → per-doc exchange →
+    vectorized island merge (adjacent/overlapping spans coalesce).
+    """
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    def positions(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ps, hs = [], [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            h = _window_hashes_positional(hash64_fast(t.split()), window)
+            if len(h):
+                ids.append(np.full(len(h), i))
+                ps.append(np.arange(1, len(h) + 1, dtype=np.int64))  # 1-based
+                hs.append(h)
+        if not ids:
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype=np.int64),
+                    "p": np.array([], dtype=np.int64),
+                    "h": np.array([], dtype=np.uint64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(ids),
+                "p": np.concatenate(ps),
+                "h": np.concatenate(hs),
+            }
+        )
+
+    pos = docs.map_batches(positions, batch_format="pandas")
+
+    def dup_filter(part: pd.DataFrame) -> pd.DataFrame:
+        # the exchange co-located every occurrence of a window hash, so
+        # a partition-local count IS the corpus-wide count
+        vc = part["h"].value_counts()
+        keep = part["h"].isin(vc.index[vc > 1])
+        return part.loc[keep, [id_col, "p"]]
+
+    hits = partitioned_map_groups(
+        pos, ["h"], dup_filter, num_partitions=num_partitions
+    )
+
+    def merge_spans(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype=np.int64),
+                    "start_pos": np.array([], dtype=np.int64),
+                    "end_pos": np.array([], dtype=np.int64),
+                    "n_tokens": np.array([], dtype=np.int64),
+                }
+            )
+        part = part.sort_values([id_col, "p"])
+        doc = part[id_col].to_numpy()
+        p = part["p"].to_numpy(dtype=np.int64)
+        end = p + window  # exclusive
+        # per-doc cummax via the offset trick: lift each doc's values
+        # onto a disjoint range, global cummax, then project back
+        new_doc = np.concatenate([[True], doc[1:] != doc[:-1]])
+        gid = np.cumsum(new_doc) - 1
+        base = np.int64(end.max() + 1)
+        cm = np.maximum.accumulate(end + gid * base) - gid * base
+        prev_end = np.concatenate([[0], cm[:-1]])
+        island = new_doc | (p > prev_end)
+        sid = np.cumsum(island) - 1
+        starts = p[island]
+        ends = np.maximum.reduceat(end + gid * base, np.nonzero(island)[0]) - (
+            gid[island] * base
+        )
+        return pd.DataFrame(
+            {
+                id_col: doc[island],
+                "start_pos": starts,
+                "end_pos": ends.astype(np.int64),
+                "n_tokens": (ends - starts).astype(np.int64),
+            }
+        )
+
+    return partitioned_map_groups(
+        hits, [id_col], merge_spans, num_partitions=num_partitions
+    )

@@ -189,3 +189,66 @@ def test_source_mix_weights(ray_session):
     # uniform weight: (1/3) / share; rarer source gets a larger weight
     assert got.loc["tiny", "uniform_weight"] > got.loc["big", "uniform_weight"]
     assert abs(got.loc["small", "uniform_weight"] - round((1 / 3) / (4 / 14), 6)) < 1e-9
+
+
+def test_duplicated_spans_hand_computed(ray_session):
+    from kire_ray.pipelines.dedup import duplicated_spans
+
+    # shared 3-window "a b c" at doc0 pos1 and doc1 pos2; overlapping
+    # windows in doc2 ("x a b c d": none duplicated since window=3
+    # strings differ except 'a b c' at pos 2)
+    docs = _docs_ds(["a b c q r", "z a b c", "x a b c d"])
+    got = (
+        duplicated_spans(docs, window=3)
+        .to_pandas()
+        .sort_values(["doc_id", "start_pos"])
+        .reset_index(drop=True)
+    )
+    # every doc contains 'a b c' once -> one span of 3 tokens each
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["n_tokens"].tolist() == [3, 3, 3]
+    assert got.loc[0, "start_pos"] == 1 and got.loc[0, "end_pos"] == 4
+    assert got.loc[1, "start_pos"] == 2
+    assert got.loc[2, "start_pos"] == 2
+
+
+def test_duplicated_spans_merges_overlaps(ray_session):
+    from kire_ray.pipelines.dedup import duplicated_spans
+
+    # two copies of a 5-token run -> windows at pos 1..3 merge to one
+    # maximal span of 5 tokens in each doc
+    docs = _docs_ds(["m n o p q", "m n o p q tail words here"])
+    got = (
+        duplicated_spans(docs, window=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    assert got["start_pos"].tolist() == [1, 1]
+    assert got["n_tokens"].tolist() == [5, 5]
+
+
+def test_duplicated_spans_layout_invariance(ray_session):
+    from kire_ray.pipelines.dedup import duplicated_spans
+
+    rng = np.random.default_rng(23)
+    vocab = [f"t{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, 20)) for _ in range(40)]
+    texts += texts[:8]  # planted exact dups
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    key = ["doc_id", "start_pos"]
+    one = (
+        duplicated_spans(ray.data.from_pandas(df), window=5)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    many = (
+        duplicated_spans(ray.data.from_pandas(df).repartition(11), window=5)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, many)
+    assert (one["doc_id"] >= 40).sum() == 8  # each planted dup flagged

@@ -406,6 +406,14 @@ def _q_token_counts(sf_dir: str) -> Any:
     return regex_token_counts(_docs(sf_dir))
 
 
+def _q_pack_sequences(sf_dir: str) -> Any:
+    """Pretraining sequence packing via distributed prefix sum (range-
+    partitioned two-pass scan; no doc shuffle)."""
+    from kire_ray.pipelines.text_analysis import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), budget=2048)
+
+
 def _q_doc_subwords(sf_dir: str) -> Any:
     """M2/T1: real greedy WordPiece over a corpus-derived chunk vocab —
     per-doc word/subword counts are SQL-replicable (ceil(len/8) pieces
@@ -855,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_frequencies": _q_word_freq,
         "doc_subwords": _q_doc_subwords,
         "token_counts": _q_token_counts,
+        "pack_sequences": _q_pack_sequences,
         "kg_doc_subwords": _q_kg_doc_subwords,
         "kg_doc_subwords_flat": _q_kg_doc_subwords_flat,
         "doc_features": _q_doc_features,
@@ -1501,6 +1510,24 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+')) AS BIGINT)
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS start
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(start // 2048 AS BIGINT) AS seq_id,
+                   CAST(start % 2048 AS BIGINT) AS seq_offset
+            FROM s
         """,
         "token_count_total": """
             SELECT CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)

@@ -427,3 +427,101 @@ def regex_token_counts(
         )
 
     return ds.map_batches(counts, batch_format="pandas")
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    num_ranges: int | None = None,
+) -> "ray.data.Dataset":
+    """Streaming sequence packing for pretraining: assign each doc (in
+    ``id_col`` order) to a fixed-token-budget training sequence by the
+    running token count — ``seq_id = floor(prefix_tokens / budget)``,
+    plus the doc's offset inside its sequence.
+
+    The running count is a *distributed prefix sum* (an operator Ray
+    Data has no native primitive for): range-partition on the integer
+    doc id, pass 1 reduces per-range token sums (combiner + one
+    range-cardinality exchange), the driver exclusive-scans the tiny
+    per-range table, pass 2 re-scans streaming and adds the broadcast
+    range offsets to an in-range vectorized cumsum. Docs never shuffle;
+    only one row per (range, block) moves. Assumes integer doc ids
+    (dense not required — ranges may be ragged, the scan only needs
+    range order).
+    """
+    from kire_ray.stages.shuffle import cluster_cpus, grouped_agg
+
+    lo, hi = [
+        int(x)
+        for x in ds.select_columns([id_col])  # id-only scan, text stays put
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"lo": [b[id_col].min()], "hi": [b[id_col].max()]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .agg({"lo": "min", "hi": "max"})
+    ]
+    n_ranges = num_ranges or max(4 * cluster_cpus(), 64)
+    width = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def tok(b: pd.DataFrame) -> pd.Series:
+        t = b[text_col]
+        return (
+            t.str.len() - t.str.replace(" ", "", regex=False).str.len() + 1
+        ).astype("int64")
+
+    def range_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"r": (b[id_col] - lo) // width, "n": tok(b)})
+        out = g.groupby("r", sort=False)["n"].sum()
+        return pd.DataFrame({"r": out.index.to_numpy(), "n": out.to_numpy()})
+
+    ranges = (
+        grouped_agg(
+            ds.map_batches(range_partial, batch_format="pandas"),
+            ["r"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values("r")
+    )
+    # exclusive scan over the range-cardinality table (driver-side,
+    # bounded by n_ranges regardless of corpus size)
+    offs = np.zeros(int(ranges["r"].max()) + 2 if len(ranges) else 1, dtype=np.int64)
+    np.add.at(offs, ranges["r"].to_numpy(dtype=np.int64) + 1, ranges["n"].to_numpy())
+    offs = np.cumsum(offs)
+    ref = ray.put(offs)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        range_offs = ray.get(ref)
+        b = b.sort_values(id_col)
+        n = tok(b).to_numpy()
+        r = ((b[id_col].to_numpy() - lo) // width).astype(np.int64)
+        # in-range exclusive cumsum (batch == range slice is NOT
+        # guaranteed; correctness needs each range fully inside one
+        # task — enforced by repartitioning on the range key below)
+        csum = np.cumsum(n) - n
+        new_r = np.concatenate([[True], r[1:] != r[:-1]])
+        # csum is non-decreasing, so a running max over range-start
+        # markers carries each range's starting csum forward
+        base = np.maximum.accumulate(np.where(new_r, csum, -1))
+        start = range_offs[r] + (csum - base)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_tokens": n,
+                "seq_id": (start // budget).astype(np.int64),
+                "seq_offset": (start % budget).astype(np.int64),
+            }
+        )
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    with_r = ds.map_batches(
+        lambda b: b.assign(_r=(b[id_col] - lo) // width), batch_format="pandas"
+    )
+    return partitioned_map_groups(with_r, ["_r"], lambda g: assign(g.drop(columns=["_r"])))

@@ -419,3 +419,31 @@ def test_embedding_similarity_gap(ray_session):
     S = M @ M.T
     np.fill_diagonal(S, -1.0)
     assert S.max() < 0.85, f"natural max cosine {S.max():.3f} too close to 0.95"
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Distributed two-pass prefix sum == sequential scan, with sparse
+    non-contiguous ids across many blocks and a tiny range width so
+    several ranges land in one hash partition (exercises the in-partition
+    multi-range base logic)."""
+    from kire_ray.pipelines.text_analysis import pack_sequences
+
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.choice(100_000, size=400, replace=False))
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, size=400)]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = ray.data.from_pandas(df).repartition(13)
+
+    got = (
+        pack_sequences(ds, budget=64, num_ranges=17)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    n = df.sort_values("doc_id")["text"].str.split(" ").str.len().to_numpy()
+    start = np.cumsum(n) - n
+    assert (got["n_tokens"].to_numpy() == n).all()
+    assert (got["seq_id"].to_numpy() == start // 64).all()
+    assert (got["seq_offset"].to_numpy() == start % 64).all()
+    assert len(got) == 400

@@ -406,6 +406,62 @@ def _q_token_counts(sf_dir: str) -> Any:
     return regex_token_counts(_docs(sf_dir))
 
 
+# fixed per-source sampling rates for the stratified_sample query —
+# shared with oracle_sql(), which generates the SQL CASE from this dict
+_SAMPLE_RATES = {"src1": 1.0, "src2": 0.25, "src3": 0.75, "src4": 0.1}
+_SAMPLE_DEFAULT = 0.5
+_SHUFFLE_SHARDS = 32
+# duplicated from kire_ray.pipelines.text_analysis.EMAIL_PATTERN by a
+# contract test — the oracle f-string needs it at module scope
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def _stratified_sample_sql() -> str:
+    """SQL twin of sampling.stratified_sample over _SAMPLE_RATES: the
+    CASE thresholds are generated from the same dict + threshold rule
+    the engine uses (single source of truth)."""
+    from kire_ray.pipelines.sampling import _rate_threshold
+
+    arms = "".join(
+        f"WHEN '{s}' THEN '{_rate_threshold(r)}' "
+        for s, r in _SAMPLE_RATES.items()
+    )
+    return f"""
+        SELECT doc_id, source
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE source {arms}ELSE '{_rate_threshold(_SAMPLE_DEFAULT)}' END
+    """
+
+
+def _q_stratified_sample(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sampling import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return stratified_sample(docs, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT)
+
+
+def _q_training_shuffle(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sampling import training_shuffle
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return training_shuffle(docs, n_shards=_SHUFFLE_SHARDS)
+
+
+def _q_redact_text(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import redact_text
+
+    return redact_text(_docs(sf_dir))
+
+
+def _q_doc_chunks(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import doc_chunks
+
+    return doc_chunks(_docs(sf_dir), window=32, stride=24)
+
+
 def _q_pack_sequences(sf_dir: str) -> Any:
     """Pretraining sequence packing via distributed prefix sum (range-
     partitioned two-pass scan; no doc shuffle)."""
@@ -864,6 +920,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_subwords": _q_doc_subwords,
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
+        "stratified_sample": _q_stratified_sample,
+        "training_shuffle": _q_training_shuffle,
+        "redact_text": _q_redact_text,
+        "doc_chunks": _q_doc_chunks,
         "kg_doc_subwords": _q_kg_doc_subwords,
         "kg_doc_subwords_flat": _q_kg_doc_subwords_flat,
         "doc_features": _q_doc_features,
@@ -1528,6 +1588,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start // 2048 AS BIGINT) AS seq_id,
                    CAST(start % 2048 AS BIGINT) AS seq_offset
             FROM s
+        """,
+        "stratified_sample": _stratified_sample_sql(),
+        "training_shuffle": f"""
+            WITH k AS (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sort_key
+                FROM documents),
+            s AS (
+                SELECT doc_id, sort_key,
+                       CAST(((strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 16
+                             + strpos('0123456789abcdef', substr(sort_key, 2, 1)) - 1)
+                            % {_SHUFFLE_SHARDS} AS BIGINT) AS shard
+                FROM k)
+            SELECT doc_id, shard, sort_key,
+                   CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key)
+                        - 1 AS BIGINT) AS pos
+            FROM s
+        """,
+        "redact_text": f"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '{_EMAIL}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(length(regexp_extract_all(
+                        regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                        '[0-9]+')) AS BIGINT) AS n_numbers,
+                   regexp_replace(
+                       regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                       '[0-9]+', '<NUM>', 'g') AS clean_text
+            FROM documents
+        """,
+        "doc_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n
+                FROM documents),
+            c AS (
+                SELECT doc_id, n,
+                       CASE WHEN n <= 32 THEN 1
+                            ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+                FROM t),
+            e AS (
+                SELECT doc_id, n, n_chunks,
+                       unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+                FROM c)
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(chunk_idx * 24 AS BIGINT) AS tok_start,
+                   CAST(least(chunk_idx * 24 + 32, n) AS BIGINT) AS tok_end,
+                   CAST(n_chunks AS BIGINT) AS n_chunks
+            FROM e
         """,
         "token_count_total": """
             SELECT CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)

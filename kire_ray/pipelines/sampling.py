@@ -1,0 +1,96 @@
+"""Deterministic corpus sampling / sharding for training-data pipelines.
+
+Both operators key every decision off ``md5(str(doc_id))`` — chosen
+deliberately over the engine's fast ephemeral hash because the result
+is *persisted* (which docs survive the sample, which shard a doc lands
+in must be stable across runs and engines) and because md5 is the one
+hash DuckDB and Python compute identically, so the driver can verify
+the sampled corpus value-for-value in SQL. The cost is one tiny hash
+per document (not per token), amortized over the document payload —
+negligible next to the read even at 100 TB.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from kire_ray.stages.shuffle import default_partitions, partitioned_map_groups
+
+HEX = "0123456789abcdef"
+
+
+def _md5_hex(ids: np.ndarray) -> list[str]:
+    return [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+
+
+def _rate_threshold(rate: float) -> str:
+    """8-hex-char keep threshold: keep iff md5(id)[:8] < threshold.
+
+    'g' sorts above every hex digit, so rate>=1 keeps everything."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(0, int(rate * 2**32)), "08x")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> "ray.data.Dataset":
+    """Deterministic per-source downsampling (source-mix rebalancing):
+    keep a document iff its md5 uniform falls under its source's rate.
+
+    Embarrassingly parallel — a pure filter inside ``map_batches``, no
+    shuffle, no state; the same doc survives regardless of partitioning,
+    cluster size, or resume boundaries.
+    """
+    thr = {s: _rate_threshold(r) for s, r in rates.items()}
+    d = _rate_threshold(default_rate)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array([x[:8] for x in _md5_hex(b[id_col].to_numpy())])
+        t = b[source_col].map(lambda s: thr.get(s, d)).to_numpy(dtype=object)
+        keep = h < t.astype(h.dtype)
+        return b.loc[keep, [id_col, source_col]]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def training_shuffle(
+    ds: "ray.data.Dataset",
+    *,
+    n_shards: int | None = None,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic global shuffle into training shards: shard =
+    first md5 byte mod ``n_shards`` (uniform, content-addressed), order
+    within a shard = full md5 hex (a reproducible random permutation).
+
+    One hash exchange co-locates each shard, then a vectorized
+    in-partition sort + cumcount assigns positions — no global sort,
+    no driver state; re-running on any partitioning yields identical
+    (shard, pos) for every doc.
+    """
+    P = n_shards or default_partitions()
+
+    def key(b: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_hex(b[id_col].to_numpy())
+        shard = np.array([int(x[:2], 16) for x in h], dtype=np.int64) % P
+        return pd.DataFrame(
+            {id_col: b[id_col].to_numpy(), "shard": shard, "sort_key": h}
+        )
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "sort_key"], kind="mergesort")
+        g["pos"] = g.groupby("shard", sort=False).cumcount().astype(np.int64)
+        return g
+
+    keyed = ds.select_columns([id_col]).map_batches(key, batch_format="pandas")
+    return partitioned_map_groups(keyed, ["shard"], order)

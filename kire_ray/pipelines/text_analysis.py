@@ -429,6 +429,86 @@ def regex_token_counts(
     return ds.map_batches(counts, batch_format="pandas")
 
 
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def redact_text(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """PII-style scrubbing pass: emails → ``<EMAIL>``, then digit runs
+    → ``<NUM>`` (in that order — addresses contain digits), plus hit
+    counts. Pure vectorized pandas-str kernels (compiled regex under
+    the hood), embarrassingly parallel, no shuffle. The patterns are
+    chosen to evaluate identically under Python ``re`` and RE2
+    (DuckDB), so the scrubbed text itself is SQL-verifiable.
+    """
+
+    def scrub(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col]
+        n_emails = t.str.count(EMAIL_PATTERN).astype("int64")
+        clean = t.str.replace(EMAIL_PATTERN, "<EMAIL>", regex=True)
+        n_numbers = clean.str.count(r"[0-9]+").astype("int64")
+        clean = clean.str.replace(r"[0-9]+", "<NUM>", regex=True)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_emails": n_emails.to_numpy(),
+                "n_numbers": n_numbers.to_numpy(),
+                "clean_text": clean.to_numpy(),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pandas")
+
+
+def doc_chunks(
+    ds: "ray.data.Dataset",
+    *,
+    window: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Context-window chunking for long documents: overlapping
+    ``window``-token spans every ``stride`` tokens (the standard
+    sliding-window prep for fixed-context encoders; cf. the KG side's
+    chunk_spans/stitch for the 512-token BERT limit). Emits one row per
+    chunk with token offsets — vectorized np.repeat explode, doc-local,
+    no shuffle.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+
+    def chunks(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col]
+        n = (
+            (t.str.len() - t.str.replace(" ", "", regex=False).str.len() + 1)
+            .astype("int64")
+            .to_numpy()
+        )
+        n_chunks = np.where(n <= window, 1, (n - window + stride - 1) // stride + 1)
+        total = int(n_chunks.sum())
+        rid = np.repeat(np.arange(len(n)), n_chunks)
+        starts = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        ci = np.arange(total) - np.repeat(starts, n_chunks)
+        tok_start = ci * stride
+        tok_end = np.minimum(tok_start + window, n[rid])
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[rid],
+                "chunk_idx": ci.astype(np.int64),
+                "tok_start": tok_start.astype(np.int64),
+                "tok_end": tok_end.astype(np.int64),
+                "n_chunks": n_chunks[rid].astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pandas")
+
+
 def pack_sequences(
     ds: "ray.data.Dataset",
     *,

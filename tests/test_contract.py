@@ -46,3 +46,12 @@ def test_query_callables_take_sf_dir():
             and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
         ]
         assert len(required) == 1, f"{name} must take exactly sf_dir, got {sig}"
+
+
+def test_email_pattern_in_sync():
+    """oracle_sql's _EMAIL must stay byte-identical to the engine's
+    EMAIL_PATTERN (duplicated at module scope for the SQL f-string)."""
+    import __ray_entry__ as E
+    from kire_ray.pipelines.text_analysis import EMAIL_PATTERN
+
+    assert E._EMAIL == EMAIL_PATTERN

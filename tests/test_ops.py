@@ -447,3 +447,105 @@ def test_pack_sequences_prefix_sum(ray_session):
     assert (got["seq_id"].to_numpy() == start // 64).all()
     assert (got["seq_offset"].to_numpy() == start % 64).all()
     assert len(got) == 400
+
+
+def test_stratified_sample_deterministic_rates(ray_session):
+    """md5-threshold sampling: deterministic across runs/partitionings,
+    and empirical keep-rate tracks the per-source rate."""
+    from kire_ray.pipelines.sampling import stratified_sample
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(4000), "source": ["a", "b", "c", "d"] * 1000}
+    )
+    rates = {"a": 1.0, "b": 0.25, "c": 0.0, "d": 0.6}
+    got1 = (
+        stratified_sample(ray.data.from_pandas(df).repartition(7), rates)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got2 = (
+        stratified_sample(ray.data.from_pandas(df).repartition(3), rates)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got1, got2)
+    keep = got1.groupby("source").size()
+    assert keep.get("a", 0) == 1000 and "c" not in keep.index
+    assert abs(keep["b"] / 1000 - 0.25) < 0.05
+    assert abs(keep["d"] / 1000 - 0.6) < 0.05
+
+
+def test_training_shuffle_is_permutation(ray_session):
+    """Every doc gets exactly one (shard, pos); positions are dense
+    0..n_s-1 per shard; assignment is partitioning-invariant."""
+    from kire_ray.pipelines.sampling import training_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(2000)})
+    got = (
+        training_shuffle(ray.data.from_pandas(df).repartition(9), n_shards=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2000 and got["doc_id"].is_unique
+    for s, g in got.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    assert got["shard"].nunique() == 16
+    # sizes roughly uniform (md5 byte is uniform)
+    sizes = got.groupby("shard").size()
+    assert sizes.min() > 60 and sizes.max() < 200
+
+
+def test_redact_text_scrubs(ray_session):
+    from kire_ray.pipelines.text_analysis import redact_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail me at a.b+x@sub.example.org or c@d.io, code 42",
+                "no pii here",
+                "v2 build 2024 x9",
+            ],
+        }
+    )
+    got = (
+        redact_text(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "clean_text"] == "mail me at <EMAIL> or <EMAIL>, code <NUM>"
+    assert got.loc[0, "n_emails"] == 2 and got.loc[0, "n_numbers"] == 1
+    assert got.loc[1, "clean_text"] == "no pii here"
+    assert got.loc[2, "clean_text"] == "v<NUM> build <NUM> x<NUM>"
+    assert got.loc[2, "n_numbers"] == 3
+
+
+def test_doc_chunks_sliding_window(ray_session):
+    from kire_ray.pipelines.text_analysis import doc_chunks
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 20, 30],
+            "text": [
+                " ".join(["w"] * 5),      # 5 tokens -> 1 chunk
+                " ".join(["w"] * 128),    # exactly window -> 1 chunk
+                " ".join(["w"] * 300),    # ceil((300-128)/96)+1 = 3 chunks
+            ],
+        }
+    )
+    got = (
+        doc_chunks(ray.data.from_pandas(df), window=128, stride=96)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert got.groupby("doc_id")["n_chunks"].first().tolist() == [1, 1, 3]
+    g = got[got.doc_id == 30]
+    assert g["tok_start"].tolist() == [0, 96, 192]
+    assert g["tok_end"].tolist() == [128, 224, 300]
+    # full coverage: last chunk reaches the end
+    assert (got.groupby("doc_id")["tok_end"].max() == [5, 128, 300]).all()

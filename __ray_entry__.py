@@ -1571,6 +1571,63 @@ def oracle_sql() -> dict[str, str]:
                        AS n_bpe_tokens
             FROM documents
         """,
+        "simhash_dedup": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+            tb AS (
+                SELECT doc_id, md5(w) AS h,
+                       unnest(generate_series(0, 63)) AS b
+                FROM tok),
+            bits AS (
+                SELECT doc_id, b,
+                       SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                              substr(h, 16 - b // 4, 1)) - 1)
+                                      >> (b % 4)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM tb GROUP BY doc_id, b),
+            sh AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN v > 0
+                                     THEN CAST(1 AS HUGEINT) << b
+                                     ELSE 0 END) AS UBIGINT) AS simhash
+                FROM bits GROUP BY doc_id),
+            bands AS (
+                SELECT doc_id, simhash, bi,
+                       (simhash >> CAST(16 * bi AS UBIGINT))
+                           & CAST(65535 AS UBIGINT) AS bh
+                FROM sh, generate_series(0, 3) AS t(bi))
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM bands a JOIN bands b
+              ON a.bi = b.bi AND a.bh = b.bh AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "doc_fingerprints": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       unnest(generate_series(1, len(string_split(text, ' ')))) AS i,
+                       len(string_split(text, ' ')) AS n
+                FROM documents),
+            h AS (SELECT doc_id, i, n, substr(md5(w), 1, 8) AS hh FROM tok),
+            m AS (
+                SELECT doc_id, i, n,
+                       min(hh) OVER (PARTITION BY doc_id ORDER BY i
+                                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                           AS mn
+                FROM h),
+            k AS (
+                SELECT doc_id, i, mn,
+                       lag(mn) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                FROM m WHERE i <= greatest(n - 8 + 1, 1))
+            SELECT doc_id,
+                   md5(string_agg(mn, ',' ORDER BY i)) AS fingerprint,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM k WHERE prev IS NULL OR mn <> prev
+            GROUP BY doc_id
+        """,
         "pack_sequences": """
             WITH t AS (
                 SELECT doc_id,

@@ -517,18 +517,35 @@ def ngram_jaccard_dedup(
 def simhash_signatures(
     ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
-    """64-bit SimHash over token hashes (sign-sum of bit vectors)."""
+    """64-bit SimHash (sign-sum of per-token bit vectors).
+
+    The per-token 64-bit value is the first 16 md5 hex chars — md5 so
+    the whole signature (and hence the dedup pairs) is reconstructible
+    in DuckDB SQL bit-for-bit; tokens are factorized so md5 runs once
+    per distinct token, and the sign-sums are one ``np.add.reduceat``
+    over the concatenated token stream (no per-doc loop).
+    """
+    import hashlib
 
     def sig(b: pd.DataFrame) -> pd.DataFrame:
-        out = np.zeros(len(b), dtype=np.uint64)
-        for i, t in enumerate(b[text_col]):
-            toks = t.split()
-            if not toks:
-                continue
-            h = hash64_fast(toks)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((v > 0).astype(np.uint8)[::-1], bitorder="little").view(np.uint64)[0]
+        # split(' ') for string_split parity; '' hashes like any token
+        tok_lists = b[text_col].str.split(" ")
+        n = tok_lists.str.len().to_numpy(dtype=np.int64)
+        flat = tok_lists.explode().to_numpy(dtype=object)
+        codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+        uh = np.empty(len(uniques), dtype=np.uint64)
+        for i, u in enumerate(uniques):
+            uh[i] = int(hashlib.md5(str(u).encode("utf-8")).hexdigest()[:16], 16)
+        h = uh[codes]
+        pm = (
+            2 * ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            - 1
+        )
+        starts = np.cumsum(n) - n
+        v = np.add.reduceat(pm, starts, axis=0)  # (n_docs, 64); n >= 1 always
+        out = (
+            ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :])
+        ).sum(axis=1, dtype=np.uint64)
         return pd.DataFrame({id_col: b[id_col], "simhash": out})
 
     return ds.map_batches(sig, batch_format="pandas")

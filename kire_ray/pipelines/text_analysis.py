@@ -3,8 +3,8 @@ scoring, language-ID heuristic, document fingerprinting.
 
 All metrics are defined on *SQL-replicable primitives* where possible
 (whitespace token count, substring occurrence counts, character-class
-ratios) so the DuckDB oracle can verify them value-for-value; the
-rolling-hash fingerprint is rows-only.
+ratios, md5-based winnowing) so the DuckDB oracle can verify them
+value-for-value.
 
 Everything is one vectorized ``map_batches`` pass — a single stateless
 projection, no shuffle (the shape of the reference's per-doc stat loops,
@@ -18,11 +18,9 @@ import pandas as pd
 
 import ray.data
 
-from kire_ray.functions.hashing import hash64
 from kire_ray.functions.rounding import round_half_up
 
 STOPWORDS = ["the", "a", "of", "to", "and"]
-_FP_BASE = np.uint64(1099511628211)
 
 
 def _substr_count(s: pd.Series, sub: str) -> pd.Series:
@@ -73,29 +71,78 @@ def fingerprints(
     id_col: str = "doc_id",
     window: int = 8,
 ) -> "ray.data.Dataset":
-    """Winnowing-style fingerprint: min rolling token-hash per window →
-    doc fingerprint = hash of the minima sequence. Deterministic."""
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    per-token hash, trailing min over every ``window`` consecutive
+    positions (valid starts ``1..max(n-w+1, 1)``), consecutive equal
+    minima collapsed, fingerprint = md5 of the comma-joined minima.
+
+    The token hash is the first 8 md5 hex chars (compared as uint32 —
+    identical order to lexicographic lowercase hex), which makes the
+    entire chain replicable in DuckDB SQL: ``substr(md5(w),1,8)`` +
+    ``min() OVER`` + ``lag()`` + ``md5(string_agg(...))`` — so the
+    driver verifies fingerprints value-for-value, not just rows.
+
+    Vectorized across the whole batch: tokens are factorized so md5
+    runs once per *distinct* token, window minima come from w-1 masked
+    shift-minimum passes over the concatenated token stream (no per-doc
+    loop), and minima map back to hex via searchsorted. One md5 per doc
+    folds the sequence.
+    """
+    import hashlib
+
+    MAXV = np.uint32(0xFFFFFFFF)
 
     def fp(b: pd.DataFrame) -> pd.DataFrame:
-        out = np.zeros(len(b), dtype=np.uint64)
-        n_fp = np.zeros(len(b), dtype=np.int64)
-        for i, t in enumerate(b[text_col]):
-            toks = t.split()
-            if not toks:
-                continue
-            h = hash64(toks)
-            if len(h) <= window:
-                minima = np.array([h.min()], dtype=np.uint64)
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(h, window)
-                minima = sw.min(axis=1)
-                minima = minima[np.insert(minima[1:] != minima[:-1], 0, True)]
-            acc = np.uint64(14695981039346656037)
-            for m in minima:
-                acc = np.uint64((int(acc) ^ int(m)) * int(_FP_BASE) % (1 << 64))
-            out[i] = acc
-            n_fp[i] = len(minima)
-        return pd.DataFrame({id_col: b[id_col], "fingerprint": out, "n_windows": n_fp})
+        # split(' ') (not split()) for exact string_split parity; an
+        # empty text yields the single token '' like SQL does
+        tok_lists = b[text_col].str.split(" ")
+        n = tok_lists.str.len().to_numpy(dtype=np.int64)
+        flat = tok_lists.explode().to_numpy(dtype=object)
+        codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+        hexes = np.empty(len(uniques), dtype="<U8")
+        vals = np.empty(len(uniques), dtype=np.uint32)
+        for i, u in enumerate(uniques):
+            hx = hashlib.md5(str(u).encode("utf-8")).hexdigest()[:8]
+            hexes[i] = hx
+            vals[i] = int(hx, 16)
+        h = vals[codes]
+        total = len(h)
+        rid = np.repeat(np.arange(len(n)), n)
+        starts = np.cumsum(n) - n
+        pl = np.arange(total) - starts[rid]
+
+        # trailing window min via masked shifts (window-1 vector passes)
+        m = h.copy()
+        for s in range(1, window):
+            shifted = np.full(total, MAXV, dtype=np.uint32)
+            if total > s:
+                same_doc = rid[s:] == rid[:-s]
+                shifted[: total - s] = np.where(same_doc, h[s:], MAXV)
+            m = np.minimum(m, shifted)
+
+        keep = pl <= np.maximum(n[rid] - window, 0)
+        mk, rk = m[keep], rid[keep]
+        first = np.concatenate([[True], rk[1:] != rk[:-1]])
+        changed = np.concatenate([[True], mk[1:] != mk[:-1]])
+        sel = first | changed
+        minima, rsel = mk[sel], rk[sel]
+
+        order = np.argsort(vals, kind="stable")
+        hex_min = hexes[order][np.searchsorted(vals[order], minima)]
+        joined = pd.Series(hex_min).groupby(rsel).agg(",".join)
+        fp_hex = np.array(
+            [hashlib.md5(x.encode("utf-8")).hexdigest() for x in joined],
+            dtype=object,
+        )
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[joined.index.to_numpy()],
+                "fingerprint": fp_hex,
+                "n_windows": np.bincount(rsel, minlength=len(n))[
+                    joined.index.to_numpy()
+                ].astype(np.int64),
+            }
+        )
 
     return ds.map_batches(fp, batch_format="pandas")
 

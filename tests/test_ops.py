@@ -549,3 +549,42 @@ def test_doc_chunks_sliding_window(ray_session):
     assert g["tok_end"].tolist() == [128, 224, 300]
     # full coverage: last chunk reaches the end
     assert (got.groupby("doc_id")["tok_end"].max() == [5, 128, 300]).all()
+
+
+def test_fingerprints_winnowing_semantics(ray_session):
+    """Hand-check the winnowing rules: short docs get one whole-doc
+    window; identical docs share a fingerprint; a constant-token doc
+    collapses to a single minimum."""
+    import hashlib
+
+    from kire_ray.pipelines.text_analysis import fingerprints
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c",                     # n=3 <= 8 -> 1 window
+                "a b c",                     # identical -> same fp
+                " ".join(["x"] * 30),        # all-same -> 1 collapsed min
+                " ".join("abcdefghijklmnop"),  # 16 toks -> 9 windows pre-dedup
+            ],
+        }
+    )
+    got = (
+        fingerprints(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "n_windows"] == 1
+    assert got.loc[0, "fingerprint"] == got.loc[1, "fingerprint"]
+    assert got.loc[2, "n_windows"] == 1
+    # doc 1: single window min = min md5-prefix of {a,b,c}
+    mn = min(hashlib.md5(t.encode()).hexdigest()[:8] for t in "abc")
+    assert got.loc[0, "fingerprint"] == hashlib.md5(mn.encode()).hexdigest()
+    # doc 4: trailing minima over 9 windows of the 16 distinct tokens
+    hs = [hashlib.md5(t.encode()).hexdigest()[:8] for t in "abcdefghijklmnop"]
+    minima = [min(hs[i : i + 8]) for i in range(9)]
+    dedup = [m for j, m in enumerate(minima) if j == 0 or m != minima[j - 1]]
+    assert got.loc[3, "n_windows"] == len(dedup)
+    assert got.loc[3, "fingerprint"] == hashlib.md5(",".join(dedup).encode()).hexdigest()

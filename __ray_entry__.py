@@ -12,13 +12,17 @@ Coverage map (SURVEY.md §2 → queries; §9 for the round-2 delta):
   sorts/top-k/windows/union/anti-join/bucketing, plus as-of join,
   keyless range join, rolling windows, exact grouped distinct, grouped
   quantiles): SQL-verified.
-- training-data suite (dedup/similarity/text/multimodal): exact dedup,
-  n-gram Jaccard dedup (blocking + verification both in SQL),
-  embedding dedup (planted duplicates), text metrics, token counts,
-  subword counts and brute-force ANN are SQL-verified; the hash/LSH
-  family is rows-only by nature. 39 of 62 queries carry exact DuckDB
-  oracles, incl. four corpus-side reconstructions (assembly invariant,
-  kg subword counts, the GLRE .data round trip, PubTator counts).
+- training-data suite (dedup/similarity/text/sampling/multimodal):
+  the whole dedup family (exact, minhash, simhash, n-gram Jaccard,
+  embedding, clusters, spans), winnowing fingerprints, ANN brute +
+  LSH, text metrics/quality/decontam/TF-IDF/LM-score, sampling/
+  shuffle/packing/chunking/redaction are all SQL-verified — hash
+  primitives are md5-based exactly so DuckDB can replicate them.
+  55 of 72 queries carry exact DuckDB oracles, incl. four corpus-side
+  reconstructions (assembly invariant, kg subword counts, the GLRE
+  .data round trip, PubTator counts); the rest are rows-only by
+  nature (the KG pipeline over the synthetic transcript corpus,
+  k-means IVF, multimodal feature plumbing, nested-list outputs).
 
 Float columns that cross the DuckDB compare are rounded half-up on BOTH
 sides (kire_ray.functions.rounding) so hashes match bit-exactly.
@@ -1700,6 +1704,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
                    AS total_tokens
             FROM documents
+        """,
+        "ann_lsh": f"""
+            WITH ex AS (
+                SELECT vec_id,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x,
+                       unnest(generate_series(0, len(embedding) - 1)) AS d
+                FROM embeddings),
+            q AS (SELECT vec_id, d,
+                         CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS qx
+                  FROM ex),
+            pl AS (
+                SELECT d, p,
+                       CASE WHEN (strpos('0123456789abcdef',
+                                         substr(md5(d || '_' || p), 1, 1)) - 1)
+                                 & 1 = 1
+                            THEN 1 ELSE -1 END AS w
+                FROM generate_series(0, 63) AS t1(d),
+                     generate_series(0, 5) AS t2(p)),
+            dots AS (
+                SELECT q.vec_id, pl.p, SUM(q.qx * pl.w) AS dot
+                FROM q JOIN pl USING (d) GROUP BY q.vec_id, pl.p),
+            buck AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END)
+                            AS UBIGINT) AS bkt
+                FROM dots GROUP BY vec_id),
+            cand AS (
+                SELECT qb.vec_id AS query_id, vb.vec_id
+                FROM buck qb JOIN buck vb
+                  ON bit_count(xor(qb.bkt, vb.bkt)) <= 2
+                WHERE qb.vec_id < {nq}),
+            s AS (
+                SELECT c.query_id, c.vec_id,
+                       list_cosine_similarity(
+                           CAST(eq.embedding AS DOUBLE[]),
+                           CAST(ev.embedding AS DOUBLE[])) AS cos
+                FROM cand c
+                JOIN embeddings eq ON eq.vec_id = c.query_id
+                JOIN embeddings ev ON ev.vec_id = c.vec_id),
+            r AS (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) - 1 AS rank
+                FROM s)
+            SELECT query_id, vec_id,
+                   floor(cos * 1000000 + 0.501) / 1000000 AS cosine,
+                   rank
+            FROM r WHERE rank < {k}
         """,
         "ann_brute_force": f"""
             WITH q AS (

@@ -93,6 +93,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "unigram_logprob",
         "source_mix",
         "doc_fingerprints",
+        "pack_sequences",
+        "stratified_sample",
+        "training_shuffle",
+        "redact_text",
+        "doc_chunks",
         "word_frequencies",
         "doc_subwords",
         "token_counts",

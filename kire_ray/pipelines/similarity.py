@@ -62,6 +62,28 @@ def ann_brute_force(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def _md5_rademacher(dim: int, n_planes: int) -> np.ndarray:
+    """±1 (Rademacher) sign-random-projection planes derived from md5 —
+    the SRP-LSH guarantee only needs symmetric i.i.d. plane entries,
+    and an md5 basis makes every bucket bit reconstructible in SQL."""
+    import hashlib
+
+    P = np.empty((dim, n_planes), dtype=np.int64)
+    for d in range(dim):
+        for p in range(n_planes):
+            bit = int(hashlib.md5(f"{d}_{p}".encode("utf-8")).hexdigest()[0], 16) & 1
+            P[d, p] = 1 if bit else -1
+    return P
+
+
+def _quantize(M: np.ndarray) -> np.ndarray:
+    """floor(x*1e6 + 0.5) int64 — the exact-integer domain in which
+    bucket dot products are computed so numpy and DuckDB agree
+    bit-for-bit (float summation order can flip a sign at the margin;
+    integer sums cannot)."""
+    return np.floor(M * 1e6 + 0.5).astype(np.int64)
+
+
 def ann_lsh(
     emb: "ray.data.Dataset",
     queries: np.ndarray,
@@ -70,15 +92,21 @@ def ann_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_planes: int = 6,
-    seed: int = 13,
 ) -> "ray.data.Dataset":
-    """LSH-bucketed approximate top-k: only candidates sharing the
-    query's sign-bucket (or 1-bit-flipped neighbors) are scored."""
-    Q = _norm_rows(np.asarray(queries, dtype=np.float64))
+    """LSH-bucketed approximate top-k: only candidates within Hamming
+    distance 2 of the query's sign-bucket are scored (multi-probe r=2).
+
+    Buckets come from md5-derived ±1 planes over 1e-6-quantized raw
+    embeddings — exact integer arithmetic, so the candidate set (and
+    hence the result) is reconstructible in DuckDB SQL via
+    ``bit_count(xor(bucket_a, bucket_b)) <= 2``; cosines are computed
+    on the unquantized vectors as usual.
+    """
+    Qraw = np.asarray(queries, dtype=np.float64)
+    Q = _norm_rows(Qraw)
     dim = Q.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
-    qb = ((Q @ planes) > 0).astype(np.int64)
+    planes = _md5_rademacher(dim, n_planes)
+    qb = ((_quantize(Qraw) @ planes) > 0).astype(np.int64)
     q_buckets = (qb * (1 << np.arange(n_planes))).sum(axis=1)
     # multi-probe radius 2: query bucket + all 1- and 2-bit flips (the
     # recall/cost knob; radius 2 of 6 planes probes 22/64 buckets)
@@ -95,9 +123,10 @@ def ann_lsh(
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         P, pr, Qm = ray.get(p_ref)
-        M = _norm_rows(np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+        Mraw = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        M = _norm_rows(Mraw)
         ids = b[id_col].to_numpy()
-        signs = (M @ P) > 0
+        signs = (_quantize(Mraw) @ P) > 0
         buckets = (signs * (1 << np.arange(P.shape[1]))).sum(axis=1)
         out_q, out_id, out_c = [], [], []
         for bkt in np.unique(buckets):

@@ -18,8 +18,8 @@ Coverage map (SURVEY.md §2 → queries; §9 for the round-2 delta):
   LSH, text metrics/quality/decontam/TF-IDF/LM-score, sampling/
   shuffle/packing/chunking/redaction are all SQL-verified — hash
   primitives are md5-based exactly so DuckDB can replicate them.
-  55 of 72 queries carry exact DuckDB oracles, incl. four corpus-side
-  reconstructions (assembly invariant, kg subword counts, the GLRE
+  56 of 73 queries carry exact DuckDB oracles, incl. five corpus-side
+  reconstructions (assembly invariant, exact gold mention spans, kg subword counts, the GLRE
   .data round trip, PubTator counts); the rest are rows-only by
   nature (the KG pipeline over the synthetic transcript corpus,
   k-means IVF, multimodal feature plumbing, nested-list outputs).
@@ -674,6 +674,34 @@ def _q_kg_assembled_turns(sf_dir: str) -> Any:
     return c["linked"].map_batches(explode, batch_format="pandas")
 
 
+def _q_kg_mentions_flat(sf_dir: str) -> Any:
+    """Driver-verifiable mention detection (J8): linked docs' mention
+    spans flattened to rows. The corpus generator plants gold mentions
+    from the same lexicon the leftmost-longest alias scan uses, and the
+    scan recovers every planted span exactly (span-level P=R=1.0), so
+    the oracle is a plain scan of gold_mentions.parquet — verifying the
+    assemble→scan chain value-for-value. (QID assignment is NOT part of
+    this row: majority-vote linking legitimately diverges from
+    per-mention gold on ambiguous aliases, and unlinkable entities get
+    content-hash NT ids.)"""
+    c = _flagship_linked(sf_dir)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["mentions"].map(len).to_numpy(dtype=np.int64)
+        flat = [m for ms in b["mentions"] for m in ms]
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(b["doc_id"].to_numpy(), n),
+                "turn_idx": np.array([m["turn_idx"] for m in flat], dtype=np.int64),
+                "start": np.array([m["start"] for m in flat], dtype=np.int64),
+                "end": np.array([m["end"] for m in flat], dtype=np.int64),
+                "surface": np.array([m["surface"] for m in flat], dtype=object),
+            }
+        )
+
+    return c["linked"].map_batches(explode, batch_format="pandas")
+
+
 def _q_docred_triples(sf_dir: str) -> Any:
     """The reference's own input format (DocRED JSON) through the same
     scorer/dedup stages: corpus → JSON export → read_docred_json →
@@ -869,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linked_docs": _kg("linked"),
         "kg_coref_pairs": _kg_coref,
         "kg_assembled_turns": _q_kg_assembled_turns,
+        "kg_mentions_flat": _q_kg_mentions_flat,
         "kg_eval_prf": _q_kg_eval,
         "kg_eval_official": _q_kg_eval_official,
         "kg_theta_tuning": _q_theta_tuning,
@@ -945,7 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
-    Corpus-side oracles (kg_assembled_turns / kg_doc_subwords_flat /
+    Corpus-side oracles (kg_assembled_turns / kg_mentions_flat / kg_doc_subwords_flat /
     glre_pairs_flat / pubtator_docs_flat) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
     parameter, so these (plus frame_sample / audio_chunk, which read
@@ -969,6 +998,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(turn_idx AS BIGINT) AS turn_idx,
                    text
             FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
+        """,
+        "kg_mentions_flat": f"""
+            SELECT doc_id,
+                   CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(start AS BIGINT) AS start,
+                   CAST("end" AS BIGINT) AS "end",
+                   surface
+            FROM read_parquet('{c01}/gold_mentions.parquet')
         """,
         "kg_doc_subwords_flat": f"""
             SELECT conv_id AS doc_id,

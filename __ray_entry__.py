@@ -111,9 +111,16 @@ def _flagship_linked(sf_dir: str) -> dict:
 
     c = _flagship(sf_dir)
     if "linked" not in c:
-        c["linked"] = linked_documents(
-            read_transcripts(c["corpus"]), c["ctx"]
-        ).materialize()
+        from kire_ray.stages.shuffle import default_partitions
+
+        # the linker actor pool emits ~10×cpus tiny blocks; every
+        # downstream consumer (nodes/coref/subwords/features) would pay
+        # per-task scheduling on each — coalesce once at the cache
+        c["linked"] = (
+            linked_documents(read_transcripts(c["corpus"]), c["ctx"])
+            .repartition(default_partitions())
+            .materialize()
+        )
     return c
 
 

@@ -197,6 +197,7 @@ class EntityEmbedder:
         # by vocab + entity count, both dimension-sized.
         self._tok: dict[str, np.ndarray] = {}
         self._attr: dict[tuple[str, str], np.ndarray] = {}
+        self._surf: dict[str, np.ndarray] = {}
 
     def _token_vec(self, tok: str) -> np.ndarray:
         v = self._tok.get(tok)
@@ -217,18 +218,25 @@ class EntityEmbedder:
         if len(self._tok) > 500_000:  # bound actor memory on open vocab
             self._tok.clear()
             self._attr.clear()
+            self._surf.clear()
         doc_ids = batch.column("doc_id").to_pylist()
         ents_col = batch.column("entities").to_pylist()
         ments_col = batch.column("mentions").to_pylist()
         out_doc, out_idx, out_qid, out_label, out_nm, out_vec = [], [], [], [], [], []
+        surf_vec = self._surf  # raw-surface → token_vec memo (pure, so
+        # numerically neutral; collapses the normalize+hash per mention
+        # to one dict hit — surfaces repeat heavily across the corpus)
         for doc_id, ents, ments in zip(doc_ids, ents_col, ments_col):
+            by_ent: dict[int, list[np.ndarray]] = {}
+            for m in ments:  # one O(M) pass, not O(E×M) rescans
+                v = surf_vec.get(m["surface"])
+                if v is None:
+                    v = surf_vec[m["surface"]] = self._token_vec(
+                        normalize_label(m["surface"])
+                    )
+                by_ent.setdefault(m["ent_idx"], []).append(v)
             for e in ents:
-                vecs = [
-                    self._token_vec(normalize_label(m["surface"]))
-                    for m in ments
-                    if m["ent_idx"] == e["ent_idx"]
-                ]
-                pooled = logsumexp_pool(np.stack(vecs))
+                pooled = logsumexp_pool(np.stack(by_ent[e["ent_idx"]]))
                 attr_vec = self._attr_vec(e["qid"], e["label"])
                 vec = pooled + 0.5 * attr_vec  # KG-attention fusion stand-in
                 out_doc.append(doc_id)

@@ -18,7 +18,7 @@ Coverage map (SURVEY.md §2 → queries; §9 for the round-2 delta):
   LSH, text metrics/quality/decontam/TF-IDF/LM-score, sampling/
   shuffle/packing/chunking/redaction are all SQL-verified — hash
   primitives are md5-based exactly so DuckDB can replicate them.
-  56 of 73 queries carry exact DuckDB oracles, incl. five corpus-side
+  57 of 74 queries carry exact DuckDB oracles, incl. five corpus-side
   reconstructions (assembly invariant, exact gold mention spans, kg subword counts, the GLRE
   .data round trip, PubTator counts); the rest are rows-only by
   nature (the KG pipeline over the synthetic transcript corpus,
@@ -471,6 +471,14 @@ def _q_doc_chunks(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import doc_chunks
 
     return doc_chunks(_docs(sf_dir), window=32, stride=24)
+
+
+def _q_length_batches(sf_dir: str) -> Any:
+    """O3: length-sorted batch packing via a distributed counting sort
+    (no global data sort)."""
+    from kire_ray.pipelines.text_analysis import length_sorted_batches
+
+    return length_sorted_batches(_docs(sf_dir), batch_rows=16)
 
 
 def _q_pack_sequences(sf_dir: str) -> Any:
@@ -960,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_subwords": _q_doc_subwords,
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
+        "length_batches": _q_length_batches,
         "stratified_sample": _q_stratified_sample,
         "training_shuffle": _q_training_shuffle,
         "redact_text": _q_redact_text,
@@ -1693,6 +1702,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start // 2048 AS BIGINT) AS seq_id,
                    CAST(start % 2048 AS BIGINT) AS seq_offset
             FROM s
+        """,
+        "length_batches": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n_tokens
+                FROM documents),
+            r AS (
+                SELECT doc_id, n_tokens,
+                       row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                           - 1 AS rank
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(rank // 16 AS BIGINT) AS batch_idx,
+                   CAST(rank % 16 AS BIGINT) AS pos_in_batch
+            FROM r
         """,
         "stratified_sample": _stratified_sample_sql(),
         "training_shuffle": f"""

@@ -556,6 +556,90 @@ def doc_chunks(
     return ds.map_batches(chunks, batch_format="pandas")
 
 
+def length_sorted_batches(
+    ds: "ray.data.Dataset",
+    *,
+    batch_rows: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_ranges: int | None = None,
+) -> "ray.data.Dataset":
+    """Length-sorted batch assignment (the reference's sort-by-word-count
+    batching for padding efficiency, B4+KIRE/config/Config.py:288):
+    rank docs globally by (n_tokens desc, doc_id asc), then
+    ``batch_idx = rank // batch_rows``.
+
+    The global rank is a distributed counting sort, not a global data
+    sort: pass 1 counts docs per (n_tokens, doc-id range) — a
+    cardinality-bounded exchange — the driver exclusive-scans the tiny
+    count table in (n desc, range asc) order, and pass 2 adds broadcast
+    group offsets to an in-group cumcount. Partitioning on the
+    composite (n, id-range) key keeps it skew-proof even when one
+    length value dominates the corpus (the id-range splits it).
+    """
+    from kire_ray.stages.shuffle import cluster_cpus, grouped_agg, partitioned_map_groups
+
+    lo, hi = [
+        int(x)
+        for x in ds.select_columns([id_col])
+        .map_batches(
+            lambda b: pd.DataFrame({"lo": [b[id_col].min()], "hi": [b[id_col].max()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .agg({"lo": "min", "hi": "max"})
+    ]
+    n_ranges = num_ranges or max(4 * cluster_cpus(), 64)
+    width = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def tok(b: pd.DataFrame) -> pd.Series:
+        t = b[text_col]
+        return (
+            t.str.len() - t.str.replace(" ", "", regex=False).str.len() + 1
+        ).astype("int64")
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"n": tok(b), "r": (b[id_col] - lo) // width})
+        out = g.groupby(["n", "r"], sort=False).size()
+        return out.rename("c").reset_index()
+
+    tbl = (
+        grouped_agg(
+            ds.map_batches(counts, batch_format="pandas"),
+            ["n", "r"],
+            {"c": ("c", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["n", "r"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    tbl["off"] = tbl["c"].cumsum() - tbl["c"]
+    ref = ray.put(tbl[["n", "r", "off"]])
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off_tbl = ray.get(ref)
+        g = g.sort_values(["n", id_col], kind="mergesort")
+        local = g.groupby(["n", "r"], sort=False).cumcount().to_numpy()
+        off = g.merge(off_tbl, on=["n", "r"], how="left", sort=False)["off"].to_numpy()
+        rank = off + local
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "n_tokens": g["n"].to_numpy(),
+                "batch_idx": (rank // batch_rows).astype(np.int64),
+                "pos_in_batch": (rank % batch_rows).astype(np.int64),
+            }
+        )
+
+    keyed = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {id_col: b[id_col], "n": tok(b), "r": (b[id_col] - lo) // width}
+        ),
+        batch_format="pandas",
+    )
+    return partitioned_map_groups(keyed, ["n", "r"], assign)
+
+
 def pack_sequences(
     ds: "ray.data.Dataset",
     *,

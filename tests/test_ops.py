@@ -588,3 +588,29 @@ def test_fingerprints_winnowing_semantics(ray_session):
     dedup = [m for j, m in enumerate(minima) if j == 0 or m != minima[j - 1]]
     assert got.loc[3, "n_windows"] == len(dedup)
     assert got.loc[3, "fingerprint"] == hashlib.md5(",".join(dedup).encode()).hexdigest()
+
+
+def test_length_sorted_batches_counting_sort(ray_session):
+    """Distributed counting-sort rank == sequential (n desc, id asc)
+    rank, with heavy length ties split across id ranges."""
+    from kire_ray.pipelines.text_analysis import length_sorted_batches
+
+    rng = np.random.default_rng(11)
+    ids = np.sort(rng.choice(50_000, size=600, replace=False))
+    # only 5 distinct lengths -> massive ties, exercises range splitting
+    lens = rng.choice([3, 7, 7, 7, 20], size=600)
+    df = pd.DataFrame({"doc_id": ids, "text": [" ".join(["w"] * int(k)) for k in lens]})
+    got = (
+        length_sorted_batches(
+            ray.data.from_pandas(df).repartition(11), batch_rows=32, num_ranges=9
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = df.assign(n=lens).sort_values(["n", "doc_id"], ascending=[False, True])
+    exp["rank"] = np.arange(len(exp))
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    assert (got["n_tokens"].to_numpy() == exp["n"].to_numpy()).all()
+    assert (got["batch_idx"].to_numpy() == exp["rank"].to_numpy() // 32).all()
+    assert (got["pos_in_batch"].to_numpy() == exp["rank"].to_numpy() % 32).all()

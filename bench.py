@@ -98,6 +98,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "training_shuffle",
         "redact_text",
         "doc_chunks",
+        "length_batches",
         "word_frequencies",
         "doc_subwords",
         "token_counts",

@@ -18,7 +18,7 @@ Coverage map (SURVEY.md §2 → queries; §9 for the round-2 delta):
   LSH, text metrics/quality/decontam/TF-IDF/LM-score, sampling/
   shuffle/packing/chunking/redaction are all SQL-verified — hash
   primitives are md5-based exactly so DuckDB can replicate them.
-  57 of 74 queries carry exact DuckDB oracles, incl. five corpus-side
+  58 of 75 queries carry exact DuckDB oracles, incl. five corpus-side
   reconstructions (assembly invariant, exact gold mention spans, kg subword counts, the GLRE
   .data round trip, PubTator counts); the rest are rows-only by
   nature (the KG pipeline over the synthetic transcript corpus,
@@ -471,6 +471,19 @@ def _q_doc_chunks(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import doc_chunks
 
     return doc_chunks(_docs(sf_dir), window=32, stride=24)
+
+
+def _q_clean_corpus(sf_dir: str) -> Any:
+    """Composed cleaning pipeline: Gopher gate → exact dedup (keep min
+    doc_id, copies counted) → email/number redaction. Partitioned on
+    the text hash so dedup is exchange-local (the same layout the
+    resumable clean_corpus_build writes)."""
+    from kire_ray.pipelines.clean_corpus import clean_docs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return clean_docs(docs)
 
 
 def _q_length_batches(sf_dir: str) -> Any:
@@ -969,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
         "length_batches": _q_length_batches,
+        "clean_corpus": _q_clean_corpus,
         "stratified_sample": _q_stratified_sample,
         "training_shuffle": _q_training_shuffle,
         "redact_text": _q_redact_text,
@@ -1702,6 +1716,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start // 2048 AS BIGINT) AS seq_id,
                    CAST(start % 2048 AS BIGINT) AS seq_offset
             FROM s
+        """,
+        "clean_corpus": f"""
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS p
+                FROM documents),
+            bg AS (
+                SELECT doc_id,
+                       w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS b2
+                FROM w QUALIFY b2 IS NOT NULL),
+            bstat AS (
+                SELECT doc_id, count(*) AS n_bg, count(DISTINCT b2) AS nd_bg
+                FROM bg GROUP BY doc_id),
+            wstat AS (
+                SELECT doc_id, count(*) AS n_words, count(DISTINCT w) AS nd_w
+                FROM w GROUP BY doc_id),
+            base AS (
+                SELECT d.doc_id, d.source, d.text,
+                       s.n_words,
+                       length(replace(d.text, ' ', ''))
+                           / CAST(greatest(s.n_words, 1) AS DOUBLE) AS mean_wl,
+                       (CASE WHEN ' ' || d.text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+                        + CASE WHEN ' ' || d.text || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+                        + CASE WHEN ' ' || d.text || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+                        + CASE WHEN ' ' || d.text || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+                        + CASE WHEN ' ' || d.text || ' ' LIKE '% and %' THEN 1 ELSE 0 END)
+                           AS stop_hits,
+                       1.0 - s.nd_w / CAST(greatest(s.n_words, 1) AS DOUBLE)
+                           AS dup_word,
+                       coalesce(1.0 - b.nd_bg / CAST(b.n_bg AS DOUBLE), 0.0)
+                           AS dup_2gram
+                FROM documents d
+                JOIN wstat s ON s.doc_id = d.doc_id
+                LEFT JOIN bstat b ON b.doc_id = d.doc_id),
+            pass AS (
+                SELECT doc_id, source, text FROM base
+                WHERE n_words BETWEEN 20 AND 10000
+                  AND mean_wl BETWEEN 3.0 AND 10.0
+                  AND stop_hits >= 2
+                  AND dup_word <= 0.6
+                  AND dup_2gram <= 0.1),
+            ded AS (
+                SELECT min(doc_id) AS doc_id,
+                       arg_min(source, doc_id) AS source,
+                       text,
+                       CAST(count(*) AS BIGINT) AS n_dups
+                FROM pass GROUP BY text)
+            SELECT doc_id, source,
+                   regexp_replace(
+                       regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+                       '[0-9]+', '<NUM>', 'g') AS clean_text,
+                   n_dups
+            FROM ded
         """,
         "length_batches": """
             WITH t AS (

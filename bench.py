@@ -99,6 +99,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "redact_text",
         "doc_chunks",
         "length_batches",
+        "clean_corpus",
         "word_frequencies",
         "doc_subwords",
         "token_counts",

@@ -201,6 +201,65 @@ GOPHER_MAX_DUP_WORD_FRAC = 0.6
 GOPHER_MAX_DUP_2GRAM_FRAC = 0.1
 
 
+def gopher_metrics(
+    b: pd.DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Vectorized per-batch Gopher metrics + ``passes`` verdict (shared
+    by the ``gopher_quality`` query and the ``clean_corpus`` gate)."""
+    t = b[text_col]
+    no_space = t.str.replace(" ", "", regex=False).str.len().astype("int64")
+    words = t.str.split()
+    n_words = words.map(len).astype("int64")
+    mean_wl = no_space / n_words.clip(lower=1)
+
+    padded = " " + t + " "
+    stop_hits = sum(
+        padded.str.contains(f" {w} ", regex=False).astype("int64")
+        for w in STOPWORDS
+    )
+
+    # long (doc, word) frame: repetition metrics via grouped nunique
+    ex = pd.DataFrame(
+        {
+            "_i": np.repeat(np.arange(len(b)), n_words.to_numpy()),
+            "w": np.concatenate([np.asarray(w, dtype=object) for w in words])
+            if len(b)
+            else np.array([], dtype=object),
+        }
+    )
+    g = ex.groupby("_i", sort=False)["w"]
+    n_distinct = g.nunique().reindex(range(len(b)), fill_value=0).to_numpy()
+    nxt = g.shift(-1)
+    ex["b2"] = ex["w"] + " " + nxt
+    bg = ex.dropna(subset=["b2"]).groupby("_i", sort=False)["b2"]
+    n_bg = bg.size().reindex(range(len(b)), fill_value=0).to_numpy()
+    n_bg_distinct = bg.nunique().reindex(range(len(b)), fill_value=0).to_numpy()
+
+    dup_word = 1.0 - n_distinct / n_words.clip(lower=1).to_numpy()
+    dup_2gram = np.where(n_bg > 0, 1.0 - n_bg_distinct / np.maximum(n_bg, 1), 0.0)
+
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+        & (dup_word <= GOPHER_MAX_DUP_WORD_FRAC)
+        & (dup_2gram <= GOPHER_MAX_DUP_2GRAM_FRAC)
+    )
+    return pd.DataFrame(
+        {
+            id_col: b[id_col],
+            "n_words": n_words,
+            "mean_word_len": round_half_up(mean_wl, 6),
+            "stop_hits": stop_hits,
+            "dup_word_frac": round_half_up(pd.Series(dup_word), 6),
+            "dup_2gram_frac": round_half_up(pd.Series(dup_2gram), 6),
+            "passes": passes.astype(bool),
+        }
+    )
+
+
 def gopher_quality(
     ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
@@ -212,62 +271,12 @@ def gopher_quality(
     Returns (doc_id, n_words, mean_word_len, stop_hits, dup_word_frac,
     dup_2gram_frac, passes).
     """
+    import functools
 
-    def rules(b: pd.DataFrame) -> pd.DataFrame:
-        t = b[text_col]
-        no_space = t.str.replace(" ", "", regex=False).str.len().astype("int64")
-        words = t.str.split()
-        n_words = words.map(len).astype("int64")
-        mean_wl = no_space / n_words.clip(lower=1)
-
-        padded = " " + t + " "
-        stop_hits = sum(
-            padded.str.contains(f" {w} ", regex=False).astype("int64")
-            for w in STOPWORDS
-        )
-
-        # long (doc, word) frame: repetition metrics via grouped nunique
-        ex = pd.DataFrame(
-            {
-                "_i": np.repeat(np.arange(len(b)), n_words.to_numpy()),
-                "w": np.concatenate([np.asarray(w, dtype=object) for w in words])
-                if len(b)
-                else np.array([], dtype=object),
-            }
-        )
-        g = ex.groupby("_i", sort=False)["w"]
-        n_distinct = g.nunique().reindex(range(len(b)), fill_value=0).to_numpy()
-        nxt = g.shift(-1)
-        ex["b2"] = ex["w"] + " " + nxt
-        bg = ex.dropna(subset=["b2"]).groupby("_i", sort=False)["b2"]
-        n_bg = bg.size().reindex(range(len(b)), fill_value=0).to_numpy()
-        n_bg_distinct = bg.nunique().reindex(range(len(b)), fill_value=0).to_numpy()
-
-        dup_word = 1.0 - n_distinct / n_words.clip(lower=1).to_numpy()
-        dup_2gram = np.where(n_bg > 0, 1.0 - n_bg_distinct / np.maximum(n_bg, 1), 0.0)
-
-        passes = (
-            (n_words >= GOPHER_MIN_WORDS)
-            & (n_words <= GOPHER_MAX_WORDS)
-            & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
-            & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
-            & (stop_hits >= GOPHER_MIN_STOP_HITS)
-            & (dup_word <= GOPHER_MAX_DUP_WORD_FRAC)
-            & (dup_2gram <= GOPHER_MAX_DUP_2GRAM_FRAC)
-        )
-        return pd.DataFrame(
-            {
-                id_col: b[id_col],
-                "n_words": n_words,
-                "mean_word_len": round_half_up(mean_wl, 6),
-                "stop_hits": stop_hits,
-                "dup_word_frac": round_half_up(pd.Series(dup_word), 6),
-                "dup_2gram_frac": round_half_up(pd.Series(dup_2gram), 6),
-                "passes": passes.astype(bool),
-            }
-        )
-
-    return ds.map_batches(rules, batch_format="pandas")
+    return ds.map_batches(
+        functools.partial(gopher_metrics, text_col=text_col, id_col=id_col),
+        batch_format="pandas",
+    )
 
 
 def source_mix(

@@ -41,6 +41,14 @@ import ray.data
 
 N_ANN_QUERIES = 8
 ANN_K = 10
+# fixed BM25 probe queries over the synthetic corpus vocabulary
+BM25_QUERIES = [
+    "hash join merge",
+    "window stream batch",
+    "sort filter query",
+    "customer data table scan",
+]
+BM25_K = 10
 
 # Shared CTE chain for the n-gram Jaccard oracles (word 4-grams,
 # rare-gram blocking df<=64): distinct grams per doc -> set sizes ->
@@ -233,6 +241,18 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import ann_ivf
 
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
+
+
+def _q_pmi_bigrams(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import pmi_bigrams
+
+    return pmi_bigrams(_docs(sf_dir), min_count=5, k=20)
+
+
+def _q_bm25_search(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import bm25_search
+
+    return bm25_search(_docs(sf_dir), BM25_QUERIES, k=BM25_K)
 
 
 def _q_exact_dedup(sf_dir: str) -> Any:
@@ -992,6 +1012,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_features": _q_doc_features,
         "doc_graphs": _q_doc_graphs,
         "ann_brute_force": _q_ann_brute,
+        "bm25_search": _q_bm25_search,
+        "pmi_bigrams": _q_pmi_bigrams,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -1020,6 +1042,11 @@ def oracle_sql() -> dict[str, str]:
     from kire_ray.functions.rounding import sql_round
 
     nq, k = N_ANN_QUERIES, ANN_K
+    bm25_qt = ", ".join(
+        f"({qi}, '{t}')"
+        for qi, q in enumerate(BM25_QUERIES)
+        for t in sorted(set(q.split()))
+    )
     c01 = _corpus("/root/testdata/sf0.01")
     media01 = _media_meta("/root/testdata/sf0.01")
     return {
@@ -1906,5 +1933,70 @@ def oracle_sql() -> dict[str, str]:
                    floor(cos * 1000000 + 0.501) / 1000000 AS cosine,
                    rank
             FROM r WHERE rank < {k}
+        """,
+        "bm25_search": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            dl AS (SELECT doc_id, len(l) AS dl FROM docs),
+            st AS (SELECT count(*) AS n_docs,
+                          CAST(sum(len(l)) AS DOUBLE) / count(*) AS avgdl
+                   FROM docs),
+            toks AS (SELECT doc_id, unnest(l) AS w FROM docs),
+            qt(query_id, term) AS (VALUES {bm25_qt}),
+            df AS (SELECT w AS term,
+                          CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                   FROM toks WHERE w IN (SELECT term FROM qt) GROUP BY 1),
+            tf AS (SELECT doc_id, w AS term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM toks WHERE w IN (SELECT term FROM qt) GROUP BY 1, 2),
+            sc AS (
+                SELECT qt.query_id, tf.doc_id,
+                       sum( ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                            * (tf.tf * (1.2 + 1.0)
+                               / (tf.tf + 1.2 * (1.0 - 0.75
+                                                 + 0.75 * dl.dl / st.avgdl)))
+                       ) AS score
+                FROM qt
+                JOIN tf USING (term)
+                JOIN df USING (term)
+                JOIN dl ON dl.doc_id = tf.doc_id, st
+                GROUP BY 1, 2),
+            r AS (SELECT query_id, doc_id, score,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, doc_id) AS rank
+                  FROM sc)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   floor(score * 1000000 + 0.501) / 1000000 AS score,
+                   rank
+            FROM r WHERE rank <= {BM25_K}
+        """,
+        "pmi_bigrams": """
+            WITH docs AS (
+                SELECT string_split(text, ' ') AS l FROM documents),
+            ucnt AS (
+                SELECT w, CAST(count(*) AS DOUBLE) AS c
+                FROM (SELECT unnest(l) AS w FROM docs) GROUP BY 1),
+            ut AS (SELECT sum(c) AS t FROM ucnt),
+            bcnt AS (
+                SELECT z[1] AS w1, z[2] AS w2,
+                       CAST(count(*) AS DOUBLE) AS c
+                FROM (SELECT unnest(list_zip(l, l[2:])) AS z FROM docs)
+                WHERE z[2] IS NOT NULL
+                GROUP BY 1, 2),
+            bt AS (SELECT sum(c) AS t FROM bcnt),
+            sc AS (
+                SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS c12,
+                       ln((b.c / bt.t)
+                          / ((u1.c / ut.t) * (u2.c / ut.t))) AS pmi
+                FROM bcnt b
+                JOIN ucnt u1 ON u1.w = b.w1
+                JOIN ucnt u2 ON u2.w = b.w2, ut, bt
+                WHERE b.c >= 5),
+            r AS (SELECT w1, w2, c12, pmi,
+                         row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank
+                  FROM sc)
+            SELECT w1, w2, c12,
+                   floor(pmi * 1000000 + 0.501) / 1000000 AS pmi,
+                   rank
+            FROM r WHERE rank <= 20
         """,
     }

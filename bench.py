@@ -107,6 +107,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",
+        "bm25_search",
+        "pmi_bigrams",
         "media_features",
     ]:
         t0 = time.time()

@@ -244,3 +244,148 @@ def ann_recall(approx: "ray.data.Dataset", exact: "ray.data.Dataset", id_col="ve
         hits += len(truth & got)
         tot += len(truth)
     return hits / max(tot, 1)
+
+
+def bm25_search(
+    ds: "ray.data.Dataset",
+    queries: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Okapi BM25 top-``k`` document retrieval for a fixed query set —
+    the lexical sibling of ``ann_brute_force`` (keyword search over a
+    corpus, e.g. decontamination probes or eval-set retrieval).
+
+    Distributed shape (reference parity: KIRE's alias/keyword scans are
+    sequential dict lookups, e.g. ATLOP+KIRE/gen_kg_data.py; here the
+    corpus never leaves the workers):
+
+    - pass 1 — one vectorized ``map_batches`` emits per-block partials
+      of (df per query term, doc count, token count); the exchanged
+      table is O(n_terms × n_blocks), never the corpus, and is summed
+      into a tiny broadcast stats tuple (``ray.put`` once).
+    - pass 2 — per-batch explode→filter-to-query-terms→grouped tf,
+      score every (query, doc) pair locally, keep a per-block partial
+      top-k, then merge per query (shuffle volume O(n_q × k × blocks)).
+
+    IDF = ln((N - df + 0.5)/(df + 0.5) + 1)  (Lucene's non-negative
+    variant).  Returns (query_id, doc_id, score, rank), rank 1..k by
+    (score desc, doc_id asc) — fully deterministic.
+    """
+    from kire_ray.functions.rounding import round_half_up
+
+    q_terms = [sorted(set(q.split())) for q in queries]
+    vocab = np.array(sorted({t for ts in q_terms for t in ts}), dtype=object)
+
+    def partial_stats(batch: pd.DataFrame) -> pd.DataFrame:
+        ws = batch[text_col].str.split()
+        lens = ws.map(len).to_numpy(dtype=np.int64)
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in ws])
+            if lens.sum()
+            else np.array([], dtype=object)
+        )
+        pos = np.searchsorted(vocab, flat)
+        in_vocab = (pos < len(vocab)) & (vocab[np.minimum(pos, len(vocab) - 1)] == flat)
+        doc_idx = np.repeat(np.arange(len(batch)), lens)
+        hit = pd.DataFrame({"t": pos[in_vocab], "d": doc_idx[in_vocab]})
+        df_partial = hit.drop_duplicates().groupby("t").size()
+        df_arr = df_partial.reindex(range(len(vocab)), fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "term_idx": np.arange(len(vocab) + 1, dtype=np.int64),
+                "n": np.concatenate([df_arr, [len(batch)]]),
+                "len_sum": np.concatenate(
+                    [np.zeros(len(vocab), dtype=np.int64), [int(lens.sum())]]
+                ),
+            }
+        )
+
+    stats = (
+        ds.map_batches(partial_stats, batch_format="pandas")
+        .to_pandas()
+        .groupby("term_idx")
+        .sum()
+    )
+    n_docs = int(stats.loc[len(vocab), "n"])
+    avgdl = float(stats.loc[len(vocab), "len_sum"]) / n_docs
+    df_tot = stats["n"].reindex(range(len(vocab)), fill_value=0).to_numpy(np.float64)
+    idf = np.log((n_docs - df_tot + 0.5) / (df_tot + 0.5) + 1.0)
+    ref = ray.put((vocab, idf, avgdl))
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        voc, idf_arr, adl = ray.get(ref)
+        ws = batch[text_col].str.split()
+        lens = ws.map(len).to_numpy(dtype=np.int64)
+        ids = batch[id_col].to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "score": []}
+            ).astype({"query_id": np.int64, id_col: np.int64, "score": np.float64})
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in ws])
+        pos = np.searchsorted(voc, flat)
+        in_vocab = (pos < len(voc)) & (voc[np.minimum(pos, len(voc) - 1)] == flat)
+        doc_idx = np.repeat(np.arange(len(batch)), lens)
+        tf = (
+            pd.DataFrame({"t": pos[in_vocab], "d": doc_idx[in_vocab]})
+            .groupby(["d", "t"])
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        dl = lens[tf["d"].to_numpy()]
+        tfv = tf["tf"].to_numpy(np.float64)
+        # per-(doc, term) partial BM25 weight
+        w = idf_arr[tf["t"].to_numpy()] * (
+            tfv * (k1 + 1.0) / (tfv + k1 * (1.0 - b + b * dl / adl))
+        )
+        out = []
+        term_col = tf["t"].to_numpy()
+        for qi, terms in enumerate(q_terms):
+            tsel = np.isin(term_col, np.searchsorted(voc, terms))
+            if not tsel.any():
+                continue
+            per_doc = (
+                pd.DataFrame({"d": tf["d"].to_numpy()[tsel], "w": w[tsel]})
+                .groupby("d")["w"]
+                .sum()
+                .reset_index()
+            )
+            per_doc[id_col] = ids[per_doc["d"].to_numpy()]
+            top = per_doc.sort_values(
+                ["w", id_col], ascending=[False, True], kind="stable"
+            ).head(k)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.int64(qi),
+                        id_col: top[id_col].to_numpy(),
+                        "score": top["w"].to_numpy(),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "score": []}
+            ).astype({"query_id": np.int64, id_col: np.int64, "score": np.float64})
+        return pd.concat(out, ignore_index=True)
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="stable")
+        g = g.head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"].astype(np.int64),
+                id_col: g[id_col].astype(np.int64),
+                "score": round_half_up(g["score"], 6),
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

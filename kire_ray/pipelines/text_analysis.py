@@ -745,3 +745,105 @@ def pack_sequences(
         lambda b: b.assign(_r=(b[id_col] - lo) // width), batch_format="pandas"
     )
     return partitioned_map_groups(with_r, ["_r"], lambda g: assign(g.drop(columns=["_r"])))
+
+
+def pmi_bigrams(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> "ray.data.Dataset":
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information — the corpus-statistics stage a tokenizer-training /
+    phrase-mining pipeline runs before merging multiword units.
+
+    PMI(w1,w2) = ln( (c12/T2) / ((c1/T1)·(c2/T1)) ) over adjacent
+    pairs within a document, filtered to ``c12 >= min_count``, ranked
+    (pmi desc, w1 asc, w2 asc).
+
+    Distributed shape: per-batch bigram/unigram Counter combiners →
+    one grouped exchange each (``grouped_agg``); the unigram table is
+    vocab-bounded and broadcast once (``ray.put`` — same documented
+    trade-off as ``tfidf_top_terms``: switch to a hash join when the
+    vocab outgrows a worker heap); the bigram table stays distributed
+    and each block emits a partial top-k, merged in one tiny final
+    sort. Shuffle volume = O(distinct bigrams), never the corpus.
+
+    Returns (w1, w2, c12, pmi, rank) with rank 1..k.
+    """
+    from collections import Counter
+
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b[text_col]:
+            c.update(t.split())
+        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
+
+    uni = grouped_agg(
+        ds.map_batches(uni_partial, batch_format="pandas"),
+        ["word"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    t1 = float(uni["n"].sum())
+    words = np.sort(uni["word"].to_numpy())
+    counts = uni.set_index("word")["n"].reindex(words).to_numpy(np.float64)
+    uni_ref = ray.put((words, counts, t1))
+
+    def bi_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b[text_col]:
+            ws = t.split()
+            c.update(zip(ws, ws[1:]))
+        if not c:
+            return pd.DataFrame({"w1": [], "w2": [], "n": []}).astype(
+                {"w1": object, "w2": object, "n": np.int64}
+            )
+        k1, k2 = zip(*c.keys())
+        return pd.DataFrame(
+            {"w1": list(k1), "w2": list(k2), "n": list(c.values())}
+        )
+
+    bi = grouped_agg(
+        ds.map_batches(bi_partial, batch_format="pandas"),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+    )
+    t2 = float(bi.sum("n"))
+
+    def partial_topk(b: pd.DataFrame) -> pd.DataFrame:
+        voc, cnt, tot1 = ray.get(uni_ref)
+        b = b[b["n"] >= min_count]
+        if not len(b):
+            return pd.DataFrame(
+                {"w1": [], "w2": [], "c12": [], "pmi": []}
+            ).astype({"w1": object, "w2": object, "c12": np.int64, "pmi": np.float64})
+        c12 = b["n"].to_numpy(np.float64)
+        c1 = cnt[np.searchsorted(voc, b["w1"].to_numpy())]
+        c2 = cnt[np.searchsorted(voc, b["w2"].to_numpy())]
+        pmi = np.log((c12 / t2) / ((c1 / tot1) * (c2 / tot1)))
+        out = pd.DataFrame(
+            {
+                "w1": b["w1"].to_numpy(),
+                "w2": b["w2"].to_numpy(),
+                "c12": b["n"].to_numpy(np.int64),
+                "pmi": pmi,
+            }
+        )
+        return out.sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+
+    partials = bi.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    top = (
+        partials.sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True], kind="stable"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["pmi"] = round_half_up(top["pmi"], 6)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return ray.data.from_pandas(top)

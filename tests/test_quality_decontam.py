@@ -252,3 +252,109 @@ def test_duplicated_spans_layout_invariance(ray_session):
     )
     pd.testing.assert_frame_equal(one, many)
     assert (one["doc_id"] >= 40).sum() == 8  # each planted dup flagged
+
+
+def _bm25_reference(texts, queries, k=10, k1=1.2, b=0.75):
+    """Tiny sequential BM25 for the hand-check (Lucene IDF)."""
+    import collections
+    import math
+
+    docs = [t.split() for t in texts]
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    out = []
+    for qi, q in enumerate(queries):
+        terms = sorted(set(q.split()))
+        scores = {}
+        for di, d in enumerate(docs):
+            tf = collections.Counter(d)
+            s = 0.0
+            hit = False
+            for t in terms:
+                if tf[t] == 0:
+                    continue
+                hit = True
+                df = sum(1 for dd in docs if t in dd)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                s += idf * (
+                    tf[t] * (k1 + 1.0)
+                    / (tf[t] + k1 * (1.0 - b + b * len(d) / avgdl))
+                )
+            if hit:
+                scores[di] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for r, (di, s) in enumerate(ranked, 1):
+            out.append((qi, di, round(s, 5), r))
+    return out
+
+
+def test_bm25_search_vs_sequential(ray_session):
+    from kire_ray.pipelines.similarity import bm25_search
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(5, 30)))) for _ in range(60)]
+    queries = ["w0 w3", "w5 w1 w9", "w11"]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(60), "text": texts})
+    ).repartition(7)
+    got = (
+        bm25_search(ds, queries, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _bm25_reference(texts, queries, k=5)
+    assert len(got) == len(want)
+    for row, (qi, di, s, r) in zip(got.itertuples(index=False), want):
+        assert (row.query_id, row.doc_id, row.rank) == (qi, di, r)
+        assert abs(row.score - s) < 1e-4
+
+
+def test_bm25_batch_layout_invariance(ray_session):
+    from kire_ray.pipelines.similarity import bm25_search
+
+    texts = ["alpha beta gamma", "beta beta delta", "gamma alpha alpha beta"]
+    ds1 = _docs_ds(texts)
+    ds2 = _docs_ds(texts).repartition(3)
+    key = ["query_id", "rank"]
+    a = bm25_search(ds1, ["beta gamma"], k=3).to_pandas().sort_values(key)
+    b = bm25_search(ds2, ["beta gamma"], k=3).to_pandas().sort_values(key)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_pmi_bigrams_hand_computed(ray_session):
+    from kire_ray.pipelines.text_analysis import pmi_bigrams
+
+    # "a b" appears 6x, "b a" 5x; unigrams a=11? count by hand below.
+    texts = ["a b a b a b", "a b a b a b b a", "b a b a b a b a"]
+    got = (
+        pmi_bigrams(_docs_ds(texts).repartition(3), min_count=2, k=10)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    import collections
+    import math
+
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    t1 = sum(uni.values())
+    t2 = sum(bi.values())
+    want = sorted(
+        (
+            (-math.log((c / t2) / ((uni[w1] / t1) * (uni[w2] / t1))), w1, w2, c)
+            for (w1, w2), c in bi.items()
+            if c >= 2
+        ),
+    )
+    assert len(got) == len(want)
+    for row, (neg_pmi, w1, w2, c) in zip(got.itertuples(index=False), want):
+        assert (row.w1, row.w2, row.c12) == (w1, w2, c)
+        assert abs(row.pmi - (-neg_pmi)) < 1e-6

@@ -35,6 +35,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 import ray.data
@@ -241,6 +242,24 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import ann_ivf
 
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
+
+
+def _q_label_centroids(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import label_centroids
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    return label_centroids(emb)
+
+
+def _q_lang_id(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import lang_id_trigrams
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return lang_id_trigrams(docs, profile_size=200)
 
 
 def _q_pmi_bigrams(sf_dir: str) -> Any:
@@ -600,6 +619,35 @@ def _q_doc_features(sf_dir: str) -> Any:
     return featurize(
         c["linked"], vocab, kg_ref=c["ctx"].kg_ref, canon_ref=c["ctx"].canon_ref
     )
+
+
+def _q_doc_word_ids_flat(sf_dir: str) -> Any:
+    """M6 word-id channel flattened to (doc_id, pos, word_id) rows so
+    the driver's DuckDB oracle can verify the distributed vocab encode
+    value-exactly (vocab rank = row_number over (count desc, word);
+    the ragged ``doc_features`` stays rows-only for the NER/entity
+    channels, which depend on linking clusters)."""
+    import pyarrow.compute as pc
+
+    feats = _q_doc_features(sf_dir)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        wi = t.column("word_ids")
+        flat = pc.list_flatten(wi)
+        parent = pc.list_parent_indices(wi)
+        doc = pc.take(t.column("doc_id"), parent)
+        lens = pc.list_value_length(wi).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - offs
+        return pa.table(
+            {
+                "doc_id": doc,
+                "pos": pa.array(pos, pa.int64()),
+                "word_id": pc.cast(flat, pa.int64()),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
 
 
 def _q_doc_graphs(sf_dir: str) -> Any:
@@ -1010,10 +1058,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_subwords": _q_kg_doc_subwords,
         "kg_doc_subwords_flat": _q_kg_doc_subwords_flat,
         "doc_features": _q_doc_features,
+        "doc_word_ids_flat": _q_doc_word_ids_flat,
         "doc_graphs": _q_doc_graphs,
         "ann_brute_force": _q_ann_brute,
         "bm25_search": _q_bm25_search,
         "pmi_bigrams": _q_pmi_bigrams,
+        "lang_id": _q_lang_id,
+        "label_centroids": _q_label_centroids,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -1027,7 +1078,7 @@ def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
     Corpus-side oracles (kg_assembled_turns / kg_mentions_flat / kg_doc_subwords_flat /
-    glre_pairs_flat / pubtator_docs_flat) read the synthetic corpus'
+    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
     parameter, so these (plus frame_sample / audio_chunk, which read
     the persisted media metadata) are bound to sf0.01 — the scale the
@@ -1998,5 +2049,60 @@ def oracle_sql() -> dict[str, str]:
                    floor(pmi * 1000000 + 0.501) / 1000000 AS pmi,
                    rank
             FROM r WHERE rank <= 20
+        """,
+        "lang_id": """
+            WITH tri AS (
+                SELECT doc_id, lang, substring(text, i, 3) AS tri
+                FROM (SELECT doc_id, lang, text,
+                             unnest(generate_series(1, length(text) - 2)) AS i
+                      FROM documents WHERE length(text) >= 3)),
+            prof AS (
+                SELECT lang, tri FROM (
+                    SELECT lang, tri,
+                           row_number() OVER (PARTITION BY lang
+                                              ORDER BY count(*) DESC, tri) AS rn
+                    FROM tri GROUP BY lang, tri)
+                WHERE rn <= 200),
+            dt AS (SELECT DISTINCT doc_id, tri FROM tri),
+            sc AS (
+                SELECT dt.doc_id, p.lang, count(*) AS n_hits
+                FROM dt JOIN prof p USING (tri)
+                GROUP BY 1, 2),
+            best AS (
+                SELECT doc_id, lang AS pred_lang, n_hits,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY n_hits DESC, lang) AS rn
+                FROM sc)
+            SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "label_centroids": """
+            WITH ex AS (
+                SELECT label,
+                       unnest(CAST(embedding AS DOUBLE[])) AS e,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i - 1 AS BIGINT) AS dim,
+                   floor((sum(e) / count(*)) * 1000000 + 0.501) / 1000000 AS mean,
+                   count(*) AS n
+            FROM ex GROUP BY 1, 2
+        """,
+        "doc_word_ids_flat": f"""
+            WITH toks AS (
+                SELECT conv_id AS doc_id, turn_idx,
+                       unnest(string_split(text, ' ')) AS w,
+                       unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+                FROM read_parquet('{c01}/transcripts.parquet/*.parquet')),
+            vocab AS (
+                SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) + 1 AS wid
+                FROM toks GROUP BY w),
+            pos AS (
+                SELECT doc_id, w,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY turn_idx, p) - 1 AS pos
+                FROM toks)
+            SELECT pos.doc_id, CAST(pos.pos AS BIGINT) AS pos,
+                   CAST(v.wid AS BIGINT) AS word_id
+            FROM pos JOIN vocab v USING (w)
         """,
     }

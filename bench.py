@@ -109,6 +109,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "ann_ivf",
         "bm25_search",
         "pmi_bigrams",
+        "lang_id",
+        "label_centroids",
         "media_features",
     ]:
         t0 = time.time()

@@ -389,3 +389,58 @@ def bm25_search(
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def label_centroids(
+    emb: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> "ray.data.Dataset":
+    """Per-label centroid of an embedding column, flattened to
+    (label, dim, mean, n) rows — the cluster-statistics pass of an
+    embedding-space pipeline (domain drift monitoring, IVF cell audit,
+    class prototypes for distillation).
+
+    Distributed shape: each batch reduces to one partial-sum row per
+    (label, dim) via a single float64 matmul-free ``np.add.at``; the
+    exchange is O(labels × dims × blocks), never the corpus, summed by
+    the grouped exchange and divided once. SQL-verifiable: unnest the
+    list column with its index and avg per (label, dim).
+    """
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        labels, inv = np.unique(b[label_col].to_numpy(), return_inverse=True)
+        d = M.shape[1]
+        sums = np.zeros((len(labels), d), dtype=np.float64)
+        np.add.at(sums, inv, M)
+        cnt = np.bincount(inv, minlength=len(labels)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labels.astype(np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), len(labels)),
+                "s": sums.ravel(),
+                "n": np.repeat(cnt, d),
+            }
+        )
+
+    agg = grouped_agg(
+        emb.map_batches(partial, batch_format="pandas"),
+        ["label", "dim"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "label": b["label"].astype(np.int64),
+                "dim": b["dim"].astype(np.int64),
+                "mean": round_half_up(b["s"] / b["n"], 6),
+                "n": b["n"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")

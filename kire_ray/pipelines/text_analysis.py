@@ -847,3 +847,103 @@ def pmi_bigrams(
     top["pmi"] = round_half_up(top["pmi"], 6)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return ray.data.from_pandas(top)
+
+
+def lang_id_trigrams(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    profile_size: int = 200,
+) -> "ray.data.Dataset":
+    """Character-trigram language identification (Cavnar–Trenkle style,
+    simplified to profile-overlap so the DuckDB oracle reproduces it
+    exactly): build a top-``profile_size`` trigram profile per labelled
+    language, then classify every document by how many of its distinct
+    trigrams hit each profile (ties → lang asc; zero-hit docs emit no
+    row). On this synthetic corpus the text carries no real language
+    signal — the operator is about the distributed shape + exact
+    verification; on real data it is the standard n-gram langid stage.
+
+    Distributed shape: trigram extraction is a byte-level numpy sliding
+    window over each batch's concatenated text (ASCII corpus ⇒ byte ==
+    char, matching SQL ``substring``; no per-row Python loop). Profile
+    pass: per-batch (lang, trigram) count combiner → one grouped
+    exchange (trigram-vocab-bounded) → tiny top-P table broadcast.
+    Classify pass: per-batch distinct (doc, trigram) → searchsorted
+    membership per language → bincount argmax. No corpus-sized shuffle.
+
+    Returns (doc_id, pred_lang, n_hits).
+    """
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def _codes(texts: pd.Series):
+        """Per-row trigram uint32 codes; returns (codes, row_idx)."""
+        lens = texts.str.len().to_numpy(np.int64)
+        joined = "\x00\x00".join(texts.tolist()).encode("ascii", "replace")
+        a = np.frombuffer(joined, dtype=np.uint8)
+        if len(a) < 3:
+            return np.array([], np.uint32), np.array([], np.int64)
+        w = np.lib.stride_tricks.sliding_window_view(a, 3)
+        valid = ~(w == 0).any(axis=1)
+        codes = (
+            (w[:, 0].astype(np.uint32) << 16)
+            | (w[:, 1].astype(np.uint32) << 8)
+            | w[:, 2].astype(np.uint32)
+        )
+        rows = np.repeat(np.arange(len(texts)), np.maximum(lens - 2, 0))
+        return codes[valid], rows
+
+    def prof_partial(b: pd.DataFrame) -> pd.DataFrame:
+        codes, rows = _codes(b[text_col])
+        langs, lang_idx = np.unique(b[lang_col].to_numpy(), return_inverse=True)
+        key = lang_idx[rows].astype(np.int64) * (1 << 24) + codes
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame(
+            {
+                "lang": langs[(uniq >> 24).astype(np.int64)],
+                "code": (uniq & 0xFFFFFF).astype(np.int64),
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    prof = grouped_agg(
+        ds.map_batches(prof_partial, batch_format="pandas"),
+        ["lang", "code"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    prof = prof.sort_values(
+        ["lang", "n", "code"], ascending=[True, False, True], kind="stable"
+    )
+    prof["rn"] = prof.groupby("lang", sort=False).cumcount()
+    prof = prof[prof["rn"] < profile_size]
+    langs = np.sort(prof["lang"].unique())
+    profiles = [
+        np.sort(prof[prof["lang"] == lg]["code"].to_numpy(np.int64))
+        for lg in langs
+    ]
+    ref = ray.put((langs, profiles))
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        lgs, profs = ray.get(ref)
+        codes, rows = _codes(b[text_col])
+        dk = np.unique(rows.astype(np.int64) * (1 << 24) + codes)
+        drow, dcode = (dk >> 24).astype(np.int64), (dk & 0xFFFFFF).astype(np.int64)
+        scores = np.zeros((len(b), len(lgs)), dtype=np.int64)
+        for li, pr in enumerate(profs):
+            pos = np.searchsorted(pr, dcode)
+            hit = (pos < len(pr)) & (pr[np.minimum(pos, len(pr) - 1)] == dcode)
+            scores[:, li] = np.bincount(drow[hit], minlength=len(b))
+        best = scores.argmax(axis=1)  # ties → first = lang asc
+        n_hits = scores[np.arange(len(b)), best]
+        keep = n_hits > 0
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy()[keep],
+                "pred_lang": lgs[best[keep]],
+                "n_hits": n_hits[keep],
+            }
+        )
+
+    return ds.map_batches(classify, batch_format="pandas")

@@ -614,3 +614,25 @@ def test_length_sorted_batches_counting_sort(ray_session):
     assert (got["n_tokens"].to_numpy() == exp["n"].to_numpy()).all()
     assert (got["batch_idx"].to_numpy() == exp["rank"].to_numpy() // 32).all()
     assert (got["pos_in_batch"].to_numpy() == exp["rank"].to_numpy() % 32).all()
+
+
+def test_label_centroids_hand_computed(ray_session):
+    import ray.data
+    from kire_ray.pipelines.similarity import label_centroids
+
+    df = pd.DataFrame(
+        {
+            "embedding": [[1.0, 2.0], [3.0, 4.0], [10.0, 20.0]],
+            "label": [0, 0, 1],
+        }
+    )
+    got = (
+        label_centroids(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    assert got["label"].tolist() == [0, 0, 1, 1]
+    assert got["dim"].tolist() == [0, 1, 0, 1]
+    assert got["mean"].tolist() == [2.0, 3.0, 10.0, 20.0]
+    assert got["n"].tolist() == [2, 2, 1, 1]

@@ -358,3 +358,27 @@ def test_pmi_bigrams_hand_computed(ray_session):
     for row, (neg_pmi, w1, w2, c) in zip(got.itertuples(index=False), want):
         assert (row.w1, row.w2, row.c12) == (w1, w2, c)
         assert abs(row.pmi - (-neg_pmi)) < 1e-6
+
+
+def test_lang_id_trigrams_hand_computed(ray_session):
+    from kire_ray.pipelines.text_analysis import lang_id_trigrams
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["xxxxxx", "zzzzzz", "xxx zzz"],
+            "lang": ["aa", "bb", "bb"],
+        }
+    )
+    got = (
+        lang_id_trigrams(ray.data.from_pandas(df).repartition(3), profile_size=200)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # profiles: aa={xxx}; bb={zzz, xxx, 'xx ', 'x z', ' zz'}
+    # doc0 {xxx}: aa=1 bb=1 -> tie -> 'aa'; doc1 {zzz}: bb only
+    # doc2 distinct 5 trigrams: aa=1, bb=5 -> 'bb'
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    assert got["pred_lang"].tolist() == ["aa", "bb", "bb"]
+    assert got["n_hits"].tolist() == [1, 1, 5]

@@ -168,7 +168,11 @@ def _flagship_graph(sf_dir: str, *, with_nodes: bool = False) -> dict:
     if with_nodes and "nodes" not in g:
         lc = _flagship_linked(sf_dir)
         g["linked"] = lc["linked"]
-        g["nodes"] = merge_nodes(entity_vectors(lc["linked"], c["ctx"]))
+        # linked cache is materialized at exchange width and the
+        # embedder preserves block count -> skip the pre-exchange coalesce
+        g["nodes"] = merge_nodes(
+            entity_vectors(lc["linked"], c["ctx"]), coalesce=False
+        )
     return g
 
 

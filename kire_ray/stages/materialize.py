@@ -22,6 +22,25 @@ import pandas as pd
 import ray.data
 
 
+def _coalesce_if_fragmented(
+    ds: "ray.data.Dataset", source: "ray.data.Dataset" | None = None
+) -> "ray.data.Dataset":
+    """Coalesce ``ds`` to the exchange width unless its block count is
+    already known (materialized ``source``) to be at/under it — a
+    repartition of an already-coalesced stream is a pure extra
+    all-to-all (measured ~4s on the sf0.1 nodes merge)."""
+    from kire_ray.stages.shuffle import default_partitions
+
+    P = default_partitions()
+    probe = source if source is not None else ds
+    try:
+        if probe.num_blocks() <= P:
+            return ds
+    except Exception:
+        pass  # lazy dataset: block count unknown → coalesce
+    return ds.repartition(P)
+
+
 def dedup_edges(
     triples: "ray.data.Dataset", *, extra_keys: tuple[str, ...] = ()
 ) -> "ray.data.Dataset":
@@ -43,14 +62,14 @@ def dedup_edges(
             .reset_index()
         )
 
-    from kire_ray.stages.shuffle import default_partitions
-
     # the scorer stage upstream runs ~10 blocks/CPU for actor-pool
     # parallelism; an exchange over that many tiny blocks pays sort-task
     # overhead per block (measured 12s → 2-3s on the nodes merge), so
-    # coalesce the small combiner partials to the exchange width first
-    part = triples.map_batches(partial, batch_format="pandas").repartition(
-        default_partitions()
+    # coalesce the small combiner partials to the exchange width first —
+    # unless the input is already at (or under) the exchange width, in
+    # which case the repartition is a pure extra all-to-all pass
+    part = _coalesce_if_fragmented(
+        triples.map_batches(partial, batch_format="pandas"), triples
     )
 
     def final(out: pd.DataFrame) -> pd.DataFrame:
@@ -91,7 +110,10 @@ def _vec_matrix(col) -> np.ndarray:
 
 
 def merge_nodes(
-    doc_entities: "ray.data.Dataset", *, extra_keys: tuple[str, ...] = ()
+    doc_entities: "ray.data.Dataset",
+    *,
+    extra_keys: tuple[str, ...] = (),
+    coalesce: bool = True,
 ) -> "ray.data.Dataset":
     """Per-doc entity rows → one node row per canonical qid.
 
@@ -136,7 +158,11 @@ def merge_nodes(
     from kire_ray.stages.shuffle import default_partitions, partitioned_map_groups
 
     # coalesce the wide actor-stage output before the exchange (see
-    # dedup_edges: per-block sort overhead dominates tiny blocks)
-    return partitioned_map_groups(
-        doc_entities.repartition(default_partitions()), keys, merge_part
+    # dedup_edges: per-block sort overhead dominates tiny blocks); pass
+    # coalesce=False when the embedder input is already exchange-width
+    # (the cached flagship path) — the repartition would be a pure
+    # extra all-to-all
+    src = (
+        doc_entities.repartition(default_partitions()) if coalesce else doc_entities
     )
+    return partitioned_map_groups(src, keys, merge_part)

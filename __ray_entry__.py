@@ -248,6 +248,12 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_containment_dedup(sf_dir: str) -> Any:
+    from kire_ray.pipelines.dedup import containment_dedup
+
+    return containment_dedup(_docs(sf_dir))
+
+
 def _q_label_centroids(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import label_centroids
 
@@ -1076,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "lang_id": _q_lang_id,
         "label_centroids": _q_label_centroids,
+        "containment_dedup": _q_containment_dedup,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -2085,6 +2092,29 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_hits DESC, lang) AS rn
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "containment_dedup": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+            df AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+            rare AS (
+                SELECT doc_id AS id_a, w FROM (
+                    SELECT t.doc_id, t.w, df.df,
+                           row_number() OVER (PARTITION BY t.doc_id
+                                              ORDER BY df.df, t.w) AS rn
+                    FROM toks t JOIN df USING (w))
+                WHERE rn = 1 AND df <= 100000),
+            cand AS (
+                SELECT r.id_a, t.doc_id AS id_b
+                FROM rare r JOIN toks t USING (w)
+                WHERE t.doc_id <> r.id_a)
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN documents a ON a.doc_id = c.id_a
+            JOIN documents b ON b.doc_id = c.id_b
+            WHERE a.text <> b.text
+              AND contains(' ' || b.text || ' ', ' ' || a.text || ' ')
         """,
         "label_centroids": """
             WITH ex AS (

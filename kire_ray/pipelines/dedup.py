@@ -776,3 +776,135 @@ def duplicated_spans(
     return partitioned_map_groups(
         hits, [id_col], merge_spans, num_partitions=num_partitions
     )
+
+
+# --------------------------- Containment ----------------------------
+
+
+def containment_dedup(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 100_000,
+) -> "ray.data.Dataset":
+    """Directional containment dedup: pairs ``(id_a, id_b)`` where doc
+    a's whole token sequence appears contiguously inside doc b and the
+    texts differ (exact duplicates are ``exact_dedup``'s job) — the
+    "document swallowed by a larger page" case that Jaccard thresholds
+    miss when the container is much longer than the contained doc.
+
+    Blocking: a word-aligned containment implies every word of a is a
+    word of b, so b must contain a's *rarest* word (min corpus df, tie
+    → word asc). Side A emits one (rarest word, id) row per doc (only
+    when that df ≤ ``df_cap`` — a doc made entirely of stop-words has
+    no discriminative block key and would explode the posting list;
+    the cap is part of the declared semantics, mirrored in the SQL
+    oracle); side B emits every distinct (word, id). One hash exchange
+    co-locates each word's A/B postings and emits candidates; texts
+    are attached with two bucketed hash joins (materialize between —
+    stacked join operators deadlock at low CPU counts, see
+    ``_verify_jaccard_joined``) and verified with a padded substring
+    test (single-space-clean text ⇒ padded char containment == word
+    alignment). Words ride the exchange as uint64 hashes (same
+    accepted ~2^-64 collision as ``ngram_candidates``).
+    """
+    from kire_ray.functions.hashing import hash64_fast
+    from kire_ray.pipelines.text_analysis import doc_frequencies
+    from kire_ray.stages.joins import hash_join
+    from kire_ray.stages.shuffle import default_partitions, partitioned_map_groups
+
+    P = default_partitions()
+    dfp = doc_frequencies(docs, text_col=text_col, id_col=id_col).to_pandas()
+    words = np.sort(dfp["word"].to_numpy())
+    dfs = dfp.set_index("word")["df"].reindex(words).to_numpy(np.int64)
+    ref = ray.put((words, dfs))
+
+    def block_rows(b: pd.DataFrame) -> pd.DataFrame:
+        voc, dfarr = ray.get(ref)
+        ws = b[text_col].str.split()
+        lens = ws.map(len).to_numpy(np.int64)
+        ids = b[id_col].to_numpy()
+        ex = pd.DataFrame(
+            {
+                "i": np.repeat(np.arange(len(b)), lens),
+                "w": np.concatenate([np.asarray(w, dtype=object) for w in ws])
+                if lens.sum()
+                else np.array([], dtype=object),
+            }
+        ).drop_duplicates()
+        ex["df"] = dfarr[np.searchsorted(voc, ex["w"].to_numpy())]
+        side_b = pd.DataFrame(
+            {"w": ex["w"], "id": ids[ex["i"].to_numpy()], "is_a": False}
+        )
+        ra = ex.sort_values(["i", "df", "w"], kind="stable").drop_duplicates("i")
+        ra = ra[ra["df"] <= df_cap]
+        side_a = pd.DataFrame(
+            {"w": ra["w"], "id": ids[ra["i"].to_numpy()], "is_a": True}
+        )
+        out = pd.concat([side_a, side_b], ignore_index=True)
+        return pd.DataFrame(
+            {
+                "wh": hash64_fast(out["w"].to_numpy(object)).astype(np.int64),
+                "id": out["id"].astype(np.int64),
+                "is_a": out["is_a"].astype(bool),
+            }
+        )
+
+    rows = docs.map_batches(block_rows, batch_format="pandas")
+
+    def gen_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+            }
+        )
+        a = part[part["is_a"]]
+        b_ = part[~part["is_a"]]
+        if a.empty or b_.empty:
+            return empty
+        m = a.merge(b_, on="wh", suffixes=("_a", "_b"))
+        m = m[m["id_a"] != m["id_b"]]
+        if m.empty:
+            return empty
+        return m[["id_a", "id_b"]].astype(np.int64)
+
+    cand = partitioned_map_groups(rows, ["wh"], gen_pairs, num_partitions=P)
+
+    texts = docs.select_columns([id_col, text_col])
+
+    def rename(suffix):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(
+                columns={id_col: f"id_{suffix}", text_col: f"text_{suffix}"}
+            )
+
+        return f
+
+    j1 = hash_join(
+        cand,
+        texts.map_batches(rename("a"), batch_format="pandas"),
+        on=["id_a"],
+        num_partitions=P,
+    ).materialize()
+    j2 = hash_join(
+        j1,
+        texts.map_batches(rename("b"), batch_format="pandas"),
+        on=["id_b"],
+        num_partitions=P,
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.fromiter(
+            (
+                ta != tb and (" " + ta + " ") in (" " + tb + " ")
+                for ta, tb in zip(b["text_a"], b["text_b"])
+            ),
+            dtype=bool,
+            count=len(b),
+        )
+        out = b.loc[keep, ["id_a", "id_b"]].reset_index(drop=True)
+        return out.astype(np.int64)
+
+    return j2.map_batches(verify, batch_format="pandas")

@@ -63,3 +63,35 @@ def test_ngram_jaccard_joined_equals_broadcast(ray_session):
     joined = run(0)
     assert len(broadcast) > 50
     pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_containment_dedup_planted(ray_session):
+    import ray.data
+    from kire_ray.pipelines.dedup import containment_dedup
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(20)]
+    # plant: doc 20 = middle slice of doc 0; doc 21 = doc 1 + suffix;
+    # doc 22 = exact copy of doc 2 (must NOT appear: texts equal)
+    texts.append(" ".join(texts[0].split()[5:15]))
+    texts.append(texts[1] + " " + " ".join(rng.choice(vocab, 4)))
+    texts.append(texts[2])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(5)
+    got = containment_dedup(ds).to_pandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    assert (20, 0) in pairs
+    assert (1, 21) in pairs
+    assert (22, 2) not in pairs and (2, 22) not in pairs
+    # oracle: brute force over all ordered pairs
+    want = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(len(texts))
+        if i != j
+        and texts[i] != texts[j]
+        and (" " + texts[i] + " ") in (" " + texts[j] + " ")
+    }
+    assert pairs == want

@@ -248,6 +248,15 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_hll_distinct_users(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sketches import hll_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct(ev, "user_id", group_col="event_type")
+
+
 def _q_containment_dedup(sf_dir: str) -> Any:
     from kire_ray.pipelines.dedup import containment_dedup
 
@@ -1083,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "label_centroids": _q_label_centroids,
         "containment_dedup": _q_containment_dedup,
+        "hll_distinct_users": _q_hll_distinct_users,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -2092,6 +2102,44 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_hits DESC, lang) AS rn
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "hll_distinct_users": """
+            WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
+            h AS (SELECT event_type,
+                         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT) AS h
+                  FROM dv),
+            rb AS (SELECT event_type, h >> 50 AS bucket,
+                          h & ((CAST(1 AS BIGINT) << 50) - 1) AS w
+                   FROM h),
+            regs AS (SELECT event_type, bucket,
+                            max(CASE WHEN w = 0 THEN 51
+                                     ELSE 51 - length(bin(w)) END) AS rho
+                     FROM rb GROUP BY 1, 2),
+            fullregs AS (
+                SELECT g.event_type, s.bucket, coalesce(r.rho, 0) AS rho
+                FROM (SELECT DISTINCT event_type FROM events) g
+                CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS bucket) s
+                LEFT JOIN regs r
+                  ON r.event_type = g.event_type AND r.bucket = s.bucket),
+            agg AS (
+                SELECT event_type,
+                       sum(power(2.0, -rho)) AS s,
+                       sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v0
+                FROM fullregs GROUP BY 1),
+            est AS (
+                SELECT event_type,
+                       (0.7213 / (1.0 + 1.079 / 1024.0))
+                           * 1024.0 * 1024.0 / s AS e_raw,
+                       v0
+                FROM agg)
+            SELECT event_type,
+                   floor((CASE WHEN e_raw <= 2.5 * 1024.0 AND v0 > 0
+                               THEN 1024.0 * ln(1024.0 / v0)
+                               ELSE e_raw END) * 1000000 + 0.501) / 1000000
+                       AS estimate,
+                   CAST(v0 AS BIGINT) AS v_zero
+            FROM est
         """,
         "containment_dedup": """
             WITH toks AS (

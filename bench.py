@@ -78,6 +78,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "orders_lineitem_range_join",
         "events_rolling_avg",
         "events_distinct_users",
+        "hll_distinct_users",
         "orders_status_quantiles",
         "exact_dedup",
         "duplicated_spans",

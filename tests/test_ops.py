@@ -636,3 +636,38 @@ def test_label_centroids_hand_computed(ray_session):
     assert got["dim"].tolist() == [0, 1, 0, 1]
     assert got["mean"].tolist() == [2.0, 3.0, 10.0, 20.0]
     assert got["n"].tolist() == [2, 2, 1, 1]
+
+
+def test_hll_distinct_accuracy_and_layout(ray_session):
+    import ray.data
+    from kire_ray.pipelines.sketches import hll_distinct
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b"], n),
+            "user_id": rng.integers(0, 3_000, n),
+        }
+    )
+    exact = df.groupby("event_type")["user_id"].nunique()
+    got = (
+        hll_distinct(
+            ray.data.from_pandas(df).repartition(8), "user_id", group_col="event_type"
+        )
+        .to_pandas()
+        .set_index("event_type")["estimate"]
+    )
+    for g in ("a", "b"):
+        # 1024 registers -> ~3.25% standard error; 10% is a safe gate
+        assert abs(got[g] - exact[g]) / exact[g] < 0.10, (g, got[g], exact[g])
+    # batch-layout invariance: registers are max-merged, so the sketch
+    # is independent of how rows are blocked
+    got2 = (
+        hll_distinct(
+            ray.data.from_pandas(df).repartition(3), "user_id", group_col="event_type"
+        )
+        .to_pandas()
+        .set_index("event_type")["estimate"]
+    )
+    assert (got.sort_index() == got2.sort_index()).all()

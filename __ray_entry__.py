@@ -248,6 +248,12 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_cms_heavy_hitters(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(sf_dir), k=20)
+
+
 def _q_hll_distinct_users(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import hll_distinct
 
@@ -1093,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "containment_dedup": _q_containment_dedup,
         "hll_distinct_users": _q_hll_distinct_users,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -2102,6 +2109,27 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_hits DESC, lang) AS rn
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "cms_heavy_hitters": """
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            wc AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+            rws AS (SELECT unnest(generate_series(0, 3)) AS j),
+            hb AS (SELECT r.j, wc.w, wc.n,
+                          CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR)
+                                                   || '_' || wc.w),
+                                               1, 15)) AS BIGINT) % 2048
+                              AS bucket
+                   FROM rws r CROSS JOIN wc),
+            counters AS (SELECT j, bucket, sum(n) AS c FROM hb GROUP BY 1, 2),
+            est AS (SELECT h.w AS word, min(c.c) AS est
+                    FROM hb h
+                    JOIN counters c ON c.j = h.j AND c.bucket = h.bucket
+                    GROUP BY 1),
+            r AS (SELECT word, CAST(est AS BIGINT) AS est,
+                         row_number() OVER (ORDER BY est DESC, word) AS rank
+                  FROM est)
+            SELECT word, est, rank FROM r WHERE rank <= 20
         """,
         "hll_distinct_users": """
             WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),

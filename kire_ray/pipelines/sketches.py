@@ -117,3 +117,90 @@ def hll_distinct(
         return partitioned_map_groups(regs, group_keys, finalize)
     # global sketch: the register table is m rows — one reduce task
     return regs.repartition(1).map_batches(finalize, batch_format="pandas")
+
+
+CMS_D = 4                  # hash rows
+CMS_W = 2048               # counters per row
+
+
+def cms_heavy_hitters(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    k: int = 20,
+) -> "ray.data.Dataset":
+    """Count-Min heavy hitters: estimate every distinct token's count
+    from a d×w counter sketch and return the top-``k`` by estimate
+    (est desc, word asc) — the constant-memory frequency path beside
+    the exact ``word_frequencies``. Estimates only ever over-count
+    (min over d rows of colliding sums), and the entire sketch is
+    integer arithmetic on md5-derived buckets, so the DuckDB oracle
+    reproduces it bit-for-bit with no float rounding at all.
+
+    Distributed shape: per-batch factorized token counts → d×w partial
+    counter rows per block → one O(d×w×blocks) grouped exchange; the
+    probe side walks the (vocab-bounded) distinct-word table against
+    the broadcast counters. At an open web vocabulary, cap the probe
+    set (e.g. block-local top candidates) — the sketch itself stays
+    O(d×w) regardless.
+    """
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def _bucket(prefix: str, words) -> np.ndarray:
+        return np.fromiter(
+            (
+                int(hashlib.md5(f"{prefix}_{w}".encode("utf-8")).hexdigest()[:15], 16)
+                % CMS_W
+                for w in words
+            ),
+            dtype=np.int64,
+            count=len(words),
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].str.split().explode()
+        counts = toks.value_counts()
+        words = counts.index.to_numpy(dtype=object)
+        n = counts.to_numpy(np.int64)
+        rows = []
+        for j in range(CMS_D):
+            buck = _bucket(str(j), words)
+            g = pd.DataFrame({"row": np.int64(j), "bucket": buck, "n": n})
+            rows.append(g.groupby(["row", "bucket"], sort=False).sum().reset_index())
+        return pd.concat(rows, ignore_index=True)
+
+    counters = (
+        grouped_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["row", "bucket"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()  # d×w rows — the sketch, constant-size by design
+    )
+    C = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    C[counters["row"].to_numpy(np.int64), counters["bucket"].to_numpy(np.int64)] = (
+        counters["n"].to_numpy(np.int64)
+    )
+    c_ref = ray.put(C)
+
+    from kire_ray.pipelines.text_analysis import word_frequencies
+
+    vocab = word_frequencies(ds, text_col=text_col).drop_columns(["n"])
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        words = b["word"].to_numpy(dtype=object)
+        est = np.full(len(words), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(CMS_D):
+            est = np.minimum(est, Cm[j, _bucket(str(j), words)])
+        return pd.DataFrame({"word": words, "est": est})
+
+    ests = vocab.map_batches(probe, batch_format="pandas").to_pandas()
+    top = (
+        ests.sort_values(["est", "word"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["est"] = top["est"].astype(np.int64)
+    return ray.data.from_pandas(top)

@@ -671,3 +671,39 @@ def test_hll_distinct_accuracy_and_layout(ray_session):
         .set_index("event_type")["estimate"]
     )
     assert (got.sort_index() == got2.sort_index()).all()
+
+
+def test_cms_heavy_hitters_overcount_and_topk(ray_session):
+    import ray.data
+    from kire_ray.pipelines.sketches import cms_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # skewed corpus: w0 dominates
+    texts = [
+        " ".join(rng.choice(["w0"] * 8 + [f"w{i}" for i in range(1, 30)], 25))
+        for _ in range(200)
+    ]
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(200), "text": texts})
+    ).repartition(6)
+    got = cms_heavy_hitters(ds, k=5).to_pandas().sort_values("rank")
+    exact = (
+        pd.Series(" ".join(texts).split()).value_counts().sort_values(ascending=False)
+    )
+    # CMS never under-counts, and with vocab(30) << w(2048) collisions
+    # are rare: the top hitter must be found with its exact count
+    assert got.iloc[0]["word"] == exact.index[0]
+    for row in got.itertuples(index=False):
+        assert row.est >= exact[row.word]
+    # layout invariance (integer sums commute)
+    got2 = (
+        cms_heavy_hitters(
+            ray.data.from_pandas(pd.DataFrame({"doc_id": range(200), "text": texts})),
+            k=5,
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), got2.reset_index(drop=True)
+    )

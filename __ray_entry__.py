@@ -248,6 +248,45 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_bloom_filter_join(sf_dir: str) -> Any:
+    """Bloom-filtered semi-join lineitem⋈orders(high-value): the 8 KiB
+    filter is broadcast instead of the build key set; the query reports
+    the row accounting (probe rows, bloom-passed, true matches, false
+    positives) so the over-approximation is visible and SQL-checkable
+    (md5 bit positions reproduce membership exactly)."""
+    from kire_ray.stages.joins import bloom_semi_join, build_bloom
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    build = orders.map_batches(
+        lambda b: b.loc[b.o_totalprice > 450000, ["o_orderkey"]],
+        batch_format="pandas",
+    )
+    bloom = build_bloom(build, "o_orderkey")
+    true_keys = ray.put(frozenset(build.to_pandas()["o_orderkey"]))
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    n_probe = li.count()
+    passed = bloom_semi_join(li, bloom, "l_orderkey")
+
+    def part_stats(b: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(true_keys)
+        t = int(b["l_orderkey"].isin(ks).sum())
+        return pd.DataFrame({"n_pass": [len(b)], "n_true": [t]})
+
+    agg = passed.map_batches(part_stats, batch_format="pandas").to_pandas().sum()
+    n_pass, n_true = int(agg["n_pass"]), int(agg["n_true"])
+    return pd.DataFrame(
+        {
+            "n_probe": [n_probe],
+            "n_pass": [n_pass],
+            "n_true": [n_true],
+            "n_false_pos": [n_pass - n_true],
+        }
+    ).astype(np.int64)
+
+
 def _q_cms_heavy_hitters(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import cms_heavy_hitters
 
@@ -1100,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dedup": _q_containment_dedup,
         "hll_distinct_users": _q_hll_distinct_users,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bloom_filter_join": _q_bloom_filter_join,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -2109,6 +2149,39 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_hits DESC, lang) AS rn
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "bloom_filter_join": """
+            WITH build AS (
+                SELECT DISTINCT o_orderkey AS key FROM orders
+                WHERE o_totalprice > 450000),
+            rj AS (SELECT unnest(generate_series(0, 3)) AS j),
+            bits AS (
+                SELECT DISTINCT
+                       CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_'
+                                                || CAST(key AS VARCHAR)),
+                                            1, 15)) AS BIGINT) % 65536 AS pos
+                FROM build, rj),
+            pk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+            pkj AS (
+                SELECT pk.key,
+                       CAST(('0x' || substr(md5(CAST(rj.j AS VARCHAR) || '_'
+                                                || CAST(pk.key AS VARCHAR)),
+                                            1, 15)) AS BIGINT) % 65536 AS pos
+                FROM pk, rj),
+            hit AS (
+                SELECT pkj.key,
+                       min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS pass
+                FROM pkj LEFT JOIN bits b USING (pos)
+                GROUP BY 1)
+            SELECT count(*) AS n_probe,
+                   CAST(sum(h.pass) AS BIGINT) AS n_pass,
+                   CAST(sum(CASE WHEN bk.key IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN h.pass = 1 AND bk.key IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+            FROM lineitem l
+            JOIN hit h ON h.key = l.l_orderkey
+            LEFT JOIN build bk ON bk.key = l.l_orderkey
         """,
         "cms_heavy_hitters": """
             WITH tok AS (

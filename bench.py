@@ -80,6 +80,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_distinct_users",
         "hll_distinct_users",
         "cms_heavy_hitters",
+        "bloom_filter_join",
         "orders_status_quantiles",
         "exact_dedup",
         "duplicated_spans",

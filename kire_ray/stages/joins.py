@@ -111,3 +111,73 @@ def salt_column(
         return batch
 
     return ds.map_batches(salt, batch_format="pandas")
+
+
+BLOOM_M = 1 << 16   # bits (8 KiB bitmap)
+BLOOM_K = 4         # hash functions
+
+
+def _bloom_positions(prefix: str, keys) -> "np.ndarray":
+    """md5-derived bit positions (same idiom as the sketch/LSH family)
+    so Bloom membership is reconstructible exactly in DuckDB SQL."""
+    import hashlib
+
+    import numpy as np
+
+    return np.fromiter(
+        (
+            int(hashlib.md5(f"{prefix}_{k}".encode("utf-8")).hexdigest()[:15], 16)
+            % BLOOM_M
+            for k in keys
+        ),
+        dtype=np.int64,
+        count=len(keys),
+    )
+
+
+def build_bloom(build: "ray.data.Dataset", on: str) -> "np.ndarray":
+    """Distributed Bloom-filter build: each block reduces its keys to
+    an 8 KiB bitmap; the driver ORs O(blocks) bitmaps — constant-size
+    partials, never the key set. The filter (m/8 bytes) is what gets
+    broadcast to probe tasks instead of the full build key set: the
+    100 TB point of a Bloom semi-join."""
+    import numpy as np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = pd.unique(b[on])
+        bm = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+        for j in range(BLOOM_K):
+            pos = _bloom_positions(str(j), keys)
+            np.bitwise_or.at(bm, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+        return pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = build.map_batches(partial, batch_format="pandas").to_pandas()
+    out = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    for raw in parts["bm"]:
+        out |= np.frombuffer(raw, dtype=np.uint8)
+    return out
+
+
+def bloom_semi_join(
+    probe: "ray.data.Dataset", bloom: "np.ndarray", on: str
+) -> "ray.data.Dataset":
+    """Keep probe rows whose key is (possibly) in the Bloom filter —
+    over-approximate by design (false-positive rate ≈ (1-e^{-kn/m})^k);
+    compose with an exact join downstream when exactness matters. The
+    8 KiB filter rides ``ray.put`` once; each batch tests its distinct
+    keys vectorized."""
+    import numpy as np
+
+    ref = ray.put(bloom)
+
+    def filt(b: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(ref)
+        keys = pd.unique(b[on])
+        ok = np.ones(len(keys), dtype=bool)
+        for j in range(BLOOM_K):
+            pos = _bloom_positions(str(j), keys)
+            ok &= (((bm[pos // 8].astype(np.int64)) >> (pos % 8)) & 1).astype(bool)
+        passing = set(keys[ok])
+        return b[b[on].isin(passing)]
+
+    return probe.map_batches(filt, batch_format="pandas")

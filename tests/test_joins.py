@@ -78,3 +78,28 @@ def test_salt_column_spreads_hot_key(ray_session):
     assert (out["k_salted"].sort_values().to_numpy() == out2["k_salted"].sort_values().to_numpy()).all()
     cold = out[out["k"] != "hot"]["k_salted"]
     assert (cold.str.endswith("#0")).all(), "cold keys keep salt 0"
+
+
+def test_bloom_semi_join_no_false_negatives(ray_session):
+    import ray.data
+    from kire_ray.stages.joins import BLOOM_M, bloom_semi_join, build_bloom
+
+    rng = np.random.default_rng(13)
+    build_keys = rng.choice(100_000, 500, replace=False)
+    build = ray.data.from_pandas(pd.DataFrame({"k": build_keys})).repartition(4)
+    bloom = build_bloom(build, "k")
+    assert bloom.nbytes == BLOOM_M // 8
+
+    probe_keys = np.concatenate([build_keys[:200], rng.choice(100_000, 2000)])
+    probe = ray.data.from_pandas(pd.DataFrame({"k": probe_keys})).repartition(6)
+    passed = bloom_semi_join(probe, bloom, "k").to_pandas()["k"].to_numpy()
+
+    # Bloom filters never drop a true member...
+    truth = set(build_keys)
+    assert truth.issuperset(set()) and set(
+        k for k in probe_keys if k in truth
+    ) <= set(passed)
+    # ...and at n=500 / m=65536 / k=4 the FP rate is ~1e-6: nothing
+    # outside the build set should slip through at this size
+    fp = [k for k in passed if k not in truth]
+    assert len(fp) <= 2

@@ -248,6 +248,15 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_hist_quantiles(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sketches import hist_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return hist_quantiles(ev, "value", group_col="event_type")
+
+
 def _q_bloom_filter_join(sf_dir: str) -> Any:
     """Bloom-filtered semi-join lineitem⋈orders(high-value): the 8 KiB
     filter is broadcast instead of the build key set; the query reports
@@ -1140,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_filter_join": _q_bloom_filter_join,
+        "hist_quantiles": _q_hist_quantiles,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -2149,6 +2159,43 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_hits DESC, lang) AS rn
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "hist_quantiles": """
+            WITH st AS (
+                SELECT event_type, min(value) AS mn, max(value) AS mx,
+                       count(*) AS n
+                FROM events GROUP BY 1),
+            b AS (
+                SELECT e.event_type,
+                       CASE WHEN s.mx = s.mn THEN 0
+                            ELSE least(CAST(floor((e.value - s.mn)
+                                     / ((s.mx - s.mn) / 2048.0)) AS BIGINT),
+                                       2047) END AS bin
+                FROM events e JOIN st s USING (event_type)),
+            h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+            cum AS (
+                SELECT event_type, bin, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY bin) AS cc
+                FROM h),
+            qv(q) AS (VALUES (0.5), (0.9), (0.99)),
+            pick AS (
+                SELECT c.event_type, q.q, c.bin, c.c, c.cc,
+                       row_number() OVER (PARTITION BY c.event_type, q.q
+                                          ORDER BY c.bin) AS rn
+                FROM cum c JOIN st s USING (event_type), qv q
+                WHERE CAST(c.cc AS DOUBLE) >= q.q * s.n),
+            est AS (
+                SELECT p.event_type, p.q,
+                       CASE WHEN s.mx = s.mn THEN s.mn
+                            ELSE s.mn + ((s.mx - s.mn) / 2048.0)
+                                 * (p.bin + (p.q * s.n - (p.cc - p.c)) / p.c)
+                       END AS est
+                FROM pick p JOIN st s USING (event_type)
+                WHERE p.rn = 1)
+            SELECT event_type, q,
+                   floor(est * 1000000 + 0.501) / 1000000 AS est
+            FROM est
         """,
         "bloom_filter_join": """
             WITH build AS (

@@ -81,6 +81,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "hll_distinct_users",
         "cms_heavy_hitters",
         "bloom_filter_join",
+        "hist_quantiles",
         "orders_status_quantiles",
         "exact_dedup",
         "duplicated_spans",

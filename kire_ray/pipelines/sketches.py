@@ -204,3 +204,105 @@ def cms_heavy_hitters(
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top["est"] = top["est"].astype(np.int64)
     return ray.data.from_pandas(top)
+
+
+HIST_BINS = 2048
+
+
+def hist_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    *,
+    group_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = HIST_BINS,
+) -> "ray.data.Dataset":
+    """Approximate grouped quantiles from a fixed-width histogram — the
+    deterministic, layout-invariant alternative to order-dependent
+    digests (t-digest merges depend on insertion order; integer bin
+    counts commute). Two passes: a tiny (group, min, max, n) exchange,
+    then per-batch ``np.bincount`` partials → one O(groups×bins×blocks)
+    exchange → per-group interpolation: for target rank t=q·n, the
+    first bin with cum ≥ t gives est = mn + wd·(bin + (t-cum_before)/c).
+    Exact-value parity with the SQL oracle (identical float expression
+    order; the ±1e-9 rounding guard absorbs sum-order jitter).
+
+    Returns (group, q, est).
+    """
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    st = (
+        grouped_agg(
+            ds.map_batches(
+                lambda b: b.groupby(group_col, sort=False)
+                .agg(mn=(value_col, "min"), mx=(value_col, "max"), n=(value_col, "size"))
+                .reset_index(),
+                batch_format="pandas",
+            ),
+            [group_col],
+            {"mn": ("mn", "min"), "mx": ("mx", "max"), "n": ("n", "sum")},
+        )
+        .to_pandas()
+        .set_index(group_col)
+    )
+    ref = ray.put(st)
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        stats = ray.get(ref)
+        out = []
+        for g, grp in b.groupby(group_col, sort=False):
+            mn, mx = float(stats.loc[g, "mn"]), float(stats.loc[g, "mx"])
+            v = grp[value_col].to_numpy(np.float64)
+            if mx == mn:
+                idx = np.zeros(len(v), dtype=np.int64)
+            else:
+                wd = (mx - mn) / float(bins)
+                idx = np.minimum(
+                    np.floor((v - mn) / wd).astype(np.int64), bins - 1
+                )
+            cnt = np.bincount(idx, minlength=0)
+            nz = np.nonzero(cnt)[0]
+            out.append(
+                pd.DataFrame({group_col: g, "bin": nz, "c": cnt[nz].astype(np.int64)})
+            )
+        if not out:
+            return pd.DataFrame({group_col: [], "bin": [], "c": []}).astype(
+                {"bin": np.int64, "c": np.int64}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    hist = grouped_agg(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        [group_col, "bin"],
+        {"c": ("c", "sum")},
+    )
+
+    def finalize(part: pd.DataFrame) -> pd.DataFrame:
+        stats = ray.get(ref)
+        rows = {group_col: [], "q": [], "est": []}
+        for g, grp in part.groupby(group_col, sort=False):
+            grp = grp.sort_values("bin")
+            mn, mx = float(stats.loc[g, "mn"]), float(stats.loc[g, "mx"])
+            n = int(stats.loc[g, "n"])
+            wd = (mx - mn) / float(bins)
+            cum = grp["c"].to_numpy(np.int64).cumsum()
+            bins_arr = grp["bin"].to_numpy(np.int64)
+            cs = grp["c"].to_numpy(np.int64)
+            for q in qs:
+                t = q * n
+                if mx == mn:
+                    est = mn
+                else:
+                    i = int(np.searchsorted(cum.astype(np.float64), t, side="left"))
+                    i = min(i, len(cum) - 1)
+                    before = int(cum[i]) - int(cs[i])
+                    est = mn + wd * (float(bins_arr[i]) + (t - before) / float(cs[i]))
+                rows[group_col].append(g)
+                rows["q"].append(q)
+                rows["est"].append(est)
+        out = pd.DataFrame(rows)
+        if len(out):
+            out["est"] = round_half_up(out["est"], 6)
+        return out
+
+    return partitioned_map_groups(hist, [group_col], finalize)

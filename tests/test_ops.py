@@ -707,3 +707,37 @@ def test_cms_heavy_hitters_overcount_and_topk(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), got2.reset_index(drop=True)
     )
+
+
+def test_hist_quantiles_accuracy_and_layout(ray_session):
+    import ray.data
+    from kire_ray.pipelines.sketches import hist_quantiles
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], 10_000),
+            "v": rng.normal(100.0, 15.0, 10_000),
+        }
+    )
+    got = (
+        hist_quantiles(
+            ray.data.from_pandas(df).repartition(7), "v", group_col="g"
+        )
+        .to_pandas()
+        .set_index(["g", "q"])["est"]
+    )
+    for g in ("x", "y"):
+        vals = np.sort(df[df.g == g]["v"].to_numpy())
+        for q in (0.5, 0.9, 0.99):
+            exact = vals[min(int(q * len(vals)), len(vals) - 1)]
+            # 2048 bins over ~8 sigma -> bin width ~0.06: tight
+            assert abs(got[(g, q)] - exact) < 0.5, (g, q, got[(g, q)], exact)
+    got2 = (
+        hist_quantiles(
+            ray.data.from_pandas(df).repartition(2), "v", group_col="g"
+        )
+        .to_pandas()
+        .set_index(["g", "q"])["est"]
+    )
+    assert (got.sort_index() == got2.sort_index()).all()

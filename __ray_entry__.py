@@ -248,6 +248,20 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_kg_pagerank(sf_dir: str) -> Any:
+    """PageRank over the corpus KG triple table (h→t multi-edges, 10
+    damped power iterations, no dangling redistribution — see
+    pipelines/graph_algos.py). Corpus-side oracle: the SQL unrolls the
+    same 10 iterations over the gold kg_triples parquet."""
+    from kire_ray.pipelines.graph_algos import pagerank
+
+    corpus = _corpus(sf_dir)
+    edges = ray.data.read_parquet(
+        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
+    )
+    return pagerank(edges)
+
+
 def _q_hist_quantiles(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import hist_quantiles
 
@@ -1150,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_filter_join": _q_bloom_filter_join,
         "hist_quantiles": _q_hist_quantiles,
+        "kg_pagerank": _q_kg_pagerank,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -1163,7 +1178,7 @@ def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
     Corpus-side oracles (kg_assembled_turns / kg_mentions_flat / kg_doc_subwords_flat /
-    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat) read the synthetic corpus'
+    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
     parameter, so these (plus frame_sample / audio_chunk, which read
     the persisted media metadata) are bound to sf0.01 — the scale the
@@ -2159,6 +2174,121 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_hits DESC, lang) AS rn
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "kg_pagerank": f"""
+            WITH edges AS (
+                SELECT h_qid AS src, t_qid AS dst
+                FROM read_parquet('{c01}/kg_triples.parquet')),
+            nodes AS (
+                SELECT DISTINCT q FROM (
+                    SELECT src AS q FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+            r0 AS (SELECT q, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+            r1 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r0 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r2 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r1 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r3 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r2 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r4 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r3 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r5 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r4 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r6 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r5 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r7 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r6 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r8 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r7 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r9 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r8 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q),
+            r10 AS (
+                SELECT n.q,
+                       0.15 / (SELECT n FROM nn)
+                           + 0.85 * coalesce(s.contrib, 0.0) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                    FROM edges e
+                    JOIN r9 p ON p.q = e.src
+                    JOIN outdeg od ON od.src = e.src
+                    GROUP BY 1) s ON s.q = n.q)
+            SELECT q AS qid,
+                   floor(r * 1000000 + 0.501) / 1000000 AS rank
+            FROM r10
         """,
         "hist_quantiles": """
             WITH st AS (

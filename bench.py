@@ -82,6 +82,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "cms_heavy_hitters",
         "bloom_filter_join",
         "hist_quantiles",
+        "kg_pagerank",
         "orders_status_quantiles",
         "exact_dedup",
         "duplicated_spans",

@@ -741,3 +741,42 @@ def test_hist_quantiles_accuracy_and_layout(ray_session):
         .set_index(["g", "q"])["est"]
     )
     assert (got.sort_index() == got2.sort_index()).all()
+
+
+def test_pagerank_hand_graph(ray_session):
+    import ray.data
+    from kire_ray.pipelines.graph_algos import pagerank
+
+    # star graph: everyone links to H, H links to one spoke
+    edges = pd.DataFrame(
+        {
+            "h_qid": ["A", "B", "C", "D", "H"],
+            "t_qid": ["H", "H", "H", "H", "A"],
+        }
+    )
+    got = (
+        pagerank(ray.data.from_pandas(edges).repartition(3))
+        .to_pandas()
+        .set_index("qid")["rank"]
+    )
+    # A receives ALL of H's rank (its only out-link) and beats the
+    # plain spokes, which tie by symmetry
+    assert got["A"] > got["B"] == got["C"] == got["D"]
+    # sequential reference: same 10 iterations in plain numpy
+    nodes = sorted(set(edges.h_qid) | set(edges.t_qid))
+    idx = {q: i for i, q in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s in edges.h_qid:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        new = np.full(n, 0.15 / n)
+        contrib = np.zeros(n)
+        for s, t in zip(edges.h_qid, edges.t_qid):
+            contrib[idx[t]] += r[idx[s]] / deg[idx[s]]
+        nz = contrib > 0
+        new[nz] = 0.15 / n + 0.85 * contrib[nz]
+        r = new
+    for q in nodes:
+        assert abs(got[q] - round(r[idx[q]], 6)) < 2e-6

@@ -248,6 +248,16 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_kg_triangles(sf_dir: str) -> Any:
+    from kire_ray.pipelines.graph_algos import triangle_count
+
+    corpus = _corpus(sf_dir)
+    edges = ray.data.read_parquet(
+        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
+    )
+    return triangle_count(edges)
+
+
 def _q_kg_pagerank(sf_dir: str) -> Any:
     """PageRank over the corpus KG triple table (h→t multi-edges, 10
     damped power iterations, no dangling redistribution — see
@@ -1165,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_filter_join": _q_bloom_filter_join,
         "hist_quantiles": _q_hist_quantiles,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -1178,7 +1189,7 @@ def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
     Corpus-side oracles (kg_assembled_turns / kg_mentions_flat / kg_doc_subwords_flat /
-    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank) read the synthetic corpus'
+    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
     parameter, so these (plus frame_sample / audio_chunk, which read
     the persisted media metadata) are bound to sf0.01 — the scale the
@@ -2174,6 +2185,21 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_hits DESC, lang) AS rn
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "kg_triangles": f"""
+            WITH raw AS (
+                SELECT h_qid AS s, t_qid AS t
+                FROM read_parquet('{c01}/kg_triples.parquet')),
+            ed AS (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM raw WHERE s <> t),
+            wg AS (
+                SELECT e1.b AS a, e2.b AS b
+                FROM ed e1 JOIN ed e2 ON e1.a = e2.a AND e1.b < e2.b)
+            SELECT (SELECT count(*) FROM ed) AS n_edges,
+                   (SELECT count(*) FROM wg) AS n_wedges,
+                   (SELECT count(*) FROM wg JOIN ed USING (a, b))
+                       AS n_triangles
         """,
         "kg_pagerank": f"""
             WITH edges AS (

@@ -83,6 +83,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "bloom_filter_join",
         "hist_quantiles",
         "kg_pagerank",
+        "kg_triangles",
         "orders_status_quantiles",
         "exact_dedup",
         "duplicated_spans",

@@ -780,3 +780,23 @@ def test_pagerank_hand_graph(ray_session):
         r = new
     for q in nodes:
         assert abs(got[q] - round(r[idx[q]], 6)) < 2e-6
+
+
+def test_triangle_count_hand_graph(ray_session):
+    import ray.data
+    from kire_ray.pipelines.graph_algos import triangle_count
+
+    # K4 on {a,b,c,d} (4 triangles) + pendant edge + self-loop + dup edge
+    edges = pd.DataFrame(
+        {
+            "h_qid": ["a", "a", "a", "b", "b", "c", "d", "e", "b"],
+            "t_qid": ["b", "c", "d", "c", "d", "d", "e", "e", "a"],
+        }
+    )
+    got = (
+        triangle_count(ray.data.from_pandas(edges).repartition(4))
+        .to_pandas()
+        .iloc[0]
+    )
+    assert got["n_edges"] == 7  # 6 K4 edges + (d,e); loop + dup collapsed
+    assert got["n_triangles"] == 4

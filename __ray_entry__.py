@@ -2446,21 +2446,26 @@ def oracle_sql() -> dict[str, str]:
             FROM est
         """,
         "containment_dedup": """
-            WITH toks AS (
-                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-                FROM documents),
-            df AS (SELECT w, count(*) AS df FROM toks GROUP BY w),
+            WITH tl AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+                FROM (SELECT doc_id, l,
+                             unnest(generate_series(1, len(l) - 2)) AS i
+                      FROM tl WHERE len(l) >= 3)),
+            df AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
             rare AS (
-                SELECT doc_id AS id_a, w FROM (
-                    SELECT t.doc_id, t.w, df.df,
-                           row_number() OVER (PARTITION BY t.doc_id
-                                              ORDER BY df.df, t.w) AS rn
-                    FROM toks t JOIN df USING (w))
+                SELECT doc_id AS id_a, g FROM (
+                    SELECT gr.doc_id, gr.g, df.df,
+                           row_number() OVER (PARTITION BY gr.doc_id
+                                              ORDER BY df.df, gr.g) AS rn
+                    FROM grams gr JOIN df USING (g))
                 WHERE rn = 1 AND df <= 100000),
             cand AS (
-                SELECT r.id_a, t.doc_id AS id_b
-                FROM rare r JOIN toks t USING (w)
-                WHERE t.doc_id <> r.id_a)
+                SELECT r.id_a, gr.doc_id AS id_b
+                FROM rare r JOIN grams gr USING (g)
+                WHERE gr.doc_id <> r.id_a)
             SELECT c.id_a, c.id_b
             FROM cand c
             JOIN documents a ON a.doc_id = c.id_a

@@ -794,58 +794,89 @@ def containment_dedup(
     "document swallowed by a larger page" case that Jaccard thresholds
     miss when the container is much longer than the contained doc.
 
-    Blocking: a word-aligned containment implies every word of a is a
-    word of b, so b must contain a's *rarest* word (min corpus df, tie
-    → word asc). Side A emits one (rarest word, id) row per doc (only
-    when that df ≤ ``df_cap`` — a doc made entirely of stop-words has
-    no discriminative block key and would explode the posting list;
-    the cap is part of the declared semantics, mirrored in the SQL
-    oracle); side B emits every distinct (word, id). One hash exchange
-    co-locates each word's A/B postings and emits candidates; texts
-    are attached with two bucketed hash joins (materialize between —
-    stacked join operators deadlock at low CPU counts, see
-    ``_verify_jaccard_joined``) and verified with a padded substring
-    test (single-space-clean text ⇒ padded char containment == word
-    alignment). Words ride the exchange as uint64 hashes (same
-    accepted ~2^-64 collision as ``ngram_candidates``).
+    Blocking: word-aligned containment implies every word 3-gram of a
+    is a 3-gram of b, so b must contain a's *rarest* 3-gram (min
+    corpus df, tie → gram asc). A single-word block key collapses on
+    stop-word-heavy text (measured 405 s at sf0.1 on this corpus's
+    30-word vocabulary — every word is a stop word); 3-grams are
+    discriminative the way ``ngram_candidates`` relies on. Side A
+    emits one (rarest gram, id) row per doc with ≥3 words and rarest
+    df ≤ ``df_cap`` (a doc whose every 3-gram is corpus-common has no
+    discriminative key; the cap is part of the declared semantics,
+    mirrored in SQL — and docs under 3 words are never candidates for
+    the contained side); side B emits every distinct (gram, id). One
+    hash exchange co-locates each gram's A/B postings and emits
+    candidates; texts are attached with two bucketed hash joins
+    (materialize between — stacked join operators deadlock at low CPU
+    counts, see ``_verify_jaccard_joined``) and verified with a padded
+    substring test (single-space-clean text ⇒ padded char containment
+    == word alignment). Grams ride the exchange as uint64 hashes (the
+    accepted ~2^-64 collision); the gram-df table is broadcast (same
+    documented trade-off as ``tfidf_top_terms`` — switch to a second
+    gram-keyed exchange when the gram vocabulary outgrows a worker).
     """
     from kire_ray.functions.hashing import hash64_fast
-    from kire_ray.pipelines.text_analysis import doc_frequencies
     from kire_ray.stages.joins import hash_join
-    from kire_ray.stages.shuffle import default_partitions, partitioned_map_groups
+    from kire_ray.stages.shuffle import (
+        default_partitions,
+        grouped_agg,
+        partitioned_map_groups,
+    )
 
     P = default_partitions()
-    dfp = doc_frequencies(docs, text_col=text_col, id_col=id_col).to_pandas()
-    words = np.sort(dfp["word"].to_numpy())
-    dfs = dfp.set_index("word")["df"].reindex(words).to_numpy(np.int64)
-    ref = ray.put((words, dfs))
+
+    def _doc_grams(text: str) -> list[str]:
+        w = text.split()
+        return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+
+    def gram_df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in b[text_col]:
+            c.update(set(_doc_grams(t)))
+        return pd.DataFrame({"g": list(c.keys()), "df": list(c.values())})
+
+    dfp = grouped_agg(
+        docs.map_batches(gram_df_partial, batch_format="pandas"),
+        ["g"],
+        {"df": ("df", "sum")},
+    ).to_pandas()
+    grams_sorted = np.sort(dfp["g"].to_numpy())
+    dfs = dfp.set_index("g")["df"].reindex(grams_sorted).to_numpy(np.int64)
+    ref = ray.put((grams_sorted, dfs))
 
     def block_rows(b: pd.DataFrame) -> pd.DataFrame:
         voc, dfarr = ray.get(ref)
-        ws = b[text_col].str.split()
-        lens = ws.map(len).to_numpy(np.int64)
         ids = b[id_col].to_numpy()
+        rows_i: list[np.ndarray] = []
+        rows_g: list[np.ndarray] = []
+        for i, t in enumerate(b[text_col]):
+            gs = np.unique(np.array(_doc_grams(t), dtype=object))
+            if len(gs):
+                rows_g.append(gs)
+                rows_i.append(np.full(len(gs), i, dtype=np.int64))
+        if not rows_g:
+            return pd.DataFrame(
+                {"wh": np.array([], np.int64), "id": np.array([], np.int64),
+                 "is_a": np.array([], bool)}
+            )
         ex = pd.DataFrame(
-            {
-                "i": np.repeat(np.arange(len(b)), lens),
-                "w": np.concatenate([np.asarray(w, dtype=object) for w in ws])
-                if lens.sum()
-                else np.array([], dtype=object),
-            }
-        ).drop_duplicates()
-        ex["df"] = dfarr[np.searchsorted(voc, ex["w"].to_numpy())]
-        side_b = pd.DataFrame(
-            {"w": ex["w"], "id": ids[ex["i"].to_numpy()], "is_a": False}
+            {"i": np.concatenate(rows_i), "g": np.concatenate(rows_g)}
         )
-        ra = ex.sort_values(["i", "df", "w"], kind="stable").drop_duplicates("i")
+        ex["df"] = dfarr[np.searchsorted(voc, ex["g"].to_numpy())]
+        side_b = pd.DataFrame(
+            {"g": ex["g"], "id": ids[ex["i"].to_numpy()], "is_a": False}
+        )
+        ra = ex.sort_values(["i", "df", "g"], kind="stable").drop_duplicates("i")
         ra = ra[ra["df"] <= df_cap]
         side_a = pd.DataFrame(
-            {"w": ra["w"], "id": ids[ra["i"].to_numpy()], "is_a": True}
+            {"g": ra["g"], "id": ids[ra["i"].to_numpy()], "is_a": True}
         )
         out = pd.concat([side_a, side_b], ignore_index=True)
         return pd.DataFrame(
             {
-                "wh": hash64_fast(out["w"].to_numpy(object)).astype(np.int64),
+                "wh": hash64_fast(out["g"].to_numpy(object)).astype(np.int64),
                 "id": out["id"].astype(np.int64),
                 "is_a": out["is_a"].astype(bool),
             }
@@ -870,7 +901,20 @@ def containment_dedup(
             return empty
         return m[["id_a", "id_b"]].astype(np.int64)
 
-    cand = partitioned_map_groups(rows, ["wh"], gen_pairs, num_partitions=P)
+    cand = partitioned_map_groups(
+        rows, ["wh"], gen_pairs, num_partitions=P
+    ).materialize()
+    # normalize away the schema-less empty blocks the exchange emits
+    # for empty pid groups — Arrow hash joins abort on them (see the
+    # j1 note below); <=row-count blocks guarantee none are empty
+    nc = cand.count()
+    if nc == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
+            )
+        )
+    cand = cand.repartition(max(1, min(P, nc // 4096 + 1))).materialize()
 
     texts = docs.select_columns([id_col, text_col])
 
@@ -888,6 +932,19 @@ def containment_dedup(
         on=["id_a"],
         num_partitions=P,
     ).materialize()
+    # Ray 2.49 joins emit SCHEMA-LESS empty blocks when a hash
+    # partition is empty (common after rare-gram blocking), and a
+    # second join aborts on them ("no match for FieldRef id_b").
+    # Repartitioning to <= row-count blocks merges the empties away;
+    # zero candidates short-circuits to a typed empty result.
+    n1 = j1.count()
+    if n1 == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
+            )
+        )
+    j1 = j1.repartition(max(1, min(P, n1 // 4096 + 1))).materialize()
     j2 = hash_join(
         j1,
         texts.map_batches(rename("b"), batch_format="pandas"),
@@ -896,6 +953,10 @@ def containment_dedup(
     )
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if "text_a" not in b.columns:  # schema-less empty block
+            return pd.DataFrame(
+                {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
+            )
         keep = np.fromiter(
             (
                 ta != tb and (" " + ta + " ") in (" " + tb + " ")

@@ -301,11 +301,31 @@ def _verify_jaccard_joined(
         u = pd.concat([b["id_a"], b["id_b"]]).unique()
         return pd.DataFrame({id_col: u})
 
-    cand_ids = partitioned_map_groups(
-        pairs.map_batches(explode_ids, batch_format="pandas"),
-        [id_col],
-        lambda p: p.drop_duplicates(),
-        num_partitions=P,
+    from kire_ray.stages.joins import normalize_blocks
+
+    # normalize exchange/join outputs: sparse candidate sets leave
+    # empty partitions whose schema-less blocks abort the Arrow joins
+    pairs, n_pairs = normalize_blocks(pairs)
+    if n_pairs == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "id_a": np.array([], np.int64),
+                    "id_b": np.array([], np.int64),
+                    "n_common": np.array([], np.int64),
+                    "n_union": np.array([], np.int64),
+                    "jaccard": np.array([], np.float64),
+                }
+            )
+        )
+
+    cand_ids, _ = normalize_blocks(
+        partitioned_map_groups(
+            pairs.map_batches(explode_ids, batch_format="pandas"),
+            [id_col],
+            lambda p: p.drop_duplicates(),
+            num_partitions=P,
+        )
     )
 
     def shingle_batch(b: pd.DataFrame) -> pd.DataFrame:
@@ -338,12 +358,14 @@ def _verify_jaccard_joined(
 
         return f
 
-    j1 = hash_join(
-        pairs,
-        shingled.map_batches(rename("id_a", "sh_a"), batch_format="pandas"),
-        on=["id_a"],
-        num_partitions=P,
-    ).materialize()
+    j1, _ = normalize_blocks(
+        hash_join(
+            pairs,
+            shingled.map_batches(rename("id_a", "sh_a"), batch_format="pandas"),
+            on=["id_a"],
+            num_partitions=P,
+        )
+    )
     j2 = hash_join(
         j1,
         shingled.map_batches(rename("id_b", "sh_b"), batch_format="pandas"),
@@ -901,20 +923,18 @@ def containment_dedup(
             return empty
         return m[["id_a", "id_b"]].astype(np.int64)
 
-    cand = partitioned_map_groups(
-        rows, ["wh"], gen_pairs, num_partitions=P
-    ).materialize()
+    from kire_ray.stages.joins import normalize_blocks
+
+    _EMPTY = pd.DataFrame(
+        {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
+    )
     # normalize away the schema-less empty blocks the exchange emits
-    # for empty pid groups — Arrow hash joins abort on them (see the
-    # j1 note below); <=row-count blocks guarantee none are empty
-    nc = cand.count()
+    # for empty pid groups — Arrow hash joins abort on them
+    cand, nc = normalize_blocks(
+        partitioned_map_groups(rows, ["wh"], gen_pairs, num_partitions=P)
+    )
     if nc == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame(
-                {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
-            )
-        )
-    cand = cand.repartition(max(1, min(P, nc // 4096 + 1))).materialize()
+        return ray.data.from_pandas(_EMPTY)
 
     texts = docs.select_columns([id_col, text_col])
 
@@ -926,25 +946,16 @@ def containment_dedup(
 
         return f
 
-    j1 = hash_join(
-        cand,
-        texts.map_batches(rename("a"), batch_format="pandas"),
-        on=["id_a"],
-        num_partitions=P,
-    ).materialize()
-    # Ray 2.49 joins emit SCHEMA-LESS empty blocks when a hash
-    # partition is empty (common after rare-gram blocking), and a
-    # second join aborts on them ("no match for FieldRef id_b").
-    # Repartitioning to <= row-count blocks merges the empties away;
-    # zero candidates short-circuits to a typed empty result.
-    n1 = j1.count()
-    if n1 == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame(
-                {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
-            )
+    j1, n1 = normalize_blocks(
+        hash_join(
+            cand,
+            texts.map_batches(rename("a"), batch_format="pandas"),
+            on=["id_a"],
+            num_partitions=P,
         )
-    j1 = j1.repartition(max(1, min(P, n1 // 4096 + 1))).materialize()
+    )
+    if n1 == 0:
+        return ray.data.from_pandas(_EMPTY)
     j2 = hash_join(
         j1,
         texts.map_batches(rename("b"), batch_format="pandas"),

@@ -181,3 +181,25 @@ def bloom_semi_join(
         return b[b[on].isin(passing)]
 
     return probe.map_batches(filt, batch_format="pandas")
+
+
+def normalize_blocks(
+    ds: "ray.data.Dataset", *, max_blocks: int | None = None
+) -> tuple["ray.data.Dataset | None", int]:
+    """Materialize ``ds`` and merge away schema-less empty blocks.
+
+    Ray 2.49's grouped exchanges and hash joins emit SCHEMA-LESS empty
+    blocks for empty partitions, and a downstream Arrow hash join
+    aborts on them ("No match … for FieldRef"). Repartitioning to at
+    most row-count blocks guarantees every block is non-empty (typed).
+    Returns (dataset, row_count); dataset is None when empty — callers
+    short-circuit with their own typed empty result.
+    """
+    from kire_ray.stages.shuffle import default_partitions
+
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        return None, 0
+    P = max_blocks or default_partitions()
+    return ds.repartition(max(1, min(P, n // 4096 + 1))).materialize(), n

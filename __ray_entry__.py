@@ -248,6 +248,16 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _q_kg_kcore(sf_dir: str) -> Any:
+    from kire_ray.pipelines.graph_algos import kcore
+
+    corpus = _corpus(sf_dir)
+    edges = ray.data.read_parquet(
+        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
+    )
+    return kcore(edges)
+
+
 def _q_kg_triangles(sf_dir: str) -> Any:
     from kire_ray.pipelines.graph_algos import triangle_count
 
@@ -1176,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_quantiles": _q_hist_quantiles,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_kcore": _q_kg_kcore,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -1189,7 +1200,7 @@ def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
     Corpus-side oracles (kg_assembled_turns / kg_mentions_flat / kg_doc_subwords_flat /
-    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles) read the synthetic corpus'
+    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles / kg_kcore) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
     parameter, so these (plus frame_sample / audio_chunk, which read
     the persisted media metadata) are bound to sf0.01 — the scale the
@@ -2185,6 +2196,121 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_hits DESC, lang) AS rn
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "kg_kcore": f"""
+            WITH raw AS MATERIALIZED (
+                SELECT h_qid AS s, t_qid AS t
+                FROM read_parquet('{c01}/kg_triples.parquet')),
+            e0 AS MATERIALIZED (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM raw WHERE s <> t),
+            d0 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e0
+                    UNION ALL SELECT b FROM e0)
+                GROUP BY q),
+            alive0 AS MATERIALIZED (SELECT q FROM d0 WHERE d >= 3),
+            e1 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e0 e
+                JOIN alive0 x ON x.q = e.a
+                JOIN alive0 y ON y.q = e.b),
+            d1 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e1
+                    UNION ALL SELECT b FROM e1)
+                GROUP BY q),
+            alive1 AS MATERIALIZED (SELECT q FROM d1 WHERE d >= 3),
+            e2 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e1 e
+                JOIN alive1 x ON x.q = e.a
+                JOIN alive1 y ON y.q = e.b),
+            d2 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e2
+                    UNION ALL SELECT b FROM e2)
+                GROUP BY q),
+            alive2 AS MATERIALIZED (SELECT q FROM d2 WHERE d >= 3),
+            e3 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e2 e
+                JOIN alive2 x ON x.q = e.a
+                JOIN alive2 y ON y.q = e.b),
+            d3 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e3
+                    UNION ALL SELECT b FROM e3)
+                GROUP BY q),
+            alive3 AS MATERIALIZED (SELECT q FROM d3 WHERE d >= 3),
+            e4 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e3 e
+                JOIN alive3 x ON x.q = e.a
+                JOIN alive3 y ON y.q = e.b),
+            d4 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e4
+                    UNION ALL SELECT b FROM e4)
+                GROUP BY q),
+            alive4 AS MATERIALIZED (SELECT q FROM d4 WHERE d >= 3),
+            e5 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e4 e
+                JOIN alive4 x ON x.q = e.a
+                JOIN alive4 y ON y.q = e.b),
+            d5 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e5
+                    UNION ALL SELECT b FROM e5)
+                GROUP BY q),
+            alive5 AS MATERIALIZED (SELECT q FROM d5 WHERE d >= 3),
+            e6 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e5 e
+                JOIN alive5 x ON x.q = e.a
+                JOIN alive5 y ON y.q = e.b),
+            d6 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e6
+                    UNION ALL SELECT b FROM e6)
+                GROUP BY q),
+            alive6 AS MATERIALIZED (SELECT q FROM d6 WHERE d >= 3),
+            e7 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e6 e
+                JOIN alive6 x ON x.q = e.a
+                JOIN alive6 y ON y.q = e.b),
+            d7 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e7
+                    UNION ALL SELECT b FROM e7)
+                GROUP BY q),
+            alive7 AS MATERIALIZED (SELECT q FROM d7 WHERE d >= 3),
+            e8 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e7 e
+                JOIN alive7 x ON x.q = e.a
+                JOIN alive7 y ON y.q = e.b),
+            d8 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e8
+                    UNION ALL SELECT b FROM e8)
+                GROUP BY q),
+            alive8 AS MATERIALIZED (SELECT q FROM d8 WHERE d >= 3),
+            e9 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e8 e
+                JOIN alive8 x ON x.q = e.a
+                JOIN alive8 y ON y.q = e.b),
+            d9 AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e9
+                    UNION ALL SELECT b FROM e9)
+                GROUP BY q),
+            alive9 AS MATERIALIZED (SELECT q FROM d9 WHERE d >= 3),
+            e10 AS MATERIALIZED (
+                SELECT e.a, e.b FROM e9 e
+                JOIN alive9 x ON x.q = e.a
+                JOIN alive9 y ON y.q = e.b),
+            dfin AS MATERIALIZED (
+                SELECT q, count(*) AS d FROM (
+                    SELECT a AS q FROM e10
+                    UNION ALL SELECT b FROM e10)
+                GROUP BY q)
+            SELECT q AS qid, CAST(d AS BIGINT) AS degree
+            FROM dfin WHERE d >= 3
         """,
         "kg_triangles": f"""
             WITH raw AS (

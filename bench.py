@@ -84,6 +84,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "hist_quantiles",
         "kg_pagerank",
         "kg_triangles",
+        "kg_kcore",
         "orders_status_quantiles",
         "exact_dedup",
         "duplicated_spans",

@@ -197,3 +197,86 @@ def triangle_count(
             }
         ).astype(np.int64)
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 10
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "h_qid",
+    dst_col: str = "t_qid",
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> "ray.data.Dataset":
+    """k-core peeling on the undirected simple graph: ``rounds``
+    synchronous rounds of "drop every node with degree < k, then drop
+    the edges that touched it". The round count is part of the declared
+    semantics (deterministic, SQL-unrollable); peeling converges
+    geometrically, so 10 rounds reach the fixed point on anything but
+    adversarial path-chains — and a non-converged result is still
+    exactly "the graph after 10 peels".
+
+    Each round is one degree exchange (O(nodes×blocks) combiner rows)
+    + one broadcast membership filter over the edge stream — the
+    surviving-node set is node-table-sized (broadcast trade-off as
+    elsewhere; swap for a semi-join exchange at billion-node scale).
+
+    Returns (qid, degree) for nodes surviving all rounds, with their
+    degree in the peeled graph.
+    """
+    from kire_ray.stages.joins import semi_join_broadcast
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(dtype=object)
+        t = b[dst_col].to_numpy(dtype=object)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        lo = np.where(s < t, s, t)
+        hi = np.where(s < t, t, s)
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+
+    ed = partitioned_map_groups(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["a", "b"],
+        lambda p: p.drop_duplicates(),
+    ).materialize()
+
+    def degrees(e: "ray.data.Dataset") -> pd.DataFrame:
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            c = (
+                pd.concat([b["a"], b["b"]])
+                .value_counts()
+                .rename_axis("q")
+                .rename("d")
+                .reset_index()
+            )
+            return c
+
+        df = grouped_agg(
+            e.map_batches(part, batch_format="pandas"), ["q"], {"d": ("d", "sum")}
+        ).to_pandas()
+        if "q" not in df.columns:  # fully peeled graph: schema-less empty
+            df = pd.DataFrame(
+                {"q": pd.Series([], dtype=object), "d": pd.Series([], dtype=np.int64)}
+            )
+        return df
+
+    for _ in range(rounds):
+        deg = degrees(ed)
+        alive = deg[deg["d"] >= k]["q"]
+        if len(alive) == len(deg):
+            break  # fixed point — remaining rounds are no-ops
+        alive_set = frozenset(alive)
+        ed = semi_join_broadcast(
+            semi_join_broadcast(ed, alive_set, "a"), alive_set, "b"
+        ).materialize()
+
+    deg = degrees(ed)
+    out = deg[deg["d"] >= k].sort_values("q").reset_index(drop=True)
+    return ray.data.from_pandas(
+        pd.DataFrame({"qid": out["q"], "degree": out["d"].astype(np.int64)})
+    )

@@ -800,3 +800,24 @@ def test_triangle_count_hand_graph(ray_session):
     )
     assert got["n_edges"] == 7  # 6 K4 edges + (d,e); loop + dup collapsed
     assert got["n_triangles"] == 4
+
+
+def test_kcore_hand_graph(ray_session):
+    import ray.data
+    from kire_ray.pipelines.graph_algos import kcore
+
+    # K4 {a,b,c,d} is a 3-core; e-f-g tail peels away entirely
+    edges = pd.DataFrame(
+        {
+            "h_qid": ["a", "a", "a", "b", "b", "c", "d", "e", "f"],
+            "t_qid": ["b", "c", "d", "c", "d", "d", "e", "f", "g"],
+        }
+    )
+    got = (
+        kcore(ray.data.from_pandas(edges).repartition(3), k=3)
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+    assert got["qid"].tolist() == ["a", "b", "c", "d"]
+    assert got["degree"].tolist() == [3, 3, 3, 3]

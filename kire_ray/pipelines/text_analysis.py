@@ -776,41 +776,43 @@ def pmi_bigrams(
 
     from kire_ray.stages.shuffle import grouped_agg
 
-    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for t in b[text_col]:
-            c.update(t.split())
-        return pd.DataFrame({"word": list(c.keys()), "n": list(c.values())})
-
-    uni = grouped_agg(
-        ds.map_batches(uni_partial, batch_format="pandas"),
-        ["word"],
-        {"n": ("n", "sum")},
-    ).to_pandas()
-    t1 = float(uni["n"].sum())
-    words = np.sort(uni["word"].to_numpy())
-    counts = uni.set_index("word")["n"].reindex(words).to_numpy(np.float64)
-    uni_ref = ray.put((words, counts, t1))
-
-    def bi_partial(b: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
+    # ONE corpus pass + ONE exchange for both tables: unigram rows ride
+    # as (w, "", n), bigram rows as (w1, w2, n) — the second key is ""
+    # only for unigrams (tokens are never empty on this corpus)
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cu: Counter = Counter()
+        cb: Counter = Counter()
         for t in b[text_col]:
             ws = t.split()
-            c.update(zip(ws, ws[1:]))
-        if not c:
-            return pd.DataFrame({"w1": [], "w2": [], "n": []}).astype(
-                {"w1": object, "w2": object, "n": np.int64}
-            )
-        k1, k2 = zip(*c.keys())
+            cu.update(ws)
+            cb.update(zip(ws, ws[1:]))
+        k1u = list(cu.keys())
+        k1b, k2b = (
+            ([], []) if not cb else [list(x) for x in zip(*cb.keys())]
+        )
         return pd.DataFrame(
-            {"w1": list(k1), "w2": list(k2), "n": list(c.values())}
+            {
+                "w1": k1u + k1b,
+                "w2": [""] * len(k1u) + k2b,
+                "n": list(cu.values()) + list(cb.values()),
+            }
         )
 
-    bi = grouped_agg(
-        ds.map_batches(bi_partial, batch_format="pandas"),
+    counts = grouped_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
         ["w1", "w2"],
         {"n": ("n", "sum")},
-    )
+    ).materialize()
+
+    uni = counts.map_batches(
+        lambda b: b[b["w2"] == ""], batch_format="pandas"
+    ).to_pandas()
+    t1 = float(uni["n"].sum())
+    words = np.sort(uni["w1"].to_numpy())
+    cnts = uni.set_index("w1")["n"].reindex(words).to_numpy(np.float64)
+    uni_ref = ray.put((words, cnts, t1))
+
+    bi = counts.map_batches(lambda b: b[b["w2"] != ""], batch_format="pandas")
     t2 = float(bi.sum("n"))
 
     def partial_topk(b: pd.DataFrame) -> pd.DataFrame:

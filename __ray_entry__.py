@@ -336,6 +336,16 @@ def _q_cms_heavy_hitters(sf_dir: str) -> Any:
     return cms_heavy_hitters(_docs(sf_dir), k=20)
 
 
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def _q_table_profile(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sketches import table_profile
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=PROFILE_COLS)
+    return table_profile(orders, PROFILE_COLS)
+
+
 def _q_hll_distinct_users(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import hll_distinct
 
@@ -1181,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "containment_dedup": _q_containment_dedup,
         "hll_distinct_users": _q_hll_distinct_users,
+        "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_filter_join": _q_bloom_filter_join,
         "hist_quantiles": _q_hist_quantiles,
@@ -2532,6 +2543,152 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (ORDER BY est DESC, word) AS rank
                   FROM est)
             SELECT word, est, rank FROM r WHERE rank <= 20
+        """,
+        "table_profile": """
+            SELECT 'o_orderkey' AS "column",
+                   (SELECT count(*) FROM orders) AS n,
+                   (SELECT count(*) - count(o_orderkey) FROM orders) AS n_null,
+                   floor((CASE WHEN e_raw <= 2.5 * 1024.0 AND v0 > 0
+                               THEN 1024.0 * ln(1024.0 / v0)
+                               ELSE e_raw END) * 1000000 + 0.501) / 1000000
+                       AS distinct_est,
+                   CAST(v0 AS BIGINT) AS v_zero
+            FROM (
+                SELECT (0.7213 / (1.0 + 1.079 / 1024.0))
+                           * 1024.0 * 1024.0 / s AS e_raw, v0
+                FROM (
+                    SELECT sum(power(2.0, -rho)) AS s,
+                           sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v0
+                    FROM (
+                        SELECT sk.bucket, coalesce(r.rho, 0) AS rho
+                        FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) sk
+                        LEFT JOIN (
+                            SELECT h >> 50 AS bucket,
+                                   max(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0
+                                            THEN 51
+                                            ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1)))
+                                       END) AS rho
+                            FROM (
+                                SELECT CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+                                FROM (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v
+                                      FROM orders WHERE o_orderkey IS NOT NULL))
+                            GROUP BY 1) r ON r.bucket = sk.bucket)))
+            UNION ALL
+            SELECT 'o_custkey' AS "column",
+                   (SELECT count(*) FROM orders) AS n,
+                   (SELECT count(*) - count(o_custkey) FROM orders) AS n_null,
+                   floor((CASE WHEN e_raw <= 2.5 * 1024.0 AND v0 > 0
+                               THEN 1024.0 * ln(1024.0 / v0)
+                               ELSE e_raw END) * 1000000 + 0.501) / 1000000
+                       AS distinct_est,
+                   CAST(v0 AS BIGINT) AS v_zero
+            FROM (
+                SELECT (0.7213 / (1.0 + 1.079 / 1024.0))
+                           * 1024.0 * 1024.0 / s AS e_raw, v0
+                FROM (
+                    SELECT sum(power(2.0, -rho)) AS s,
+                           sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v0
+                    FROM (
+                        SELECT sk.bucket, coalesce(r.rho, 0) AS rho
+                        FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) sk
+                        LEFT JOIN (
+                            SELECT h >> 50 AS bucket,
+                                   max(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0
+                                            THEN 51
+                                            ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1)))
+                                       END) AS rho
+                            FROM (
+                                SELECT CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+                                FROM (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+                                      FROM orders WHERE o_custkey IS NOT NULL))
+                            GROUP BY 1) r ON r.bucket = sk.bucket)))
+            UNION ALL
+            SELECT 'o_orderstatus' AS "column",
+                   (SELECT count(*) FROM orders) AS n,
+                   (SELECT count(*) - count(o_orderstatus) FROM orders) AS n_null,
+                   floor((CASE WHEN e_raw <= 2.5 * 1024.0 AND v0 > 0
+                               THEN 1024.0 * ln(1024.0 / v0)
+                               ELSE e_raw END) * 1000000 + 0.501) / 1000000
+                       AS distinct_est,
+                   CAST(v0 AS BIGINT) AS v_zero
+            FROM (
+                SELECT (0.7213 / (1.0 + 1.079 / 1024.0))
+                           * 1024.0 * 1024.0 / s AS e_raw, v0
+                FROM (
+                    SELECT sum(power(2.0, -rho)) AS s,
+                           sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v0
+                    FROM (
+                        SELECT sk.bucket, coalesce(r.rho, 0) AS rho
+                        FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) sk
+                        LEFT JOIN (
+                            SELECT h >> 50 AS bucket,
+                                   max(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0
+                                            THEN 51
+                                            ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1)))
+                                       END) AS rho
+                            FROM (
+                                SELECT CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+                                FROM (SELECT DISTINCT CAST(o_orderstatus AS VARCHAR) AS v
+                                      FROM orders WHERE o_orderstatus IS NOT NULL))
+                            GROUP BY 1) r ON r.bucket = sk.bucket)))
+            UNION ALL
+            SELECT 'o_totalprice' AS "column",
+                   (SELECT count(*) FROM orders) AS n,
+                   (SELECT count(*) - count(o_totalprice) FROM orders) AS n_null,
+                   floor((CASE WHEN e_raw <= 2.5 * 1024.0 AND v0 > 0
+                               THEN 1024.0 * ln(1024.0 / v0)
+                               ELSE e_raw END) * 1000000 + 0.501) / 1000000
+                       AS distinct_est,
+                   CAST(v0 AS BIGINT) AS v_zero
+            FROM (
+                SELECT (0.7213 / (1.0 + 1.079 / 1024.0))
+                           * 1024.0 * 1024.0 / s AS e_raw, v0
+                FROM (
+                    SELECT sum(power(2.0, -rho)) AS s,
+                           sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v0
+                    FROM (
+                        SELECT sk.bucket, coalesce(r.rho, 0) AS rho
+                        FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) sk
+                        LEFT JOIN (
+                            SELECT h >> 50 AS bucket,
+                                   max(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0
+                                            THEN 51
+                                            ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1)))
+                                       END) AS rho
+                            FROM (
+                                SELECT CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+                                FROM (SELECT DISTINCT CAST(o_totalprice AS VARCHAR) AS v
+                                      FROM orders WHERE o_totalprice IS NOT NULL))
+                            GROUP BY 1) r ON r.bucket = sk.bucket)))
+            UNION ALL
+            SELECT 'o_orderpriority' AS "column",
+                   (SELECT count(*) FROM orders) AS n,
+                   (SELECT count(*) - count(o_orderpriority) FROM orders) AS n_null,
+                   floor((CASE WHEN e_raw <= 2.5 * 1024.0 AND v0 > 0
+                               THEN 1024.0 * ln(1024.0 / v0)
+                               ELSE e_raw END) * 1000000 + 0.501) / 1000000
+                       AS distinct_est,
+                   CAST(v0 AS BIGINT) AS v_zero
+            FROM (
+                SELECT (0.7213 / (1.0 + 1.079 / 1024.0))
+                           * 1024.0 * 1024.0 / s AS e_raw, v0
+                FROM (
+                    SELECT sum(power(2.0, -rho)) AS s,
+                           sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v0
+                    FROM (
+                        SELECT sk.bucket, coalesce(r.rho, 0) AS rho
+                        FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) sk
+                        LEFT JOIN (
+                            SELECT h >> 50 AS bucket,
+                                   max(CASE WHEN (h & ((CAST(1 AS BIGINT) << 50) - 1)) = 0
+                                            THEN 51
+                                            ELSE 51 - length(bin(h & ((CAST(1 AS BIGINT) << 50) - 1)))
+                                       END) AS rho
+                            FROM (
+                                SELECT CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT) AS h
+                                FROM (SELECT DISTINCT CAST(o_orderpriority AS VARCHAR) AS v
+                                      FROM orders WHERE o_orderpriority IS NOT NULL))
+                            GROUP BY 1) r ON r.bucket = sk.bucket)))
         """,
         "hll_distinct_users": """
             WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),

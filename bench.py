@@ -79,6 +79,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_rolling_avg",
         "events_distinct_users",
         "hll_distinct_users",
+        "table_profile",
         "cms_heavy_hitters",
         "bloom_filter_join",
         "hist_quantiles",

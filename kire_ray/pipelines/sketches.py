@@ -306,3 +306,107 @@ def hist_quantiles(
         return out
 
     return partitioned_map_groups(hist, [group_col], finalize)
+
+
+def table_profile(
+    ds: "ray.data.Dataset", columns: list[str]
+) -> "ray.data.Dataset":
+    """Per-column data profile — (column, n, n_null, distinct_est,
+    v_zero) — the expectations/quality-report pass a pipeline runs
+    before training: exact row/null counts plus the HyperLogLog
+    distinct estimate (same md5 register construction as
+    ``hll_distinct``, so the whole profile is SQL-verifiable
+    value-exactly).
+
+    One streaming pass: each batch emits, per column, its max-rho
+    register partials (kind='r') and an exact count partial
+    (kind='c': rows + nulls); one grouped exchange reduces both kinds
+    (max for registers rides the same column as the count sum — the
+    two kinds use disjoint bucket ranges so neither aggregation mixes).
+    Exchange volume: O(columns × (m + 1) × blocks).
+    """
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for col in columns:
+            s = b[col]
+            null_mask = s.isna()
+            vals = s[~null_mask].astype(str)
+            codes, uniq = pd.factorize(vals, sort=False)
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(str(u).encode("utf-8")).hexdigest()[:15], 16)
+                    for u in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            if len(h):
+                hh = h[codes]
+                bucket = hh >> _W_BITS
+                w = hh & ((np.int64(1) << _W_BITS) - 1)
+                rho = np.where(w == 0, _W_BITS + 1, _W_BITS + 1 - _bit_length_u64(w))
+                regs = (
+                    pd.DataFrame({"bucket": bucket, "rho": rho})
+                    .groupby("bucket")
+                    .max()
+                    .reset_index()
+                )
+            else:
+                regs = pd.DataFrame({"bucket": [], "rho": []}).astype(np.int64)
+            regs["column"] = col
+            # count channel: bucket -1 = total rows, -2 = nulls (the
+            # register buckets are >= 0, so max/sum never mix kinds)
+            cnt = pd.DataFrame(
+                {
+                    "column": [col, col],
+                    "bucket": [-1, -2],
+                    "rho": [len(b), int(null_mask.sum())],
+                }
+            )
+            frames.append(pd.concat([regs[["column", "bucket", "rho"]], cnt]))
+        return pd.concat(frames, ignore_index=True)
+
+    # max is correct for registers; for the count channels we need SUM —
+    # exchange them separately by splitting on bucket sign
+    raw = ds.map_batches(partial, batch_format="pandas")
+    regs = grouped_agg(
+        raw.map_batches(lambda b: b[b["bucket"] >= 0], batch_format="pandas"),
+        ["column", "bucket"],
+        {"rho": ("rho", "max")},
+    )
+    cnts = (
+        grouped_agg(
+            raw.map_batches(lambda b: b[b["bucket"] < 0], batch_format="pandas"),
+            ["column", "bucket"],
+            {"rho": ("rho", "sum")},
+        )
+        .to_pandas()
+        .pivot(index="column", columns="bucket", values="rho")
+    )
+    ref = ray.put(cnts)
+
+    def finalize(part: pd.DataFrame) -> pd.DataFrame:
+        counts = ray.get(ref)
+        rows = {"column": [], "n": [], "n_null": [], "distinct_est": [], "v_zero": []}
+        for col, grp in part.groupby("column", sort=False):
+            rho = grp["rho"].to_numpy(np.int64)
+            s = float(np.ldexp(1.0, -rho).sum()) + float(HLL_M - len(rho))
+            v0 = HLL_M - len(rho)
+            e = _ALPHA * float(HLL_M) * float(HLL_M) / s
+            if e <= 2.5 * HLL_M and v0 > 0:
+                e = HLL_M * np.log(HLL_M / v0)
+            rows["column"].append(col)
+            rows["n"].append(int(counts.loc[col, -1]))
+            rows["n_null"].append(int(counts.loc[col, -2]))
+            rows["distinct_est"].append(e)
+            rows["v_zero"].append(v0)
+        out = pd.DataFrame(rows)
+        if len(out):
+            out["distinct_est"] = round_half_up(out["distinct_est"], 6)
+            for c in ("n", "n_null", "v_zero"):
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    return partitioned_map_groups(regs, ["column"], finalize)

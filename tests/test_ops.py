@@ -821,3 +821,27 @@ def test_kcore_hand_graph(ray_session):
     )
     assert got["qid"].tolist() == ["a", "b", "c", "d"]
     assert got["degree"].tolist() == [3, 3, 3, 3]
+
+
+def test_table_profile_counts_and_estimates(ray_session):
+    import ray.data
+    from kire_ray.pipelines.sketches import table_profile
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 500, 5000),
+            "b": np.where(rng.random(5000) < 0.1, None, "x"),
+        }
+    )
+    got = (
+        table_profile(ray.data.from_pandas(df).repartition(6), ["a", "b"])
+        .to_pandas()
+        .set_index("column")
+    )
+    assert got.loc["a", "n"] == 5000 and got.loc["a", "n_null"] == 0
+    assert got.loc["b", "n"] == 5000
+    assert got.loc["b", "n_null"] == (df["b"].isna()).sum()
+    exact_a = df["a"].nunique()
+    assert abs(got.loc["a", "distinct_est"] - exact_a) / exact_a < 0.10
+    assert abs(got.loc["b", "distinct_est"] - 1) < 0.01

@@ -361,6 +361,36 @@ def _q_containment_dedup(sf_dir: str) -> Any:
     return containment_dedup(_docs(sf_dir))
 
 
+def _q_top_words_per_lang(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import top_words_per_lang
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
+    )
+    return top_words_per_lang(docs, k=10)
+
+
+def _q_events_zscore(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_zscore
+
+    return events_zscore(sf_dir)
+
+
+def _q_weighted_sample(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sampling import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(docs, cap=2000.0)
+
+
+def _q_inverted_index(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import inverted_index
+
+    return inverted_index(_docs(sf_dir), min_df=2)
+
+
 def _q_label_centroids(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import label_centroids
 
@@ -1190,6 +1220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "label_centroids": _q_label_centroids,
         "containment_dedup": _q_containment_dedup,
+        "top_words_per_lang": _q_top_words_per_lang,
+        "events_zscore": _q_events_zscore,
+        "weighted_sample": _q_weighted_sample,
+        "inverted_index": _q_inverted_index,
         "hll_distinct_users": _q_hll_distinct_users,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -1834,6 +1868,60 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> ''
             GROUP BY word
+        """,
+        "top_words_per_lang": """
+            WITH wc AS (
+                SELECT lang, word, count(*) AS n
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> ''
+                GROUP BY lang, word),
+            r AS (
+                SELECT lang, word, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, word) AS rank
+                FROM wc)
+            SELECT lang, word, CAST(n AS BIGINT) AS n,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 10
+        """,
+        "events_zscore": f"""
+            WITH s AS (
+                SELECT event_type,
+                       sum(value) AS sv,
+                       sum(value * value) AS svv,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   {sql_round('(e.value - s.sv / s.n)'
+                              ' / sqrt(s.svv / s.n - (s.sv / s.n) * (s.sv / s.n))', 6)}
+                       AS zscore
+            FROM events e JOIN s USING (event_type)
+        """,
+        "weighted_sample": f"""
+            WITH w AS (
+                SELECT doc_id, n_chars,
+                       least(1.0, n_chars / 2000.0) AS wt,
+                       CAST(('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) AS u
+                FROM documents)
+            SELECT doc_id, n_chars,
+                   {sql_round('wt', 6)} AS weight
+            FROM w
+            WHERE u < CAST(floor(wt * 1152921504606846976.0) AS BIGINT)
+        """,
+        "inverted_index": """
+            WITH tf AS (
+                SELECT doc_id, word, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                WHERE word <> ''
+                GROUP BY doc_id, word)
+            SELECT word, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                              ',' ORDER BY doc_id) AS postings
+            FROM tf GROUP BY word
+            HAVING count(*) >= 2
         """,
         "doc_subwords": """
             SELECT doc_id,

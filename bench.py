@@ -120,6 +120,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "pmi_bigrams",
         "lang_id",
         "label_centroids",
+        "top_words_per_lang",
+        "events_zscore",
+        "weighted_sample",
+        "inverted_index",
         "media_features",
     ]:
         t0 = time.time()

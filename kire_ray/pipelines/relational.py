@@ -838,3 +838,58 @@ def orders_status_quantiles(sf_dir: str, quantiles=(0.5, 0.9)) -> "ray.data.Data
     return partitioned_map_groups(
         ds.map_batches(hist, batch_format="pandas"), ["o_orderstatus"], pick
     )
+
+
+def events_zscore(sf_dir: str) -> "ray.data.Dataset":
+    """Per-type z-score normalization of event values — the grouped
+    standardization step a feature pipeline runs before model training.
+
+    Two-pass broadcast shape (the canonical small-stats normalization):
+    pass 1 computes per-type (count, sum, sum-of-squares) via a
+    block-local combiner + one type-cardinality exchange (the stats
+    table is O(#types) — tiny); the driver collects it and re-broadcasts
+    the per-type mean/std into a stateless vectorized pass 2. No row
+    ever shuffles; the corpus streams through twice.
+
+    Population variance, expression-ordered to mirror the SQL oracle
+    exactly: mean = sv/n, var = svv/n - mean*mean.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].astype(np.float64)
+        g = pd.DataFrame(
+            {"event_type": b["event_type"], "sv": v, "svv": v * v, "n": 1}
+        )
+        return (
+            g.groupby("event_type", sort=False)
+            .agg(sv=("sv", "sum"), svv=("svv", "sum"), n=("n", "sum"))
+            .reset_index()
+        )
+
+    stats = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"sv": ("sv", "sum"), "svv": ("svv", "sum"), "n": ("n", "sum")},
+    ).to_pandas()
+    n = stats["n"].to_numpy(np.float64)
+    mean = stats["sv"].to_numpy(np.float64) / n
+    var = stats["svv"].to_numpy(np.float64) / n - mean * mean
+    lut = {
+        t: (m, np.sqrt(v))
+        for t, m, v in zip(stats["event_type"], mean, var)
+    }
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        ms = b["event_type"].map(lambda t: lut[t][0]).to_numpy(np.float64)
+        sd = b["event_type"].map(lambda t: lut[t][1]).to_numpy(np.float64)
+        z = (b["value"].to_numpy(np.float64) - ms) / sd
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype(np.int64),
+                "event_type": b["event_type"],
+                "zscore": round_half_up(z, 6),
+            }
+        )
+
+    return ev.map_batches(normalize, batch_format="pandas")

@@ -94,3 +94,48 @@ def training_shuffle(
 
     keyed = ds.select_columns([id_col]).map_batches(key, batch_format="pandas")
     return partitioned_map_groups(keyed, ["shard"], order)
+
+
+# 2^60: the md5-prefix uniform below is 60 bits, so thresholds compare
+# exactly as int64 on both the engine and the DuckDB-oracle side.
+_WS_SCALE = float(1 << 60)
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    cap: float = 2000.0,
+) -> "ray.data.Dataset":
+    """Deterministic importance sampling: keep a document with
+    probability proportional to its weight (here length-proportional,
+    ``w = min(1, weight_col/cap)`` — the up-weight-long-docs knob of a
+    token-budgeted training mix).
+
+    keep ⟺ md5-uniform(id) < floor(w · 2^60): a pure stateless filter
+    inside ``map_batches`` — no shuffle, no RNG state, identical
+    decisions under any partitioning / resume / cluster size, and
+    SQL-replicable so the driver verifies the surviving set exactly.
+    The 'ws_' salt decorrelates this uniform from the other md5-keyed
+    operators (shuffle shards, stratified sample) over the same ids.
+    """
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy()
+        u = np.fromiter(
+            (
+                int(hashlib.md5(("ws_" + str(i)).encode("utf-8")).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        w = np.minimum(1.0, b[weight_col].to_numpy(np.float64) / cap)
+        thr = np.floor(w * _WS_SCALE).astype(np.int64)
+        keep = u < thr
+        out = b.loc[keep, [id_col, weight_col]].copy()
+        out["weight"] = np.floor(w[keep] * 10**6 + 0.501) / 10**6
+        return out
+
+    return ds.map_batches(pick, batch_format="pandas")

@@ -444,3 +444,55 @@ def label_centroids(
         )
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+def inverted_index(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> "ray.data.Dataset":
+    """Distributed inverted-index build (the batch counterpart of
+    ``bm25_search``'s query-time scan): term → document frequency +
+    posting list, the classic MapReduce index construction.
+
+    Per-block combiner emits (word, doc_id, tf) — exact per doc, since
+    a document never spans blocks — then ONE exchange on word
+    co-locates each term's postings and the reducer serializes them as
+    ``"doc:tf,..."`` sorted by doc id. Shuffle volume is O(distinct
+    (doc, word)), i.e. the index size, never the corpus text. At 100 TB
+    the posting list of a stopword-grade term outgrows one row — the
+    production layout shards postings by ``hash(doc) % S`` into S rows
+    per hot term; here S=1 keeps the driver-verifiable string layout.
+
+    Returns (word, df, postings) for terms with df ≥ ``min_df``.
+    """
+    from collections import Counter
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        words: list[str] = []
+        tfs: list[int] = []
+        for i, t in zip(b[id_col], b[text_col]):
+            c = Counter(t.split())
+            ids.extend([i] * len(c))
+            words.extend(c.keys())
+            tfs.extend(c.values())
+        return pd.DataFrame({id_col: ids, "word": words, "tf": tfs})
+
+    def build(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([ "word", id_col], kind="mergesort")
+        post = p[id_col].astype(str) + ":" + p["tf"].astype(str)
+        g = pd.DataFrame({"word": p["word"], "post": post}).groupby(
+            "word", sort=False
+        )
+        out = g.agg(df=("post", "size"), postings=("post", ",".join)).reset_index()
+        out = out[out["df"] >= min_df]
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    rows = ds.map_batches(tf_rows, batch_format="pandas")
+    return partitioned_map_groups(rows, ["word"], build)

@@ -949,3 +949,69 @@ def lang_id_trigrams(
         )
 
     return ds.map_batches(classify, batch_format="pandas")
+
+
+def top_words_per_lang(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Per-language top-``k`` vocabulary — the per-subcorpus frequency
+    table a multilingual tokenizer/filter pipeline builds before
+    allocating vocab budget across languages.
+
+    Distributed shape: per-batch (lang, word) Counter combiner → one
+    grouped exchange (rows = distinct (lang, word), never the corpus)
+    → per-block partial top-k per lang → one tiny per-lang reduce.
+    Ties break (n desc, word asc); rank is 1..k per lang.
+    """
+    from collections import Counter
+
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for lang, t in zip(b[lang_col], b[text_col]):
+            for w in t.split():
+                c[(lang, w)] += 1
+        ks = list(c.keys())
+        return pd.DataFrame(
+            {
+                lang_col: [x[0] for x in ks],
+                "word": [x[1] for x in ks],
+                "n": list(c.values()),
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [lang_col, "word"],
+        {"n": ("n", "sum")},
+    )
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+            .groupby(lang_col, sort=False)
+            .head(k)
+        )
+
+    def final_topk(p: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            p.sort_values(["n", "word"], ascending=[False, True], kind="stable")
+            .groupby(lang_col, sort=False)
+            .head(k)
+        )
+        out = out.sort_values(
+            [lang_col, "n", "word"], ascending=[True, False, True], kind="stable"
+        ).reset_index(drop=True)
+        out["rank"] = (
+            out.groupby(lang_col, sort=False).cumcount().to_numpy() + 1
+        ).astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = counts.map_batches(block_topk, batch_format="pandas")
+    return partitioned_map_groups(partials, [lang_col], final_topk)

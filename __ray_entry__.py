@@ -361,6 +361,86 @@ def _q_containment_dedup(sf_dir: str) -> Any:
     return containment_dedup(_docs(sf_dir))
 
 
+def _q_kg_bfs_levels(sf_dir: str) -> Any:
+    """Single-source BFS (undirected, seed = min qid) over the corpus
+    KG triple table; corpus-side oracle unrolls the frontier expansion
+    as a CTE chain."""
+    from kire_ray.pipelines.graph_algos import bfs_levels
+
+    corpus = _corpus(sf_dir)
+    edges = ray.data.read_parquet(
+        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
+    )
+    return bfs_levels(edges, max_levels=8)
+
+
+def _q_events_value_ranks(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_value_ranks
+
+    return events_value_ranks(sf_dir)
+
+
+_HLL_WINDOW_S = 86_400
+
+
+def _q_hll_window_users(sf_dir: str) -> Any:
+    """Per-tumbling-window distinct users via the mergeable HLL sketch
+    — sketches compose with event-time windows because registers merge
+    by max, so late/out-of-order blocks need no re-read."""
+    from kire_ray.pipelines.sketches import hll_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def win(b: "pd.DataFrame") -> "pd.DataFrame":
+        epoch = b["ts"].astype("int64") // 10**6
+        return pd.DataFrame(
+            {
+                "window_start": (epoch // _HLL_WINDOW_S) * _HLL_WINDOW_S,
+                "user_id": b["user_id"],
+            }
+        )
+
+    return hll_distinct(
+        ev.map_batches(win, batch_format="pandas"),
+        "user_id",
+        group_col="window_start",
+    )
+
+
+def _bfs_oracle_sql(corpus: str, levels: int = 8) -> str:
+    """Unrolled-CTE BFS mirror of ``graph_algos.bfs_levels``: l{i} =
+    distinct neighbors of l{i-1} not in any earlier level."""
+    parts = [
+        f"""
+            WITH raw AS MATERIALIZED (
+                SELECT h_qid AS s, t_qid AS t
+                FROM read_parquet('{corpus}/kg_triples.parquet')),
+            e AS MATERIALIZED (
+                SELECT DISTINCT s, t FROM (
+                    SELECT s, t FROM raw WHERE s <> t
+                    UNION ALL
+                    SELECT t, s FROM raw WHERE s <> t)),
+            l0 AS MATERIALIZED (SELECT min(s) AS q, 0 AS level FROM e)"""
+    ]
+    for i in range(1, levels + 1):
+        seen = " UNION ALL ".join(f"SELECT q FROM l{j}" for j in range(i))
+        parts.append(
+            f""",
+            v{i} AS MATERIALIZED (SELECT DISTINCT q FROM ({seen})),
+            l{i} AS MATERIALIZED (
+                SELECT DISTINCT e.t AS q, {i} AS level
+                FROM e JOIN l{i - 1} f ON e.s = f.q
+                WHERE e.t NOT IN (SELECT q FROM v{i}))"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT q AS qid, CAST(level AS BIGINT) AS level FROM l{i}"
+        for i in range(levels + 1)
+    )
+    return "".join(parts) + "\n            " + union
+
+
 def _q_top_words_per_lang(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import top_words_per_lang
 
@@ -1224,6 +1304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "weighted_sample": _q_weighted_sample,
         "inverted_index": _q_inverted_index,
+        "events_value_ranks": _q_events_value_ranks,
+        "hll_window_users": _q_hll_window_users,
+        "kg_bfs_levels": _q_kg_bfs_levels,
         "hll_distinct_users": _q_hll_distinct_users,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -1245,7 +1328,7 @@ def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
     Corpus-side oracles (kg_assembled_turns / kg_mentions_flat / kg_doc_subwords_flat /
-    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles / kg_kcore) read the synthetic corpus'
+    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles / kg_kcore / kg_bfs_levels) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
     parameter, so these (plus frame_sample / audio_chunk, which read
     the persisted media metadata) are bound to sf0.01 — the scale the
@@ -1869,6 +1952,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE word <> ''
             GROUP BY word
         """,
+        "events_value_ranks": f"""
+            SELECT event_id,
+                   {sql_round('percent_rank() OVER (ORDER BY value)', 6)}
+                       AS pct_rank
+            FROM events
+        """,
+        "hll_window_users": f"""
+            WITH dv AS (
+                SELECT DISTINCT
+                       (epoch_us(ts) // 1000000 // {_HLL_WINDOW_S})
+                           * {_HLL_WINDOW_S} AS window_start,
+                       user_id
+                FROM events),
+            h AS (SELECT window_start,
+                         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 15)) AS BIGINT) AS h
+                  FROM dv),
+            rb AS (SELECT window_start, h >> 50 AS bucket,
+                          h & ((CAST(1 AS BIGINT) << 50) - 1) AS w
+                   FROM h),
+            regs AS (SELECT window_start, bucket,
+                            max(CASE WHEN w = 0 THEN 51
+                                     ELSE 51 - length(bin(w)) END) AS rho
+                     FROM rb GROUP BY 1, 2),
+            fullregs AS (
+                SELECT g.window_start, s.bucket, coalesce(r.rho, 0) AS rho
+                FROM (SELECT DISTINCT window_start FROM dv) g
+                CROSS JOIN (SELECT unnest(generate_series(0, 1023)) AS bucket) s
+                LEFT JOIN regs r
+                  ON r.window_start = g.window_start AND r.bucket = s.bucket),
+            agg AS (
+                SELECT window_start,
+                       sum(power(2.0, -rho)) AS s,
+                       sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v0
+                FROM fullregs GROUP BY 1),
+            est AS (
+                SELECT window_start,
+                       (0.7213 / (1.0 + 1.079 / 1024.0))
+                           * 1024.0 * 1024.0 / s AS e_raw,
+                       v0
+                FROM agg)
+            SELECT window_start,
+                   floor((CASE WHEN e_raw <= 2.5 * 1024.0 AND v0 > 0
+                               THEN 1024.0 * ln(1024.0 / v0)
+                               ELSE e_raw END) * 1000000 + 0.501) / 1000000
+                       AS estimate,
+                   CAST(v0 AS BIGINT) AS v_zero
+            FROM est
+        """,
+        "kg_bfs_levels": _bfs_oracle_sql(c01, levels=8),
         "top_words_per_lang": """
             WITH wc AS (
                 SELECT lang, word, count(*) AS n

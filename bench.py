@@ -121,6 +121,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "lang_id",
         "label_centroids",
         "top_words_per_lang",
+        "events_value_ranks",
+        "hll_window_users",
+        "kg_bfs_levels",
         "events_zscore",
         "weighted_sample",
         "inverted_index",

@@ -280,3 +280,75 @@ def kcore(
     return ray.data.from_pandas(
         pd.DataFrame({"qid": out["q"], "degree": out["d"].astype(np.int64)})
     )
+
+
+def bfs_levels(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "h_qid",
+    dst_col: str = "t_qid",
+    max_levels: int = 8,
+) -> "ray.data.Dataset":
+    """Single-source BFS over the undirected KG graph from the
+    lexicographically smallest node — the reachability/diameter probe a
+    KG-curation pipeline runs to find satellite components and hub
+    distance distributions.
+
+    Frontier expansion, Dataset-style: each level is ONE streaming pass
+    over the adjacency table (frontier membership via a broadcast
+    sorted array + searchsorted — never a per-row Python set probe)
+    followed by one node-bounded distinct. Only node-sized state (the
+    visited map / frontier) crosses iterations, under the same
+    dimension-sized-node-table assumption ``pagerank`` documents; for
+    billion-node graphs swap the broadcast for a hash anti-join on the
+    visited table — same pipeline shape.
+
+    Returns (qid, level) for reached nodes, level ≤ ``max_levels``;
+    early-exits when a frontier empties.
+    """
+    ed = edges.select_columns([src_col, dst_col]).materialize()
+
+    def undirected(b: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([b[src_col], b[dst_col]], ignore_index=True)
+        t = pd.concat([b[dst_col], b[src_col]], ignore_index=True)
+        df = pd.DataFrame({"s": s, "t": t})
+        return df[df["s"] != df["t"]].drop_duplicates()
+
+    adj = ed.map_batches(undirected, batch_format="pandas").materialize()
+
+    seed_parts = adj.map_batches(
+        lambda b: pd.DataFrame({"q": [b["s"].min()]}), batch_format="pandas"
+    ).to_pandas()
+    if seed_parts.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame({"qid": pd.Series([], dtype=object),
+                          "level": pd.Series([], dtype=np.int64)})
+        )
+    seed = seed_parts["q"].min()
+
+    visited: dict = {seed: 0}
+    frontier = np.array([seed], dtype=object)
+    for lvl in range(1, max_levels + 1):
+        f_ref = ray.put(np.sort(frontier))
+
+        def expand(b: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+            f = ray.get(_f)
+            s = b["s"].to_numpy()
+            pos = np.searchsorted(f, s)
+            hit = (pos < len(f)) & (f[np.minimum(pos, len(f) - 1)] == s)
+            return pd.DataFrame({"q": b["t"].to_numpy()[hit]}).drop_duplicates()
+
+        # node-bounded collect (same contract as the pagerank rank
+        # vector): candidates are ≤ |V| after per-block dedup
+        cand = adj.map_batches(expand, batch_format="pandas").to_pandas()
+        new = [q for q in pd.unique(cand["q"]) if q not in visited]
+        if not new:
+            break
+        for q in new:
+            visited[q] = lvl
+        frontier = np.array(new, dtype=object)
+
+    out = pd.DataFrame(
+        {"qid": list(visited.keys()), "level": np.array(list(visited.values()), dtype=np.int64)}
+    )
+    return ray.data.from_pandas(out)

@@ -893,3 +893,55 @@ def events_zscore(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ev.map_batches(normalize, batch_format="pandas")
+
+
+def events_value_ranks(sf_dir: str) -> "ray.data.Dataset":
+    """Global percent-rank of every event's value (SQL
+    ``percent_rank() OVER (ORDER BY value)``) — the distributed ranking
+    primitive behind percentile-based outlier gates and quantile
+    normalization.
+
+    Shape: per-block distinct-value count combiner → one exchange on
+    value (rows = distinct values, which the generator quantizes to
+    cents, so the merged table is cardinality-bounded, NOT row-scale) →
+    the sorted (value, count-below) table broadcasts once and a
+    stateless vectorized pass maps each row via searchsorted.
+    percent_rank = count(value' < value) / (n - 1), ties share a rank.
+    For unbounded-cardinality keys swap the broadcast for a range
+    exchange + per-partition offsets (the ``pack_sequences`` prefix-sum
+    shape) — same semantics, one more shuffle.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def vcount(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("value", sort=False).size().rename("c").reset_index()
+        )
+
+    vc = (
+        grouped_agg(
+            ev.map_batches(vcount, batch_format="pandas"),
+            ["value"],
+            {"c": ("c", "sum")},
+        )
+        .to_pandas()
+        .sort_values("value", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = int(vc["c"].sum())
+    below = np.concatenate([[0], np.cumsum(vc["c"].to_numpy(np.int64))[:-1]])
+    lut = ray.put((vc["value"].to_numpy(np.float64), below, n))
+
+    def rank(b: pd.DataFrame) -> pd.DataFrame:
+        vals, blw, total = ray.get(lut)
+        pct = blw[np.searchsorted(vals, b["value"].to_numpy(np.float64))] / np.float64(
+            total - 1
+        )
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype(np.int64),
+                "pct_rank": round_half_up(pct, 6),
+            }
+        )
+
+    return ev.map_batches(rank, batch_format="pandas")

@@ -1,0 +1,98 @@
+"""Global percent-rank, windowed HLL, and BFS levels."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_value_ranks_vs_duckdb(ray_session):
+    from kire_ray.pipelines.relational import events_value_ranks
+
+    got = (
+        events_value_ranks(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(
+        """
+        SELECT event_id,
+               floor(percent_rank() OVER (ORDER BY value) * 1000000 + 0.501)
+                   / 1000000 AS pct_rank
+        FROM events ORDER BY event_id
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["pct_rank"].min() == 0.0 and got["pct_rank"].max() <= 1.0
+
+
+def test_bfs_levels_hand_graph(ray_session):
+    from kire_ray.pipelines.graph_algos import bfs_levels
+
+    # a --- b --- c --- d   and   x --- y (separate component)
+    edges = pd.DataFrame(
+        {
+            "h_qid": ["b", "c", "d", "x"],
+            "t_qid": ["a", "b", "c", "y"],
+        }
+    )
+    out = (
+        bfs_levels(ray.data.from_pandas(edges).repartition(2), max_levels=8)
+        .to_pandas()
+        .set_index("qid")["level"]
+        .to_dict()
+    )
+    # seed = lexicographic min = 'a'; x/y unreachable
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    # max_levels truncates
+    out2 = (
+        bfs_levels(ray.data.from_pandas(edges), max_levels=2)
+        .to_pandas()
+        .set_index("qid")["level"]
+        .to_dict()
+    )
+    assert out2 == {"a": 0, "b": 1, "c": 2}
+
+
+def test_hll_window_partitioning_invariant(ray_session):
+    """HLL registers merge by max, so the estimate must not depend on
+    block layout."""
+    from kire_ray.pipelines.sketches import hll_distinct
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "window_start": rng.integers(0, 3, 3000) * 86400,
+            "user_id": rng.integers(0, 500, 3000),
+        }
+    )
+    a = (
+        hll_distinct(ray.data.from_pandas(df), "user_id", group_col="window_start")
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    b = (
+        hll_distinct(
+            ray.data.from_pandas(df).repartition(7),
+            "user_id",
+            group_col="window_start",
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # sketch accuracy sanity: within 10% of the exact distinct count
+    exact = df.groupby("window_start")["user_id"].nunique()
+    for _, r in a.iterrows():
+        assert abs(r["estimate"] - exact[r["window_start"]]) / exact[r["window_start"]] < 0.1

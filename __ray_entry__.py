@@ -1307,6 +1307,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ranks": _q_events_value_ranks,
         "hll_window_users": _q_hll_window_users,
         "kg_bfs_levels": _q_kg_bfs_levels,
+        "orders_rollup": R.orders_rollup,
+        "status_priority_pivot": R.status_priority_pivot,
+        "events_resampled": R.events_resampled,
+        "user_funnel": R.user_funnel,
         "hll_distinct_users": _q_hll_distinct_users,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
@@ -1951,6 +1955,75 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> ''
             GROUP BY word
+        """,
+        "orders_rollup": f"""
+            WITH fine AS (
+                SELECT o_orderstatus, o_orderpriority,
+                       count(*) AS n_orders, sum(o_totalprice) AS s
+                FROM orders GROUP BY 1, 2)
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   {sql_round('s', 2)} AS total_price
+            FROM fine
+            UNION ALL
+            SELECT o_orderstatus, '(all)',
+                   CAST(sum(n_orders) AS BIGINT),
+                   {sql_round('sum(s)', 2)}
+            FROM fine GROUP BY 1
+            UNION ALL
+            SELECT '(all)', '(all)',
+                   CAST(sum(n_orders) AS BIGINT),
+                   {sql_round('sum(s)', 2)}
+            FROM fine
+        """,
+        "status_priority_pivot": """
+            SELECT o_orderstatus,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_3,
+                   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_4,
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_5
+            FROM orders GROUP BY 1
+        """,
+        "events_resampled": f"""
+            WITH agg AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 1000000 // 3600) * 3600 AS ws,
+                       count(*) AS n, sum(value) AS sv
+                FROM events GROUP BY 1, 2),
+            b AS (SELECT min(ws) AS lo, max(ws) AS hi FROM agg),
+            grid AS (
+                SELECT t.event_type, g.ws
+                FROM (SELECT DISTINCT event_type FROM agg) t
+                CROSS JOIN (SELECT unnest(generate_series(
+                                (SELECT lo FROM b), (SELECT hi FROM b),
+                                3600)) AS ws) g)
+            SELECT grid.event_type, grid.ws AS window_start,
+                   CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+                   {sql_round('coalesce(a.sv, 0.0)', 2)} AS sum_value
+            FROM grid LEFT JOIN agg a
+              ON a.event_type = grid.event_type AND a.ws = grid.ws
+        """,
+        "user_funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+                       FROM events),
+            v AS (SELECT user_id, min(tus) AS t0 FROM e
+                  WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.tus) AS t1
+                  FROM e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.tus > v.t0 GROUP BY 1),
+            p AS (SELECT DISTINCT e.user_id
+                  FROM e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.tus > c.t1)
+            SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+                   CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+                   CAST((SELECT count(*) FROM p) AS BIGINT)
+                       AS n_view_click_purchase
         """,
         "events_value_ranks": f"""
             SELECT event_id,

@@ -122,6 +122,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "label_centroids",
         "top_words_per_lang",
         "events_value_ranks",
+        "orders_rollup",
+        "status_priority_pivot",
+        "events_resampled",
+        "user_funnel",
         "hll_window_users",
         "kg_bfs_levels",
         "events_zscore",

@@ -945,3 +945,178 @@ def events_value_ranks(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ev.map_batches(rank, batch_format="pandas")
+
+
+ORDER_PRIORITIES = [
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+]
+
+
+def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP (status, priority): the multi-level aggregate a
+    reporting pipeline materializes in one pass. Coarser levels derive
+    from the *finest* aggregated table (the standard rollup-from-cube
+    optimization), so the corpus streams exactly once and only the
+    key-cardinality-bounded finest table is re-aggregated (it is tiny —
+    15 rows here — so the final rollup is one reduce task). '(all)'
+    marks the rolled-up label, as coalesce does in the SQL oracle."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+            .agg(n_orders=("o_totalprice", "size"), s=("o_totalprice", "sum"))
+            .reset_index()
+        )
+
+    fine = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("n_orders", "sum"), "s": ("s", "sum")},
+    )
+
+    def rollup(p: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = (
+            p.groupby("o_orderstatus", sort=False)
+            .agg(n_orders=("n_orders", "sum"), s=("s", "sum"))
+            .reset_index()
+            .assign(o_orderpriority="(all)")
+        )
+        lvl0 = pd.DataFrame(
+            {
+                "o_orderstatus": ["(all)"],
+                "o_orderpriority": ["(all)"],
+                "n_orders": [p["n_orders"].sum()],
+                "s": [p["s"].sum()],
+            }
+        )
+        out = pd.concat([p, lvl1, lvl0], ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        out["total_price"] = round_half_up(out["s"], 2)
+        return out.drop(columns=["s"])
+
+    # the finest table is O(|status|·|priority|) — one reduce task
+    return fine.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+def status_priority_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """Pivot priorities into columns (one row per status, one count
+    column per priority) — conditional aggregation done block-local
+    (each batch emits an already-pivoted partial) so the exchange moves
+    |status| rows of 5 ints, never the fact table."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    cols = {p: "n_" + p.split("-")[0] for p in ORDER_PRIORITIES}
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"o_orderstatus": []}
+        out.update({c: [] for c in cols.values()})
+        for status, g in b.groupby("o_orderstatus", sort=False):
+            vc = g["o_orderpriority"].value_counts()
+            out["o_orderstatus"].append(status)
+            for p, c in cols.items():
+                out[c].append(int(vc.get(p, 0)))
+        return pd.DataFrame(out)
+
+    return grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus"],
+        {c: (c, "sum") for c in cols.values()},
+        post=lambda out: out.assign(
+            **{c: out[c].astype(np.int64) for c in cols.values()}
+        ),
+    )
+
+
+def events_resampled(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
+    """Gap-filled hourly series per event type (time-series alignment
+    before any windowed model): tumbling aggregate → per-type
+    reindex onto the global hour grid with zero fill. The aggregate
+    table is O(|types| · hours) — the grid fill runs per type after one
+    tiny exchange; the global bounds are two scalars off that table."""
+    agg = events_tumbling_window(sf_dir, window_s)
+    agg = agg.materialize()
+    lo = int(agg.min("window_start"))
+    hi = int(agg.max("window_start"))
+
+    def fill(p: pd.DataFrame) -> pd.DataFrame:
+        grid = np.arange(lo, hi + 1, window_s, dtype=np.int64)
+        outs = []
+        for t, g in p.groupby("event_type", sort=False):
+            g = g.set_index("window_start").reindex(grid)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": t,
+                        "window_start": grid,
+                        "n_events": g["n_events"].fillna(0).astype(np.int64).to_numpy(),
+                        "sum_value": g["sum_value"].fillna(0.0).to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_map_groups(agg, ["event_type"], fill)
+
+
+def user_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """Ordered conversion funnel view → click → purchase: per-user
+    first-view, first click strictly after it, first purchase strictly
+    after that — one exchange on user_id, vectorized per partition,
+    then a 3-int global sum. The classic sessionized product-analytics
+    aggregate (strictly-ordered sequence, not mere co-occurrence)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].isin(["view", "click", "purchase"])]
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+            }
+        )
+
+    def steps(p: pd.DataFrame) -> pd.DataFrame:
+        # all vectorized: per-step first-timestamp via C-speed groupby
+        # min + merge, never a per-user Python loop
+        t0 = (
+            p.loc[p["event_type"] == "view"]
+            .groupby("user_id", sort=False)["tus"]
+            .min()
+            .rename("t0")
+        )
+        c = p.loc[p["event_type"] == "click"].merge(t0, on="user_id")
+        t1 = (
+            c.loc[c["tus"] > c["t0"]]
+            .groupby("user_id", sort=False)["tus"]
+            .min()
+            .rename("t1")
+        )
+        pu = p.loc[p["event_type"] == "purchase"].merge(t1, on="user_id")
+        n_vcp = int(pu.loc[pu["tus"] > pu["t1"], "user_id"].nunique())
+        return pd.DataFrame(
+            {
+                "n_view": [len(t0)],
+                "n_view_click": [len(t1)],
+                "n_view_click_purchase": [n_vcp],
+            }
+        )
+
+    parts = partitioned_map_groups(
+        ev.map_batches(gate, batch_format="pandas"), ["user_id"], steps
+    )
+
+    def total(p: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_view": [np.int64(p["n_view"].sum())],
+                "n_view_click": [np.int64(p["n_view_click"].sum())],
+                "n_view_click_purchase": [np.int64(p["n_view_click_purchase"].sum())],
+            }
+        )
+
+    return parts.repartition(1).map_batches(total, batch_format="pandas")

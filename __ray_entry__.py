@@ -380,6 +380,24 @@ def _q_events_value_ranks(sf_dir: str) -> Any:
     return events_value_ranks(sf_dir)
 
 
+def _q_sessionize(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import sessionize
+
+    return sessionize(sf_dir)
+
+
+def _q_asof_join(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import asof_join_latest_order
+
+    return asof_join_latest_order(sf_dir)
+
+
+def _q_event_pairs_within(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import event_pairs_within
+
+    return event_pairs_within(sf_dir)
+
+
 _HLL_WINDOW_S = 86_400
 
 
@@ -439,6 +457,30 @@ def _bfs_oracle_sql(corpus: str, levels: int = 8) -> str:
         for i in range(levels + 1)
     )
     return "".join(parts) + "\n            " + union
+
+
+def _q_incremental_dedup(sf_dir: str) -> Any:
+    """Even doc_ids stand in for the already-ingested history, odd ones
+    for the incoming shard."""
+    from kire_ray.pipelines.dedup import incremental_dedup
+
+    docs = _docs(sf_dir)
+    prior = docs.map_batches(
+        lambda b: b[b["doc_id"] % 2 == 0], batch_format="pandas"
+    )
+    new = docs.map_batches(
+        lambda b: b[b["doc_id"] % 2 == 1], batch_format="pandas"
+    )
+    return incremental_dedup(prior, new)
+
+
+def _q_embedding_quantize(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import embedding_quantize_scales
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return embedding_quantize_scales(emb)
 
 
 def _q_top_words_per_lang(sf_dir: str) -> Any:
@@ -1307,6 +1349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_ranks": _q_events_value_ranks,
         "hll_window_users": _q_hll_window_users,
         "kg_bfs_levels": _q_kg_bfs_levels,
+        "incremental_dedup": _q_incremental_dedup,
+        "embedding_quantize": _q_embedding_quantize,
+        "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
+        "event_pairs_within": _q_event_pairs_within,
         "orders_rollup": R.orders_rollup,
         "status_priority_pivot": R.status_priority_pivot,
         "events_resampled": R.events_resampled,
@@ -1955,6 +2002,58 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> ''
             GROUP BY word
+        """,
+        "incremental_dedup": """
+            WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+            prior AS (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0),
+            fresh AS (SELECT h, min(doc_id) AS doc_id
+                      FROM h WHERE doc_id % 2 = 1 GROUP BY h)
+            SELECT f.doc_id
+            FROM fresh f ANTI JOIN prior p ON f.h = p.h
+        """,
+        "embedding_quantize": f"""
+            WITH d AS (SELECT unnest(generate_series(1, 64)) AS dim),
+            m AS (SELECT d.dim,
+                         max(CAST(abs(e.embedding[d.dim]) AS DOUBLE)) AS m
+                  FROM embeddings e CROSS JOIN d
+                  GROUP BY d.dim)
+            SELECT dim, {sql_round('m', 6)} AS max_abs,
+                   {sql_round('m / 127.0', 6)} AS scale
+            FROM m
+        """,
+        "sessionize": f"""
+            WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+            l AS (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                         AS prev FROM e),
+            f AS (SELECT *, CASE WHEN prev IS NULL
+                                      OR tus - prev > 21600000000
+                                 THEN 1 ELSE 0 END AS brk FROM l),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM f)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(tus) AS t_start_us, max(tus) AS t_end_us,
+                   {sql_round('sum(value)', 6)} AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "asof_join": """
+            WITH o AS (SELECT o_custkey, o_orderdate,
+                              max(o_orderkey) AS o_orderkey,
+                              arg_max(o_totalprice, o_orderkey) AS o_totalprice
+                       FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "event_pairs_within": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+                       FROM events)
+            SELECT a.event_id, count(b.event_id) AS n_within
+            FROM e a LEFT JOIN e b
+              ON a.user_id = b.user_id AND b.tus > a.tus
+                 AND b.tus <= a.tus + 3600000000
+            GROUP BY a.event_id
         """,
         "orders_rollup": f"""
             WITH fine AS (

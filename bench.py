@@ -122,6 +122,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "label_centroids",
         "top_words_per_lang",
         "events_value_ranks",
+        "incremental_dedup",
+        "embedding_quantize",
+        "sessionize",
+        "asof_join",
+        "event_pairs_within",
         "orders_rollup",
         "status_priority_pivot",
         "events_resampled",

@@ -980,3 +980,53 @@ def containment_dedup(
         return out.astype(np.int64)
 
     return j2.map_batches(verify, batch_format="pandas")
+
+
+def incremental_dedup(
+    prior: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Continuous-ingest dedup: which ``new`` documents are unseen
+    against an already-ingested ``prior`` corpus (and against each
+    other — first id wins within a duplicate group of new docs).
+
+    ONE grouped exchange on the content hash co-locates every
+    occurrence of a text across both corpora; the reducer keeps the min
+    new id of groups with zero prior members. Neither corpus is
+    broadcast or collected — both stream, so the prior side can be the
+    full 100 TB history (in production it would be the persisted hash
+    column of earlier ingest runs, read without the payload). md5 is
+    the content hash so the surviving set is SQL-verifiable.
+    """
+    import hashlib
+
+    def keyed(flag: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "h": [
+                        hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in b[text_col]
+                    ],
+                    id_col: b[id_col].to_numpy(),
+                    "is_prior": np.int8(flag),
+                }
+            )
+
+        return fn
+
+    both = prior.map_batches(keyed(1), batch_format="pandas").union(
+        new.map_batches(keyed(0), batch_format="pandas")
+    )
+
+    def keep(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("h", sort=False).agg(
+            n_prior=("is_prior", "sum"), first_new=(id_col, "min")
+        )
+        fresh = g[g["n_prior"] == 0]
+        return pd.DataFrame({id_col: fresh["first_new"].astype(np.int64).to_numpy()})
+
+    return partitioned_map_groups(both, ["h"], keep)

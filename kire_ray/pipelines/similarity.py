@@ -496,3 +496,44 @@ def inverted_index(
 
     rows = ds.map_batches(tf_rows, batch_format="pandas")
     return partitioned_map_groups(rows, ["word"], build)
+
+
+def embedding_quantize_scales(
+    ds: "ray.data.Dataset",
+    *,
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Per-dimension int8 quantization table (max-abs calibration):
+    the pre-pass an embedding-store/ANN-serving pipeline runs before
+    casting a float corpus to int8. Per-block max-abs partial (a single
+    numpy reduction over the stacked batch) → one dimension-sized
+    exchange → scale = max_abs / 127. max is order-independent, so the
+    result is bit-stable under any partitioning.
+
+    Returns (dim, max_abs, scale), dim 1-based to match SQL list
+    indexing."""
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.abs(np.stack(b[emb_col].to_numpy())).max(axis=0)
+        return pd.DataFrame(
+            {"dim": np.arange(1, len(M) + 1, dtype=np.int64), "m": M}
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        m = out["m"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "dim": out["dim"].astype(np.int64),
+                "max_abs": round_half_up(m, 6),
+                "scale": round_half_up(m / 127.0, 6),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["dim"],
+        {"m": ("m", "max")},
+        post=post,
+    )

@@ -1,0 +1,226 @@
+"""Temporal operators Ray Data has no built-in for: as-of join,
+banded range join, gap-based sessionization.
+
+All three share one distributed shape — they are *key-local, order
+dependent* computations, so the engine expresses them as a single hash
+exchange on the entity key followed by a vectorized per-partition merge
+(sort + ffill / searchsorted / cumsum), never a per-row or per-key
+Python loop.  The partitioning assumption each relies on: every row of
+one key fits one reducer partition (same contract as the KG assembly
+stage; at 100 TB bound hot keys upstream or sub-partition by coarse
+time range and stitch the boundary rows).
+
+Relation to the ``relational.py`` siblings (different mechanism AND
+different join shape, not re-runs):
+
+- ``sessionize`` numbers sessions 1-based *per user* (the id a
+  downstream feature store keys on); ``relational.sessionize_events``
+  emits unkeyed session rows.
+- ``asof_join_latest_order`` is the CROSS-TABLE point-in-time lookup
+  (fact ⋈ dimension-history) via union + grouped forward-fill — the
+  shape a feature-backfill pipeline needs;
+  ``relational.events_asof_join`` is the self-table purchase→view
+  as-of via per-partition ``merge_asof``.
+- ``event_pairs_within`` is a banded range SELF-join solved O(n log n)
+  with per-user ``searchsorted`` (burst counting);
+  ``relational.orders_lineitem_range_join`` is the key+interval
+  fact-to-fact variant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from kire_ray.functions.rounding import round_half_up
+from kire_ray.stages.shuffle import partitioned_map_groups
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def sessionize(sf_dir: str, gap_s: int = 21600) -> "ray.data.Dataset":
+    """Gap-based sessionization (the canonical event-stream windowed
+    operator Ray Data lacks): consecutive events of a user belong to
+    one session while the inter-event gap stays ≤ ``gap_s``.
+
+    One exchange on user_id; inside each partition the whole
+    computation is three numpy passes over the (user, ts)-sorted rows —
+    break flags (user change OR gap), session ids (cumsum), and a
+    C-speed groupby aggregate.  No per-session or per-user loop.
+
+    Returns one row per session: (user_id, session_id 1-based per
+    user, n_events, t_start_us, t_end_us, sum_value).
+    """
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    gap_us = int(gap_s) * 1_000_000
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+                "value": b["value"].to_numpy(),
+            }
+        )
+
+    def build(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "tus"], kind="mergesort")
+        u = p["user_id"].to_numpy()
+        t = p["tus"].to_numpy()
+        brk = np.ones(len(p), dtype=np.int64)
+        if len(p) > 1:
+            same = u[1:] == u[:-1]
+            brk[1:] = (~same | (t[1:] - t[:-1] > gap_us)).astype(np.int64)
+        # global cumsum gives a partition-unique session key; the
+        # per-user 1-based id is recovered after the aggregate
+        sid = np.cumsum(brk)
+        g = (
+            p.assign(__sid=sid)
+            .groupby("__sid", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("tus", "size"),
+                t_start_us=("tus", "min"),
+                t_end_us=("tus", "max"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        g["session_id"] = g.groupby("user_id", sort=False).cumcount() + 1
+        g["sum_value"] = round_half_up(g["sum_value"].to_numpy(np.float64), 6)
+        return g[
+            ["user_id", "session_id", "n_events", "t_start_us", "t_end_us", "sum_value"]
+        ].astype({"n_events": np.int64, "session_id": np.int64})
+
+    return partitioned_map_groups(
+        ev.map_batches(to_us, batch_format="pandas"), ["user_id"], build
+    )
+
+
+def asof_join_latest_order(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed AS-OF join: each event picks the latest order of the
+    same customer at-or-before the event timestamp (the classic
+    point-in-time feature lookup; DuckDB spells it ``ASOF JOIN``).
+
+    Shape: both sides are mapped into one (key, tus, side) schema and
+    exchanged together on the key; inside a partition one mergesort by
+    (key, tus, side) interleaves orders before events at equal time
+    (``>=`` inclusivity), then a grouped forward-fill carries the last
+    order onto every event row — the textbook sort-merge as-of, fully
+    vectorized.  Ties (several orders of one customer on one date) are
+    broken deterministically toward the max order key *before* the
+    exchange by a block-local combiner + in-partition reduce, so the
+    result is partition-layout invariant.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    od = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def ev_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": b["user_id"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+                "side": np.int8(1),
+                "event_id": b["event_id"].to_numpy(),
+                # NaN (not a sentinel) so the grouped ffill carries the
+                # last order row over event rows
+                "o_orderkey": np.float64(np.nan),
+                "o_totalprice": np.float64(np.nan),
+            }
+        )
+
+    def od_rows(b: pd.DataFrame) -> pd.DataFrame:
+        # block-local tie combiner: one candidate per (custkey, date)
+        b = b.sort_values("o_orderkey").drop_duplicates(
+            ["o_custkey", "o_orderdate"], keep="last"
+        )
+        return pd.DataFrame(
+            {
+                "key": b["o_custkey"].to_numpy(),
+                "tus": b["o_orderdate"].astype("int64").to_numpy(),
+                "side": np.int8(0),
+                "event_id": np.int64(-1),
+                "o_orderkey": b["o_orderkey"].to_numpy(np.float64),
+                "o_totalprice": b["o_totalprice"].to_numpy(),
+            }
+        )
+
+    both = od.map_batches(od_rows, batch_format="pandas").union(
+        ev.map_batches(ev_rows, batch_format="pandas")
+    )
+
+    def merge(p: pd.DataFrame) -> pd.DataFrame:
+        # finish the tie reduce across blocks, then the as-of ffill
+        p = p.sort_values(["key", "tus", "side", "o_orderkey"], kind="mergesort")
+        is_o = p["side"].to_numpy() == 0
+        dup = np.zeros(len(p), dtype=bool)
+        if len(p) > 1:
+            k = p["key"].to_numpy()
+            t = p["tus"].to_numpy()
+            dup[:-1] = is_o[:-1] & is_o[1:] & (k[:-1] == k[1:]) & (t[:-1] == t[1:])
+        p = p.loc[~dup]
+        filled = p.groupby("key", sort=False)[["o_orderkey", "o_totalprice"]].ffill()
+        out = p.loc[p["side"] == 1, ["event_id", "key"]].copy()
+        out["o_orderkey"] = filled.loc[p["side"] == 1, "o_orderkey"]
+        out["o_totalprice"] = filled.loc[p["side"] == 1, "o_totalprice"]
+        out = out.loc[out["o_orderkey"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"].to_numpy(np.int64),
+                "user_id": out["key"].to_numpy(np.int64),
+                "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+                "o_totalprice": out["o_totalprice"].to_numpy(np.float64),
+            }
+        )
+
+    return partitioned_map_groups(both, ["key"], merge)
+
+
+def event_pairs_within(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
+    """Banded range self-join, aggregated: for every event, how many
+    strictly-later events of the same user fall within ``window_s``
+    (burst detection / dwell features).  A naive SQL range join is
+    O(n²) per key; here one exchange on user_id plus a per-user
+    ``np.searchsorted`` over the time-sorted array gives O(n log n) —
+    the searchsorted handles all of a user's events in one call, so the
+    only Python loop is over users in the partition, not rows.
+
+    Returns (event_id, n_within) for every event (0 when none follow).
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    w_us = int(window_s) * 1_000_000
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+                "event_id": b["event_id"].to_numpy(),
+            }
+        )
+
+    def count(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "tus"], kind="mergesort")
+        ids, ns = [], []
+        for _, g in p.groupby("user_id", sort=False):
+            t = g["tus"].to_numpy()
+            lo = np.searchsorted(t, t, side="right")
+            hi = np.searchsorted(t, t + w_us, side="right")
+            ids.append(g["event_id"].to_numpy())
+            ns.append(hi - lo)
+        return pd.DataFrame(
+            {
+                "event_id": np.concatenate(ids),
+                "n_within": np.concatenate(ns).astype(np.int64),
+            }
+        )
+
+    return partitioned_map_groups(
+        ev.map_batches(to_us, batch_format="pandas"), ["user_id"], count
+    )

@@ -1,0 +1,51 @@
+"""Incremental (cross-corpus) dedup and int8 quantization scales."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def test_incremental_dedup_semantics(ray_session):
+    from kire_ray.pipelines.dedup import incremental_dedup
+
+    prior = pd.DataFrame({"doc_id": [0, 2], "text": ["alpha", "beta"]})
+    new = pd.DataFrame(
+        {
+            "doc_id": [1, 3, 5, 7],
+            "text": ["beta", "gamma", "gamma", "delta"],
+        }
+    )
+    out = incremental_dedup(
+        ray.data.from_pandas(prior).repartition(2),
+        ray.data.from_pandas(new).repartition(3),
+    ).to_pandas()
+    # 'beta' seen in prior → dropped; 'gamma' twice in new → first id
+    # wins; 'delta' fresh
+    assert sorted(out["doc_id"]) == [3, 7]
+
+
+def test_embedding_quantize_vs_numpy(ray_session):
+    from kire_ray.pipelines.similarity import embedding_quantize_scales
+
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(200, 16)).astype(np.float32)
+    df = pd.DataFrame({"embedding": list(M)})
+    out = (
+        embedding_quantize_scales(ray.data.from_pandas(df).repartition(5))
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    exp = np.abs(M).max(axis=0).astype(np.float64)
+    assert list(out["dim"]) == list(range(1, 17))
+    np.testing.assert_allclose(out["max_abs"], exp, atol=1e-6)
+    np.testing.assert_allclose(out["scale"], exp / 127.0, atol=1e-6)
+    # partitioning-invariant (max is order-free)
+    out2 = (
+        embedding_quantize_scales(ray.data.from_pandas(df))
+        .to_pandas()
+        .sort_values("dim")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)

@@ -1,0 +1,143 @@
+"""Temporal operators: sessionize, as-of join, banded range join.
+
+Each test checks the distributed result against a tiny hand-computed
+fixture AND that the result is invariant to input partitioning (the
+ops move rows through a hash exchange, so layout must not matter).
+"""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _write_tables(tmp_path, events=None, orders=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if events is not None:
+        pq.write_table(pa.Table.from_pandas(events), str(tmp_path / "events.parquet"))
+    if orders is not None:
+        pq.write_table(pa.Table.from_pandas(orders), str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def _ts(s):
+    return pd.to_datetime(s).as_unit("us")
+
+
+def test_sessionize_gap_semantics(ray_session, tmp_path):
+    from kire_ray.pipelines.temporal import sessionize
+
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "ts": _ts(
+                [
+                    "2024-01-01 00:00:00",  # u1 s1
+                    "2024-01-01 05:59:00",  # u1 s1 (gap < 6h)
+                    "2024-01-01 12:00:00",  # u1 s2 (gap > 6h)
+                    "2024-01-01 00:00:00",  # u2 s1
+                    "2024-01-02 00:00:00",  # u2 s2
+                ]
+            ),
+            "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+        }
+    )
+    sf = _write_tables(tmp_path, events=ev)
+    out = (
+        sessionize(sf)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    assert list(out["user_id"]) == [1, 1, 2, 2]
+    assert list(out["session_id"]) == [1, 2, 1, 2]
+    assert list(out["n_events"]) == [2, 1, 1, 1]
+    np.testing.assert_allclose(out["sum_value"], [3.0, 4.0, 8.0, 16.0])
+    t0 = int(ev["ts"].astype("int64").iloc[0])
+    assert out.loc[0, "t_start_us"] == t0
+    assert out.loc[0, "t_end_us"] == int(ev["ts"].astype("int64").iloc[1])
+
+
+def test_asof_join_picks_latest_at_or_before(ray_session, tmp_path):
+    from kire_ray.pipelines.temporal import asof_join_latest_order
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [10, 11, 12, 13],
+            "o_custkey": [1, 1, 1, 2],
+            "o_orderdate": _ts(
+                ["2024-01-01", "2024-01-05", "2024-01-05", "2024-02-01"]
+            ),
+            "o_totalprice": [100.0, 200.0, 300.0, 400.0],
+        }
+    )
+    ev = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "user_id": [1, 1, 1, 2],
+            "ts": _ts(
+                [
+                    "2023-12-31",  # before any order → dropped (inner)
+                    "2024-01-03",  # → order 10
+                    "2024-01-05",  # ties: latest date picks max key → 12
+                    "2024-03-01",  # → order 13
+                ]
+            ),
+        }
+    )
+    sf = _write_tables(tmp_path, events=ev, orders=orders)
+    out = (
+        asof_join_latest_order(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["event_id"]) == [1, 2, 3]
+    assert list(out["o_orderkey"]) == [10, 12, 13]
+    np.testing.assert_allclose(out["o_totalprice"], [100.0, 300.0, 400.0])
+
+
+def test_event_pairs_within_counts(ray_session, tmp_path):
+    from kire_ray.pipelines.temporal import event_pairs_within
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "user_id": [1, 1, 1, 1, 2],
+            "ts": _ts(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:30:00",
+                    "2024-01-01 01:00:00",  # exactly +1h from e0 → inclusive
+                    "2024-01-01 05:00:00",
+                    "2024-01-01 00:10:00",  # other user
+                ]
+            ),
+        }
+    )
+    sf = _write_tables(tmp_path, events=ev)
+    out = (
+        event_pairs_within(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["event_id"]) == [0, 1, 2, 3, 4]
+    assert list(out["n_within"]) == [2, 1, 0, 0, 0]
+
+
+def test_temporal_partition_invariance(ray_session):
+    """Same sf0.001 input through 1 vs many blocks → identical rows."""
+    from kire_ray.pipelines.temporal import sessionize, event_pairs_within
+
+    sf = "/root/testdata/sf0.001"
+    for fn, keys in [
+        (sessionize, ["user_id", "session_id"]),
+        (event_pairs_within, ["event_id"]),
+    ]:
+        a = fn(sf).to_pandas().sort_values(keys).reset_index(drop=True)
+        cols = sorted(a.columns)
+        b = fn(sf).to_pandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[cols], b[cols])

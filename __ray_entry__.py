@@ -398,6 +398,24 @@ def _q_event_pairs_within(sf_dir: str) -> Any:
     return event_pairs_within(sf_dir)
 
 
+def _q_latest_by_key(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import latest_by_key
+
+    return latest_by_key(sf_dir)
+
+
+def _q_user_event_sequences(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import user_event_sequences
+
+    return user_event_sequences(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import event_transitions
+
+    return event_transitions(sf_dir)
+
+
 _HLL_WINDOW_S = 86_400
 
 
@@ -1354,6 +1372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "event_pairs_within": _q_event_pairs_within,
+        "latest_by_key": _q_latest_by_key,
+        "user_event_sequences": _q_user_event_sequences,
+        "event_transitions": _q_event_transitions,
         "orders_rollup": R.orders_rollup,
         "status_priority_pivot": R.status_priority_pivot,
         "events_resampled": R.events_resampled,
@@ -2054,6 +2075,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND b.tus > a.tus
                  AND b.tus <= a.tus + 3600000000
             GROUP BY a.event_id
+        """,
+        "latest_by_key": """
+            SELECT user_id, event_type,
+                   max(epoch_us(ts)) AS tus,
+                   arg_max(event_id, epoch_us(ts)) AS event_id,
+                   arg_max(value, epoch_us(ts)) AS value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_event_sequences": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(event_type, '>'
+                              ORDER BY epoch_us(ts), event_id) AS seq
+            FROM events GROUP BY user_id
+        """,
+        "event_transitions": """
+            WITH o AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS prev
+                       FROM events)
+            SELECT prev AS src, event_type AS dst, count(*) AS n
+            FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
         """,
         "orders_rollup": f"""
             WITH fine AS (

@@ -127,6 +127,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "sessionize",
         "asof_join",
         "event_pairs_within",
+        "latest_by_key",
+        "user_event_sequences",
+        "event_transitions",
         "orders_rollup",
         "status_priority_pivot",
         "events_resampled",

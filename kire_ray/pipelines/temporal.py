@@ -35,7 +35,7 @@ import pandas as pd
 import ray.data
 
 from kire_ray.functions.rounding import round_half_up
-from kire_ray.stages.shuffle import partitioned_map_groups
+from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
@@ -180,6 +180,126 @@ def asof_join_latest_order(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return partitioned_map_groups(both, ["key"], merge)
+
+
+def latest_by_key(sf_dir: str) -> "ray.data.Dataset":
+    """CDC / changelog compaction — the upsert reducer every
+    continuous-ingest table needs: one surviving row per key, the one
+    with the greatest event time (tie-break max event_id, so the result
+    is deterministic even on tied timestamps).
+
+    The arg-max shape of the engine's combiner pattern: each block
+    keeps its per-key latest row (a sort + ``drop_duplicates(keep=
+    'last')``, both C-speed), so the exchange moves at most one row per
+    (key, block); the partition reduce repeats the same two calls.  At
+    100 TB this is exactly log-structured compaction: shuffle volume is
+    bounded by distinct keys × blocks, never by changelog length.
+
+    Key = (user_id, event_type); returns the latest (tus, event_id,
+    value) per key.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+    keys = ["user_id", "event_type"]
+
+    def reduce_latest(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["tus", "event_id"], kind="mergesort")
+        return b.drop_duplicates(keys, keep="last")
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        return reduce_latest(
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(),
+                    "event_type": b["event_type"].to_numpy(),
+                    "tus": b["ts"].astype("int64").to_numpy(),
+                    "event_id": b["event_id"].to_numpy(),
+                    "value": b["value"].to_numpy(),
+                }
+            )
+        )
+
+    return partitioned_map_groups(
+        ev.map_batches(combine, batch_format="pandas"), keys, reduce_latest
+    )
+
+
+def user_event_sequences(sf_dir: str) -> "ray.data.Dataset":
+    """Time-ordered behavior sequences — the grouped ordered-collect
+    that turns an event log into sequence-model training rows (one
+    string of event types per user, '>'-joined in event order).
+
+    One exchange on user_id, then a single partition-wide sort and a
+    C-speed ``groupby.agg(join)`` — no per-user Python loop.  The
+    per-user row is bounded by the user's own history (cap upstream for
+    adversarial keys; same contract as the KG assembly's max_turns).
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+                "event_id": b["event_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+            }
+        )
+
+    def build(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        g = p.groupby("user_id", sort=False)["event_type"]
+        out = g.agg(">".join).rename("seq").reset_index()
+        out["n_events"] = g.size().to_numpy()
+        return out.astype({"n_events": np.int64})
+
+    return partitioned_map_groups(
+        ev.map_batches(to_us, batch_format="pandas"), ["user_id"], build
+    )
+
+
+def event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Global first-order transition counts between consecutive event
+    types of one user (the Markov statistics a behavior model is
+    initialized from): (src, dst, n) over every adjacent pair in every
+    user's time-ordered stream.
+
+    Two-level aggregate: the per-user adjacency is computed inside the
+    user_id exchange partitions with one vectorized shift, reduced
+    there to partial (src, dst) counts, and the |types|²-sized partials
+    meet in a second, tiny exchange — the big data never reshuffles on
+    the output key.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+                "event_id": b["event_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+            }
+        )
+
+    def partial(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        u = p["user_id"].to_numpy()
+        t = p["event_type"].to_numpy()
+        same = u[1:] == u[:-1] if len(p) > 1 else np.zeros(0, dtype=bool)
+        pairs = pd.DataFrame({"src": t[:-1][same], "dst": t[1:][same]})
+        return (
+            pairs.groupby(["src", "dst"], sort=False).size().rename("n").reset_index()
+        )
+
+    parts = partitioned_map_groups(
+        ev.map_batches(to_us, batch_format="pandas"), ["user_id"], partial
+    )
+    return grouped_agg(
+        parts,
+        ["src", "dst"],
+        {"n": ("n", "sum")},
+        post=lambda out: out.astype({"n": np.int64}),
+    )
 
 
 def event_pairs_within(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":

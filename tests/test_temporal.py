@@ -128,6 +128,74 @@ def test_event_pairs_within_counts(ray_session, tmp_path):
     assert list(out["n_within"]) == [2, 1, 0, 0, 0]
 
 
+def test_latest_by_key_compaction(ray_session, tmp_path):
+    from kire_ray.pipelines.temporal import latest_by_key
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["view", "view", "click", "view"],
+            "ts": _ts(
+                [
+                    "2024-01-02",  # later view… but see event 1
+                    "2024-01-03",  # latest view for u1
+                    "2024-01-01",
+                    "2024-01-01",
+                ]
+            ),
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    sf = _write_tables(tmp_path, events=ev)
+    out = (
+        latest_by_key(sf)
+        .to_pandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert list(out["event_id"]) == [2, 1, 3]
+    np.testing.assert_allclose(out["value"], [3.0, 2.0, 4.0])
+
+
+def test_sequences_and_transitions(ray_session, tmp_path):
+    from kire_ray.pipelines.temporal import event_transitions, user_event_sequences
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["view", "click", "view", "view", "click"],
+            "ts": _ts(
+                [
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:01",
+                    "2024-01-01 00:02",
+                    "2024-01-01 00:00",
+                    "2024-01-01 00:01",
+                ]
+            ),
+        }
+    )
+    sf = _write_tables(tmp_path, events=ev)
+    seq = (
+        user_event_sequences(sf)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(seq["seq"]) == ["view>click>view", "view>click"]
+    assert list(seq["n_events"]) == [3, 2]
+    tr = (
+        event_transitions(sf)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    got = {(r.src, r.dst): r.n for r in tr.itertuples()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+
+
 def test_temporal_partition_invariance(ray_session):
     """Same sf0.001 input through 1 vs many blocks → identical rows."""
     from kire_ray.pipelines.temporal import sessionize, event_pairs_within

@@ -398,6 +398,15 @@ def _q_event_pairs_within(sf_dir: str) -> Any:
     return event_pairs_within(sf_dir)
 
 
+def _q_per_source_cap(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sampling import per_source_cap
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return per_source_cap(docs)
+
+
 def _q_latest_by_key(sf_dir: str) -> Any:
     from kire_ray.pipelines.temporal import latest_by_key
 
@@ -1373,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "event_pairs_within": _q_event_pairs_within,
         "latest_by_key": _q_latest_by_key,
+        "per_source_cap": _q_per_source_cap,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "orders_rollup": R.orders_rollup,
@@ -2075,6 +2085,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND b.tus > a.tus
                  AND b.tus <= a.tus + 3600000000
             GROUP BY a.event_id
+        """,
+        "per_source_cap": """
+            WITH r AS (SELECT doc_id, source,
+                              row_number() OVER (
+                                  PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+                       FROM documents)
+            SELECT doc_id, source FROM r WHERE rk <= 10
         """,
         "latest_by_key": """
             SELECT user_id, event_type,

@@ -128,6 +128,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "asof_join",
         "event_pairs_within",
         "latest_by_key",
+        "per_source_cap",
         "user_event_sequences",
         "event_transitions",
         "orders_rollup",

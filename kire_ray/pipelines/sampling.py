@@ -139,3 +139,46 @@ def weighted_sample(
         return out
 
     return ds.map_batches(pick, batch_format="pandas")
+
+
+def per_source_cap(
+    ds: "ray.data.Dataset",
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> "ray.data.Dataset":
+    """Hard per-source document cap (the "max pages per domain" rule of
+    every web-crawl pipeline): keep the k docs of each source with the
+    smallest md5(id) — a deterministic uniform draw, stable across
+    runs, partitionings and engines.
+
+    Unlike ``stratified_sample`` (a stateless rate filter) a hard cap
+    needs global per-source state; the mergeable form is min-k: each
+    block keeps its k smallest (hash, id) per source (so the exchange
+    moves ≤ k rows per (source, block), never the corpus), and the
+    per-source reduce repeats the same head(k). Tie-break on id after
+    hash makes the survivor set unique.
+    """
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["h", id_col], kind="mergesort")
+        return b.groupby(source_col, sort=False).head(k)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return topk(
+            pd.DataFrame(
+                {
+                    id_col: b[id_col].to_numpy(),
+                    source_col: b[source_col].to_numpy(),
+                    "h": _md5_hex(b[id_col].to_numpy()),
+                }
+            )
+        )
+
+    def final(p: pd.DataFrame) -> pd.DataFrame:
+        return topk(p)[[id_col, source_col]]
+
+    return partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), [source_col], final
+    )

@@ -477,6 +477,39 @@ def test_stratified_sample_deterministic_rates(ray_session):
     assert abs(keep["d"] / 1000 - 0.6) < 0.05
 
 
+def test_per_source_cap_min_k(ray_session):
+    """Hard cap keeps exactly k md5-smallest ids per source, invariant
+    to partitioning (the min-k combiner merges correctly)."""
+    import hashlib
+
+    from kire_ray.pipelines.sampling import per_source_cap
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(300), "source": ["a", "b", "c"] * 100}
+    )
+    got = (
+        per_source_cap(ray.data.from_pandas(df).repartition(9), k=5)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    exp_ids = []
+    for s, g in df.groupby("source"):
+        h = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i) for i in g["doc_id"]
+        )
+        exp_ids += [i for _, i in h[:5]]
+    assert sorted(got["doc_id"]) == sorted(exp_ids)
+    assert (got.groupby("source").size() == 5).all()
+    got2 = (
+        per_source_cap(ray.data.from_pandas(df), k=5)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+
+
 def test_training_shuffle_is_permutation(ray_session):
     """Every doc gets exactly one (shard, pos); positions are dense
     0..n_s-1 per shard; assignment is partitioning-invariant."""

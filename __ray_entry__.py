@@ -398,6 +398,12 @@ def _q_event_pairs_within(sf_dir: str) -> Any:
     return event_pairs_within(sf_dir)
 
 
+def _q_knn_graph(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import knn_graph_mutual
+
+    return knn_graph_mutual(_emb(sf_dir), k=5)
+
+
 def _q_per_source_cap(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import per_source_cap
 
@@ -1383,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pairs_within": _q_event_pairs_within,
         "latest_by_key": _q_latest_by_key,
         "per_source_cap": _q_per_source_cap,
+        "knn_graph": _q_knn_graph,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "orders_rollup": R.orders_rollup,
@@ -2085,6 +2092,24 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND b.tus > a.tus
                  AND b.tus <= a.tus + 3600000000
             GROUP BY a.event_id
+        """,
+        "knn_graph": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            s AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                         list_cosine_similarity(a.e, b.e) AS cos
+                  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+            r AS (SELECT ai, bi, cos,
+                         row_number() OVER (PARTITION BY ai
+                                            ORDER BY cos DESC, bi) AS rk
+                  FROM s),
+            d AS (SELECT ai, bi, cos FROM r WHERE rk <= 5),
+            m AS (SELECT d1.ai AS a, d1.bi AS b, d1.cos AS cos
+                  FROM d d1 JOIN d d2
+                    ON d1.ai = d2.bi AND d1.bi = d2.ai
+                  WHERE d1.ai < d1.bi)
+            SELECT a, b, floor(cos * 1000000 + 0.501) / 1000000 AS cosine
+            FROM m
         """,
         "per_source_cap": """
             WITH r AS (SELECT doc_id, source,

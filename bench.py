@@ -129,6 +129,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "event_pairs_within",
         "latest_by_key",
         "per_source_cap",
+        "knn_graph",
         "user_event_sequences",
         "event_transitions",
         "orders_rollup",

@@ -537,3 +537,86 @@ def embedding_quantize_scales(
         {"m": ("m", "max")},
         post=post,
     )
+
+
+def knn_graph_mutual(
+    emb: "ray.data.Dataset",
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Mutual-kNN graph over the corpus — the SemDeDup-style primitive
+    behind embedding near-dup clustering and diversity sampling: an
+    undirected edge (a, b) exists iff a is in b's cosine top-k AND b is
+    in a's.
+
+    Shape: the node table (id, normalized vector) is broadcast once
+    (`ray.put`, the same dimension-table contract pagerank documents —
+    at 100 TB swap the broadcast for IVF-bucketed candidate generation
+    via ``ann_ivf``'s cells and keep everything downstream identical);
+    each block computes its rows' directed top-k with one matmul and a
+    single stable argsort (ties fall back to id order because the
+    broadcast matrix is id-sorted — bitwise the SQL ``ORDER BY cos
+    DESC, id`` tie-break); the directed edges then meet in ONE exchange
+    on the unordered pair and survive iff both directions arrived.
+
+    Returns (a, b, cosine) with a < b.
+    """
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    # node-table-bounded driver collect (vectors only, no payloads)
+    node_df = emb.select_columns([id_col, vec_col]).to_pandas()
+    all_ids = node_df[id_col].to_numpy()
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    Mall = _norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in node_df[vec_col]])
+    )[order]
+    ref = ray.put((all_ids, Mall))
+
+    def directed(b: pd.DataFrame) -> pd.DataFrame:
+        ids_g, M = ray.get(ref)
+        aids = b[id_col].to_numpy()
+        A = _norm_rows(
+            np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        )
+        S = A @ M.T
+        # mask self-matches (below any cosine)
+        self_pos = np.searchsorted(ids_g, aids)
+        S[np.arange(len(aids)), self_pos] = -2.0
+        kk = min(k, S.shape[1] - 1)
+        # stable argsort on -S: desc cosine, ties → column order = id asc
+        top = np.argsort(-S, axis=1, kind="stable")[:, :kk]
+        a = np.repeat(aids, kk)
+        bb = ids_g[top].ravel()
+        cos = np.take_along_axis(S, top, axis=1).ravel()
+        return pd.DataFrame(
+            {
+                "lo": np.minimum(a, bb),
+                "hi": np.maximum(a, bb),
+                "cosine": cos,
+            }
+        )
+
+    edges = emb.select_columns([id_col, vec_col]).map_batches(
+        directed, batch_format="pandas"
+    )
+
+    def mutual(p: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            p.groupby(["lo", "hi"], sort=False)
+            .agg(n=("cosine", "size"), cosine=("cosine", "first"))
+            .reset_index()
+        )
+        g = g[g["n"] >= 2]
+        return pd.DataFrame(
+            {
+                "a": g["lo"].to_numpy(),
+                "b": g["hi"].to_numpy(),
+                "cosine": round_half_up(g["cosine"].to_numpy(np.float64), 6),
+            }
+        )
+
+    return partitioned_map_groups(edges, ["lo", "hi"], mutual)

@@ -49,3 +49,30 @@ def test_embedding_quantize_vs_numpy(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_knn_graph_mutual_planted(ray_session):
+    """Two identical vectors must form a mutual edge with cosine 1.0;
+    the graph is symmetric (a<b) and partition-invariant."""
+    from kire_ray.pipelines.similarity import knn_graph_mutual
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(40, 8))
+    M[31] = M[3]  # exact duplicate pair (3, 31)
+    df = pd.DataFrame({"vec_id": np.arange(40), "embedding": list(M)})
+    out = (
+        knn_graph_mutual(ray.data.from_pandas(df).repartition(6), k=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert (out["a"] < out["b"]).all()
+    dup = out[(out["a"] == 3) & (out["b"] == 31)]
+    assert len(dup) == 1 and abs(dup["cosine"].iloc[0] - 1.0) < 1e-9
+    out2 = (
+        knn_graph_mutual(ray.data.from_pandas(df), k=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)

@@ -398,6 +398,12 @@ def _q_event_pairs_within(sf_dir: str) -> Any:
     return event_pairs_within(sf_dir)
 
 
+def _q_skipgram_pairs(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import skipgram_pairs
+
+    return skipgram_pairs(_docs(sf_dir))
+
+
 def _q_knn_graph(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import knn_graph_mutual
 
@@ -1390,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_by_key": _q_latest_by_key,
         "per_source_cap": _q_per_source_cap,
         "knn_graph": _q_knn_graph,
+        "skipgram_pairs": _q_skipgram_pairs,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "orders_rollup": R.orders_rollup,
@@ -2092,6 +2099,22 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND b.tus > a.tus
                  AND b.tus <= a.tus + 3600000000
             GROUP BY a.event_id
+        """,
+        "skipgram_pairs": """
+            WITH docs AS (SELECT string_split(text, ' ') AS l
+                          FROM documents),
+            dist AS (SELECT unnest([1, 2, 3]) AS d),
+            g AS (SELECT l, len(l) AS n FROM docs),
+            pos AS (SELECT l, dist.d,
+                           unnest(generate_series(1,
+                                greatest(n - dist.d, 0))) AS i
+                    FROM g CROSS JOIN dist),
+            pairs AS (
+                SELECT l[i] AS center, l[i + d] AS context FROM pos
+                UNION ALL
+                SELECT l[i + d] AS center, l[i] AS context FROM pos)
+            SELECT center, context, count(*) AS n
+            FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
         """,
         "knn_graph": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -130,6 +130,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "latest_by_key",
         "per_source_cap",
         "knn_graph",
+        "skipgram_pairs",
         "user_event_sequences",
         "event_transitions",
         "orders_rollup",

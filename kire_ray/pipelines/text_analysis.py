@@ -1015,3 +1015,48 @@ def top_words_per_lang(
 
     partials = counts.map_batches(block_topk, batch_format="pandas")
     return partitioned_map_groups(partials, [lang_col], final_topk)
+
+
+def skipgram_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 5,
+) -> "ray.data.Dataset":
+    """Skip-gram co-occurrence counts — the (center, context) pair
+    table word2vec/GloVe training data is built from: every ordered
+    pair of words at distance ≤ ``window`` inside a document, counted
+    corpus-wide, filtered to ``n >= min_count``.
+
+    Same shape as ``pmi_bigrams`` generalized past adjacency: a
+    per-block Counter combiner (both directions emitted locally, so
+    the exchange sees pre-mirrored keys) → ONE grouped exchange over
+    the distinct-pair table, never the corpus. The pair table is
+    vocab²-bounded in the worst case but Zipf-sparse in practice; the
+    min_count filter runs in the reducer so only surviving rows leave.
+    """
+    from collections import Counter
+
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in b[text_col]:
+            ws = t.split()
+            for d in range(1, window + 1):
+                c.update(zip(ws, ws[d:]))
+                c.update(zip(ws[d:], ws))
+        if not c:
+            return pd.DataFrame(
+                {"center": [], "context": [], "n": pd.Series([], dtype=np.int64)}
+            )
+        k1, k2 = [list(x) for x in zip(*c.keys())]
+        return pd.DataFrame({"center": k1, "context": k2, "n": list(c.values())})
+
+    return grouped_agg(
+        ds.map_batches(count_partial, batch_format="pandas"),
+        ["center", "context"],
+        {"n": ("n", "sum")},
+        post=lambda out: out[out["n"] >= min_count].astype({"n": np.int64}),
+    )

@@ -76,3 +76,28 @@ def test_knn_graph_mutual_planted(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_skipgram_pairs_window(ray_session):
+    """Window-3 pairs on a known sentence, both directions, exact
+    counts; invariant to partitioning."""
+    from kire_ray.pipelines.text_analysis import skipgram_pairs
+
+    docs = pd.DataFrame({"text": ["a b c a b"] * 3})
+    out = (
+        skipgram_pairs(
+            ray.data.from_pandas(docs).repartition(3), min_count=1
+        )
+        .to_pandas()
+        .sort_values(["center", "context"])
+        .reset_index(drop=True)
+    )
+    got = {(r.center, r.context): r.n for r in out.itertuples()}
+    # per doc: dist1 a-b x2, b-c, c-a; dist2 a-c, b-a, c-b; dist3 a-a, b-b
+    # mirrored; ×3 docs
+    assert got[("a", "b")] == (2 + 1) * 3  # dist1 ×2 + mirror of (b,a)@d2
+    assert got[("a", "a")] == 2 * 3  # (pos1,pos4) both directions
+    assert got[("b", "c")] == (1 + 1) * 3
+    assert got[("a", "c")] == (1 + 1) * 3
+    sym = {(b, a): n for (a, b), n in got.items()}
+    assert sym == got  # symmetric by construction

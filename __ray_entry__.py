@@ -398,6 +398,23 @@ def _q_event_pairs_within(sf_dir: str) -> Any:
     return event_pairs_within(sf_dir)
 
 
+def _q_jsonl_export(sf_dir: str) -> Any:
+    """Exports the documents table as content-addressed gzipped JSONL
+    shards under /tmp, returns the (shard, n_rows) manifest — the
+    counts are the SQL-checkable face of the sink (byte-determinism
+    and round-trip are asserted in tests/test_jsonl_sink.py)."""
+    import hashlib as _h
+
+    from kire_ray.state.jsonl import export_jsonl_shards
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = f"/tmp/kire_ray_jsonl/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    m = export_jsonl_shards(docs, out, n_shards=64)
+    return m[["shard", "n_rows"]]
+
+
 def _q_skipgram_pairs(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import skipgram_pairs
 
@@ -1397,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": _q_per_source_cap,
         "knn_graph": _q_knn_graph,
         "skipgram_pairs": _q_skipgram_pairs,
+        "jsonl_export": _q_jsonl_export,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "orders_rollup": R.orders_rollup,
@@ -2099,6 +2117,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND b.tus > a.tus
                  AND b.tus <= a.tus + 3600000000
             GROUP BY a.event_id
+        """,
+        "jsonl_export": """
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 64 AS shard,
+                   count(*) AS n_rows
+            FROM documents GROUP BY 1
         """,
         "skipgram_pairs": """
             WITH docs AS (SELECT string_split(text, ' ') AS l

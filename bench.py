@@ -131,6 +131,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "per_source_cap",
         "knn_graph",
         "skipgram_pairs",
+        "jsonl_export",
         "user_event_sequences",
         "event_transitions",
         "orders_rollup",

@@ -398,6 +398,16 @@ def _q_event_pairs_within(sf_dir: str) -> Any:
     return event_pairs_within(sf_dir)
 
 
+def _q_kg_comention(sf_dir: str) -> Any:
+    """Surface co-mention graph off the cached linked docs; the mention
+    scan is span-exact vs planted gold (see kg_mentions_flat), so the
+    oracle is a gold_mentions self-join (corpus-side, sf0.01-bound)."""
+    from kire_ray.pipelines.kg_construct import comention_edges
+
+    c = _flagship_linked(sf_dir)
+    return comention_edges(c["linked"])
+
+
 def _q_jsonl_export(sf_dir: str) -> Any:
     """Exports the documents table as content-addressed gzipped JSONL
     shards under /tmp, returns the (shard, n_rows) manifest — the
@@ -1415,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "skipgram_pairs": _q_skipgram_pairs,
         "jsonl_export": _q_jsonl_export,
+        "kg_comention": _q_kg_comention,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "orders_rollup": R.orders_rollup,
@@ -1442,7 +1453,7 @@ def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
     Corpus-side oracles (kg_assembled_turns / kg_mentions_flat / kg_doc_subwords_flat /
-    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles / kg_kcore / kg_bfs_levels) read the synthetic corpus'
+    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles / kg_kcore / kg_bfs_levels / kg_comention) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
     parameter, so these (plus frame_sample / audio_chunk, which read
     the persisted media metadata) are bound to sf0.01 — the scale the
@@ -1478,6 +1489,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST("end" AS BIGINT) AS "end",
                    surface
             FROM read_parquet('{c01}/gold_mentions.parquet')
+        """,
+        "kg_comention": f"""
+            WITH m AS (SELECT DISTINCT doc_id, surface
+                       FROM read_parquet('{c01}/gold_mentions.parquet'))
+            SELECT a.surface AS s1, b.surface AS s2, count(*) AS n
+            FROM m a JOIN m b
+              ON a.doc_id = b.doc_id AND a.surface < b.surface
+            GROUP BY 1, 2
         """,
         "kg_doc_subwords_flat": f"""
             SELECT conv_id AS doc_id,

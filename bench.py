@@ -132,6 +132,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "knn_graph",
         "skipgram_pairs",
         "jsonl_export",
+        "kg_comention",
         "user_event_sequences",
         "event_transitions",
         "orders_rollup",

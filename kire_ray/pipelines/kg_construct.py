@@ -23,6 +23,9 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
+
 import ray
 import ray.data
 
@@ -153,6 +156,44 @@ def coref_pairs(
         batch_format="pyarrow",
         batch_size=None,
         concurrency=_conc(concurrency),
+    )
+
+
+def comention_edges(linked: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Surface co-mention graph: for every unordered pair of distinct
+    mention surfaces, the number of documents mentioning both — the
+    corpus-statistics edge prior a KG-construction pipeline computes
+    before relation scoring (candidate generation / PMI priors).
+
+    Doc-local pair expansion is bounded by the per-doc entity cap
+    (dataset profile ``max_ent``), so the combiner emits ≤ cap²/2 rows
+    per doc and the single grouped exchange moves only the distinct
+    pair table. Because the mention scan recovers planted gold spans
+    exactly (see ``kg_mentions_flat``), the whole chain is verified by
+    a plain self-join of gold_mentions in SQL.
+    """
+    import itertools
+    from collections import Counter
+
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for ms in b["mentions"]:
+            for p in itertools.combinations(sorted({m["surface"] for m in ms}), 2):
+                c[p] += 1
+        if not c:
+            return pd.DataFrame(
+                {"s1": [], "s2": [], "n": pd.Series([], dtype=np.int64)}
+            )
+        k1, k2 = [list(x) for x in zip(*c.keys())]
+        return pd.DataFrame({"s1": k1, "s2": k2, "n": list(c.values())})
+
+    return grouped_agg(
+        linked.select_columns(["mentions"]).map_batches(pairs, batch_format="pandas"),
+        ["s1", "s2"],
+        {"n": ("n", "sum")},
+        post=lambda out: out.astype({"n": np.int64}),
     )
 
 

@@ -209,3 +209,24 @@ def test_temporal_partition_invariance(ray_session):
         cols = sorted(a.columns)
         b = fn(sf).to_pandas().sort_values(keys).reset_index(drop=True)
         pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+def test_comention_edges_counts(ray_session):
+    """Hand-built linked docs → exact unordered pair counts."""
+    from kire_ray.pipelines.kg_construct import comention_edges
+
+    def doc(did, surfaces):
+        return {
+            "doc_id": did,
+            "mentions": [
+                {"ent_idx": i, "turn_idx": 0, "start": 0, "end": 1, "surface": s}
+                for i, s in enumerate(surfaces)
+            ],
+        }
+
+    docs = pd.DataFrame(
+        [doc("d1", ["a", "b", "a", "c"]), doc("d2", ["b", "c"]), doc("d3", ["a"])]
+    )
+    out = comention_edges(ray.data.from_pandas(docs).repartition(2)).to_pandas()
+    got = {(r.s1, r.s2): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2}

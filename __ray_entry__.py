@@ -1426,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": _q_skipgram_pairs,
         "jsonl_export": _q_jsonl_export,
         "kg_comention": _q_kg_comention,
+        "customer_order_outer": R.customer_order_outer,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "orders_rollup": R.orders_rollup,
@@ -2136,6 +2137,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id AND b.tus > a.tus
                  AND b.tus <= a.tus + 3600000000
             GROUP BY a.event_id
+        """,
+        "customer_order_outer": f"""
+            WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 1000),
+            o AS (SELECT o_custkey, o_totalprice FROM orders
+                  WHERE o_orderstatus = 'F'),
+            j AS (
+                SELECT c.c_custkey, o.o_custkey, o.o_totalprice
+                FROM c FULL OUTER JOIN o
+                  ON c.c_custkey = o.o_custkey),
+            s AS (
+                SELECT CASE
+                         WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                           THEN 'matched'
+                         WHEN c_custkey IS NOT NULL THEN 'customer_only'
+                         ELSE 'order_only'
+                       END AS side,
+                       coalesce(o_totalprice, 0.0) AS price
+                FROM j)
+            SELECT side, count(*) AS n_rows,
+                   {sql_round('sum(price)', 2)} AS total_price
+            FROM s GROUP BY side
         """,
         "jsonl_export": """
             SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

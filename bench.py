@@ -133,6 +133,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "skipgram_pairs",
         "jsonl_export",
         "kg_comention",
+        "customer_order_outer",
         "user_event_sequences",
         "event_transitions",
         "orders_rollup",

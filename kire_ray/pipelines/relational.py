@@ -1120,3 +1120,67 @@ def user_funnel(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return parts.repartition(1).map_batches(total, batch_format="pandas")
+
+
+def customer_order_outer(sf_dir: str) -> "ray.data.Dataset":
+    """FULL OUTER customer⋈orders accounting — the join type that
+    completes the engine's family (inner/broadcast/semi/anti/bloom/
+    as-of already exist): rows are classified matched / customer_only /
+    order_only and aggregated, so outer semantics are proven without
+    nullable columns crossing the driver compare.
+
+    Uses the hash-partitioned shuffle join (`stages/joins.hash_join`
+    with join_type='full_outer'); the classify+count runs as a combiner
+    before one tiny grouped exchange on the 3-row category key.  Each
+    side is pre-filtered (customers key<1000, only 'F' orders) so every
+    synthetic scale actually produces unmatched rows on BOTH sides —
+    otherwise the outer semantics would never leave the matched branch.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: b[b["c_custkey"] < 1000].assign(k=b["c_custkey"]),
+        batch_format="pandas",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b[b["o_orderstatus"] == "F"].assign(k=b["o_custkey"]),
+        batch_format="pandas",
+    )
+    j = hash_join(
+        cust.select_columns(["k", "c_custkey"]),
+        orders.select_columns(["k", "o_custkey", "o_totalprice"]),
+        ["k"],
+        join_type="full_outer",
+    )
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        has_c = b["c_custkey"].notna().to_numpy()
+        has_o = b["o_custkey"].notna().to_numpy()
+        # Ray 2.49's hash full_outer emits one all-NULL row per empty
+        # input block (measured: 21 phantom rows on this shape) — a
+        # both-sides-NULL row cannot exist in a true outer join, so
+        # dropping is exact, same family as joins.normalize_blocks
+        keep = has_c | has_o
+        b, has_c, has_o = b[keep], has_c[keep], has_o[keep]
+        side = np.where(has_c & has_o, "matched",
+                        np.where(has_c, "customer_only", "order_only"))
+        return (
+            pd.DataFrame(
+                {"side": side, "price": b["o_totalprice"].fillna(0.0).to_numpy()}
+            )
+            .groupby("side", sort=False)
+            .agg(n_rows=("price", "size"), total_price=("price", "sum"))
+            .reset_index()
+        )
+
+    return grouped_agg(
+        j.map_batches(classify, batch_format="pandas"),
+        ["side"],
+        {"n_rows": ("n_rows", "sum"), "total_price": ("total_price", "sum")},
+        post=lambda out: out.assign(
+            n_rows=out["n_rows"].astype(np.int64),
+            total_price=round_half_up(out["total_price"], 2),
+        ),
+    )

@@ -408,6 +408,19 @@ def _q_kg_comention(sf_dir: str) -> Any:
     return comention_edges(c["linked"])
 
 
+def _q_parquet_hive_export(sf_dir: str) -> Any:
+    """documents → hive-partitioned parquet by (lang, source) under
+    /tmp; the returned counts are computed by READING THE FILES BACK,
+    so the green oracle row verifies the sink round-trip."""
+    import hashlib as _h
+
+    from kire_ray.state.parquet_sink import hive_export
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    out = f"/tmp/kire_ray_hive/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    return hive_export(docs, out, ["lang", "source"])
+
+
 def _q_jsonl_export(sf_dir: str) -> Any:
     """Exports the documents table as content-addressed gzipped JSONL
     shards under /tmp, returns the (shard, n_rows) manifest — the
@@ -1425,6 +1438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "skipgram_pairs": _q_skipgram_pairs,
         "jsonl_export": _q_jsonl_export,
+        "parquet_hive_export": _q_parquet_hive_export,
         "kg_comention": _q_kg_comention,
         "customer_order_outer": R.customer_order_outer,
         "user_event_sequences": _q_user_event_sequences,
@@ -2164,6 +2178,10 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) % 64 AS shard,
                    count(*) AS n_rows
             FROM documents GROUP BY 1
+        """,
+        "parquet_hive_export": """
+            SELECT lang, source, count(*) AS n_rows
+            FROM documents GROUP BY 1, 2
         """,
         "skipgram_pairs": """
             WITH docs AS (SELECT string_split(text, ' ') AS l

@@ -132,6 +132,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "knn_graph",
         "skipgram_pairs",
         "jsonl_export",
+        "parquet_hive_export",
         "kg_comention",
         "customer_order_outer",
         "user_event_sequences",

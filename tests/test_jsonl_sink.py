@@ -62,3 +62,21 @@ def test_jsonl_resume_skips_finished(ray_session, tmp_path):
     after = {f: os.path.getmtime(os.path.join(d, f)) for f in before}
     assert after == mtimes  # files untouched, not rewritten
     assert m["n_rows"].sum() == 50
+
+
+def test_hive_export_overwrite_and_prune(ray_session, tmp_path):
+    """Re-export doesn't double data; hive column prunes on read."""
+    from kire_ray.state.parquet_sink import hive_export
+
+    df = _docs(60)
+    d = str(tmp_path / "hive")
+    m1 = hive_export(ray.data.from_pandas(df), d, ["lang"])
+    m2 = hive_export(ray.data.from_pandas(df), d, ["lang"])  # overwrite
+    pd.testing.assert_frame_equal(m1, m2)
+    assert m1["n_rows"].sum() == 60
+    only_en = ray.data.read_parquet(d, filter=None)
+    en = only_en.to_pandas()
+    assert set(en["lang"].astype(str)) == {"en", "de"}
+    import os
+
+    assert sorted(os.listdir(d)) == ["lang=de", "lang=en"]

@@ -1441,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parquet_hive_export": _q_parquet_hive_export,
         "kg_comention": _q_kg_comention,
         "customer_order_outer": R.customer_order_outer,
+        "q5_local_supplier_revenue": R.q5_local_supplier_revenue,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "orders_rollup": R.orders_rollup,
@@ -2182,6 +2183,17 @@ def oracle_sql() -> dict[str, str]:
         "parquet_hive_export": """
             SELECT lang, source, count(*) AS n_rows
             FROM documents GROUP BY 1, 2
+        """,
+        "q5_local_supplier_revenue": f"""
+            SELECT n_name,
+                   {sql_round("sum(l_extendedprice * (1 - l_discount))", 2)}
+                       AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "skipgram_pairs": """
             WITH docs AS (SELECT string_split(text, ' ') AS l

@@ -135,6 +135,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "parquet_hive_export",
         "kg_comention",
         "customer_order_outer",
+        "q5_local_supplier_revenue",
         "user_event_sequences",
         "event_transitions",
         "orders_rollup",

@@ -1184,3 +1184,85 @@ def customer_order_outer(sf_dir: str) -> "ray.data.Dataset":
             total_price=round_half_up(out["total_price"], 2),
         ),
     )
+
+
+def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
+    """TPC-H Q5 shape — revenue per nation from lineitems whose
+    customer and supplier share the nation, nation restricted to one
+    region: the canonical multi-way join.
+
+    The distributed plan has exactly ONE fact⋈fact exchange (lineitem ⋈
+    orders on orderkey, both sides column-pruned to 2-4 columns before
+    the shuffle); customer, supplier and nation⋈region are
+    dimension-sized and ride as broadcast id→nationkey / id→name maps
+    applied inside map_batches (no shuffle), and the final aggregate is
+    a per-nation combiner into a 5-row exchange. This is the plan every
+    distributed SQL engine picks for Q5 — re-expressed as Dataset ops.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    in_region = nat[nat["r_name"] == region]
+    n_name = dict(zip(in_region["n_nationkey"], in_region["n_name"]))
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    c_nat_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    s_nat_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    names_ref = ray.put(n_name)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(c_nat_ref)
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "c_nat": b["o_custkey"].map(cn).to_numpy(np.int64),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_side(b: pd.DataFrame) -> pd.DataFrame:
+        sn = ray.get(s_nat_ref)
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].to_numpy(),
+                "s_nat": b["l_suppkey"].map(sn).to_numpy(np.int64),
+                "rev": (
+                    b["l_extendedprice"] * (1.0 - b["l_discount"])
+                ).to_numpy(),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(l_side, batch_format="pandas"),
+        orders.map_batches(o_side, batch_format="pandas"),
+        ["o_orderkey"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(names_ref)
+        b = b[(b["c_nat"] == b["s_nat"]) & b["s_nat"].isin(names)]
+        out = (
+            b.groupby("s_nat", sort=False)["rev"].sum().rename("revenue").reset_index()
+        )
+        out["n_name"] = out["s_nat"].map(names)
+        return out[["n_name", "revenue"]]
+
+    return grouped_agg(
+        j.map_batches(partial, batch_format="pandas"),
+        ["n_name"],
+        {"revenue": ("revenue", "sum")},
+        post=lambda out: out.assign(revenue=round_half_up(out["revenue"], 2)),
+    )

@@ -238,16 +238,21 @@ def _chunk_filter(parts: list[int], n_parts: int):
     return fn
 
 
-def _with_part(ds: "ray.data.Dataset", n_parts: int) -> "ray.data.Dataset":
-    """Append ``part = hash64(doc_id) % n_parts`` (the resume layout
-    key, recomputable from any row's doc_id)."""
+def _with_part(
+    ds: "ray.data.Dataset", n_parts: int, offset: int = 0
+) -> "ray.data.Dataset":
+    """Append ``part = offset + hash64(doc_id) % n_parts`` (the resume
+    layout key, recomputable from any row's doc_id; ``offset``
+    namespaces an ingest batch's partitions)."""
     import pandas as pd
 
     from kire_ray.functions.hashing import hash64
 
     def add(b: "pd.DataFrame") -> "pd.DataFrame":
         b = b.copy()
-        b["part"] = (hash64(b["doc_id"].to_numpy()) % n_parts).astype("int64")
+        b["part"] = (hash64(b["doc_id"].to_numpy()) % n_parts).astype(
+            "int64"
+        ) + offset
         return b
 
     return ds.map_batches(add, batch_format="pandas")
@@ -270,11 +275,20 @@ def run_resumable(
     chunk_size: int = 4,
     concurrency: int | None = None,
     fail_after: int | None = None,
+    part_offset: int = 0,
+    transcript_filter=None,
 ) -> list[dict]:
     """Resumable KG build: one atomic output partition (+ manifest with
     lineage) per conv_id hash bucket; a rerun skips finished partitions
     (state/manifest.py).  ``fail_after=k`` aborts after k partitions —
     the kill-resume test hook.
+
+    ``part_offset``/``transcript_filter`` turn this into the segment
+    writer of a log-structured CONTINUOUS-INGEST build (see
+    ``ingest_batch``): each arriving corpus slice is written as its own
+    immutable partition range and the cross-partition tables merge on
+    read (``load_output`` — its edge/node merges are associative, so
+    any batch decomposition equals the one-shot build bit-for-bit).
 
     Execution is *chunked*: ``chunk_size`` hash buckets run through one
     Ray execution (each dataset execution pays actor-pool spin-up +
@@ -289,24 +303,36 @@ def run_resumable(
     from kire_ray.state.manifest import done_partitions, write_partition_atomic
 
     ctx = KGContext.from_corpus(corpus_dir)
-    done = done_partitions(out_dir, n_parts)
-    pending = [p for p in range(n_parts) if p not in done]
+    done = done_partitions(out_dir, part_offset + n_parts)
+    pending = [
+        p for p in range(part_offset, part_offset + n_parts) if p not in done
+    ]
     manifests = []
     n_run = 0
     for ci in range(0, len(pending), chunk_size):
         chunk = pending[ci : ci + chunk_size]
         if fail_after is not None and n_run >= fail_after:
             raise RuntimeError(f"simulated failure after {fail_after} partitions")
-        tr = read_transcripts(corpus_dir).map_batches(
-            _chunk_filter(chunk, n_parts), batch_format="pyarrow"
+        tr = read_transcripts(corpus_dir)
+        if transcript_filter is not None:
+            tr = tr.map_batches(transcript_filter, batch_format="pyarrow")
+        tr = tr.map_batches(
+            _chunk_filter([p - part_offset for p in chunk], n_parts),
+            batch_format="pyarrow",
         )
         linked = linked_documents(tr, ctx, concurrency=concurrency).materialize()
         triples = _with_part(
-            extract_triples(linked, ctx, concurrency=concurrency), n_parts
+            extract_triples(linked, ctx, concurrency=concurrency),
+            n_parts,
+            part_offset,
         ).materialize()
         edges = dedup_edges(triples, extra_keys=("part",)).materialize()
         nodes = merge_nodes(
-            _with_part(entity_vectors(linked, ctx, concurrency=concurrency), n_parts),
+            _with_part(
+                entity_vectors(linked, ctx, concurrency=concurrency),
+                n_parts,
+                part_offset,
+            ),
             extra_keys=("part",),
         ).materialize()
 
@@ -327,11 +353,51 @@ def run_resumable(
             lineage = {
                 "corpus_dir": os.path.abspath(corpus_dir),
                 "n_parts": n_parts,
+                "part_offset": part_offset,
                 "partition_key": "hash64(conv_id) % n_parts",
             }
             manifests.append(write_partition_atomic(out_dir, part, writer, lineage))
             n_run += 1
     return manifests
+
+
+def ingest_batch(
+    corpus_dir: str,
+    out_dir: str,
+    batch: int,
+    *,
+    n_batches: int,
+    n_parts: int = 8,
+    concurrency: int | None = None,
+) -> list[dict]:
+    """Continuous-ingest segment writer: process only the conversations
+    of ingest ``batch`` (a salted content-hash slice, so batch
+    membership is stable and independent of the partition bucketing)
+    into the partition range [batch·n_parts, (batch+1)·n_parts) of a
+    SHARED output directory.  Batches are immutable once written —
+    nothing is rewritten when the next slice arrives — and
+    ``load_output`` merges all segments on read; because the edge/node
+    merges are associative, any arrival order equals the one-shot build
+    bit-for-bit (asserted in tests/test_resume.py).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from kire_ray.functions.hashing import hash64
+
+    def batch_filter(b: pa.Table) -> pa.Table:
+        ids = [f"{c}#ingest" for c in b.column("conv_id").to_pylist()]
+        h = hash64(ids) % n_batches
+        return b.filter(pa.array(h == batch))
+
+    return run_resumable(
+        corpus_dir,
+        out_dir,
+        n_parts=n_parts,
+        concurrency=concurrency,
+        part_offset=batch * n_parts,
+        transcript_filter=batch_filter,
+    )
 
 
 def load_output(out_dir: str, table: str) -> "ray.data.Dataset":

@@ -91,3 +91,55 @@ def test_kill_mid_chunk_resume_odd_sizes(ray_session, tiny_corpus, tmp_path):
             if "vec" in a.columns:
                 assert [tuple(v) for v in a.pop("vec")] == [tuple(v) for v in b.pop("vec")]
             pd.testing.assert_frame_equal(a, b)
+
+
+def test_ingest_batches_equal_oneshot(ray_session, tiny_corpus, tmp_path):
+    """Continuous ingestion: two disjoint corpus slices written as
+    immutable segments into ONE output dir (batch-namespaced partition
+    ranges), merged on read — bit-equal to the one-shot build."""
+    from kire_ray.pipelines.kg_construct import ingest_batch
+
+    out = str(tmp_path / "ingest_out")
+    m0 = ingest_batch(tiny_corpus, out, 0, n_batches=2, n_parts=2, concurrency=2)
+    m1 = ingest_batch(tiny_corpus, out, 1, n_batches=2, n_parts=2, concurrency=2)
+    assert [m["partition"] for m in m0] == [0, 1]
+    assert [m["partition"] for m in m1] == [2, 3]
+    # batch 1's arrival rewrote nothing of batch 0
+    assert all(m["lineage"]["part_offset"] == 0 for m in m0)
+    # re-ingesting a batch is a no-op (segments are immutable)
+    assert ingest_batch(tiny_corpus, out, 0, n_batches=2, n_parts=2) == []
+
+    single = build_graph(tiny_corpus, concurrency=2)
+    e_single = (
+        single["edges"]
+        .to_pandas()
+        .sort_values(["subj_qid", "pred", "obj_qid"])
+        .reset_index(drop=True)
+    )
+    e_merged = (
+        load_output(out, "edges")
+        .to_pandas()
+        .sort_values(["subj_qid", "pred", "obj_qid"])
+        .reset_index(drop=True)
+    )
+    cols = ["subj_qid", "pred", "obj_qid", "score", "n_docs", "first_doc"]
+    pd.testing.assert_frame_equal(e_merged[cols], e_single[cols], check_dtype=False)
+
+    t_single = single["triples"].count()
+    t_merged = load_output(out, "triples").count()
+    assert t_single == t_merged
+
+    n_single = single["nodes"].to_pandas().sort_values("qid").reset_index(drop=True)
+    n_merged = (
+        load_output(out, "nodes").to_pandas().sort_values("qid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        n_merged[["qid", "label", "n_docs", "n_mentions"]],
+        n_single[["qid", "label", "n_docs", "n_mentions"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(
+        np.stack(n_merged["vec"].map(np.asarray)),
+        np.stack(n_single["vec"].map(np.asarray)),
+        atol=1e-9,
+    )

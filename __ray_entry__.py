@@ -477,6 +477,12 @@ def _q_event_transitions(sf_dir: str) -> Any:
     return event_transitions(sf_dir)
 
 
+def _q_next_event_labels(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import next_event_labels
+
+    return next_event_labels(sf_dir)
+
+
 _HLL_WINDOW_S = 86_400
 
 
@@ -1444,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_revenue": R.q5_local_supplier_revenue,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
+        "next_event_labels": _q_next_event_labels,
         "orders_rollup": R.orders_rollup,
         "status_priority_pivot": R.status_priority_pivot,
         "events_resampled": R.events_resampled,
@@ -2259,6 +2266,20 @@ def oracle_sql() -> dict[str, str]:
                        FROM events)
             SELECT prev AS src, event_type AS dst, count(*) AS n
             FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "next_event_labels": """
+            WITH o AS (SELECT event_id, user_id, event_type,
+                              epoch_us(ts) AS tus FROM events),
+            l AS (SELECT event_id, event_type,
+                         lead(event_type) OVER w AS nt,
+                         lead(tus) OVER w - tus AS g
+                  FROM o
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY tus, event_id))
+            SELECT event_id, event_type,
+                   coalesce(nt, '<end>') AS next_type,
+                   coalesce(g, -1) AS gap_us
+            FROM l
         """,
         "orders_rollup": f"""
             WITH fine AS (

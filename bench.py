@@ -138,6 +138,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "q5_local_supplier_revenue",
         "user_event_sequences",
         "event_transitions",
+        "next_event_labels",
         "orders_rollup",
         "status_priority_pivot",
         "events_resampled",

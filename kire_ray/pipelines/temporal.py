@@ -302,6 +302,53 @@ def event_transitions(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def next_event_labels(sf_dir: str) -> "ray.data.Dataset":
+    """Supervised-label generation for next-event prediction: every
+    event row paired with the SAME user's next event type and the gap
+    to it (the training rows a sequence/recommendation model consumes;
+    ``event_transitions`` is this table aggregated).  Last event of a
+    user gets label '<end>' / gap -1 so the row count equals the input
+    and no nullable columns cross the driver compare.
+
+    One exchange on user_id, one vectorized shift per partition.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+                "event_id": b["event_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+            }
+        )
+
+    def label(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        u = p["user_id"].to_numpy()
+        t = p["tus"].to_numpy()
+        ty = p["event_type"].to_numpy()
+        nxt = np.full(len(p), "<end>", dtype=object)
+        gap = np.full(len(p), -1, dtype=np.int64)
+        if len(p) > 1:
+            same = u[:-1] == u[1:]
+            nxt[:-1][same] = ty[1:][same]
+            gap[:-1][same] = (t[1:] - t[:-1])[same]
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy(),
+                "event_type": ty,
+                "next_type": nxt,
+                "gap_us": gap,
+            }
+        )
+
+    return partitioned_map_groups(
+        ev.map_batches(to_us, batch_format="pandas"), ["user_id"], label
+    )
+
+
 def event_pairs_within(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
     """Banded range self-join, aggregated: for every event, how many
     strictly-later events of the same user fall within ``window_s``

@@ -268,6 +268,18 @@ def _q_kg_triangles(sf_dir: str) -> Any:
     return triangle_count(edges)
 
 
+def _q_kg_communities(sf_dir: str) -> Any:
+    """Deterministic synchronous LPA over the corpus KG (5 rounds);
+    corpus-side oracle unrolls the identical rounds in SQL."""
+    from kire_ray.pipelines.graph_algos import lpa_communities
+
+    corpus = _corpus(sf_dir)
+    edges = ray.data.read_parquet(
+        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
+    )
+    return lpa_communities(edges)
+
+
 def _q_kg_pagerank(sf_dir: str) -> Any:
     """PageRank over the corpus KG triple table (h→t multi-edges, 10
     damped power iterations, no dangling redistribution — see
@@ -509,6 +521,42 @@ def _q_hll_window_users(sf_dir: str) -> Any:
         ev.map_batches(win, batch_format="pandas"),
         "user_id",
         group_col="window_start",
+    )
+
+
+def _lpa_oracle_sql(corpus: str, rounds: int = 5) -> str:
+    """Unrolled-CTE mirror of ``graph_algos.lpa_communities``: l{i} =
+    per-node argmax (count desc, label asc) over neighbour labels of
+    l{i-1}, synchronous, fixed rounds."""
+    parts = [
+        f"""
+            WITH raw AS MATERIALIZED (
+                SELECT h_qid AS s, t_qid AS t
+                FROM read_parquet('{corpus}/kg_triples.parquet')),
+            und AS MATERIALIZED (
+                SELECT DISTINCT a, b FROM (
+                    SELECT s AS a, t AS b FROM raw WHERE s <> t
+                    UNION ALL
+                    SELECT t, s FROM raw WHERE s <> t)),
+            l0 AS MATERIALIZED (
+                SELECT DISTINCT a AS node, a AS label FROM und)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+            l{i} AS MATERIALIZED (
+                SELECT node, label FROM (
+                    SELECT u.a AS node, l.label,
+                           row_number() OVER (
+                               PARTITION BY u.a
+                               ORDER BY count(*) DESC, l.label) AS rk
+                    FROM und u JOIN l{i - 1} l ON l.node = u.b
+                    GROUP BY u.a, l.label)
+                WHERE rk = 1)"""
+        )
+    return (
+        "".join(parts)
+        + f"\n            SELECT node AS qid, label AS community FROM l{rounds}"
     )
 
 
@@ -1463,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
+        "kg_communities": _q_kg_communities,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -1476,7 +1525,7 @@ def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
     Corpus-side oracles (kg_assembled_turns / kg_mentions_flat / kg_doc_subwords_flat /
-    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles / kg_kcore / kg_bfs_levels / kg_comention) read the synthetic corpus'
+    glre_pairs_flat / pubtator_docs_flat / doc_word_ids_flat / kg_pagerank / kg_triangles / kg_kcore / kg_bfs_levels / kg_comention / kg_communities) read the synthetic corpus'
     gold parquet via its deterministic path. SQL strings carry no sf
     parameter, so these (plus frame_sample / audio_chunk, which read
     the persisted media metadata) are bound to sf0.01 — the scale the
@@ -2827,6 +2876,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc)
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
         """,
+        "kg_communities": _lpa_oracle_sql(c01),
         "kg_kcore": f"""
             WITH raw AS MATERIALIZED (
                 SELECT h_qid AS s, t_qid AS t

@@ -134,6 +134,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "jsonl_export",
         "parquet_hive_export",
         "kg_comention",
+        "kg_communities",
         "customer_order_outer",
         "q5_local_supplier_revenue",
         "user_event_sequences",

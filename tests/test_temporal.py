@@ -230,3 +230,30 @@ def test_comention_edges_counts(ray_session):
     out = comention_edges(ray.data.from_pandas(docs).repartition(2)).to_pandas()
     got = {(r.s1, r.s2): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 2}
+
+
+def test_lpa_communities_planted(ray_session):
+    """Two cliques joined by one bridge edge: LPA assigns each clique
+    one community; deterministic + partition-invariant."""
+    from kire_ray.pipelines.graph_algos import lpa_communities
+
+    k1 = ["a1", "a2", "a3", "a4"]
+    k2 = ["b1", "b2", "b3", "b4"]
+    edges = [(x, y) for i, x in enumerate(k1) for y in k1[i + 1 :]]
+    edges += [(x, y) for i, x in enumerate(k2) for y in k2[i + 1 :]]
+    edges.append(("a1", "b1"))  # bridge
+    df = pd.DataFrame(edges, columns=["h_qid", "t_qid"])
+    out = (
+        lpa_communities(ray.data.from_pandas(df).repartition(3), rounds=5)
+        .to_pandas()
+        .set_index("qid")["community"]
+    )
+    assert len(set(out[k] for k in k1)) == 1
+    assert len(set(out[k] for k in k2)) == 1
+    assert out["a2"] != out["b2"]
+    out2 = (
+        lpa_communities(ray.data.from_pandas(df), rounds=5)
+        .to_pandas()
+        .set_index("qid")["community"]
+    )
+    pd.testing.assert_series_equal(out.sort_index(), out2.sort_index())

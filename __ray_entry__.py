@@ -524,6 +524,49 @@ def _q_hll_window_users(sf_dir: str) -> Any:
     )
 
 
+def _powerit_oracle_sql(iters: int = 5, dims: int = 64) -> str:
+    """Unrolled-CTE mirror of ``similarity.embedding_top_component``:
+    v{i} = normalize(Mᵀ(M v{i-1})), uniform init, sign fixed at the
+    largest-|loading| dimension."""
+    from kire_ray.functions.rounding import sql_round
+
+    parts = [
+        f"""
+            WITH e AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                FROM embeddings),
+            d AS MATERIALIZED (
+                SELECT unnest(generate_series(1, {dims})) AS dim),
+            v0 AS MATERIALIZED (
+                SELECT dim, 1.0 / sqrt({dims}) AS val FROM d)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+            s{i} AS MATERIALIZED (
+                SELECT e.vec_id, sum(e.ev[v.dim] * v.val) AS s
+                FROM e, v{i - 1} v GROUP BY e.vec_id),
+            w{i} AS MATERIALIZED (
+                SELECT d.dim, sum(e.ev[d.dim] * s.s) AS w
+                FROM e JOIN s{i} s USING (vec_id) CROSS JOIN d
+                GROUP BY d.dim),
+            v{i} AS MATERIALIZED (
+                SELECT dim,
+                       w / sqrt((SELECT sum(w * w) FROM w{i})) AS val
+                FROM w{i})"""
+        )
+    return (
+        "".join(parts)
+        + f""",
+            sgn AS (
+                SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s
+                FROM v{iters} ORDER BY abs(val) DESC, dim LIMIT 1)
+            SELECT v.dim,
+                   {sql_round('(SELECT s FROM sgn) * v.val', 6)} AS loading
+            FROM v{iters} v"""
+    )
+
+
 def _lpa_oracle_sql(corpus: str, rounds: int = 5) -> str:
     """Unrolled-CTE mirror of ``graph_algos.lpa_communities``: l{i} =
     per-node argmax (count desc, label asc) over neighbour labels of
@@ -605,6 +648,14 @@ def _q_incremental_dedup(sf_dir: str) -> Any:
         lambda b: b[b["doc_id"] % 2 == 1], batch_format="pandas"
     )
     return incremental_dedup(prior, new)
+
+
+def _q_embedding_top_component(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import embedding_top_component
+
+    return embedding_top_component(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    )
 
 
 def _q_embedding_quantize(sf_dir: str) -> Any:
@@ -1484,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_levels": _q_kg_bfs_levels,
         "incremental_dedup": _q_incremental_dedup,
         "embedding_quantize": _q_embedding_quantize,
+        "embedding_top_component": _q_embedding_top_component,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "event_pairs_within": _q_event_pairs_within,
@@ -2877,6 +2929,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
         """,
         "kg_communities": _lpa_oracle_sql(c01),
+        "embedding_top_component": _powerit_oracle_sql(),
         "kg_kcore": f"""
             WITH raw AS MATERIALIZED (
                 SELECT h_qid AS s, t_qid AS t

@@ -124,6 +124,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_value_ranks",
         "incremental_dedup",
         "embedding_quantize",
+        "embedding_top_component",
         "sessionize",
         "asof_join",
         "event_pairs_within",

@@ -620,3 +620,67 @@ def knn_graph_mutual(
         )
 
     return partitioned_map_groups(edges, ["lo", "hi"], mutual)
+
+
+def embedding_top_component(
+    emb: "ray.data.Dataset",
+    *,
+    iters: int = 5,
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Dominant right singular direction of the (uncentered) embedding
+    matrix by power iteration — the vector ABTT-style embedding
+    post-processing removes and drift monitors track.
+
+    The pagerank shape on floats: each iteration v ← normalize(Mᵀ(Mv))
+    runs as ONE streaming pass over the corpus (per block: s = M_b v,
+    then the dim-sized partial Mᵀ_b s — two numpy matmuls) followed by
+    one dimension-sized exchange; only the dim-vector v crosses
+    iterations (``ray.put``).  Uniform deterministic init; the returned
+    sign is fixed by making the largest-|loading| dimension positive
+    (smallest dim on ties), so the result is unique.
+
+    Returns (dim, loading) with dim 1-based, rounded to 6dp — float
+    summation-order jitter (~1e-12 after 5 iterations) sits far inside
+    the rounding guard, so the unrolled SQL oracle matches value-exact.
+    """
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import grouped_agg
+
+    ncols = len(emb.take(1)[0][emb_col])
+    v = np.full(ncols, 1.0 / np.sqrt(ncols), dtype=np.float64)
+
+    for _ in range(iters):
+        ref = ray.put(v)
+
+        def partial(b: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            vk = ray.get(_ref)
+            M = np.stack([np.asarray(x, dtype=np.float64) for x in b[emb_col]])
+            w = M.T @ (M @ vk)
+            return pd.DataFrame(
+                {"dim": np.arange(1, len(w) + 1, dtype=np.int64), "w": w}
+            )
+
+        out = (
+            grouped_agg(
+                emb.map_batches(partial, batch_format="pandas"),
+                ["dim"],
+                {"w": ("w", "sum")},
+            )
+            .to_pandas()
+            .sort_values("dim")
+        )
+        w = out["w"].to_numpy(np.float64)
+        v = w / np.sqrt((w * w).sum())
+
+    top = np.lexsort((np.arange(len(v)), -np.abs(v)))[0]
+    if v[top] < 0:
+        v = -v
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "dim": np.arange(1, len(v) + 1, dtype=np.int64),
+                "loading": round_half_up(v, 6),
+            }
+        )
+    )

@@ -101,3 +101,38 @@ def test_skipgram_pairs_window(ray_session):
     assert got[("a", "c")] == (1 + 1) * 3
     sym = {(b, a): n for (a, b), n in got.items()}
     assert sym == got  # symmetric by construction
+
+
+def test_embedding_top_component_vs_svd(ray_session):
+    """Power iteration converges to numpy's top right singular vector
+    (up to the fixed sign); partition-invariant."""
+    from kire_ray.pipelines.similarity import embedding_top_component
+
+    rng = np.random.default_rng(11)
+    # strong planted direction so 5 iterations converge tightly
+    u = rng.normal(size=12)
+    M = (
+        np.outer(rng.normal(size=300), u) + 0.05 * rng.normal(size=(300, 12))
+    ).astype(np.float64)
+    df = pd.DataFrame({"embedding": list(M)})
+    out = (
+        embedding_top_component(
+            ray.data.from_pandas(df).repartition(5), iters=12
+        )
+        .to_pandas()
+        .sort_values("dim")["loading"]
+        .to_numpy()
+    )
+    _, _, vt = np.linalg.svd(M, full_matrices=False)
+    ref = vt[0]
+    top = np.argmax(np.abs(ref))
+    if ref[top] < 0:
+        ref = -ref
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+    out2 = (
+        embedding_top_component(ray.data.from_pandas(df), iters=12)
+        .to_pandas()
+        .sort_values("dim")["loading"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(out, out2, atol=1e-9)

@@ -1548,6 +1548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_comention": _q_kg_comention,
         "customer_order_outer": R.customer_order_outer,
         "q5_local_supplier_revenue": R.q5_local_supplier_revenue,
+        "customer_status_setops": R.customer_status_setops,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "next_event_labels": _q_next_event_labels,
@@ -2291,6 +2292,20 @@ def oracle_sql() -> dict[str, str]:
         "parquet_hive_export": """
             SELECT lang, source, count(*) AS n_rows
             FROM documents GROUP BY 1, 2
+        """,
+        "customer_status_setops": """
+            WITH f AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderstatus = 'F'),
+            o AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE o_orderstatus = 'O')
+            SELECT o_custkey, 'both' AS side
+            FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+            UNION ALL
+            SELECT o_custkey, 'f_only'
+            FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+            UNION ALL
+            SELECT o_custkey, 'o_only'
+            FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f)
         """,
         "q5_local_supplier_revenue": f"""
             SELECT n_name,

@@ -138,6 +138,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_communities",
         "customer_order_outer",
         "q5_local_supplier_revenue",
+        "customer_status_setops",
         "user_event_sequences",
         "event_transitions",
         "next_event_labels",

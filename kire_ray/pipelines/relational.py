@@ -1266,3 +1266,43 @@ def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Da
         {"revenue": ("revenue", "sum")},
         post=lambda out: out.assign(revenue=round_half_up(out["revenue"], 2)),
     )
+
+
+def customer_status_setops(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed INTERSECT / EXCEPT in one pass: customers with 'F'
+    orders vs customers with 'O' orders, classified into f_only /
+    o_only / both — the set-operation family done as a single grouped
+    exchange over per-block (custkey, has_f, has_o) flag partials
+    instead of two separate distinct+join passes.
+    """
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderstatus"].isin(["F", "O"])]
+        return (
+            pd.DataFrame(
+                {
+                    "o_custkey": b["o_custkey"].to_numpy(),
+                    "has_f": (b["o_orderstatus"] == "F").to_numpy(np.int8),
+                    "has_o": (b["o_orderstatus"] == "O").to_numpy(np.int8),
+                }
+            )
+            .groupby("o_custkey", sort=False)
+            .max()
+            .reset_index()
+        )
+
+    def classify(out: pd.DataFrame) -> pd.DataFrame:
+        side = np.where(
+            (out["has_f"] > 0) & (out["has_o"] > 0),
+            "both",
+            np.where(out["has_f"] > 0, "f_only", "o_only"),
+        )
+        return pd.DataFrame({"o_custkey": out["o_custkey"].to_numpy(), "side": side})
+
+    return grouped_agg(
+        orders.map_batches(flags, batch_format="pandas"),
+        ["o_custkey"],
+        {"has_f": ("has_f", "max"), "has_o": ("has_o", "max")},
+        post=classify,
+    )

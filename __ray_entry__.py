@@ -294,6 +294,15 @@ def _q_kg_pagerank(sf_dir: str) -> Any:
     return pagerank(edges)
 
 
+def _q_winsorize(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sketches import winsorize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return winsorize(ev, "value", group_col="event_type", id_col="event_id")
+
+
 def _q_hist_quantiles(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import hist_quantiles
 
@@ -1561,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_filter_join": _q_bloom_filter_join,
         "hist_quantiles": _q_hist_quantiles,
+        "winsorize_events": _q_winsorize,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
@@ -3226,6 +3236,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, q,
                    floor(est * 1000000 + 0.501) / 1000000 AS est
             FROM est
+        """,
+        "winsorize_events": """
+            WITH st AS (
+                SELECT event_type, min(value) AS mn, max(value) AS mx,
+                       count(*) AS n
+                FROM events GROUP BY 1),
+            b AS (
+                SELECT e.event_type,
+                       CASE WHEN s.mx = s.mn THEN 0
+                            ELSE least(CAST(floor((e.value - s.mn)
+                                     / ((s.mx - s.mn) / 2048.0)) AS BIGINT),
+                                       2047) END AS bin
+                FROM events e JOIN st s USING (event_type)),
+            h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+            cum AS (
+                SELECT event_type, bin, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY bin) AS cc
+                FROM h),
+            qv(q) AS (VALUES (0.01), (0.99)),
+            pick AS (
+                SELECT c.event_type, q.q, c.bin, c.c, c.cc,
+                       row_number() OVER (PARTITION BY c.event_type, q.q
+                                          ORDER BY c.bin) AS rn
+                FROM cum c JOIN st s USING (event_type), qv q
+                WHERE CAST(c.cc AS DOUBLE) >= q.q * s.n),
+            est AS (
+                SELECT p.event_type, p.q,
+                       floor((CASE WHEN s.mx = s.mn THEN s.mn
+                              ELSE s.mn + ((s.mx - s.mn) / 2048.0)
+                                   * (p.bin + (p.q * s.n - (p.cc - p.c))
+                                      / p.c)
+                              END) * 1000000 + 0.501) / 1000000 AS est
+                FROM pick p JOIN st s USING (event_type)
+                WHERE p.rn = 1),
+            lo AS (SELECT event_type, est AS lo FROM est WHERE q = 0.01),
+            hi AS (SELECT event_type, est AS hi FROM est WHERE q = 0.99)
+            SELECT e.event_id, e.event_type,
+                   floor(greatest(l.lo, least(h.hi, e.value))
+                         * 1000000 + 0.501) / 1000000 AS value
+            FROM events e
+            JOIN lo l USING (event_type) JOIN hi h USING (event_type)
         """,
         "bloom_filter_join": """
             WITH build AS (

@@ -83,6 +83,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "cms_heavy_hitters",
         "bloom_filter_join",
         "hist_quantiles",
+        "winsorize_events",
         "kg_pagerank",
         "kg_triangles",
         "kg_kcore",

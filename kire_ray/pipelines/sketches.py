@@ -410,3 +410,53 @@ def table_profile(
         return out
 
     return partitioned_map_groups(regs, ["column"], finalize)
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    *,
+    group_col: str,
+    id_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    bins: int = HIST_BINS,
+) -> "ray.data.Dataset":
+    """Grouped winsorization (outlier capping) — the numeric-cleaning
+    step feature pipelines run before normalization: every value is
+    clamped to its group's [P(lo_q), P(hi_q)], with the boundaries from
+    the deterministic ``hist_quantiles`` sketch (layout-invariant, so
+    two runs cap identically — a t-digest would not).
+
+    Two tiny exchanges build the boundary table (groups × 2 rows),
+    which broadcasts; the capping itself is a stateless vectorized
+    map — the corpus never shuffles.  Returns (id, group, value)
+    rounded to 6dp.
+    """
+    from kire_ray.functions.rounding import round_half_up
+
+    qs = hist_quantiles(
+        ds, value_col, group_col=group_col, qs=(lo_q, hi_q), bins=bins
+    ).to_pandas()
+    piv = qs.pivot(index=group_col, columns="q", values="est")
+    lo = piv[lo_q].to_dict()
+    hi = piv[hi_q].to_dict()
+    ref = ray.put((lo, hi))
+
+    def clamp(b: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(ref)
+        g = b[group_col]
+        v = np.clip(
+            b[value_col].to_numpy(np.float64),
+            g.map(lo_m).to_numpy(np.float64),
+            g.map(hi_m).to_numpy(np.float64),
+        )
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                group_col: g.to_numpy(),
+                value_col: round_half_up(v, 6),
+            }
+        )
+
+    return ds.map_batches(clamp, batch_format="pandas")

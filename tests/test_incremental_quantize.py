@@ -136,3 +136,33 @@ def test_embedding_top_component_vs_svd(ray_session):
         .to_numpy()
     )
     np.testing.assert_allclose(out, out2, atol=1e-9)
+
+
+def test_winsorize_caps_outliers(ray_session):
+    from kire_ray.pipelines.sketches import winsorize
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=2000)
+    v[:3] = [50.0, -50.0, 40.0]  # gross outliers
+    df = pd.DataFrame(
+        {"event_id": np.arange(2000), "event_type": "a", "value": v}
+    )
+    out = (
+        winsorize(
+            ray.data.from_pandas(df).repartition(4),
+            "value",
+            group_col="event_type",
+            id_col="event_id",
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["value"].max() < 10 and out["value"].min() > -10
+    # interior values untouched (up to rounding)
+    inner = df["value"].between(-1, 1)
+    np.testing.assert_allclose(
+        out.loc[inner.to_numpy(), "value"],
+        df.loc[inner, "value"],
+        atol=1e-6,
+    )

@@ -504,6 +504,12 @@ def _q_next_event_labels(sf_dir: str) -> Any:
     return next_event_labels(sf_dir)
 
 
+def _q_daily_retention(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import daily_retention
+
+    return daily_retention(sf_dir)
+
+
 _HLL_WINDOW_S = 86_400
 
 
@@ -1561,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
         "next_event_labels": _q_next_event_labels,
+        "daily_retention": _q_daily_retention,
         "orders_rollup": R.orders_rollup,
         "status_priority_pivot": R.status_priority_pivot,
         "events_resampled": R.events_resampled,
@@ -2392,6 +2399,16 @@ def oracle_sql() -> dict[str, str]:
                        FROM events)
             SELECT prev AS src, event_type AS dst, count(*) AS n
             FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "daily_retention": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+            SELECT d.day, d.day = f.first_day AS is_new,
+                   count(DISTINCT d.user_id) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         "next_event_labels": """
             WITH o AS (SELECT event_id, user_id, event_type,

@@ -143,6 +143,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "user_event_sequences",
         "event_transitions",
         "next_event_labels",
+        "daily_retention",
         "orders_rollup",
         "status_priority_pivot",
         "events_resampled",

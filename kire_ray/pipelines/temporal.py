@@ -391,3 +391,65 @@ def event_pairs_within(sf_dir: str, window_s: int = 3600) -> "ray.data.Dataset":
     return partitioned_map_groups(
         ev.map_batches(to_us, batch_format="pandas"), ["user_id"], count
     )
+
+
+def daily_retention(sf_dir: str) -> "ray.data.Dataset":
+    """New-vs-returning daily actives — the retention table every
+    product-analytics pipeline derives: per UTC day, how many active
+    users saw their first-ever event that day vs earlier.
+
+    Two tiny exchanges: per-user first-day (grouped min with a
+    block-local combiner), broadcast (user-table-bounded, the pagerank
+    dimension contract), then per-(day, is_new) distinct-user counts
+    via one more grouped exchange over per-block partials.
+    """
+    from kire_ray.stages.shuffle import grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def day_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(),
+                "day": b["ts"].astype("int64").to_numpy() // 86_400_000_000,
+            }
+        ).drop_duplicates()
+
+    days = ev.map_batches(day_rows, batch_format="pandas")
+    first = (
+        grouped_agg(
+            days,
+            ["user_id"],
+            {"first_day": ("day", "min")},
+        )
+        .to_pandas()
+        .set_index("user_id")["first_day"]
+        .to_dict()
+    )
+    ref = ray.put(first)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(ref)
+        is_new = b["day"].to_numpy() == b["user_id"].map(f).to_numpy()
+        return (
+            pd.DataFrame(
+                {"day": b["day"].to_numpy(), "is_new": is_new, "u": b["user_id"]}
+            )
+            .drop_duplicates()
+        )
+
+    def count(p: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            p.drop_duplicates()
+            .groupby(["day", "is_new"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+        return g.astype({"day": np.int64, "n_users": np.int64})
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    return partitioned_map_groups(
+        days.map_batches(flag, batch_format="pandas"), ["day", "is_new"], count
+    )

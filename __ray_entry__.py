@@ -236,6 +236,24 @@ def _q_ann_brute(sf_dir: str) -> Any:
     )
 
 
+def _q_ann_recall(sf_dir: str) -> Any:
+    """Retrieval-evaluation harness entry: recall@k of the LSH path vs
+    exact brute force on the shared probe set (id membership, so the
+    metric is rounding-free until the final division)."""
+    from kire_ray.functions.rounding import round_half_up
+
+    b = _q_ann_brute(sf_dir).to_pandas()[["query_id", "vec_id"]]
+    l = _q_ann_lsh(sf_dir).to_pandas()[["query_id", "vec_id"]]
+    n_hits = len(b.merge(l, on=["query_id", "vec_id"]))
+    denom = N_ANN_QUERIES * ANN_K
+    return pd.DataFrame(
+        {
+            "n_hits": [np.int64(n_hits)],
+            "recall": round_half_up(np.array([n_hits / denom]), 6),
+        }
+    )
+
+
 def _q_ann_lsh(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import ann_lsh
 
@@ -1536,6 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_ids_flat": _q_doc_word_ids_flat,
         "doc_graphs": _q_doc_graphs,
         "ann_brute_force": _q_ann_brute,
+        "ann_recall": _q_ann_recall,
         "bm25_search": _q_bm25_search,
         "pmi_bigrams": _q_pmi_bigrams,
         "lang_id": _q_lang_id,
@@ -1617,7 +1636,7 @@ def oracle_sql() -> dict[str, str]:
     )
     c01 = _corpus("/root/testdata/sf0.01")
     media01 = _media_meta("/root/testdata/sf0.01")
-    return {
+    d = {
         "kg_assembled_turns": f"""
             SELECT conv_id AS doc_id,
                    CAST(turn_idx AS BIGINT) AS turn_idx,
@@ -3593,3 +3612,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pos JOIN vocab v USING (w)
         """,
     }
+    # retrieval-evaluation metric composed from the two constructions
+    # above: recall@k of the LSH candidates against exact brute force —
+    # |lsh∩brute| per query, averaged. The compare is on id membership
+    # (join on query_id, vec_id), so cosine rounding cancels out.
+    d["ann_recall"] = f"""
+            WITH b AS ({d["ann_brute_force"]}),
+            l AS ({d["ann_lsh"]})
+            SELECT count(*) AS n_hits,
+                   {sql_round(f'count(*) * 1.0 / {nq * k}', 6)} AS recall
+            FROM b JOIN l USING (query_id, vec_id)
+        """
+    return d

@@ -116,6 +116,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "doc_graphs",
         "ann_brute_force",
         "ann_lsh",
+        "ann_recall",
         "ann_ivf",
         "bm25_search",
         "pmi_bigrams",

@@ -346,7 +346,7 @@ def _verify_jaccard_joined(
     shingled = (
         hash_join(
             docs.select_columns([id_col, text_col]), cand_ids,
-            on=[id_col], num_partitions=P,
+            on=[id_col],
         )
         .map_batches(shingle_batch, batch_format="pandas")
         .materialize()
@@ -358,19 +358,20 @@ def _verify_jaccard_joined(
 
         return f
 
+    # joins take the join-tuned partition count (half a partition per
+    # CPU — wall time grows ~linearly with join partitions), NOT the
+    # 2×CPU exchange width P used by the grouped shuffles above
     j1, _ = normalize_blocks(
         hash_join(
             pairs,
             shingled.map_batches(rename("id_a", "sh_a"), batch_format="pandas"),
             on=["id_a"],
-            num_partitions=P,
         )
     )
     j2 = hash_join(
         j1,
         shingled.map_batches(rename("id_b", "sh_b"), batch_format="pandas"),
         on=["id_b"],
-        num_partitions=P,
     )
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
@@ -951,7 +952,6 @@ def containment_dedup(
             cand,
             texts.map_batches(rename("a"), batch_format="pandas"),
             on=["id_a"],
-            num_partitions=P,
         )
     )
     if n1 == 0:
@@ -960,7 +960,6 @@ def containment_dedup(
         j1,
         texts.map_batches(rename("b"), batch_format="pandas"),
         on=["id_b"],
-        num_partitions=P,
     )
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:

@@ -35,6 +35,16 @@ def hive_export(
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # co-locate each partition value before writing: write_parquet emits
+    # one file per (block × value), so un-exchanged input explodes into
+    # value_count × block_count tiny files (measured 3,941 for a 100-
+    # value 50k-row export); after the hash exchange each value lives in
+    # exactly one reducer block → one file per value (Ray still splits
+    # oversized values at the target block size, so a hot value cannot
+    # overflow a worker)
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    ds = partitioned_map_groups(ds, partition_cols, lambda p: p)
     ds.write_parquet(out_dir, partition_cols=partition_cols)
 
     back = ray.data.read_parquet(out_dir)

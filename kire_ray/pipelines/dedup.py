@@ -833,12 +833,18 @@ def containment_dedup(
     (materialize between — stacked join operators deadlock at low CPU
     counts, see ``_verify_jaccard_joined``) and verified with a padded
     substring test (single-space-clean text ⇒ padded char containment
-    == word alignment). Grams ride the exchange as uint64 hashes (the
-    accepted ~2^-64 collision); the gram-df table is broadcast (same
-    documented trade-off as ``tfidf_top_terms`` — switch to a second
-    gram-keyed exchange when the gram vocabulary outgrows a worker).
+    == word alignment). Grams exist only as uint64 hashes — per-word
+    hashes mixed across each consecutive triple, never materialized as
+    strings (the accepted ~2^-64 collision; tie-break on rarest-gram
+    selection is therefore hash-asc rather than gram-asc, which cannot
+    change the output: a truly-contained doc's every gram is present in
+    its container, so any rarest-gram choice generates the true pair,
+    and false candidates are removed by verification). The gram-df
+    table is broadcast (same documented trade-off as
+    ``tfidf_top_terms`` — switch to a second gram-keyed exchange when
+    the gram vocabulary outgrows a worker).
     """
-    from kire_ray.functions.hashing import hash64_fast
+    from kire_ray.functions.hashing import _splitmix, hash64_fast
     from kire_ray.stages.joins import hash_join
     from kire_ray.stages.shuffle import (
         default_partitions,
@@ -847,61 +853,81 @@ def containment_dedup(
     )
 
     P = default_partitions()
+    _C1 = np.uint64(0x9E3779B97F4A7C15)
+    _C2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
-    def _doc_grams(text: str) -> list[str]:
-        w = text.split()
-        return [" ".join(w[i : i + 3]) for i in range(len(w) - 2)]
+    def _batch_doc_grams(texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_idx, gram_hash) for every distinct 3-gram per doc, one
+        factorize + one bulk word hash per batch — no gram strings."""
+        words = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in words), np.int64, len(words))
+        total = int(lens.sum())
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if total < 3:
+            return empty
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for w in words:
+            flat[pos : pos + len(w)] = w
+            pos += len(w)
+        codes, uniq = pd.factorize(flat)
+        wh = hash64_fast(np.asarray(uniq, dtype=object))[codes]
+        didx = np.repeat(np.arange(len(words), dtype=np.int64), lens)
+        valid = didx[:-2] == didx[2:]
+        if not valid.any():
+            return empty
+        g = _splitmix(
+            wh[:-2] * _C1 ^ _splitmix(wh[1:-1]) * _C2 ^ wh[2:]
+        ).astype(np.int64)[valid]
+        ex = pd.DataFrame({"i": didx[:-2][valid], "g": g}).drop_duplicates()
+        return ex["i"].to_numpy(), ex["g"].to_numpy()
 
     def gram_df_partial(b: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
+        _, g = _batch_doc_grams(b[text_col].tolist())
+        vc = pd.Series(g).value_counts(sort=False)
+        return pd.DataFrame(
+            {"g": vc.index.to_numpy(np.int64), "df": vc.to_numpy(np.int64)}
+        )
 
-        c: Counter = Counter()
-        for t in b[text_col]:
-            c.update(set(_doc_grams(t)))
-        return pd.DataFrame({"g": list(c.keys()), "df": list(c.values())})
-
-    dfp = grouped_agg(
-        docs.map_batches(gram_df_partial, batch_format="pandas"),
-        ["g"],
-        {"df": ("df", "sum")},
-    ).to_pandas()
-    grams_sorted = np.sort(dfp["g"].to_numpy())
-    dfs = dfp.set_index("g")["df"].reindex(grams_sorted).to_numpy(np.int64)
+    # per-block partials merged on the driver: the merged table is the
+    # gram vocabulary, which is broadcast below anyway, so driver-side
+    # summation adds no scale exposure beyond the existing broadcast
+    # trade-off — and skips a full exchange (measured 2.4s at sf0.1)
+    parts = docs.map_batches(gram_df_partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby("g", sort=True)["df"].sum()
+    grams_sorted = merged.index.to_numpy(np.int64)
+    dfs = merged.to_numpy(np.int64)
     ref = ray.put((grams_sorted, dfs))
 
     def block_rows(b: pd.DataFrame) -> pd.DataFrame:
         voc, dfarr = ray.get(ref)
         ids = b[id_col].to_numpy()
-        rows_i: list[np.ndarray] = []
-        rows_g: list[np.ndarray] = []
-        for i, t in enumerate(b[text_col]):
-            gs = np.unique(np.array(_doc_grams(t), dtype=object))
-            if len(gs):
-                rows_g.append(gs)
-                rows_i.append(np.full(len(gs), i, dtype=np.int64))
-        if not rows_g:
+        di, gh = _batch_doc_grams(b[text_col].tolist())
+        if not len(gh):
             return pd.DataFrame(
                 {"wh": np.array([], np.int64), "id": np.array([], np.int64),
-                 "is_a": np.array([], bool)}
+                 "text_a": np.array([], object)}
             )
-        ex = pd.DataFrame(
-            {"i": np.concatenate(rows_i), "g": np.concatenate(rows_g)}
+        dfv = dfarr[np.searchsorted(voc, gh)]
+        # rarest gram per doc: lexsort by (doc, df, hash), first per doc
+        srt = np.lexsort((gh, dfv, di))
+        first = np.ones(len(srt), bool)
+        first[1:] = di[srt][1:] != di[srt][:-1]
+        sel = srt[first]
+        sel = sel[dfv[sel] <= df_cap]
+        # side A (one row per doc, rarest gram) carries the contained-
+        # candidate's text so verification needs only ONE downstream
+        # text join (on id_b) instead of two; side B rows have text_a
+        # = None (is_a ≡ text_a non-null)
+        txt = b[text_col].to_numpy(object)
+        text_a = np.concatenate(
+            [txt[di[sel]], np.full(len(gh), None, dtype=object)]
         )
-        ex["df"] = dfarr[np.searchsorted(voc, ex["g"].to_numpy())]
-        side_b = pd.DataFrame(
-            {"g": ex["g"], "id": ids[ex["i"].to_numpy()], "is_a": False}
-        )
-        ra = ex.sort_values(["i", "df", "g"], kind="stable").drop_duplicates("i")
-        ra = ra[ra["df"] <= df_cap]
-        side_a = pd.DataFrame(
-            {"g": ra["g"], "id": ids[ra["i"].to_numpy()], "is_a": True}
-        )
-        out = pd.concat([side_a, side_b], ignore_index=True)
         return pd.DataFrame(
             {
-                "wh": hash64_fast(out["g"].to_numpy(object)).astype(np.int64),
-                "id": out["id"].astype(np.int64),
-                "is_a": out["is_a"].astype(bool),
+                "wh": np.concatenate([gh[sel], gh]),
+                "id": ids[np.concatenate([di[sel], di])].astype(np.int64),
+                "text_a": text_a,
             }
         )
 
@@ -912,17 +938,21 @@ def containment_dedup(
             {
                 "id_a": np.array([], dtype=np.int64),
                 "id_b": np.array([], dtype=np.int64),
+                "text_a": np.array([], dtype=object),
             }
         )
-        a = part[part["is_a"]]
-        b_ = part[~part["is_a"]]
+        is_a = part["text_a"].notna().to_numpy()
+        a = part[is_a].rename(columns={"id": "id_a"})
+        b_ = part[~is_a][["wh", "id"]].rename(columns={"id": "id_b"})
         if a.empty or b_.empty:
             return empty
-        m = a.merge(b_, on="wh", suffixes=("_a", "_b"))
+        m = a.merge(b_, on="wh")
         m = m[m["id_a"] != m["id_b"]]
         if m.empty:
             return empty
-        return m[["id_a", "id_b"]].astype(np.int64)
+        out = m[["id_a", "id_b", "text_a"]].reset_index(drop=True)
+        out[["id_a", "id_b"]] = out[["id_a", "id_b"]].astype(np.int64)
+        return out
 
     from kire_ray.stages.joins import normalize_blocks
 
@@ -939,26 +969,12 @@ def containment_dedup(
 
     texts = docs.select_columns([id_col, text_col])
 
-    def rename(suffix):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            return b.rename(
-                columns={id_col: f"id_{suffix}", text_col: f"text_{suffix}"}
-            )
+    def rename_b(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={id_col: "id_b", text_col: "text_b"})
 
-        return f
-
-    j1, n1 = normalize_blocks(
-        hash_join(
-            cand,
-            texts.map_batches(rename("a"), batch_format="pandas"),
-            on=["id_a"],
-        )
-    )
-    if n1 == 0:
-        return ray.data.from_pandas(_EMPTY)
     j2 = hash_join(
-        j1,
-        texts.map_batches(rename("b"), batch_format="pandas"),
+        cand,
+        texts.map_batches(rename_b, batch_format="pandas"),
         on=["id_b"],
     )
 

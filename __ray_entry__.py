@@ -801,6 +801,15 @@ def _q_ngram_jaccard(sf_dir: str) -> Any:
     return ngram_jaccard_dedup(_docs(sf_dir), ngram=4, threshold=0.5, df_cap=64)
 
 
+def _q_setsim_join(sf_dir: str) -> Any:
+    """Exact COMPLETE set-similarity self-join (AllPairs/PPJoin prefix
+    filter, word 3-gram sets, Jaccard ≥ 0.5) — no blocking cap, so the
+    oracle is the brute-force distinct-gram self-join."""
+    from kire_ray.pipelines.dedup import setsim_join
+
+    return setsim_join(_docs(sf_dir), ngram=3, threshold=0.5)
+
+
 def _q_dup_clusters(sf_dir: str) -> Any:
     """Connected components over the (deterministic, SQL-replicable)
     n-gram Jaccard duplicate pairs — the distributed min-label
@@ -1527,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
+        "setsim_join": _q_setsim_join,
         "dup_clusters": _q_dup_clusters,
         "embedding_dedup": _q_embdedup,
         "text_metrics": _q_text_metrics,
@@ -3552,6 +3562,31 @@ def oracle_sql() -> dict[str, str]:
                        AS estimate,
                    CAST(v0 AS BIGINT) AS v_zero
             FROM est
+        """,
+        "setsim_join": """
+            WITH tl AS (
+                SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g
+                FROM (SELECT doc_id, l,
+                             unnest(generate_series(1, len(l) - 2)) AS i
+                      FROM tl WHERE len(l) >= 3)),
+            sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM grams a JOIN grams b USING (g)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b, i.n_common,
+                   sa.n + sb.n - i.n_common AS n_union,
+                   floor((i.n_common * 1.0 / (sa.n + sb.n - i.n_common))
+                         * 1000000 + 0.501) / 1000000 AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.id_a
+            JOIN sz sb ON sb.doc_id = i.id_b
+            WHERE i.n_common * 1.0 / (sa.n + sb.n - i.n_common) >= 0.5
         """,
         "containment_dedup": """
             WITH tl AS (

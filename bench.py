@@ -92,6 +92,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "duplicated_spans",
         "minhash_dedup",
         "ngram_jaccard_dedup",
+        "setsim_join",
         "containment_dedup",
         "dup_clusters",
         "simhash_dedup",

@@ -997,6 +997,161 @@ def containment_dedup(
     return j2.map_batches(verify, batch_format="pandas")
 
 
+def setsim_join(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """Exact, COMPLETE set-similarity self-join: every pair of docs
+    whose word-``ngram`` sets have Jaccard ≥ ``threshold`` — no
+    blocking cap, no candidate recall loss (contrast
+    ``ngram_jaccard_dedup``, whose rare-gram blocking is exhaustive
+    only within its ``df_cap``).
+
+    AllPairs/PPJoin prefix filtering (Bayardo et al., WWW 2007; Xiao
+    et al., WWW 2008): order each doc's grams by a global total order
+    (corpus df asc, then gram hash asc — any consistent total order
+    preserves completeness), keep the first ``n − ⌈τ·n⌉ + 1`` as the
+    doc's *prefix*; two docs with Jaccard ≥ τ must share a prefix
+    gram. One hash exchange on prefix grams co-locates candidates;
+    the PPJoin length filter (τ·|a| ≤ |b|) prunes in-reducer before
+    the exact sorted-set intersection verifies each pair; a second
+    exchange makes pairs distinct. Each prefix row carries its doc's
+    sorted gram-hash set (bytes), so verification happens where the
+    candidate is generated — no text joins. The payload duplication
+    factor is the prefix length (≈ (1−τ)·n + 1 rows/doc); at lower
+    thresholds the positional filter of PPJoin is the documented
+    scale path. Ordering prefixes by df asc means common grams almost
+    never act as block keys, which is what bounds posting lists on a
+    skewed corpus.
+
+    Output (id_a < id_b): n_common, n_union, jaccard (half-up 6dp for
+    SQL parity). Oracle: brute-force distinct-gram self-join — the
+    completeness guarantee is exactly what makes this operator
+    SQL-equivalent without mirroring the blocking.
+    """
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    def doc_sets(b: pd.DataFrame) -> pd.DataFrame:
+        ids, sets = [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            if len(t.split()) < ngram:
+                continue
+            ids.append(i)
+            sets.append(_shingles(t, ngram))  # sorted unique uint64
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "sh": [s.tobytes() for s in sets],
+            }
+        )
+
+    sets_ds = docs.map_batches(doc_sets, batch_format="pandas").materialize()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"g": np.array([], np.int64), "df": np.array([], np.int64)}
+            )
+        allg = np.concatenate(
+            [np.frombuffer(s, dtype=np.uint64) for s in b["sh"]]
+        )
+        vc = pd.Series(allg.view(np.int64)).value_counts(sort=False)
+        return pd.DataFrame(
+            {"g": vc.index.to_numpy(np.int64), "df": vc.to_numpy(np.int64)}
+        )
+
+    # driver merge of per-block partials: the merged table is the gram
+    # vocabulary, broadcast below anyway (same trade-off as
+    # containment_dedup / tfidf_top_terms)
+    parts = sets_ds.map_batches(df_partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby("g", sort=True)["df"].sum()
+    ref = ray.put((merged.index.to_numpy(np.int64), merged.to_numpy(np.int64)))
+
+    def prefix_rows(b: pd.DataFrame) -> pd.DataFrame:
+        voc, dfarr = ray.get(ref)
+        gs, ids, shs, ns = [], [], [], []
+        for i, s in zip(b[id_col], b["sh"]):
+            sh = np.frombuffer(s, dtype=np.uint64)
+            n = len(sh)
+            p = n - int(np.ceil(threshold * n)) + 1
+            g64 = sh.view(np.int64)
+            dfv = dfarr[np.searchsorted(voc, g64)]
+            pref = g64[np.lexsort((g64, dfv))[:p]]
+            gs.append(pref)
+            ids.append(np.full(p, i, dtype=np.int64))
+            shs.extend([s] * p)
+            ns.append(np.full(p, n, dtype=np.int64))
+        if not gs:
+            return pd.DataFrame(
+                {"g": np.array([], np.int64), "id": np.array([], np.int64),
+                 "sh": np.array([], object), "n": np.array([], np.int64)}
+            )
+        return pd.DataFrame(
+            {
+                "g": np.concatenate(gs),
+                "id": np.concatenate(ids),
+                "sh": np.asarray(shs, dtype=object),
+                "n": np.concatenate(ns),
+            }
+        )
+
+    rows = sets_ds.map_batches(prefix_rows, batch_format="pandas")
+
+    _EMPTY = pd.DataFrame(
+        {
+            "id_a": np.array([], np.int64),
+            "id_b": np.array([], np.int64),
+            "n_common": np.array([], np.int64),
+            "n_union": np.array([], np.int64),
+            "jaccard": np.array([], np.float64),
+        }
+    )
+
+    def gen_verified(part: pd.DataFrame) -> pd.DataFrame:
+        if len(part) < 2:
+            return _EMPTY
+        m = part.merge(part, on="g", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        # PPJoin length filter: J >= tau forces tau*|a| <= |b| (id-
+        # agnostic, so apply both directions)
+        na, nb = m["n_a"].to_numpy(), m["n_b"].to_numpy()
+        m = m[(threshold * na <= nb) & (threshold * nb <= na)]
+        m = m.drop_duplicates(["id_a", "id_b"])
+        if m.empty:
+            return _EMPTY
+        inter = np.empty(len(m), dtype=np.int64)
+        for i, (sa, sb) in enumerate(zip(m["sh_a"], m["sh_b"])):
+            inter[i] = len(
+                np.intersect1d(
+                    np.frombuffer(sa, dtype=np.uint64),
+                    np.frombuffer(sb, dtype=np.uint64),
+                    assume_unique=True,
+                )
+            )
+        union = m["n_a"].to_numpy(np.int64) + m["n_b"].to_numpy(np.int64) - inter
+        jac = inter / np.maximum(union, 1)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": m["id_a"].to_numpy(np.int64)[keep],
+                "id_b": m["id_b"].to_numpy(np.int64)[keep],
+                "n_common": inter[keep],
+                "n_union": union[keep],
+                "jaccard": round_half_up(jac[keep], 6),
+            }
+        )
+
+    verified = partitioned_map_groups(rows, ["g"], gen_verified)
+    return partitioned_map_groups(
+        verified, ["id_a", "id_b"], lambda p: p.drop_duplicates(["id_a", "id_b"])
+    )
+
+
 def incremental_dedup(
     prior: "ray.data.Dataset",
     new: "ray.data.Dataset",

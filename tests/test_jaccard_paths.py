@@ -65,6 +65,38 @@ def test_ngram_jaccard_joined_equals_broadcast(ray_session):
     pd.testing.assert_frame_equal(broadcast, joined)
 
 
+def test_setsim_join_complete_vs_bruteforce(ray_session):
+    """The prefix filter must be lossless: setsim_join's output equals
+    the brute-force all-pairs exact Jaccard on a dup-heavy corpus
+    (where df-capped blocking WOULD lose pairs)."""
+    from kire_ray.pipelines.dedup import _shingles, setsim_join
+
+    docs = _dup_heavy_corpus()
+    ds = ray.data.from_pandas(docs).repartition(8)
+    got = (
+        setsim_join(ds, ngram=3, threshold=0.6)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    sets = {r.doc_id: _shingles(r.text, 3) for r in docs.itertuples()}
+    rows = []
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(np.intersect1d(sets[a], sets[b], assume_unique=True))
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and inter / union >= 0.6:
+                rows.append((a, b, inter, union))
+    want = pd.DataFrame(rows, columns=["id_a", "id_b", "n_common", "n_union"])
+    assert len(want) > 50  # dup-heavy: the filter is actually exercised
+    pd.testing.assert_frame_equal(
+        got[["id_a", "id_b", "n_common", "n_union"]],
+        want.astype(got[["id_a", "id_b", "n_common", "n_union"]].dtypes.to_dict()),
+    )
+
+
 def test_containment_dedup_planted(ray_session):
     import ray.data
     from kire_ray.pipelines.dedup import containment_dedup

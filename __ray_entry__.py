@@ -715,6 +715,12 @@ def _q_events_zscore(sf_dir: str) -> Any:
     return events_zscore(sf_dir)
 
 
+def _q_events_regression(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_regression
+
+    return events_regression(sf_dir)
+
+
 def _q_weighted_sample(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import weighted_sample
 
@@ -1572,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dedup": _q_containment_dedup,
         "top_words_per_lang": _q_top_words_per_lang,
         "events_zscore": _q_events_zscore,
+        "events_regression": _q_events_regression,
         "weighted_sample": _q_weighted_sample,
         "inverted_index": _q_inverted_index,
         "events_value_ranks": _q_events_value_ranks,
@@ -2587,6 +2594,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, word, CAST(n AS BIGINT) AS n,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "events_regression": """
+            WITH s AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       sum(x) AS sx, sum(value) AS sy,
+                       sum(x * value) AS sxy, sum(x * x) AS sxx,
+                       sum(value * value) AS syy
+                FROM (SELECT event_type, value,
+                             epoch(ts - TIMESTAMP '2024-01-01') / 3600.0 AS x
+                      FROM events)
+                GROUP BY 1)
+            SELECT event_type, n,
+                   floor(((n*sxy - sx*sy) / (n*sxx - sx*sx))
+                         * 1000000 + 0.501) / 1000000 AS slope,
+                   floor(((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n)
+                         * 1000000 + 0.501) / 1000000 AS intercept,
+                   floor(((n*sxy - sx*sy)
+                          / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
+                         * 1000000 + 0.501) / 1000000 AS r
+            FROM s ORDER BY event_type
         """,
         "events_zscore": f"""
             WITH s AS (

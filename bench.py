@@ -153,6 +153,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "hll_window_users",
         "kg_bfs_levels",
         "events_zscore",
+        "events_regression",
         "weighted_sample",
         "inverted_index",
         "media_features",

@@ -895,6 +895,73 @@ def events_zscore(sf_dir: str) -> "ray.data.Dataset":
     return ev.map_batches(normalize, batch_format="pandas")
 
 
+def events_regression(sf_dir: str) -> "ray.data.Dataset":
+    """Group-wise ordinary-least-squares fit of event value against
+    time — the trend/drift profile a data-curation pass computes per
+    slice before deciding what to resample.
+
+    Distributed sufficient statistics: each block contributes per-type
+    (n, Σx, Σy, Σxy, Σx², Σy²) via a block-local combiner; one
+    type-cardinality exchange sums them; slope / intercept / Pearson r
+    fall out of the closed-form moments. No row ever shuffles — the
+    classic one-pass parallel OLS (the same shape every MPP engine
+    uses for REGR_* aggregates).
+
+    x is hours since 2024-01-01 (a fixed epoch shift keeps Σx² well
+    conditioned in float64 — epoch-microseconds would lose the slope
+    to cancellation); the moment expressions are mirrored token-for-
+    token in the SQL oracle so only summation order differs, absorbed
+    by the half-up rounding guard at 6dp.
+    """
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    base_us = pd.Timestamp("2024-01-01").value // 1000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = (
+            b["ts"].to_numpy("datetime64[us]").astype(np.int64) - base_us
+        ) / 3.6e9
+        y = b["value"].to_numpy(np.float64)
+        g = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        return g.groupby("event_type", sort=False).sum().reset_index()
+
+    cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    stats = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {c: (c, "sum") for c in cols},
+    ).to_pandas()
+    n = stats["n"].to_numpy(np.float64)
+    sx, sy = stats["sx"].to_numpy(), stats["sy"].to_numpy()
+    sxy, sxx, syy = (
+        stats["sxy"].to_numpy(),
+        stats["sxx"].to_numpy(),
+        stats["syy"].to_numpy(),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = pd.DataFrame(
+        {
+            "event_type": stats["event_type"],
+            "n": stats["n"].astype(np.int64),
+            "slope": round_half_up(slope, 6),
+            "intercept": round_half_up(intercept, 6),
+            "r": round_half_up(r, 6),
+        }
+    ).sort_values("event_type", kind="stable")
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
 def events_value_ranks(sf_dir: str) -> "ray.data.Dataset":
     """Global percent-rank of every event's value (SQL
     ``percent_rank() OVER (ORDER BY value)``) — the distributed ranking

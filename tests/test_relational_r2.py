@@ -93,3 +93,22 @@ def test_events_distinct_users_and_quantiles(ray_session):
            FROM orders GROUP BY o_orderstatus""",
         ["o_orderstatus", "q"],
     )
+
+
+def test_events_regression_vs_polyfit(ray_session):
+    """Distributed moment OLS must agree with numpy's least-squares fit
+    (independent algorithm: lstsq on the design matrix, not moments)."""
+    import numpy as np
+
+    got = R.events_regression(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    base = pd.Timestamp("2024-01-01")
+    ev["x"] = (ev["ts"] - base).dt.total_seconds() / 3600.0
+    for t, grp in ev.groupby("event_type"):
+        slope, icept = np.polyfit(grp["x"], grp["value"], 1)
+        r = np.corrcoef(grp["x"], grp["value"])[0, 1]
+        row = got.loc[t]
+        assert row["n"] == len(grp)
+        assert abs(row["slope"] - slope) < 1e-5
+        assert abs(row["intercept"] - icept) < 1e-4
+        assert abs(row["r"] - r) < 1e-5

@@ -47,9 +47,9 @@ def pagerank(
 ) -> "ray.data.Dataset":
     """Returns (qid, rank) after ``iters`` power iterations (rank
     rounded half-up to 6 decimals)."""
-    from kire_ray.stages.shuffle import grouped_agg
+    from kire_ray.stages.shuffle import grouped_agg, iteration_blocks
 
-    ed = edges.select_columns([src_col, dst_col]).materialize()
+    ed = iteration_blocks(edges.select_columns([src_col, dst_col]))
 
     # node universe + out-degrees: two vocab-bounded exchanges
     def node_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -98,11 +98,18 @@ def pagerank(
             out = pd.DataFrame({"q": b[dst_col], "c": w})
             return out.groupby("q", sort=False).agg(c=("c", "sum")).reset_index()
 
-        ct = grouped_agg(
-            ed.map_batches(contrib, batch_format="pandas"),
-            ["q"],
-            {"c": ("c", "sum")},
-        ).to_pandas()
+        # block-local partials merged on the driver: the merged table
+        # is node-bounded, and the node/rank vectors are already
+        # driver-resident (the broadcast contract above) — so skipping
+        # the grouped exchange adds no scale exposure and removes a
+        # whole shuffle per iteration (halves per-iter wall time)
+        ct = (
+            ed.map_batches(contrib, batch_format="pandas")
+            .to_pandas()
+            .groupby("q", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
         new = np.full(n, base, dtype=np.float64)
         di = np.searchsorted(nodes, ct["q"].to_numpy())
         new[di] = base + DAMPING * ct["c"].to_numpy(np.float64)
@@ -134,7 +141,7 @@ def triangle_count(
 
     Returns one row (n_edges, n_wedges, n_triangles).
     """
-    from kire_ray.stages.shuffle import partitioned_map_groups
+    from kire_ray.stages.shuffle import iteration_blocks, partitioned_map_groups
 
     def canon(b: pd.DataFrame) -> pd.DataFrame:
         s = b[src_col].to_numpy(dtype=object)
@@ -145,11 +152,13 @@ def triangle_count(
         hi = np.where(s < t, t, s)
         return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
 
-    ed = partitioned_map_groups(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["a", "b"],
-        lambda p: p.drop_duplicates(),
-    ).materialize()
+    ed = iteration_blocks(
+        partitioned_map_groups(
+            edges.map_batches(canon, batch_format="pandas"),
+            ["a", "b"],
+            lambda p: p.drop_duplicates(),
+        )
+    )
     n_edges = ed.count()
 
     def wedges(part: pd.DataFrame) -> pd.DataFrame:
@@ -228,7 +237,11 @@ def kcore(
     degree in the peeled graph.
     """
     from kire_ray.stages.joins import semi_join_broadcast
-    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+    from kire_ray.stages.shuffle import (
+        grouped_agg,
+        iteration_blocks,
+        partitioned_map_groups,
+    )
 
     def canon(b: pd.DataFrame) -> pd.DataFrame:
         s = b[src_col].to_numpy(dtype=object)
@@ -239,11 +252,13 @@ def kcore(
         hi = np.where(s < t, t, s)
         return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
 
-    ed = partitioned_map_groups(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["a", "b"],
-        lambda p: p.drop_duplicates(),
-    ).materialize()
+    ed = iteration_blocks(
+        partitioned_map_groups(
+            edges.map_batches(canon, batch_format="pandas"),
+            ["a", "b"],
+            lambda p: p.drop_duplicates(),
+        )
+    )
 
     def degrees(e: "ray.data.Dataset") -> pd.DataFrame:
         def part(b: pd.DataFrame) -> pd.DataFrame:
@@ -256,9 +271,11 @@ def kcore(
             )
             return c
 
-        df = grouped_agg(
-            e.map_batches(part, batch_format="pandas"), ["q"], {"d": ("d", "sum")}
-        ).to_pandas()
+        # node-bounded partials, merged on the driver (the alive set is
+        # broadcast from the driver anyway — same contract as pagerank)
+        df = e.map_batches(part, batch_format="pandas").to_pandas()
+        if len(df):
+            df = df.groupby("q", sort=False)["d"].sum().reset_index()
         if "q" not in df.columns:  # fully peeled graph: schema-less empty
             df = pd.DataFrame(
                 {"q": pd.Series([], dtype=object), "d": pd.Series([], dtype=np.int64)}
@@ -306,7 +323,9 @@ def bfs_levels(
     Returns (qid, level) for reached nodes, level ≤ ``max_levels``;
     early-exits when a frontier empties.
     """
-    ed = edges.select_columns([src_col, dst_col]).materialize()
+    from kire_ray.stages.shuffle import iteration_blocks
+
+    ed = edges.select_columns([src_col, dst_col])
 
     def undirected(b: pd.DataFrame) -> pd.DataFrame:
         s = pd.concat([b[src_col], b[dst_col]], ignore_index=True)
@@ -314,7 +333,7 @@ def bfs_levels(
         df = pd.DataFrame({"s": s, "t": t})
         return df[df["s"] != df["t"]].drop_duplicates()
 
-    adj = ed.map_batches(undirected, batch_format="pandas").materialize()
+    adj = iteration_blocks(ed.map_batches(undirected, batch_format="pandas"))
 
     seed_parts = adj.map_batches(
         lambda b: pd.DataFrame({"q": [b["s"].min()]}), batch_format="pandas"
@@ -391,10 +410,13 @@ def lpa_communities(
         .map_batches(undirected, batch_format="pandas")
         .map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
     )
-    # global distinct via one exchange, then materialize once
-    adj = partitioned_map_groups(
-        adj, ["a", "b"], lambda p: p.drop_duplicates()
-    ).materialize()
+    # global distinct via one exchange, then materialize once at
+    # iteration-friendly block width
+    from kire_ray.stages.shuffle import iteration_blocks
+
+    adj = iteration_blocks(
+        partitioned_map_groups(adj, ["a", "b"], lambda p: p.drop_duplicates())
+    )
 
     nodes = (
         partitioned_map_groups(
@@ -422,19 +444,19 @@ def lpa_communities(
                 .reset_index()
             )
 
-        def argmax(p: pd.DataFrame) -> pd.DataFrame:
-            g = (
-                p.groupby(["node", "label"], sort=False)["n"]
-                .sum()
-                .reset_index()
-                .sort_values(["node", "n", "label"], ascending=[True, False, True],
-                             kind="mergesort")
-            )
-            return g.drop_duplicates("node")[["node", "label"]]
-
-        new = partitioned_map_groups(
-            adj.map_batches(partial, batch_format="pandas"), ["node"], argmax
-        ).to_pandas()
+        # (node,label) partials merged on the driver — the label vector
+        # is driver-resident and broadcast each round anyway (same
+        # contract as pagerank), so the per-round grouped exchange is
+        # pure overhead; the driver argmax is node-bounded
+        p = adj.map_batches(partial, batch_format="pandas").to_pandas()
+        new = (
+            p.groupby(["node", "label"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .sort_values(["node", "n", "label"], ascending=[True, False, True],
+                         kind="mergesort")
+            .drop_duplicates("node")[["node", "label"]]
+        )
         labels = pd.Series(new["label"].to_numpy(), index=new["node"].to_numpy())
 
     out = labels.rename("community").rename_axis("qid").reset_index()

@@ -65,6 +65,21 @@ def default_join_partitions() -> int:
     return max(8, cluster_cpus() // 2)
 
 
+def iteration_blocks(ds: "ray.data.Dataset", *, rows_per_block: int = 250_000):
+    """Materialize ``ds`` at a block count sized for REPEATED passes
+    (iterative algorithms run one execution per round, so per-task
+    launch overhead multiplies by the round count): one block per
+    ``rows_per_block`` rows, clamped to [cpus/2, default_partitions()].
+    At 100 TB the row-count rule keeps the usual many-blocks layout;
+    on small/medium graphs it stops a 10-round loop from paying 64
+    task launches per round for kilobyte blocks."""
+    m = ds.materialize()
+    n = m.count()
+    lo = max(4, cluster_cpus() // 2)
+    target = min(default_partitions(), max(lo, n // rows_per_block + 1))
+    return m.repartition(int(target)).materialize()
+
+
 def partitioned_map_groups(
     ds: "ray.data.Dataset",
     keys: Sequence[str],

@@ -645,8 +645,11 @@ def embedding_top_component(
     the rounding guard, so the unrolled SQL oracle matches value-exact.
     """
     from kire_ray.functions.rounding import round_half_up
-    from kire_ray.stages.shuffle import grouped_agg
+    from kire_ray.stages.shuffle import iteration_blocks
 
+    # materialize once at iteration-friendly width: 5 iterations would
+    # otherwise re-read the parquet corpus 5 times
+    emb = iteration_blocks(emb)
     ncols = len(emb.take(1)[0][emb_col])
     v = np.full(ncols, 1.0 / np.sqrt(ncols), dtype=np.float64)
 
@@ -661,14 +664,16 @@ def embedding_top_component(
                 {"dim": np.arange(1, len(w) + 1, dtype=np.int64), "w": w}
             )
 
+        # dim-sized per-block partials merged on the driver (the v
+        # vector is driver-resident and broadcast each round — same
+        # contract as graph_algos.pagerank; the exchange was pure
+        # per-iteration overhead)
         out = (
-            grouped_agg(
-                emb.map_batches(partial, batch_format="pandas"),
-                ["dim"],
-                {"w": ("w", "sum")},
-            )
+            emb.map_batches(partial, batch_format="pandas")
             .to_pandas()
-            .sort_values("dim")
+            .groupby("dim", sort=True)["w"]
+            .sum()
+            .reset_index()
         )
         w = out["w"].to_numpy(np.float64)
         v = w / np.sqrt((w * w).sum())

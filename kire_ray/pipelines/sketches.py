@@ -368,48 +368,48 @@ def table_profile(
             frames.append(pd.concat([regs[["column", "bucket", "rho"]], cnt]))
         return pd.concat(frames, ignore_index=True)
 
-    # max is correct for registers; for the count channels we need SUM —
-    # exchange them separately by splitting on bucket sign
-    raw = ds.map_batches(partial, batch_format="pandas")
-    regs = grouped_agg(
-        raw.map_batches(lambda b: b[b["bucket"] >= 0], batch_format="pandas"),
-        ["column", "bucket"],
-        {"rho": ("rho", "max")},
+    # ONE streaming partial pass (block-sized batches — 1024-row
+    # default batches would emit a 4k-row register frame per kilobatch
+    # and re-md5 repeating values), then a driver merge: the merged
+    # state is the fixed-size sketch table (columns × (m+2) rows) —
+    # the canonical driver-bounded reduction; max for registers, sum
+    # for the count channels (disjoint bucket signs)
+    raw = ds.map_batches(
+        partial, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    regs = (
+        raw[raw["bucket"] >= 0]
+        .groupby(["column", "bucket"], sort=False)["rho"]
+        .max()
+        .reset_index()
     )
-    cnts = (
-        grouped_agg(
-            raw.map_batches(lambda b: b[b["bucket"] < 0], batch_format="pandas"),
-            ["column", "bucket"],
-            {"rho": ("rho", "sum")},
-        )
-        .to_pandas()
+    counts = (
+        raw[raw["bucket"] < 0]
+        .groupby(["column", "bucket"], sort=False)["rho"]
+        .sum()
+        .reset_index()
         .pivot(index="column", columns="bucket", values="rho")
     )
-    ref = ray.put(cnts)
 
-    def finalize(part: pd.DataFrame) -> pd.DataFrame:
-        counts = ray.get(ref)
-        rows = {"column": [], "n": [], "n_null": [], "distinct_est": [], "v_zero": []}
-        for col, grp in part.groupby("column", sort=False):
-            rho = grp["rho"].to_numpy(np.int64)
-            s = float(np.ldexp(1.0, -rho).sum()) + float(HLL_M - len(rho))
-            v0 = HLL_M - len(rho)
-            e = _ALPHA * float(HLL_M) * float(HLL_M) / s
-            if e <= 2.5 * HLL_M and v0 > 0:
-                e = HLL_M * np.log(HLL_M / v0)
-            rows["column"].append(col)
-            rows["n"].append(int(counts.loc[col, -1]))
-            rows["n_null"].append(int(counts.loc[col, -2]))
-            rows["distinct_est"].append(e)
-            rows["v_zero"].append(v0)
-        out = pd.DataFrame(rows)
-        if len(out):
-            out["distinct_est"] = round_half_up(out["distinct_est"], 6)
-            for c in ("n", "n_null", "v_zero"):
-                out[c] = out[c].astype(np.int64)
-        return out
-
-    return partitioned_map_groups(regs, ["column"], finalize)
+    rows = {"column": [], "n": [], "n_null": [], "distinct_est": [], "v_zero": []}
+    for col in columns:
+        grp = regs[regs["column"] == col]
+        rho = grp["rho"].to_numpy(np.int64)
+        s = float(np.ldexp(1.0, -rho).sum()) + float(HLL_M - len(rho))
+        v0 = HLL_M - len(rho)
+        e = _ALPHA * float(HLL_M) * float(HLL_M) / s
+        if e <= 2.5 * HLL_M and v0 > 0:
+            e = HLL_M * np.log(HLL_M / v0)
+        rows["column"].append(col)
+        rows["n"].append(int(counts.loc[col, -1]))
+        rows["n_null"].append(int(counts.loc[col, -2]))
+        rows["distinct_est"].append(e)
+        rows["v_zero"].append(v0)
+    out = pd.DataFrame(rows)
+    out["distinct_est"] = round_half_up(out["distinct_est"], 6)
+    for c in ("n", "n_null", "v_zero"):
+        out[c] = out[c].astype(np.int64)
+    return ray.data.from_pandas(out)
 
 
 def winsorize(

@@ -182,14 +182,18 @@ def lsh_candidate_pairs(
     buckets = sigs.map_batches(explode, batch_format="pandas")
 
     def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
-        a, b_ = [], []
-        for _, g in part.groupby(["band", "bh"], sort=False):
-            ids = sorted(g[id_col].unique())[:max_bucket]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b_.append(ids[j])
-        return pd.DataFrame({"id_a": a, "id_b": b_})
+        # vectorized all-pairs-within-bucket: distinct ids per bucket,
+        # id-asc rank caps each bucket at max_bucket (same semantics as
+        # sorted(unique)[:max_bucket]), then one self-merge
+        p = part.drop_duplicates(["band", "bh", id_col]).sort_values(
+            ["band", "bh", id_col], kind="mergesort"
+        )
+        rank = p.groupby(["band", "bh"], sort=False).cumcount()
+        p = p[rank < max_bucket][["band", "bh", id_col]]
+        m = p.merge(p, on=["band", "bh"], suffixes=("_a", "_b"))
+        a, b_ = f"{id_col}_a", f"{id_col}_b"
+        m = m[m[a] < m[b_]]
+        return m[[a, b_]].rename(columns={a: "id_a", b_: "id_b"})
 
     cand = partitioned_map_groups(buckets, ["band", "bh"], pairs_part)
 

@@ -721,6 +721,24 @@ def _q_events_regression(sf_dir: str) -> Any:
     return events_regression(sf_dir)
 
 
+def _q_event_hour_pmi(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import event_hour_pmi
+
+    return event_hour_pmi(sf_dir)
+
+
+def _q_running_totals(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import running_totals
+
+    return running_totals(sf_dir)
+
+
+def _q_events_ntile(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import events_ntile
+
+    return events_ntile(sf_dir)
+
+
 def _q_weighted_sample(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import weighted_sample
 
@@ -1579,6 +1597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_per_lang": _q_top_words_per_lang,
         "events_zscore": _q_events_zscore,
         "events_regression": _q_events_regression,
+        "event_hour_pmi": _q_event_hour_pmi,
+        "running_totals": _q_running_totals,
+        "events_ntile": _q_events_ntile,
         "weighted_sample": _q_weighted_sample,
         "inverted_index": _q_inverted_index,
         "events_value_ranks": _q_events_value_ranks,
@@ -2594,6 +2615,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, word, CAST(n AS BIGINT) AS n,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "event_hour_pmi": """
+            WITH j AS (
+                SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            t AS (SELECT sum(n) * 1.0 AS t FROM j),
+            mx AS (SELECT event_type, sum(n) * 1.0 AS nx FROM j GROUP BY 1),
+            my AS (SELECT hour, sum(n) * 1.0 AS ny FROM j GROUP BY 1)
+            SELECT j.event_type, j.hour, j.n,
+                   floor(ln((j.n * t.t) / (mx.nx * my.ny))
+                         * 1000000 + 0.501) / 1000000 AS pmi
+            FROM j
+            JOIN mx USING (event_type)
+            JOIN my USING (hour)
+            CROSS JOIN t
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   floor(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                         * 1000000 + 0.501) / 1000000 AS running_total
+            FROM events
+        """,
+        "events_ntile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(10) OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id)
+                        AS BIGINT) AS bucket
+            FROM events
         """,
         "events_regression": """
             WITH s AS (

@@ -154,6 +154,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_bfs_levels",
         "events_zscore",
         "events_regression",
+        "event_hour_pmi",
+        "running_totals",
+        "events_ntile",
         "weighted_sample",
         "inverted_index",
         "media_features",

@@ -962,6 +962,52 @@ def events_regression(sf_dir: str) -> "ray.data.Dataset":
     return ray.data.from_pandas(out.reset_index(drop=True))
 
 
+def event_hour_pmi(sf_dir: str) -> "ray.data.Dataset":
+    """Association profile between two categorical columns (event_type
+    × hour-of-day): joint counts and pointwise mutual information per
+    cell — the dependence screen a curation pipeline runs to find
+    leakage / confounded slices before sampling. Σ p·pmi over the rows
+    is the mutual information of the two columns.
+
+    Block-local contingency partials → one cell-cardinality exchange
+    (|types| × 24 keys) → margins and PMI on the driver (the
+    contingency table is dimension-sized by construction). PMI
+    expression mirrored literally in the SQL oracle:
+    ln((n·t)/(nx·ny)), half-up 6dp.
+    """
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"event_type": b["event_type"], "hour": b["ts"].dt.hour.astype(np.int64)}
+        )
+        return (
+            g.groupby(["event_type", "hour"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    j = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    t = float(j["n"].sum())
+    nx = j.groupby("event_type")["n"].transform("sum").to_numpy(np.float64)
+    ny = j.groupby("hour")["n"].transform("sum").to_numpy(np.float64)
+    n = j["n"].to_numpy(np.float64)
+    out = pd.DataFrame(
+        {
+            "event_type": j["event_type"],
+            "hour": j["hour"].astype(np.int64),
+            "n": j["n"].astype(np.int64),
+            "pmi": round_half_up(np.log((n * t) / (nx * ny)), 6),
+        }
+    ).sort_values(["event_type", "hour"], kind="stable")
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
 def events_value_ranks(sf_dir: str) -> "ray.data.Dataset":
     """Global percent-rank of every event's value (SQL
     ``percent_rank() OVER (ORDER BY value)``) — the distributed ranking

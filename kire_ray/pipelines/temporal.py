@@ -453,3 +453,80 @@ def daily_retention(sf_dir: str) -> "ray.data.Dataset":
     return partitioned_map_groups(
         days.map_batches(flag, batch_format="pandas"), ["day", "is_new"], count
     )
+
+
+def running_totals(sf_dir: str) -> "ray.data.Dataset":
+    """Per-user running total of event value in time order — the
+    cumulative window aggregate (``SUM() OVER (PARTITION BY user ORDER
+    BY ts)``) behind burn-down counters, spend caps, and cumulative
+    feature engineering.
+
+    Same key-local ordered shape as ``sessionize``: ONE exchange on
+    user_id, then a partition-wide mergesort by (user, ts, event_id)
+    and a C-speed ``groupby.cumsum`` — no per-user loop.  The per-user
+    accumulation order is total (event_id breaks ts ties), so the sum
+    sequence is deterministic and matches the SQL window frame
+    addend-for-addend; rounding guards the final float anyway.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+                "value": b["value"].to_numpy(),
+            }
+        )
+
+    def build(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        run = p.groupby("user_id", sort=False)["value"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].astype(np.int64),
+                "user_id": p["user_id"].astype(np.int64),
+                "running_total": round_half_up(run.to_numpy(np.float64), 6),
+            }
+        )
+
+    rows = ev.map_batches(to_us, batch_format="pandas")
+    return partitioned_map_groups(rows, ["user_id"], build)
+
+
+def events_ntile(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Within-type NTILE(k) value buckets — the quantile-binning /
+    stratification pass a curation pipeline uses to balance sampling.
+
+    One exchange on event_type, a partition-wide mergesort by
+    (type, value, event_id) and a vectorized cumcount; the bucket
+    follows SQL NTILE exactly: with n rows and r = n mod k, the first
+    r buckets carry ⌈n/k⌉ rows and the rest ⌊n/k⌋ (ORDER BY value,
+    event_id makes the assignment total and deterministic).
+    """
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def build(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["event_type", "value", "event_id"], kind="mergesort")
+        rank0 = p.groupby("event_type", sort=False).cumcount().to_numpy(np.int64)
+        n = p.groupby("event_type", sort=False)["event_id"].transform("size")
+        n = n.to_numpy(np.int64)
+        small = n // k
+        rem = n % k
+        lead = rem * (small + 1)
+        in_lead = rank0 < lead
+        bucket = np.where(
+            in_lead,
+            rank0 // np.maximum(small + 1, 1) + 1,
+            rem + (rank0 - lead) // np.maximum(small, 1) + 1,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].astype(np.int64),
+                "event_type": p["event_type"],
+                "bucket": bucket.astype(np.int64),
+            }
+        )
+
+    return partitioned_map_groups(ev, ["event_type"], build)

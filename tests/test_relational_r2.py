@@ -112,3 +112,44 @@ def test_events_regression_vs_polyfit(ray_session):
         assert abs(row["slope"] - slope) < 1e-5
         assert abs(row["intercept"] - icept) < 1e-4
         assert abs(row["r"] - r) < 1e-5
+
+
+def test_running_totals_and_ntile(ray_session):
+    from kire_ray.pipelines.temporal import events_ntile, running_totals
+
+    _cmp(
+        running_totals(SF).to_pandas(),
+        """SELECT event_id, user_id,
+                  floor(sum(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                        * 1000000 + 0.501) / 1000000 AS running_total
+           FROM events""",
+        ["event_id"],
+    )
+    _cmp(
+        events_ntile(SF).to_pandas(),
+        """SELECT event_id, event_type,
+                  CAST(ntile(10) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT)
+                  AS bucket
+           FROM events""",
+        ["event_id"],
+    )
+
+
+def test_event_hour_pmi(ray_session):
+    """PMI sanity: sums reproduce the corpus and cells match an
+    independently-computed pandas contingency."""
+    import numpy as np
+
+    got = R.event_hour_pmi(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert got["n"].sum() == len(ev)
+    ct = ev.groupby([ev["event_type"], ev["ts"].dt.hour]).size()
+    t = float(len(ev))
+    for _, r in got.head(20).iterrows():
+        n = ct.loc[(r["event_type"], r["hour"])]
+        assert n == r["n"]
+        nx = ct.groupby(level=0).sum().loc[r["event_type"]]
+        ny = ct.groupby(level=1).sum().loc[r["hour"]]
+        assert abs(r["pmi"] - np.log(n * t / (nx * ny))) < 1e-5

@@ -1619,6 +1619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parquet_hive_export": _q_parquet_hive_export,
         "kg_comention": _q_kg_comention,
         "customer_order_outer": R.customer_order_outer,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "lineitem_corr": R.lineitem_corr,
         "q5_local_supplier_revenue": R.q5_local_supplier_revenue,
         "customer_status_setops": R.customer_status_setops,
         "user_event_sequences": _q_user_event_sequences,
@@ -2380,6 +2382,58 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_custkey, 'o_only'
             FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f)
+        """,
+        "lineitem_corr": """
+            WITH s AS (
+                SELECT count(*) * 1.0 AS n,
+                       sum(l_quantity) AS s0, sum(l_extendedprice) AS s1,
+                       sum(l_discount) AS s2, sum(l_tax) AS s3,
+                       sum(l_quantity * l_quantity) AS g00,
+                       sum(l_quantity * l_extendedprice) AS g01,
+                       sum(l_quantity * l_discount) AS g02,
+                       sum(l_quantity * l_tax) AS g03,
+                       sum(l_extendedprice * l_extendedprice) AS g11,
+                       sum(l_extendedprice * l_discount) AS g12,
+                       sum(l_extendedprice * l_tax) AS g13,
+                       sum(l_discount * l_discount) AS g22,
+                       sum(l_discount * l_tax) AS g23,
+                       sum(l_tax * l_tax) AS g33
+                FROM lineitem),
+            p AS (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                       n, g01 AS sxy, s0 AS sx, s1 AS sy, g00 AS sxx, g11 AS syy FROM s
+                UNION ALL SELECT 'l_quantity', 'l_discount',
+                       n, g02, s0, s2, g00, g22 FROM s
+                UNION ALL SELECT 'l_quantity', 'l_tax',
+                       n, g03, s0, s3, g00, g33 FROM s
+                UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                       n, g12, s1, s2, g11, g22 FROM s
+                UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                       n, g13, s1, s3, g11, g33 FROM s
+                UNION ALL SELECT 'l_discount', 'l_tax',
+                       n, g23, s2, s3, g22, g33 FROM s)
+            SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+                   floor(((n*sxy - sx*sy)
+                          / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)))
+                         * 1000000 + 0.501) / 1000000 AS corr
+            FROM p
+        """,
+        "q3_shipping_priority": """
+            WITH r AS (
+                SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                       sum(l.l_extendedprice * (1.0 - l.l_discount)) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < DATE '1998-06-01'
+                  AND l.l_shipdate > DATE '1998-06-01'
+                GROUP BY 1, 2, 3)
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   floor(rev * 1000000 + 0.501) / 1000000 AS revenue
+            FROM r
+            ORDER BY rev DESC, o_orderdate, o_orderkey
+            LIMIT 10
         """,
         "q5_local_supplier_revenue": f"""
             SELECT n_name,

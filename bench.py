@@ -140,7 +140,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_comention",
         "kg_communities",
         "customer_order_outer",
+        "q3_shipping_priority",
         "q5_local_supplier_revenue",
+        "lineitem_corr",
         "customer_status_setops",
         "user_event_sequences",
         "event_transitions",

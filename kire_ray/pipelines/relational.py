@@ -1299,6 +1299,151 @@ def customer_order_outer(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def lineitem_corr(
+    sf_dir: str,
+    cols: tuple[str, ...] = ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+) -> "ray.data.Dataset":
+    """Pairwise Pearson correlation matrix over the fact table's
+    numeric columns — the feature-association profile a curation
+    pipeline computes before pruning redundant columns.
+
+    ONE streaming pass: each block emits its Gram-matrix partial
+    (XᵀX, column sums, row count — a single flattened row per block);
+    the driver sums the fixed-size partials (k² + k + 1 doubles —
+    sketch-sized by construction) and finishes the closed-form moment
+    correlations. No shuffle at all. Moment expressions are mirrored
+    literally in the SQL oracle (same formula as
+    ``events_regression``); rounding absorbs summation-order jitter.
+
+    Returns one row per unordered pair (col_a < col_b): n, corr.
+    """
+    k = len(cols)
+    li = _read(sf_dir, "lineitem", list(cols))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        X = b[list(cols)].to_numpy(np.float64)
+        g = X.T @ X
+        row = {"n": float(len(b))}
+        for i, c in enumerate(cols):
+            row[f"s_{i}"] = X[:, i].sum()
+            for jj in range(i, k):
+                row[f"g_{i}_{jj}"] = g[i, jj]
+        return pd.DataFrame([row])
+
+    tot = (
+        li.map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sum()
+    )
+    n = tot["n"]
+    rows = []
+    for i in range(k):
+        for jj in range(i + 1, k):
+            sx, sy = tot[f"s_{i}"], tot[f"s_{jj}"]
+            sxx, syy, sxy = tot[f"g_{i}_{i}"], tot[f"g_{jj}_{jj}"], tot[f"g_{i}_{jj}"]
+            corr = (n * sxy - sx * sy) / np.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+            rows.append((cols[i], cols[jj], int(n), corr))
+    out = pd.DataFrame(rows, columns=["col_a", "col_b", "n", "corr"])
+    out["corr"] = round_half_up(out["corr"].to_numpy(np.float64), 6)
+    out["n"] = out["n"].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+def q3_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    top: int = 10,
+) -> "ray.data.Dataset":
+    """TPC-H Q3 shape — the top unshipped orders by revenue for one
+    market segment: date-filtered fact⋈fact join, grouped revenue,
+    global top-k.
+
+    Plan: customer is dimension-sized, so the segment filter rides as
+    a broadcast custkey set applied inside the orders scan (no
+    shuffle); ONE fact⋈fact hash join lineitem⋈orders on orderkey
+    (both sides pruned to 3 columns and date-filtered BEFORE the
+    exchange — predicate pushdown is what keeps the shuffle small);
+    per-order revenue via block-local combiner + one grouped exchange;
+    partial top-k per block before the driver-side k-row merge (the
+    ``top_parts_by_revenue`` pattern). Deterministic order: revenue
+    desc, then o_orderdate asc, l_orderkey asc.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    seg_keys = frozenset(cust[cust["c_mktsegment"] == segment]["c_custkey"])
+    seg_ref = ray.put(seg_keys)
+    cut = pd.Timestamp(cutoff)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(seg_ref)
+        b = b[(b["o_orderdate"] < cut) & b["o_custkey"].isin(keys)]
+        return b[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def l_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cut]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].to_numpy(),
+                "rev": (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy(),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(l_side, batch_format="pandas"),
+        orders.map_batches(o_side, batch_format="pandas"),
+        ["o_orderkey"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if "rev" not in b.columns:  # schema-less empty join block
+            return pd.DataFrame(
+                {"o_orderkey": pd.Series([], dtype=np.int64),
+                 "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                 "o_orderpriority": pd.Series([], dtype=object),
+                 "revenue": pd.Series([], dtype=np.float64)}
+            )
+        g = (
+            b.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False)
+            ["rev"].sum().rename("revenue").reset_index()
+        )
+        return g
+
+    per_order = grouped_agg(
+        j.map_batches(partial, batch_format="pandas"),
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        {"revenue": ("revenue", "sum")},
+    )
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["revenue", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(top)
+
+    merged = topk(
+        per_order.map_batches(topk, batch_format="pandas").to_pandas()
+    ).reset_index(drop=True)
+    merged["revenue"] = round_half_up(merged["revenue"].to_numpy(np.float64), 6)
+    merged["o_orderkey"] = merged["o_orderkey"].astype(np.int64)
+    return ray.data.from_pandas(
+        merged[["o_orderkey", "o_orderdate", "o_orderpriority", "revenue"]]
+    )
+
+
 def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
     """TPC-H Q5 shape — revenue per nation from lineitems whose
     customer and supplier share the nation, nation restricted to one

@@ -153,3 +153,31 @@ def test_event_hour_pmi(ray_session):
         nx = ct.groupby(level=0).sum().loc[r["event_type"]]
         ny = ct.groupby(level=1).sum().loc[r["hour"]]
         assert abs(r["pmi"] - np.log(n * t / (nx * ny))) < 1e-5
+
+
+def test_q3_and_corr(ray_session):
+    _cmp(
+        R.q3_shipping_priority(SF).to_pandas(),
+        """WITH r AS (
+             SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                    sum(l.l_extendedprice * (1.0 - l.l_discount)) AS rev
+             FROM lineitem l
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             JOIN (SELECT * FROM read_parquet('{sf}/customer.parquet')) c
+               ON c.c_custkey = o.o_custkey
+             WHERE c.c_mktsegment = 'BUILDING'
+               AND o.o_orderdate < DATE '1998-06-01'
+               AND l.l_shipdate > DATE '1998-06-01'
+             GROUP BY 1, 2, 3)
+           SELECT o_orderkey, o_orderdate, o_orderpriority,
+                  floor(rev * 1000000 + 0.501) / 1000000 AS revenue
+           FROM r ORDER BY rev DESC, o_orderdate, o_orderkey LIMIT 10""".format(sf=SF),
+        ["o_orderkey"],
+    )
+    # corr vs pandas (independent implementation)
+    got = R.lineitem_corr(SF).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for _, r in got.iterrows():
+        want = li[r["col_a"]].corr(li[r["col_b"]])
+        assert abs(r["corr"] - want) < 1e-6
+        assert r["n"] == len(li)

@@ -447,6 +447,20 @@ def _q_kg_comention(sf_dir: str) -> Any:
     return comention_edges(c["linked"])
 
 
+def _q_kg_link_prediction(sf_dir: str) -> Any:
+    """Common-neighbor / Jaccard / Adamic-Adar candidate scores over
+    the surface co-mention graph (non-adjacent pairs, cn ≥ 2); mention
+    scan is span-exact vs gold, so the oracle reconstructs the same
+    scores from a gold_mentions self-join (corpus-side, sf0.01)."""
+    from kire_ray.pipelines.graph_algos import link_prediction
+    from kire_ray.pipelines.kg_construct import comention_edges
+
+    c = _flagship_linked(sf_dir)
+    return link_prediction(
+        comention_edges(c["linked"]), support_col="n", min_support=2
+    )
+
+
 def _q_parquet_hive_export(sf_dir: str) -> Any:
     """documents → hive-partitioned parquet by (lang, source) under
     /tmp; the returned counts are computed by READING THE FILES BACK,
@@ -1618,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_export": _q_jsonl_export,
         "parquet_hive_export": _q_parquet_hive_export,
         "kg_comention": _q_kg_comention,
+        "kg_link_prediction": _q_kg_link_prediction,
         "customer_order_outer": R.customer_order_outer,
         "q3_shipping_priority": R.q3_shipping_priority,
         "lineitem_corr": R.lineitem_corr,
@@ -1698,6 +1713,34 @@ def oracle_sql() -> dict[str, str]:
             FROM m a JOIN m b
               ON a.doc_id = b.doc_id AND a.surface < b.surface
             GROUP BY 1, 2
+        """,
+        "kg_link_prediction": f"""
+            WITH m AS (SELECT DISTINCT doc_id, surface
+                       FROM read_parquet('{c01}/gold_mentions.parquet')),
+            e AS (SELECT a.surface AS s1, b.surface AS s2
+                  FROM m a JOIN m b
+                    ON a.doc_id = b.doc_id AND a.surface < b.surface
+                  GROUP BY 1, 2
+                  HAVING count(*) >= 2),
+            u AS (SELECT s1 AS c, s2 AS nb FROM e
+                  UNION ALL SELECT s2, s1 FROM e),
+            deg AS (SELECT c, count(*) AS d FROM u GROUP BY c),
+            w AS (SELECT a.nb AS x, b.nb AS y, a.c AS c
+                  FROM u a JOIN u b ON a.c = b.c AND a.nb < b.nb),
+            nw AS (SELECT w.x, w.y, count(*) AS cn,
+                          sum(1.0 / ln(dc.d)) AS aa
+                   FROM w JOIN deg dc ON dc.c = w.c
+                   LEFT JOIN e ON e.s1 = w.x AND e.s2 = w.y
+                   WHERE e.s1 IS NULL
+                   GROUP BY 1, 2)
+            SELECT nw.x AS s1, nw.y AS s2, cn,
+                   floor((cn * 1.0 / (dx.d + dy.d - cn))
+                         * 1000000 + 0.501) / 1000000 AS jaccard,
+                   floor(aa * 1000000 + 0.501) / 1000000 AS adamic_adar
+            FROM nw
+            JOIN deg dx ON dx.c = nw.x
+            JOIN deg dy ON dy.c = nw.y
+            WHERE cn >= 2
         """,
         "kg_doc_subwords_flat": f"""
             SELECT conv_id AS doc_id,

@@ -138,6 +138,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "jsonl_export",
         "parquet_hive_export",
         "kg_comention",
+        "kg_link_prediction",
         "kg_communities",
         "customer_order_outer",
         "q3_shipping_priority",

@@ -461,3 +461,143 @@ def lpa_communities(
 
     out = labels.rename("community").rename_axis("qid").reset_index()
     return ray.data.from_pandas(out)
+
+
+def link_prediction(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "s1",
+    dst_col: str = "s2",
+    min_common: int = 2,
+    support_col: str | None = None,
+    min_support: int = 1,
+) -> "ray.data.Dataset":
+    """Neighborhood link-prediction scores over an undirected simple
+    graph: for every NON-adjacent pair sharing ≥ ``min_common`` common
+    neighbors, the three classic scores — common-neighbor count,
+    neighborhood Jaccard, Adamic-Adar (Σ 1/ln(deg(c)) over common
+    neighbors c; a common neighbor has degree ≥ 2 so the log is never
+    zero). The KG-completion candidate generator (Liben-Nowell &
+    Kleinberg 2003) run before an expensive relation scorer.
+
+    Shape: wedge enumeration grouped by the CENTER node (one exchange;
+    each wedge carries its center's 1/ln(deg) weight so Adamic-Adar is
+    a plain grouped sum), then one exchange on the endpoint pair that
+    both aggregates scores and anti-joins existing edges (edge rows
+    ride the same exchange tagged — the triangle_count close shape).
+    Degrees are node-bounded and broadcast (dimension-sized node table
+    contract as ``pagerank``). Hub centers emit C(deg,2) wedges — the
+    documented skew cost of wedge enumeration; cap or degree-orient at
+    web scale (same note as ``triangle_count``). ``min_support`` (on
+    ``support_col``, e.g. the co-mention doc count) sparsifies the
+    graph BEFORE wedge enumeration — the burst-noise filter that keeps
+    degree, and hence wedge volume, bounded on dense co-occurrence
+    graphs (387k → 16k edges at sf0.1 with support ≥ 2).
+    """
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    if support_col is not None and min_support > 1:
+        edges = edges.filter(expr=f"{support_col} >= {int(min_support)}")
+
+    def undirected(b: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([b[src_col], b[dst_col]], ignore_index=True)
+        t = pd.concat([b[dst_col], b[src_col]], ignore_index=True)
+        df = pd.DataFrame({"c": s, "nb": t})
+        return df[df["c"] != df["nb"]].drop_duplicates()
+
+    und = partitioned_map_groups(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            undirected, batch_format="pandas"
+        ),
+        ["c", "nb"],
+        lambda p: p.drop_duplicates(),
+    ).materialize()
+
+    # node-bounded degree table, merged on the driver and broadcast
+    deg = (
+        und.map_batches(
+            lambda b: b.groupby("c", sort=False).size().rename("d").reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("c", sort=False)["d"]
+        .sum()
+    )
+    deg_nodes = np.sort(deg.index.to_numpy(dtype=object))
+    deg_vals = deg.reindex(deg_nodes).to_numpy(np.float64)
+    dref = ray.put((deg_nodes, deg_vals))
+
+    def wedges(part: pd.DataFrame) -> pd.DataFrame:
+        nd, dv = ray.get(dref)
+        p = part.sort_values(["c", "nb"], kind="mergesort")
+        m = p.merge(p, on="c", suffixes=("_a", "_b"))
+        m = m[m["nb_a"] < m["nb_b"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"x": np.array([], object), "y": np.array([], object),
+                 "w": np.array([], np.float64), "is_edge": np.array([], bool)}
+            )
+        dc = dv[np.searchsorted(nd, m["c"].to_numpy(dtype=object))]
+        return pd.DataFrame(
+            {
+                "x": m["nb_a"].to_numpy(),
+                "y": m["nb_b"].to_numpy(),
+                "w": 1.0 / np.log(dc),
+                "is_edge": np.zeros(len(m), dtype=bool),
+            }
+        )
+
+    wg = partitioned_map_groups(und, ["c"], wedges)
+
+    def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(dtype=object)
+        t = b[dst_col].to_numpy(dtype=object)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        lo = np.where(s < t, s, t)
+        hi = np.where(s < t, t, s)
+        return pd.DataFrame(
+            {"x": lo, "y": hi, "w": 0.0, "is_edge": np.ones(len(lo), dtype=bool)}
+        ).drop_duplicates(["x", "y"])
+
+    both = wg.union(
+        edges.select_columns([src_col, dst_col]).map_batches(
+            edge_rows, batch_format="pandas"
+        )
+    )
+
+    def score(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"s1": np.array([], object), "s2": np.array([], object),
+             "cn": np.array([], np.int64),
+             "jaccard": np.array([], np.float64),
+             "adamic_adar": np.array([], np.float64)}
+        )
+        if part.empty or "is_edge" not in part.columns:
+            return empty
+        adjacent = part[part["is_edge"]][["x", "y"]]
+        w = part[~part["is_edge"]]
+        if len(adjacent):
+            w = w.merge(adjacent, on=["x", "y"], how="left", indicator=True)
+            w = w[w["_merge"] == "left_only"]
+        if w.empty:
+            return empty
+        g = w.groupby(["x", "y"], sort=False)["w"].agg(["size", "sum"]).reset_index()
+        g = g[g["size"] >= min_common]
+        if g.empty:
+            return empty
+        nd, dv = ray.get(dref)
+        dx = dv[np.searchsorted(nd, g["x"].to_numpy(dtype=object))]
+        dy = dv[np.searchsorted(nd, g["y"].to_numpy(dtype=object))]
+        cn = g["size"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "s1": g["x"].to_numpy(),
+                "s2": g["y"].to_numpy(),
+                "cn": cn,
+                "jaccard": round_half_up(cn / (dx + dy - cn), 6),
+                "adamic_adar": round_half_up(g["sum"].to_numpy(np.float64), 6),
+            }
+        )
+
+    return partitioned_map_groups(both, ["x", "y"], score)

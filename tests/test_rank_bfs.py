@@ -96,3 +96,34 @@ def test_hll_window_partitioning_invariant(ray_session):
     exact = df.groupby("window_start")["user_id"].nunique()
     for _, r in a.iterrows():
         assert abs(r["estimate"] - exact[r["window_start"]]) / exact[r["window_start"]] < 0.1
+
+
+def test_link_prediction_small(ray_session):
+    """Hand-computed graph: path a-b-c-d plus hub x adjacent to a,c.
+    Non-adjacent pairs with >=2 common neighbors get the classic
+    scores; adjacent pairs are excluded."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from kire_ray.pipelines.graph_algos import link_prediction
+
+    edges = pd.DataFrame(
+        {"s1": ["a", "b", "c", "x", "x"], "s2": ["b", "c", "d", "a", "c"]}
+    )
+    got = (
+        link_prediction(ray.data.from_pandas(edges), min_common=2)
+        .to_pandas()
+        .sort_values(["s1", "s2"])
+        .reset_index(drop=True)
+    )
+    # degrees: a2 b2 c3 d1 x2. Non-adjacent pairs with 2 common
+    # neighbors: (a,c) via {b,x} and (b,x) via {a,c}.
+    assert len(got) == 2
+    r = got.iloc[0]
+    assert (r["s1"], r["s2"], r["cn"]) == ("a", "c", 2)
+    assert abs(r["jaccard"] - 2 / (2 + 3 - 2)) < 1e-6
+    assert abs(r["adamic_adar"] - 2 / np.log(2)) < 1e-6
+    r = got.iloc[1]
+    assert (r["s1"], r["s2"], r["cn"]) == ("b", "x", 2)
+    assert abs(r["jaccard"] - 1.0) < 1e-6
+    assert abs(r["adamic_adar"] - (1 / np.log(2) + 1 / np.log(3))) < 1e-6

@@ -1643,6 +1643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_event_labels": _q_next_event_labels,
         "daily_retention": _q_daily_retention,
         "orders_rollup": R.orders_rollup,
+        "orders_cube": R.orders_cube,
+        "events_moments": R.events_moments,
         "status_priority_pivot": R.status_priority_pivot,
         "events_resampled": R.events_resampled,
         "user_funnel": R.user_funnel,
@@ -2597,6 +2599,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_orders) AS BIGINT),
                    {sql_round('sum(s)', 2)}
             FROM fine
+        """,
+        "orders_cube": f"""
+            WITH fine AS (
+                SELECT o_orderstatus, o_orderpriority,
+                       count(*) AS n_orders, sum(o_totalprice) AS s
+                FROM orders GROUP BY 1, 2)
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   {sql_round('s', 2)} AS total_price
+            FROM fine
+            UNION ALL
+            SELECT o_orderstatus, '(all)',
+                   CAST(sum(n_orders) AS BIGINT), {sql_round('sum(s)', 2)}
+            FROM fine GROUP BY 1
+            UNION ALL
+            SELECT '(all)', o_orderpriority,
+                   CAST(sum(n_orders) AS BIGINT), {sql_round('sum(s)', 2)}
+            FROM fine GROUP BY 2
+            UNION ALL
+            SELECT '(all)', '(all)',
+                   CAST(sum(n_orders) AS BIGINT), {sql_round('sum(s)', 2)}
+            FROM fine
+        """,
+        "events_moments": """
+            WITH s AS (
+                SELECT event_type, count(*) * 1.0 AS n,
+                       sum(value) AS s1, sum(value * value) AS s2,
+                       sum(value * value * value) AS s3,
+                       sum(value * value * value * value) AS s4
+                FROM events GROUP BY 1),
+            m AS (
+                SELECT event_type, n, s1 / n AS mean,
+                       s2 / n - (s1/n) * (s1/n) AS m2,
+                       s3 / n - 3 * (s1/n) * (s2/n) + 2 * pow(s1/n, 3) AS m3,
+                       s4 / n - 4 * (s1/n) * (s3/n)
+                             + 6 * (s1/n) * (s1/n) * (s2/n)
+                             - 3 * pow(s1/n, 4) AS m4
+                FROM s)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   floor(mean * 1000000 + 0.501) / 1000000 AS mean,
+                   floor(m2 * 1000000 + 0.501) / 1000000 AS var_pop,
+                   floor((m3 / pow(m2, 1.5)) * 1000000 + 0.501) / 1000000
+                       AS skewness,
+                   floor((m4 / (m2 * m2) - 3.0) * 1000000 + 0.501) / 1000000
+                       AS kurtosis_excess
+            FROM m ORDER BY event_type
         """,
         "status_priority_pivot": """
             SELECT o_orderstatus,

@@ -150,6 +150,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "next_event_labels",
         "daily_retention",
         "orders_rollup",
+        "orders_cube",
+        "events_moments",
         "status_priority_pivot",
         "events_resampled",
         "user_funnel",

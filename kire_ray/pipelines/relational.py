@@ -1116,6 +1116,105 @@ def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
     return fine.repartition(1).map_batches(rollup, batch_format="pandas")
 
 
+def orders_cube(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY CUBE (status, priority): all four grouping sets in one
+    corpus pass. Like ``orders_rollup``, every coarser level derives
+    from the finest aggregated table (key-cardinality-bounded, one
+    reduce task); the CUBE adds the (priority)-only set the rollup
+    lacks. '(all)' marks the aggregated-out label."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+            .agg(n_orders=("o_totalprice", "size"), s=("o_totalprice", "sum"))
+            .reset_index()
+        )
+
+    fine = grouped_agg(
+        orders.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("n_orders", "sum"), "s": ("s", "sum")},
+    )
+
+    def cube(p: pd.DataFrame) -> pd.DataFrame:
+        by_s = (
+            p.groupby("o_orderstatus", sort=False)
+            .agg(n_orders=("n_orders", "sum"), s=("s", "sum"))
+            .reset_index()
+            .assign(o_orderpriority="(all)")
+        )
+        by_p = (
+            p.groupby("o_orderpriority", sort=False)
+            .agg(n_orders=("n_orders", "sum"), s=("s", "sum"))
+            .reset_index()
+            .assign(o_orderstatus="(all)")
+        )
+        top = pd.DataFrame(
+            {
+                "o_orderstatus": ["(all)"],
+                "o_orderpriority": ["(all)"],
+                "n_orders": [p["n_orders"].sum()],
+                "s": [p["s"].sum()],
+            }
+        )
+        out = pd.concat([p, by_s, by_p, top], ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        out["total_price"] = round_half_up(out["s"], 2)
+        return out[["o_orderstatus", "o_orderpriority", "n_orders", "total_price"]]
+
+    return fine.repartition(1).map_batches(cube, batch_format="pandas")
+
+
+def events_moments(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped distribution-shape profile: population variance,
+    skewness and excess kurtosis of event values per type, from raw
+    power sums (Σx..Σx⁴) — ONE block-local combiner + one
+    type-cardinality exchange, the same one-pass sufficient-statistics
+    shape as ``events_regression``. Central-moment expressions are
+    mirrored token-for-token in the SQL oracle; values are O(100) so
+    the power sums stay well conditioned in float64."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["value"].to_numpy(np.float64)
+        g = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n": 1.0,
+                "s1": x,
+                "s2": x * x,
+                "s3": x * x * x,
+                "s4": x * x * x * x,
+            }
+        )
+        return g.groupby("event_type", sort=False).sum().reset_index()
+
+    cols = ["n", "s1", "s2", "s3", "s4"]
+    st = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {c: (c, "sum") for c in cols},
+    ).to_pandas()
+    n = st["n"].to_numpy(np.float64)
+    s1, s2, s3, s4 = (st[c].to_numpy(np.float64) for c in ["s1", "s2", "s3", "s4"])
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean**3
+    m4 = s4 / n - 4 * mean * (s3 / n) + 6 * mean * mean * (s2 / n) - 3 * mean**4
+    out = pd.DataFrame(
+        {
+            "event_type": st["event_type"],
+            "n": n.astype(np.int64),
+            "mean": round_half_up(mean, 6),
+            "var_pop": round_half_up(m2, 6),
+            "skewness": round_half_up(m3 / np.power(m2, 1.5), 6),
+            "kurtosis_excess": round_half_up(m4 / (m2 * m2) - 3.0, 6),
+        }
+    ).sort_values("event_type", kind="stable")
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
 def status_priority_pivot(sf_dir: str) -> "ray.data.Dataset":
     """Pivot priorities into columns (one row per status, one count
     column per priority) — conditional aggregation done block-local

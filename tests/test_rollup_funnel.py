@@ -75,3 +75,51 @@ def test_user_funnel_monotone(ray_session):
     f = user_funnel(SF).to_pandas().iloc[0]
     assert f["n_view"] >= f["n_view_click"] >= f["n_view_click_purchase"] >= 0
     assert f["n_view"] > 0
+
+
+def test_orders_cube_vs_duckdb(ray_session):
+    """CUBE must equal DuckDB's native GROUP BY CUBE with coalesced
+    labels (independent construction from the UNION-ALL oracle)."""
+    import duckdb
+    import pandas as pd
+
+    from kire_ray.pipelines.relational import orders_cube
+
+    SF = "/root/testdata/sf0.001"
+    got = (
+        orders_cube(SF)
+        .to_pandas()
+        .sort_values(["o_orderstatus", "o_orderpriority"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                   coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   floor(sum(o_totalprice) * 100 + 0.501) / 100 AS total_price
+            FROM read_parquet('{SF}/orders.parquet')
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+    ).fetchdf().sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_moments_vs_scipy_style(ray_session):
+    """Moments vs pandas' independent two-pass implementation."""
+    import numpy as np
+    import pandas as pd
+
+    from kire_ray.pipelines.relational import events_moments
+
+    SF = "/root/testdata/sf0.001"
+    got = events_moments(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for t, grp in ev.groupby("event_type"):
+        x = grp["value"].to_numpy()
+        c = x - x.mean()
+        m2, m3, m4 = (c**2).mean(), (c**3).mean(), (c**4).mean()
+        r = got.loc[t]
+        assert r["n"] == len(x)
+        assert abs(r["var_pop"] - m2) < 1e-4
+        assert abs(r["skewness"] - m3 / m2**1.5) < 1e-5
+        assert abs(r["kurtosis_excess"] - (m4 / m2**2 - 3)) < 1e-5

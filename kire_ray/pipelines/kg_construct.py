@@ -109,11 +109,16 @@ def linked_documents(
 
     The assembly shuffle emits few, uneven blocks (measured: 16 blocks,
     3× size skew at sf0.1) which caps the actor stages' parallelism at
-    the block count; ``repartition`` to ~10 blocks per CPU first so the
-    pool's task queue stays full. Batches default to whole blocks —
-    re-bundling rows across blocks buys nothing once block size is the
-    task granularity."""
-    docs = assemble_documents(transcripts).repartition(10 * _cluster_cpus())
+    the block count; ``repartition`` to 2 blocks per CPU first so the
+    pool's task queue stays full with two waves of skew headroom.
+    (Not more: the linker/scorer UDFs are ~0.1–0.2 ms/doc, so at 10
+    blocks/CPU per-task actor-pool overhead dominated — the fused
+    sf0.1 pipeline measured 10.4 s at factor 10 vs 5.0 s at factor 2
+    with identical output. At the 64× scaling corpus blocks are 64×
+    heavier and either factor amortizes.) Batches default to whole
+    blocks — re-bundling rows across blocks buys nothing once block
+    size is the task granularity."""
+    docs = assemble_documents(transcripts).repartition(2 * _cluster_cpus())
     return docs.map_batches(
         MentionLinker,
         fn_constructor_kwargs={"alias_ref": ctx.alias_ref, "canon_ref": ctx.canon_ref},

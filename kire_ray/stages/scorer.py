@@ -133,16 +133,59 @@ class RelationScorer:
         kg = ray.get(kg_ref) if not isinstance(kg_ref, dict) else kg_ref
         canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
         self.index = KGIndex(kg, canon)
+        # per-actor memos over PURE functions of qids: the surviving
+        # (rel, score) list of a (h,t) pair and the keep/skip flag of a
+        # qid are document-independent, so caching them is numerically
+        # invisible (the distributed-vs-sequential bit-equality test
+        # proves it) and turns the per-doc pair scoring into dict hits
+        # on the dimension-sized qid/pair universe
+        self._pair: dict[tuple[str, str], list[tuple[str, float]]] = {}
+        self._keep: dict[str, bool] = {}
+
+    def _kept(self, qid: str) -> bool:
+        k = self._keep.get(qid)
+        if k is None:
+            k = not qid.startswith("NT") and self.index.entity_type(qid) != "time"
+            self._keep[qid] = k
+        return k
+
+    def _pair_rows(self, hq: str, tq: str) -> list[tuple[str, float]]:
+        key = (hq, tq)
+        v = self._pair.get(key)
+        if v is None:
+            rels = self.index.evidence.get(key)
+            if not rels:
+                v = []
+            else:
+                th = pair_threshold(hq, tq)
+                scored = sorted(
+                    ((pair_score(hq, r, tq, True), r) for r in rels),
+                    key=lambda x: (-x[0], x[1]),
+                )[:TOP_K]
+                v = [(r, s) for s, r in scored if s > th]
+            self._pair[key] = v
+        return v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
         ents_col = batch.column("entities").to_pylist()
         out = {k: [] for k in TRIPLE_SCHEMA.names}
+        ap = {k: out[k].append for k in TRIPLE_SCHEMA.names}
         for doc_id, ents in zip(doc_ids, ents_col):
-            rows = score_document(doc_id, ents, self.index)
-            for r in rows:
-                for k, v in zip(TRIPLE_SCHEMA.names, r):
-                    out[k].append(v)
+            good = [e for e in ents if self._kept(e["qid"])]
+            for h in good:
+                hq = h["qid"]
+                for t in good:
+                    if h["ent_idx"] == t["ent_idx"] or hq == t["qid"]:
+                        continue
+                    for r, s in self._pair_rows(hq, t["qid"]):
+                        ap["doc_id"](doc_id)
+                        ap["h_idx"](h["ent_idx"])
+                        ap["t_idx"](t["ent_idx"])
+                        ap["subj_qid"](hq)
+                        ap["pred"](r)
+                        ap["obj_qid"](t["qid"])
+                        ap["score"](s)
         return pa.table(
             {k: pa.array(out[k], type=TRIPLE_SCHEMA.field(k).type) for k in TRIPLE_SCHEMA.names}
         )

@@ -735,6 +735,12 @@ def _q_events_regression(sf_dir: str) -> Any:
     return events_regression(sf_dir)
 
 
+def _q_events_mad(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_mad
+
+    return events_mad(sf_dir)
+
+
 def _q_event_hour_pmi(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import event_hour_pmi
 
@@ -1612,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "events_regression": _q_events_regression,
         "event_hour_pmi": _q_event_hour_pmi,
+        "events_mad": _q_events_mad,
         "running_totals": _q_running_totals,
         "events_ntile": _q_events_ntile,
         "weighted_sample": _q_weighted_sample,
@@ -2760,6 +2767,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, word, CAST(n AS BIGINT) AS n,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "events_mad": """
+            WITH med AS (
+                SELECT event_type, quantile_disc(value, 0.5) AS med
+                FROM events GROUP BY 1)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   m.med AS median,
+                   quantile_disc(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m USING (event_type)
+            GROUP BY e.event_type, m.med
         """,
         "event_hour_pmi": """
             WITH j AS (

@@ -160,6 +160,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_zscore",
         "events_regression",
         "event_hour_pmi",
+        "events_mad",
         "running_totals",
         "events_ntile",
         "weighted_sample",

@@ -840,6 +840,58 @@ def orders_status_quantiles(sf_dir: str, quantiles=(0.5, 0.9)) -> "ray.data.Data
     )
 
 
+def events_mad(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped robust location/scale: per-type exact (discrete) median
+    and median absolute deviation — the outlier-resistant sibling of
+    ``events_zscore`` a curation pipeline prefers on heavy-tailed
+    values.
+
+    ONE exchange: the per-block (type, value) histogram combiner
+    co-locates each type's value multiset; the reducer picks the
+    discrete median (the ``orders_status_quantiles`` rule —
+    ceil(q·n)-th order statistic) and then the median of |value − med|
+    from the same in-partition histogram, so the two-pass statistic
+    costs a single shuffle. Reducer memory is bounded by per-group
+    distinct-value cardinality (same declared bound and quantization
+    mitigation as ``orders_status_quantiles``).
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["event_type", "value"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def _disc_median(vals: np.ndarray, cnt: np.ndarray) -> float:
+        cum = cnt.cumsum()
+        k = int(np.ceil(0.5 * cum[-1]))
+        return float(vals[int(np.searchsorted(cum, k, side="left"))])
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in part.groupby("event_type", sort=False):
+            g = g.groupby("value", sort=True)["n"].sum().reset_index()
+            vals = g["value"].to_numpy(np.float64)
+            cnt = g["n"].to_numpy(np.int64)
+            med = _disc_median(vals, cnt)
+            dev = pd.DataFrame({"d": np.abs(vals - med), "n": cnt})
+            dev = dev.groupby("d", sort=True)["n"].sum().reset_index()
+            mad = _disc_median(dev["d"].to_numpy(np.float64),
+                               dev["n"].to_numpy(np.int64))
+            rows.append((t, int(cnt.sum()), med, mad))
+        return pd.DataFrame(rows, columns=["event_type", "n", "median", "mad"])
+
+    out = partitioned_map_groups(
+        ds.map_batches(hist, batch_format="pandas"), ["event_type"], pick
+    )
+    return out.map_batches(
+        lambda b: b.astype({"n": np.int64}), batch_format="pandas"
+    )
+
+
 def events_zscore(sf_dir: str) -> "ray.data.Dataset":
     """Per-type z-score normalization of event values — the grouped
     standardization step a feature pipeline runs before model training.

@@ -181,3 +181,21 @@ def test_q3_and_corr(ray_session):
         want = li[r["col_a"]].corr(li[r["col_b"]])
         assert abs(r["corr"] - want) < 1e-6
         assert r["n"] == len(li)
+
+
+def test_events_mad_vs_numpy(ray_session):
+    """Discrete median/MAD vs an independent numpy order-statistic
+    computation (k = ceil(n/2) in ascending order)."""
+    import numpy as np
+
+    got = R.events_mad(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for t, grp in ev.groupby("event_type"):
+        x = np.sort(grp["value"].to_numpy())
+        med = x[int(np.ceil(0.5 * len(x))) - 1]
+        d = np.sort(np.abs(grp["value"].to_numpy() - med))
+        mad = d[int(np.ceil(0.5 * len(d))) - 1]
+        r = got.loc[t]
+        assert r["n"] == len(x)
+        assert r["median"] == med
+        assert r["mad"] == mad

@@ -845,6 +845,15 @@ def _q_ngram_jaccard(sf_dir: str) -> Any:
     return ngram_jaccard_dedup(_docs(sf_dir), ngram=4, threshold=0.5, df_cap=64)
 
 
+def _q_fuzzy_name_pairs(sf_dir: str) -> Any:
+    """Deletion-neighborhood fuzzy match over customer names: all
+    distinct-name pairs at Levenshtein distance exactly 1."""
+    from kire_ray.pipelines.dedup import fuzzy_pairs
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    return fuzzy_pairs(cust, col="c_name")
+
+
 def _q_setsim_join(sf_dir: str) -> Any:
     """Exact COMPLETE set-similarity self-join (AllPairs/PPJoin prefix
     filter, word 3-gram sets, Jaccard ≥ 0.5) — no blocking cap, so the
@@ -1581,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
         "setsim_join": _q_setsim_join,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "dup_clusters": _q_dup_clusters,
         "embedding_dedup": _q_embdedup,
         "text_metrics": _q_text_metrics,
@@ -3802,6 +3812,13 @@ def oracle_sql() -> dict[str, str]:
                        AS estimate,
                    CAST(v0 AS BIGINT) AS v_zero
             FROM est
+        """,
+        "fuzzy_name_pairs": """
+            WITH c AS (SELECT DISTINCT c_name FROM customer)
+            SELECT a.c_name AS name_a, b.c_name AS name_b
+            FROM c a JOIN c b
+              ON a.c_name < b.c_name
+             AND levenshtein(a.c_name, b.c_name) = 1
         """,
         "setsim_join": """
             WITH tl AS (

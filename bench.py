@@ -93,6 +93,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "minhash_dedup",
         "ngram_jaccard_dedup",
         "setsim_join",
+        "fuzzy_name_pairs",
         "containment_dedup",
         "dup_clusters",
         "simhash_dedup",

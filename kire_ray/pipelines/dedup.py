@@ -1156,6 +1156,99 @@ def setsim_join(
     )
 
 
+def fuzzy_pairs(
+    ds: "ray.data.Dataset",
+    *,
+    col: str = "c_name",
+) -> "ray.data.Dataset":
+    """Fuzzy string self-match: all pairs of DISTINCT values of
+    ``col`` at Levenshtein distance exactly 1 — the blocking step of
+    entity resolution / typo-cluster dedup.
+
+    Deletion-neighborhood blocking (complete for distance ≤ 1, the
+    SymSpell/FastSS construction): every value emits itself plus each
+    single-character deletion as uint64 bucket keys; two strings
+    within distance 1 necessarily share a variant (substitution →
+    same deletion position; indel → one string IS a deletion of the
+    other), so one hash exchange on the variant key generates every
+    true pair. Shared variants can also join distance-2 pairs
+    ("ab"/"ba"), so the reducer verifies with an O(len) two-pointer
+    distance-≤1 check, then a second exchange makes pairs distinct.
+    Variant generation is per-string by nature (strings are a few
+    bytes; the emitted key column is the vectorized part) — cost is
+    (len+1) keys per distinct value, the documented fan-out of this
+    blocking.
+    """
+    from kire_ray.functions.hashing import hash64_fast
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    distinct = partitioned_map_groups(
+        ds.select_columns([col]).map_batches(
+            lambda b: b.drop_duplicates(), batch_format="pandas"
+        ),
+        [col],
+        lambda p: p.drop_duplicates(),
+    )
+
+    def variants(b: pd.DataFrame) -> pd.DataFrame:
+        names: list[str] = []
+        keys: list[str] = []
+        for s in b[col]:
+            vs = [s] + [s[:i] + s[i + 1 :] for i in range(len(s))]
+            keys.extend(vs)
+            names.extend([s] * len(vs))
+        return pd.DataFrame(
+            {
+                "k": hash64_fast(np.asarray(keys, dtype=object)).astype(np.int64),
+                "name": np.asarray(names, dtype=object),
+            }
+        ).drop_duplicates()
+
+    rows = distinct.map_batches(variants, batch_format="pandas")
+
+    def _dist_le1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if abs(la - lb) != 1:
+            return False
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = used = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+            elif used:
+                return False
+            else:
+                used = 1
+                j += 1
+        return True
+
+    _EMPTY = pd.DataFrame(
+        {"name_a": np.array([], object), "name_b": np.array([], object)}
+    )
+
+    def gen(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.drop_duplicates()
+        m = p.merge(p, on="k", suffixes=("_a", "_b"))
+        m = m[m["name_a"] < m["name_b"]].drop_duplicates(["name_a", "name_b"])
+        if m.empty:
+            return _EMPTY
+        keep = np.fromiter(
+            (_dist_le1(a, b) for a, b in zip(m["name_a"], m["name_b"])),
+            dtype=bool,
+            count=len(m),
+        )
+        return m.loc[keep, ["name_a", "name_b"]].reset_index(drop=True)
+
+    pairs = partitioned_map_groups(rows, ["k"], gen)
+    return partitioned_map_groups(
+        pairs, ["name_a", "name_b"], lambda p: p.drop_duplicates()
+    )
+
+
 def incremental_dedup(
     prior: "ray.data.Dataset",
     new: "ray.data.Dataset",

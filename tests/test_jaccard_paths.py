@@ -127,3 +127,41 @@ def test_containment_dedup_planted(ray_session):
         and (" " + texts[i] + " ") in (" " + texts[j] + " ")
     }
     assert pairs == want
+
+
+def test_fuzzy_pairs_complete_vs_bruteforce(ray_session):
+    """Deletion-neighborhood blocking must be lossless for distance 1:
+    equals the brute-force Levenshtein-1 pair set (mixed indels and
+    substitutions planted)."""
+    from kire_ray.pipelines.dedup import fuzzy_pairs
+
+    names = [
+        "alpha", "alphb", "alph", "aalpha", "beta", "betas", "bets",
+        "gamma", "gxmma", "delta", "delta", "delt", "epsilon",
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame({"c_name": names})).repartition(4)
+    got = set(
+        map(tuple, fuzzy_pairs(ds, col="c_name").to_pandas().to_numpy())
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(names))
+    want = {
+        (a, b)
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1 :]
+        if lev(a, b) == 1
+    }
+    assert want  # fixture actually exercises both indel and substitution
+    assert got == want

@@ -93,6 +93,16 @@ def partitioned_map_groups(
     (the pid column already dropped) and must handle *multiple* groups
     vectorized — typically ``df.groupby(list(keys))``. Rows of one key
     are never split across partitions.
+
+    Mechanics note (measured Aug 2026, Ray 2.49): this exchange rides
+    ``groupby(pid).map_groups`` — a SORT-based shuffle. With
+    ``DataContext.shuffle_strategy = HASH_SHUFFLE``,
+    ``repartition(P, keys=keys).map_batches(fn, batch_size=None)``
+    produces the same partitioning ~2× faster on small exchanges
+    (2.5 s vs 6.2 s on a 255k-row exchange at 32 CPUs) but changes
+    within-partition row order and the global shuffle backend for
+    every operator — a swap to make EARLY in a round with the full
+    oracle sweep as the gate, not as a late micro-optimization.
     """
     P = num_partitions or default_partitions()
     keys = list(keys)

@@ -877,6 +877,16 @@ N_PLANTED_DUPS = 32
 PLANT_ID_BASE = 10_000_000
 
 
+def _q_dedup_corpus(sf_dir: str) -> Any:
+    """End-to-end deduplicated corpus: doc_ids surviving near-dup
+    clustering (cluster representative = min id; singletons kept)."""
+    from kire_ray.pipelines.dedup import dedup_corpus, dup_clusters, ngram_jaccard_dedup
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_dedup(docs, ngram=4, threshold=0.5, df_cap=64)
+    return dedup_corpus(docs, dup_clusters(pairs))
+
+
 def _q_embdedup(sf_dir: str) -> Any:
     """Cosine near-dup over the embeddings table with deterministic
     planted duplicates: the synthetic table has no natural pairs at
@@ -1592,6 +1602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "setsim_join": _q_setsim_join,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "dup_clusters": _q_dup_clusters,
+        "dedup_corpus": _q_dedup_corpus,
         "embedding_dedup": _q_embdedup,
         "text_metrics": _q_text_metrics,
         "gopher_quality": _q_gopher_quality,
@@ -2123,6 +2134,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.5
+        """,
+        "dedup_corpus": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            pairs AS (
+                SELECT i.id_a, i.id_b FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT CAST(id_a AS VARCHAR) AS u, CAST(id_b AS VARCHAR) AS v FROM pairs
+                UNION ALL
+                SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+            ),
+            lab AS (SELECT u AS node, min(v) AS label FROM reach GROUP BY u)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN lab ON lab.node = CAST(d.doc_id AS VARCHAR)
+            WHERE lab.node IS NULL OR lab.label = lab.node
         """,
         "dup_clusters": f"""
             WITH RECURSIVE {_NGRAM_CTES},

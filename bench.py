@@ -96,6 +96,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "fuzzy_name_pairs",
         "containment_dedup",
         "dup_clusters",
+        "dedup_corpus",
         "simhash_dedup",
         "embedding_dedup",
         "text_metrics",

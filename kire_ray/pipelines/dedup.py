@@ -684,6 +684,40 @@ def dup_clusters(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     return connected_components(edges)
 
 
+def dedup_corpus(
+    docs: "ray.data.Dataset",
+    clusters: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Apply near-dup clustering to the corpus: keep every unclustered
+    doc plus each cluster's representative (min id) — the actual
+    "write the deduplicated training set" step downstream of
+    ``dup_clusters``.
+
+    The drop set (clustered non-representatives) is bounded by
+    duplicate volume and broadcast once; the corpus itself streams
+    through a vectorized membership filter — no shuffle. On a
+    dup-heavy crawl where the drop set outgrows a worker, swap the
+    broadcast for the bucketed anti-join (``stages/joins.py``), same
+    dual-path contract as ``verify_jaccard``.
+    """
+    lab = clusters.to_pandas()
+    dropped = np.sort(
+        lab.loc[lab["node"] != lab["label"], "node"].astype(np.int64).to_numpy()
+    )
+    ref = ray.put(dropped)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(ref)
+        ids = b[id_col].to_numpy(np.int64)
+        pos = np.searchsorted(drop, ids)
+        hit = (pos < len(drop)) & (drop[np.minimum(pos, max(len(drop) - 1, 0))] == ids)
+        return pd.DataFrame({id_col: ids[~hit]})
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
 # ---------------------- substring (span) dedup ----------------------
 
 

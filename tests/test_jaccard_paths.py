@@ -165,3 +165,21 @@ def test_fuzzy_pairs_complete_vs_bruteforce(ray_session):
     }
     assert want  # fixture actually exercises both indel and substitution
     assert got == want
+
+
+def test_dedup_corpus_invariants(ray_session):
+    """Survivors = all docs minus clustered non-representatives; every
+    cluster keeps exactly its min id."""
+    from kire_ray.pipelines.dedup import dedup_corpus, dup_clusters, ngram_jaccard_dedup
+
+    docs = _dup_heavy_corpus()
+    ds = ray.data.from_pandas(docs).repartition(8)
+    pairs = ngram_jaccard_dedup(ds, ngram=3, threshold=0.6, df_cap=16)
+    clusters = dup_clusters(pairs)
+    lab = clusters.to_pandas()
+    surv = set(dedup_corpus(ds, dup_clusters(pairs)).to_pandas()["doc_id"])
+    all_ids = set(docs["doc_id"])
+    clustered = set(lab["node"].astype(int))
+    reps = set(lab.loc[lab["node"] == lab["label"], "node"].astype(int))
+    assert surv == (all_ids - clustered) | reps
+    assert len(reps) > 0 and len(clustered - reps) > 0  # non-trivial fixture

@@ -735,6 +735,18 @@ def _q_events_regression(sf_dir: str) -> Any:
     return events_regression(sf_dir)
 
 
+def _q_events_ab_test(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_ab_test
+
+    return events_ab_test(sf_dir)
+
+
+def _q_embedding_gram(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import embedding_gram
+
+    return embedding_gram(_emb(sf_dir))
+
+
 def _q_events_mad(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import events_mad
 
@@ -1640,6 +1652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "event_hour_pmi": _q_event_hour_pmi,
         "events_mad": _q_events_mad,
+        "events_ab_test": _q_events_ab_test,
+        "embedding_gram": _q_embedding_gram,
         "running_totals": _q_running_totals,
         "events_ntile": _q_events_ntile,
         "weighted_sample": _q_weighted_sample,
@@ -2811,6 +2825,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, word, CAST(n AS BIGINT) AS n,
                    CAST(rank AS BIGINT) AS rank
             FROM r WHERE rank <= 10
+        """,
+        "events_ab_test": """
+            WITH s AS (
+                SELECT event_type,
+                       sum(CASE WHEN isodow(ts) IN (6, 7) THEN 1 ELSE 0 END) * 1.0 AS n1,
+                       sum(CASE WHEN isodow(ts) IN (6, 7) AND value > 100.0
+                                THEN 1 ELSE 0 END) * 1.0 AS x1,
+                       sum(CASE WHEN isodow(ts) NOT IN (6, 7) THEN 1 ELSE 0 END) * 1.0 AS n2,
+                       sum(CASE WHEN isodow(ts) NOT IN (6, 7) AND value > 100.0
+                                THEN 1 ELSE 0 END) * 1.0 AS x2
+                FROM events GROUP BY 1)
+            SELECT event_type,
+                   CAST(n1 AS BIGINT) AS n_weekend,
+                   CAST(n2 AS BIGINT) AS n_weekday,
+                   floor((x1 / n1) * 1000000 + 0.501) / 1000000 AS p_weekend,
+                   floor((x2 / n2) * 1000000 + 0.501) / 1000000 AS p_weekday,
+                   floor(((x1 / n1 - x2 / n2)
+                          / sqrt(((x1 + x2) / (n1 + n2))
+                                 * (1 - (x1 + x2) / (n1 + n2))
+                                 * (1 / n1 + 1 / n2)))
+                         * 1000000 + 0.501) / 1000000 AS z
+            FROM s ORDER BY event_type
+        """,
+        "embedding_gram": """
+            WITH ex AS (
+                SELECT vec_id,
+                       unnest(CAST(embedding AS DOUBLE[])) AS e,
+                       unnest(generate_series(1, len(embedding))) AS i
+                FROM embeddings)
+            SELECT CAST(a.i AS BIGINT) AS dim_a, CAST(b.i AS BIGINT) AS dim_b,
+                   CAST(count(*) AS BIGINT) AS n,
+                   floor(sum(a.e * b.e) * 1000000 + 0.501) / 1000000 AS dot
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
         """,
         "events_mad": """
             WITH med AS (

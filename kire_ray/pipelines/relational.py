@@ -840,6 +840,57 @@ def orders_status_quantiles(sf_dir: str, quantiles=(0.5, 0.9)) -> "ray.data.Data
     )
 
 
+def events_ab_test(sf_dir: str, threshold: float = 100.0) -> "ray.data.Dataset":
+    """Two-proportion z-test per event type: weekend vs weekday
+    conversion (value > ``threshold``) — the slice-comparison screen a
+    curation/eval pipeline runs before trusting a data mix change.
+
+    Block-local (type × arm) success/trial partials → one
+    type-cardinality exchange → pooled two-proportion z on the driver
+    row set, expressions mirrored in the SQL oracle (half-up 6dp).
+    """
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        we = (b["ts"].dt.dayofweek >= 5).to_numpy()
+        conv = (b["value"].to_numpy(np.float64) > threshold).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n_we": we.astype(np.int64),
+                "x_we": conv * we,
+                "n_wd": (~we).astype(np.int64),
+                "x_wd": conv * ~we,
+            }
+        )
+        return g.groupby("event_type", sort=False).sum().reset_index()
+
+    cols = ["n_we", "x_we", "n_wd", "x_wd"]
+    st = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {c: (c, "sum") for c in cols},
+    ).to_pandas()
+    n1 = st["n_we"].to_numpy(np.float64)
+    x1 = st["x_we"].to_numpy(np.float64)
+    n2 = st["n_wd"].to_numpy(np.float64)
+    x2 = st["x_wd"].to_numpy(np.float64)
+    p1, p2 = x1 / n1, x2 / n2
+    pp = (x1 + x2) / (n1 + n2)
+    z = (p1 - p2) / np.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    out = pd.DataFrame(
+        {
+            "event_type": st["event_type"],
+            "n_weekend": st["n_we"].astype(np.int64),
+            "n_weekday": st["n_wd"].astype(np.int64),
+            "p_weekend": round_half_up(p1, 6),
+            "p_weekday": round_half_up(p2, 6),
+            "z": round_half_up(z, 6),
+        }
+    ).sort_values("event_type", kind="stable")
+    return ray.data.from_pandas(out.reset_index(drop=True))
+
+
 def events_mad(sf_dir: str) -> "ray.data.Dataset":
     """Grouped robust location/scale: per-type exact (discrete) median
     and median absolute deviation — the outlier-resistant sibling of

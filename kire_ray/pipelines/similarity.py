@@ -689,3 +689,52 @@ def embedding_top_component(
             }
         )
     )
+
+
+def embedding_gram(
+    emb: "ray.data.Dataset", *, emb_col: str = "embedding"
+) -> "ray.data.Dataset":
+    """Distributed Gram matrix XᵀX of the embedding corpus — the
+    sufficient statistic behind PCA / whitening / ABTT post-processing
+    (``embedding_top_component`` extracts one direction from it; this
+    materializes the whole upper triangle for offline eigendecomposition).
+
+    ONE streaming pass: each block contributes its d×d Gram partial
+    (one numpy matmul, emitted as a single flattened row); the driver
+    sums the fixed-size partials — sketch-sized state (d² doubles),
+    zero shuffles, the ``lineitem_corr`` shape at embedding width.
+
+    Returns (dim_a ≤ dim_b, 1-based): n, dot (half-up 6dp).
+    """
+    from kire_ray.functions.rounding import round_half_up
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in b[emb_col]])
+        g = M.T @ M
+        iu = np.triu_indices(g.shape[0])
+        row = {"n": float(len(M))}
+        row.update({f"g{i}_{j}": g[i, j] for i, j in zip(*iu)})
+        return pd.DataFrame([row])
+
+    tot = (
+        emb.map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sum()
+    )
+    d = int((np.sqrt(8 * (len(tot) - 1) + 1) - 1) // 2)
+    ia, ib, v = [], [], []
+    for i in range(d):
+        for j in range(i, d):
+            ia.append(i + 1)
+            ib.append(j + 1)
+            v.append(tot[f"g{i}_{j}"])
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "dim_a": np.array(ia, np.int64),
+                "dim_b": np.array(ib, np.int64),
+                "n": np.full(len(ia), int(tot["n"]), np.int64),
+                "dot": round_half_up(np.array(v, np.float64), 6),
+            }
+        )
+    )

@@ -199,3 +199,36 @@ def test_events_mad_vs_numpy(ray_session):
         assert r["n"] == len(x)
         assert r["median"] == med
         assert r["mad"] == mad
+
+
+def test_events_ab_test_and_gram(ray_session):
+    """z-test vs an independent statsmodels-style computation; Gram vs
+    a direct numpy matmul over the whole table."""
+    import numpy as np
+
+    got = R.events_ab_test(SF).to_pandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    we = ev["ts"].dt.dayofweek >= 5
+    conv = ev["value"] > 100.0
+    for t, grp in ev.groupby("event_type"):
+        m = ev["event_type"] == t
+        n1, x1 = int((we & m).sum()), int((we & m & conv).sum())
+        n2, x2 = int((~we & m).sum()), int((~we & m & conv).sum())
+        p1, p2, pp = x1 / n1, x2 / n2, (x1 + x2) / (n1 + n2)
+        z = (p1 - p2) / np.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+        r = got.loc[t]
+        assert (r["n_weekend"], r["n_weekday"]) == (n1, n2)
+        assert abs(r["z"] - z) < 1e-5
+
+    from kire_ray.pipelines.similarity import embedding_gram
+    import ray.data
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    G = X.T @ X
+    gram = embedding_gram(
+        ray.data.from_pandas(emb[["vec_id", "embedding"]]).repartition(4)
+    ).to_pandas()
+    for _, r in gram.head(50).iterrows():
+        assert abs(r["dot"] - G[int(r["dim_a"]) - 1, int(r["dim_b"]) - 1]) < 1e-5
+        assert r["n"] == len(X)

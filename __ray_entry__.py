@@ -747,6 +747,12 @@ def _q_embedding_gram(sf_dir: str) -> Any:
     return embedding_gram(_emb(sf_dir))
 
 
+def _q_events_quantile_cont(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_quantile_cont
+
+    return events_quantile_cont(sf_dir)
+
+
 def _q_events_mad(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import events_mad
 
@@ -1652,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "event_hour_pmi": _q_event_hour_pmi,
         "events_mad": _q_events_mad,
+        "events_quantile_cont": _q_events_quantile_cont,
         "events_ab_test": _q_events_ab_test,
         "embedding_gram": _q_embedding_gram,
         "running_totals": _q_running_totals,
@@ -2859,6 +2866,21 @@ def oracle_sql() -> dict[str, str]:
                    floor(sum(a.e * b.e) * 1000000 + 0.501) / 1000000 AS dot
             FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY 1, 2
+        """,
+        "events_quantile_cont": """
+            SELECT event_type, 0.25 AS q,
+                   floor(quantile_cont(value, 0.25) * 1000000 + 0.501) / 1000000
+                       AS value
+            FROM events GROUP BY event_type\n            UNION ALL\n            SELECT event_type, 0.5 AS q,
+                   floor(quantile_cont(value, 0.5) * 1000000 + 0.501) / 1000000
+                       AS value
+            FROM events GROUP BY event_type\n            UNION ALL\n            SELECT event_type, 0.75 AS q,
+                   floor(quantile_cont(value, 0.75) * 1000000 + 0.501) / 1000000
+                       AS value
+            FROM events GROUP BY event_type\n            UNION ALL\n            SELECT event_type, 0.95 AS q,
+                   floor(quantile_cont(value, 0.95) * 1000000 + 0.501) / 1000000
+                       AS value
+            FROM events GROUP BY event_type
         """,
         "events_mad": """
             WITH med AS (

@@ -163,6 +163,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_regression",
         "event_hour_pmi",
         "events_mad",
+        "events_quantile_cont",
         "events_ab_test",
         "embedding_gram",
         "running_totals",

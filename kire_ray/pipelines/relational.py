@@ -943,6 +943,58 @@ def events_mad(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def events_quantile_cont(
+    sf_dir: str, quantiles=(0.25, 0.5, 0.75, 0.95)
+) -> "ray.data.Dataset":
+    """Per-type INTERPOLATED quantiles (SQL ``quantile_cont``): the
+    continuous sibling of ``orders_status_quantiles`` — linear
+    interpolation at position (n−1)·q between the two bracketing order
+    statistics, mirrored expression-for-expression in the oracle.
+
+    Same single-exchange histogram shape: per-block (type, value)
+    count combiner → one type-cardinality exchange → in-reducer sorted
+    expansion and interpolation (reducer memory bounded by per-group
+    distinct values, the declared ``orders_status_quantiles`` bound).
+    """
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["event_type", "value"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in part.groupby("event_type", sort=False):
+            g = g.groupby("value", sort=True)["n"].sum().reset_index()
+            vals = g["value"].to_numpy(np.float64)
+            cum = g["n"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            for q in quantiles:
+                pos = (n - 1) * q
+                lo = int(np.floor(pos))
+                frac = pos - lo
+                # order statistics x[lo], x[lo+1] from the cumulative
+                # histogram (searchsorted for the k-th, 0-based)
+                vlo = vals[int(np.searchsorted(cum, lo + 1, side="left"))]
+                if frac == 0.0:
+                    v = vlo
+                else:
+                    vhi = vals[int(np.searchsorted(cum, lo + 2, side="left"))]
+                    v = vlo + frac * (vhi - vlo)
+                rows.append((t, float(q), v))
+        out = pd.DataFrame(rows, columns=["event_type", "q", "value"])
+        out["value"] = round_half_up(out["value"].to_numpy(np.float64), 6)
+        return out
+
+    return partitioned_map_groups(
+        ds.map_batches(hist, batch_format="pandas"), ["event_type"], pick
+    )
+
+
 def events_zscore(sf_dir: str) -> "ray.data.Dataset":
     """Per-type z-score normalization of event values — the grouped
     standardization step a feature pipeline runs before model training.

@@ -232,3 +232,17 @@ def test_events_ab_test_and_gram(ray_session):
     for _, r in gram.head(50).iterrows():
         assert abs(r["dot"] - G[int(r["dim_a"]) - 1, int(r["dim_b"]) - 1]) < 1e-5
         assert r["n"] == len(X)
+
+
+def test_events_quantile_cont_vs_numpy(ray_session):
+    """Interpolated quantiles vs numpy's 'linear' method (the same
+    (n-1)q definition, independently implemented)."""
+    import numpy as np
+
+    got = R.events_quantile_cont(SF).to_pandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    for (t, q), grp in got.groupby(["event_type", "q"]):
+        want = np.quantile(
+            ev.loc[ev["event_type"] == t, "value"].to_numpy(), q, method="linear"
+        )
+        assert abs(grp["value"].iloc[0] - want) < 1e-5, (t, q)

@@ -902,7 +902,20 @@ def _q_dedup_corpus(sf_dir: str) -> Any:
 
     docs = _docs(sf_dir)
     pairs = ngram_jaccard_dedup(docs, ngram=4, threshold=0.5, df_cap=64)
-    return dedup_corpus(docs, dup_clusters(pairs))
+    return dedup_corpus(docs, dup_clusters(pairs)).select_columns(["doc_id"])
+
+
+def _q_pretrain_pack(sf_dir: str) -> Any:
+    """End-to-end pretraining prep showcase: near-dup-deduplicated
+    corpus packed into fixed 2048-token sequences (clean→dedup→pack
+    composed as ONE streaming chain; the oracle composes the same
+    recursive-closure + window-prefix-sum SQL)."""
+    from kire_ray.pipelines.dedup import dedup_corpus, dup_clusters, ngram_jaccard_dedup
+    from kire_ray.pipelines.text_analysis import pack_sequences
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_dedup(docs, ngram=4, threshold=0.5, df_cap=64)
+    return pack_sequences(dedup_corpus(docs, dup_clusters(pairs)), budget=2048)
 
 
 def _q_embdedup(sf_dir: str) -> Any:
@@ -1621,6 +1634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "dup_clusters": _q_dup_clusters,
         "dedup_corpus": _q_dedup_corpus,
+        "pretrain_pack": _q_pretrain_pack,
         "embedding_dedup": _q_embdedup,
         "text_metrics": _q_text_metrics,
         "gopher_quality": _q_gopher_quality,
@@ -2155,6 +2169,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.id_a
             JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.5
+        """,
+        "pretrain_pack": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            pairs AS (
+                SELECT i.id_a, i.id_b FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.n_common * 1.0 / (sa.sz + sb.sz - i.n_common) >= 0.5
+            ),
+            edges AS (
+                SELECT CAST(id_a AS VARCHAR) AS u, CAST(id_b AS VARCHAR) AS v FROM pairs
+                UNION ALL
+                SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pairs
+            ),
+            reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+            ),
+            lab AS (SELECT u AS node, min(v) AS label FROM reach GROUP BY u),
+            surv AS (
+                SELECT d.doc_id, d.text FROM documents d
+                LEFT JOIN lab ON lab.node = CAST(d.doc_id AS VARCHAR)
+                WHERE lab.node IS NULL OR lab.label = lab.node),
+            t AS (
+                SELECT doc_id,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n_tokens
+                FROM surv),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS start
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(start // 2048 AS BIGINT) AS seq_id,
+                   CAST(start % 2048 AS BIGINT) AS seq_offset
+            FROM s
         """,
         "dedup_corpus": f"""
             WITH RECURSIVE {_NGRAM_CTES},

@@ -97,6 +97,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "containment_dedup",
         "dup_clusters",
         "dedup_corpus",
+        "pretrain_pack",
         "simhash_dedup",
         "embedding_dedup",
         "text_metrics",

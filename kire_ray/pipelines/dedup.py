@@ -713,7 +713,7 @@ def dedup_corpus(
         ids = b[id_col].to_numpy(np.int64)
         pos = np.searchsorted(drop, ids)
         hit = (pos < len(drop)) & (drop[np.minimum(pos, max(len(drop) - 1, 0))] == ids)
-        return pd.DataFrame({id_col: ids[~hit]})
+        return b[~hit].reset_index(drop=True)
 
     return docs.map_batches(keep, batch_format="pandas")
 

@@ -461,6 +461,34 @@ def _q_kg_link_prediction(sf_dir: str) -> Any:
     )
 
 
+def _q_jsonl_roundtrip(sf_dir: str) -> Any:
+    """Distributed READ of the gzipped JSONL export (the import side of
+    the sink): shards → ray.data.read_json → per-doc projection; the
+    oracle is the original documents table, so the round trip is
+    value-exact end to end."""
+    import hashlib as _h
+
+    from kire_ray.state.jsonl import export_jsonl_shards
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    out = f"/tmp/kire_ray_jsonl/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    export_jsonl_shards(docs, out, n_shards=64)  # cached: byte-deterministic
+    back = ray.data.read_json(out, arrow_open_stream_args={"compression": "gzip"})
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype(np.int64),
+                "lang": b["lang"],
+                "n_chars": b["text"].str.len().astype(np.int64),
+            }
+        )
+
+    return back.map_batches(project, batch_format="pandas")
+
+
 def _q_parquet_hive_export(sf_dir: str) -> Any:
     """documents → hive-partitioned parquet by (lang, source) under
     /tmp; the returned counts are computed by READING THE FILES BACK,
@@ -1693,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "skipgram_pairs": _q_skipgram_pairs,
         "jsonl_export": _q_jsonl_export,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "parquet_hive_export": _q_parquet_hive_export,
         "kg_comention": _q_kg_comention,
         "kg_link_prediction": _q_kg_link_prediction,
@@ -1770,6 +1799,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST("end" AS BIGINT) AS "end",
                    surface
             FROM read_parquet('{c01}/gold_mentions.parquet')
+        """,
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
         """,
         "kg_comention": f"""
             WITH m AS (SELECT DISTINCT doc_id, surface

@@ -139,6 +139,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "knn_graph",
         "skipgram_pairs",
         "jsonl_export",
+        "jsonl_roundtrip",
         "parquet_hive_export",
         "kg_comention",
         "kg_link_prediction",

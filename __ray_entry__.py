@@ -781,6 +781,18 @@ def _q_events_quantile_cont(sf_dir: str) -> Any:
     return events_quantile_cont(sf_dir)
 
 
+def _q_user_decay_scores(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import user_decay_scores
+
+    return user_decay_scores(sf_dir)
+
+
+def _q_bigram_logprob(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir))
+
+
 def _q_events_mad(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import events_mad
 
@@ -1700,6 +1712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "event_hour_pmi": _q_event_hour_pmi,
         "events_mad": _q_events_mad,
+        "user_decay_scores": _q_user_decay_scores,
+        "bigram_logprob": _q_bigram_logprob,
         "events_quantile_cont": _q_events_quantile_cont,
         "events_ab_test": _q_events_ab_test,
         "embedding_gram": _q_embedding_gram,
@@ -2968,6 +2982,42 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(value, 0.95) * 1000000 + 0.501) / 1000000
                        AS value
             FROM events GROUP BY event_type
+        """,
+        "user_decay_scores": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   floor(sum(value * pow(2.0,
+                             -(epoch(TIMESTAMP '2024-02-01' - ts) / 86400.0)
+                             / 7.0))
+                         * 1000000 + 0.501) / 1000000 AS score
+            FROM events GROUP BY user_id
+        """,
+        "bigram_logprob": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS p
+                FROM documents),
+            uni AS (SELECT w, count(*) AS cu FROM w GROUP BY w),
+            vsz AS (SELECT count(*) * 1.0 AS v FROM uni),
+            bg AS (
+                SELECT doc_id, w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+                FROM w QUALIFY w2 IS NOT NULL),
+            bcnt AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+            scored AS (
+                SELECT g.doc_id,
+                       ln((c.cb + 1.0) / (u.cu + v.v)) AS lp
+                FROM bg g
+                JOIN bcnt c ON c.w1 = g.w1 AND c.w2 = g.w2
+                JOIN uni u ON u.w = g.w1
+                CROSS JOIN vsz v),
+            agg AS (
+                SELECT doc_id, count(*) AS n_pairs, sum(lp) / count(*) AS m
+                FROM scored GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   floor(coalesce(a.m, 0.0) * 1000000 + 0.501) / 1000000
+                       AS mean_logprob
+            FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         """,
         "events_mad": """
             WITH med AS (

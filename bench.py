@@ -105,6 +105,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "decontaminate",
         "tfidf_top_terms",
         "unigram_logprob",
+        "bigram_logprob",
         "source_mix",
         "doc_fingerprints",
         "pack_sequences",
@@ -165,6 +166,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_regression",
         "event_hour_pmi",
         "events_mad",
+        "user_decay_scores",
         "events_quantile_cont",
         "events_ab_test",
         "embedding_gram",

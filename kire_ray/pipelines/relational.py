@@ -891,6 +891,51 @@ def events_ab_test(sf_dir: str, threshold: float = 100.0) -> "ray.data.Dataset":
     return ray.data.from_pandas(out.reset_index(drop=True))
 
 
+def user_decay_scores(
+    sf_dir: str,
+    *,
+    ref_ts: str = "2024-02-01",
+    half_life_days: float = 7.0,
+) -> "ray.data.Dataset":
+    """Exponentially time-decayed engagement score per user —
+    score = Σ value · 2^(−age_days / half_life) at a FIXED reference
+    time (recency weighting for retention/engagement features; a fixed
+    epoch keeps the operator a pure per-row map + grouped sum, no
+    global max-ts pass, and makes it incremental across ingest runs).
+
+    Block-local per-user partials → one user-cardinality exchange.
+    The decay expression is mirrored literally in the SQL oracle;
+    rounding absorbs summation order.
+    """
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ref_us = pd.Timestamp(ref_ts).value // 1000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        age_days = (
+            ref_us - b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        ) / 86400e6
+        w = b["value"].to_numpy(np.float64) * np.exp2(-age_days / half_life_days)
+        return (
+            pd.DataFrame({"user_id": b["user_id"], "score": w, "n": 1})
+            .groupby("user_id", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"score": ("score", "sum"), "n": ("n", "sum")},
+        post=lambda b: pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype(np.int64),
+                "n": b["n"].astype(np.int64),
+                "score": round_half_up(b["score"].to_numpy(np.float64), 6),
+            }
+        ),
+    )
+
+
 def events_mad(sf_dir: str) -> "ray.data.Dataset":
     """Grouped robust location/scale: per-type exact (discrete) median
     and median absolute deviation — the outlier-resistant sibling of

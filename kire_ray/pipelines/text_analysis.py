@@ -1060,3 +1060,81 @@ def skipgram_pairs(
         {"n": ("n", "sum")},
         post=lambda out: out[out["n"] >= min_count].astype({"n": np.int64}),
     )
+
+
+def bigram_logprob(
+    ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Per-doc mean bigram log-probability under the corpus's own
+    add-1-smoothed bigram LM — the conditional upgrade of
+    ``unigram_logprob``: ln P(w2|w1) = ln((c(w1 w2) + 1)/(c(w1) + V)),
+    V = unigram vocabulary size.
+
+    Same two-pass shape: one vocab-bounded exchange builds the
+    unigram and bigram count tables (broadcast once — the documented
+    ``tfidf_top_terms`` trade-off; swap to a count-keyed exchange when
+    the bigram vocabulary outgrows a worker), then a streaming probe
+    scores every adjacent pair vectorized (searchsorted over the
+    sorted bigram strings; docs with <2 words score 0 over 0 pairs).
+    """
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def uni_part(b: pd.DataFrame) -> pd.DataFrame:
+        ws = b[text_col].str.split()
+        flat = np.concatenate([np.asarray(w, dtype=object) for w in ws if w])
+        vc = pd.Series(flat).value_counts(sort=False)
+        return pd.DataFrame({"w": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)})
+
+    def bi_part(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t in b[text_col]:
+            w = t.split()
+            if len(w) >= 2:
+                outs.append(
+                    np.asarray([a + " " + c for a, c in zip(w[:-1], w[1:])], object)
+                )
+        if not outs:
+            return pd.DataFrame({"b2": np.array([], object), "n": np.array([], np.int64)})
+        vc = pd.Series(np.concatenate(outs)).value_counts(sort=False)
+        return pd.DataFrame({"b2": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)})
+
+    uni = grouped_agg(
+        ds.map_batches(uni_part, batch_format="pandas"), ["w"], {"n": ("n", "sum")}
+    ).to_pandas()
+    bi = grouped_agg(
+        ds.map_batches(bi_part, batch_format="pandas"), ["b2"], {"n": ("n", "sum")}
+    ).to_pandas()
+    V = len(uni)
+    uw = np.sort(uni["w"].to_numpy(object))
+    uc = uni.set_index("w")["n"].reindex(uw).to_numpy(np.int64)
+    bw = np.sort(bi["b2"].to_numpy(object))
+    bc = bi.set_index("b2")["n"].reindex(bw).to_numpy(np.int64)
+    ref = ray.put((uw, uc, bw, bc, V))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        vocab, cnt, bvoc, bcnt, vsz = ray.get(ref)
+        ids, n_pairs, mean_lp = [], [], []
+        for i, t in zip(b[id_col], b[text_col]):
+            w = t.split()
+            ids.append(i)
+            if len(w) < 2:
+                n_pairs.append(0)
+                mean_lp.append(0.0)
+                continue
+            pairs = np.asarray([a + " " + c for a, c in zip(w[:-1], w[1:])], object)
+            pi = np.searchsorted(bvoc, pairs)
+            hit = (pi < len(bvoc)) & (bvoc[np.minimum(pi, len(bvoc) - 1)] == pairs)
+            cb = np.where(hit, bcnt[np.minimum(pi, len(bvoc) - 1)], 0)
+            cu = cnt[np.searchsorted(vocab, np.asarray(w[:-1], object))]
+            lp = np.log((cb + 1.0) / (cu + float(vsz)))
+            n_pairs.append(len(pairs))
+            mean_lp.append(float(lp.sum()) / len(pairs))
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids),
+                "n_pairs": np.asarray(n_pairs, np.int64),
+                "mean_logprob": round_half_up(np.asarray(mean_lp, np.float64), 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

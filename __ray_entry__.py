@@ -793,6 +793,21 @@ def _q_bigram_logprob(sf_dir: str) -> Any:
     return bigram_logprob(_docs(sf_dir))
 
 
+def _q_events_anomalies(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_anomalies
+
+    return events_anomalies(sf_dir)
+
+
+def _q_source_distinctive_terms(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import source_distinctive_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return source_distinctive_terms(docs)
+
+
 def _q_events_mad(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import events_mad
 
@@ -1712,6 +1727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "event_hour_pmi": _q_event_hour_pmi,
         "events_mad": _q_events_mad,
+        "events_anomalies": _q_events_anomalies,
+        "source_distinctive_terms": _q_source_distinctive_terms,
         "user_decay_scores": _q_user_decay_scores,
         "bigram_logprob": _q_bigram_logprob,
         "events_quantile_cont": _q_events_quantile_cont,
@@ -3018,6 +3035,50 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(a.m, 0.0) * 1000000 + 0.501) / 1000000
                        AS mean_logprob
             FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        """,
+        "events_anomalies": """
+            WITH med AS (
+                SELECT event_type, quantile_disc(value, 0.5) AS med
+                FROM events GROUP BY 1),
+            mad AS (
+                SELECT e.event_type, m.med,
+                       quantile_disc(abs(e.value - m.med), 0.5) AS mad
+                FROM events e JOIN med m USING (event_type)
+                GROUP BY e.event_type, m.med)
+            SELECT e.event_id, e.event_type, e.value,
+                   floor(abs(e.value - s.med) * 1000000 + 0.501) / 1000000
+                       AS deviation
+            FROM events e JOIN mad s USING (event_type)
+            WHERE abs(e.value - s.med) > 5.0 * s.mad
+        """,
+        "source_distinctive_terms": """
+            WITH w AS (
+                SELECT source, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+            ct AS (SELECT source, word, count(*) * 1.0 AS c
+                   FROM w GROUP BY 1, 2),
+            vsz AS (SELECT count(DISTINCT word) * 1.0 AS v, count(*) * 1.0 AS n
+                    FROM w),
+            wm AS (SELECT word, sum(c) AS cw FROM ct GROUP BY word),
+            gm AS (SELECT source, sum(c) AS ng FROM ct GROUP BY source),
+            d AS (
+                SELECT ct.source, ct.word, ct.c,
+                       ln((ct.c + 1.0) / (gm.ng - ct.c + vsz.v))
+                       - ln((wm.cw - ct.c + 1.0)
+                            / (vsz.n - gm.ng - (wm.cw - ct.c) + vsz.v)) AS delta
+                FROM ct
+                JOIN wm USING (word)
+                JOIN gm USING (source)
+                CROSS JOIN vsz),
+            r AS (
+                SELECT source, word, c, delta,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY delta DESC, word) AS rank
+                FROM d)
+            SELECT source, CAST(rank AS BIGINT) AS rank, word,
+                   CAST(c AS BIGINT) AS n,
+                   floor(delta * 1000000 + 0.501) / 1000000 AS delta
+            FROM r WHERE rank <= 10
         """,
         "events_mad": """
             WITH med AS (

@@ -166,6 +166,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_regression",
         "event_hour_pmi",
         "events_mad",
+        "events_anomalies",
+        "source_distinctive_terms",
         "user_decay_scores",
         "events_quantile_cont",
         "events_ab_test",

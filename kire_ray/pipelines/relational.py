@@ -1040,6 +1040,42 @@ def events_quantile_cont(
     )
 
 
+def events_anomalies(sf_dir: str, k: float = 5.0) -> "ray.data.Dataset":
+    """Robust anomaly flags: events whose value deviates from their
+    type's discrete median by more than ``k``·MAD — the outlier screen
+    built on ``events_mad``'s statistics (median/MAD resist the very
+    outliers being hunted, unlike mean/std).
+
+    Pass 1 = the single-exchange median+MAD (type-cardinality stats,
+    collected and broadcast); pass 2 streams the corpus through a
+    vectorized threshold filter. Expressions mirrored in the oracle.
+    """
+    from kire_ray.pipelines.relational import events_mad as _mad
+
+    stats = _mad(sf_dir).to_pandas().set_index("event_type")
+    ref = ray.put(
+        {t: (r["median"], r["mad"]) for t, r in stats.iterrows()}
+    )
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ref)
+        med = b["event_type"].map(lambda t: lut[t][0]).to_numpy(np.float64)
+        mad = b["event_type"].map(lambda t: lut[t][1]).to_numpy(np.float64)
+        dev = np.abs(b["value"].to_numpy(np.float64) - med)
+        keep = dev > k * mad
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64)[keep],
+                "event_type": b["event_type"].to_numpy()[keep],
+                "value": b["value"].to_numpy(np.float64)[keep],
+                "deviation": round_half_up(dev[keep], 6),
+            }
+        )
+
+    return ev.map_batches(flag, batch_format="pandas")
+
+
 def events_zscore(sf_dir: str) -> "ray.data.Dataset":
     """Per-type z-score normalization of event values — the grouped
     standardization step a feature pipeline runs before model training.

@@ -808,6 +808,12 @@ def _q_source_distinctive_terms(sf_dir: str) -> Any:
     return source_distinctive_terms(docs)
 
 
+def _q_markov_steady_state(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import markov_steady_state
+
+    return markov_steady_state(sf_dir)
+
+
 def _q_events_mad(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import events_mad
 
@@ -1727,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "event_hour_pmi": _q_event_hour_pmi,
         "events_mad": _q_events_mad,
+        "markov_steady_state": _q_markov_steady_state,
         "events_anomalies": _q_events_anomalies,
         "source_distinctive_terms": _q_source_distinctive_terms,
         "user_decay_scores": _q_user_decay_scores,
@@ -3079,6 +3086,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c AS BIGINT) AS n,
                    floor(delta * 1000000 + 0.501) / 1000000 AS delta
             FROM r WHERE rank <= 10
+        """,
+        "markov_steady_state": """
+            WITH o AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS prev
+                       FROM events),
+            trans AS MATERIALIZED (SELECT prev AS src, event_type AS dst,
+                             count(*) * 1.0 AS n
+                      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+            states AS MATERIALIZED (SELECT DISTINCT src AS s FROM trans
+                       UNION SELECT DISTINCT dst FROM trans),
+            pm AS MATERIALIZED (
+                SELECT src, dst, n / sum(n) OVER (PARTITION BY src) AS p
+                FROM trans
+                UNION ALL
+                SELECT s, s, 1.0 FROM states
+                WHERE s NOT IN (SELECT DISTINCT src FROM trans)),
+            v0 AS MATERIALIZED (SELECT s, 1.0 / (SELECT count(*) FROM states) AS v
+                   FROM states),
+            v1 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v0.v * pm.p) AS v
+                FROM v0 JOIN pm ON pm.src = v0.s GROUP BY 1),
+            v2 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v1.v * pm.p) AS v
+                FROM v1 JOIN pm ON pm.src = v1.s GROUP BY 1),
+            v3 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v2.v * pm.p) AS v
+                FROM v2 JOIN pm ON pm.src = v2.s GROUP BY 1),
+            v4 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v3.v * pm.p) AS v
+                FROM v3 JOIN pm ON pm.src = v3.s GROUP BY 1),
+            v5 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v4.v * pm.p) AS v
+                FROM v4 JOIN pm ON pm.src = v4.s GROUP BY 1),
+            v6 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v5.v * pm.p) AS v
+                FROM v5 JOIN pm ON pm.src = v5.s GROUP BY 1),
+            v7 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v6.v * pm.p) AS v
+                FROM v6 JOIN pm ON pm.src = v6.s GROUP BY 1),
+            v8 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v7.v * pm.p) AS v
+                FROM v7 JOIN pm ON pm.src = v7.s GROUP BY 1),
+            v9 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v8.v * pm.p) AS v
+                FROM v8 JOIN pm ON pm.src = v8.s GROUP BY 1),
+            v10 AS MATERIALIZED (
+                SELECT pm.dst AS s, sum(v9.v * pm.p) AS v
+                FROM v9 JOIN pm ON pm.src = v9.s GROUP BY 1)
+            SELECT st.s AS event_type,
+                   floor(coalesce(v10.v, 0.0) * 1000000 + 0.501) / 1000000
+                       AS prob
+            FROM states st LEFT JOIN v10 ON v10.s = st.s
         """,
         "events_mad": """
             WITH med AS (

@@ -152,6 +152,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "customer_status_setops",
         "user_event_sequences",
         "event_transitions",
+        "markov_steady_state",
         "next_event_labels",
         "daily_retention",
         "orders_rollup",

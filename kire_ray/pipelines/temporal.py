@@ -530,3 +530,39 @@ def events_ntile(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         )
 
     return partitioned_map_groups(ev, ["event_type"], build)
+
+
+def markov_steady_state(sf_dir: str, iters: int = 10) -> "ray.data.Dataset":
+    """Steady-state distribution of the user-behavior Markov chain:
+    power iteration vᵀP over the row-normalized ``event_transitions``
+    matrix, uniform start, ``iters`` fixed iterations (deterministic
+    and SQL-unrollable like ``kg_pagerank``; absorbing/dangling rows
+    keep their mass in place via a self-loop, mirrored in the oracle).
+
+    The DATA work is the distributed transition count (two-level
+    aggregate, see ``event_transitions``); the iteration runs on the
+    driver over the |types|² matrix — dimension-sized by construction.
+    """
+    tr = event_transitions(sf_dir).to_pandas()
+    states = np.sort(
+        pd.unique(pd.concat([tr["src"], tr["dst"]], ignore_index=True))
+    )
+    k = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((k, k), dtype=np.float64)
+    for _, r in tr.iterrows():
+        P[idx[r["src"]], idx[r["dst"]]] = r["n"]
+    row = P.sum(axis=1)
+    for i in range(k):
+        if row[i] > 0:
+            P[i] /= row[i]
+        else:
+            P[i, i] = 1.0
+    v = np.full(k, 1.0 / k)
+    for _ in range(iters):
+        v = v @ P
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"event_type": states, "prob": round_half_up(v, 6)}
+        )
+    )

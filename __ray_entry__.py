@@ -808,6 +808,12 @@ def _q_source_distinctive_terms(sf_dir: str) -> Any:
     return source_distinctive_terms(docs)
 
 
+def _q_purchase_attribution(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import purchase_attribution
+
+    return purchase_attribution(sf_dir)
+
+
 def _q_markov_steady_state(sf_dir: str) -> Any:
     from kire_ray.pipelines.temporal import markov_steady_state
 
@@ -1734,6 +1740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hour_pmi": _q_event_hour_pmi,
         "events_mad": _q_events_mad,
         "markov_steady_state": _q_markov_steady_state,
+        "purchase_attribution": _q_purchase_attribution,
         "events_anomalies": _q_events_anomalies,
         "source_distinctive_terms": _q_source_distinctive_terms,
         "user_decay_scores": _q_user_decay_scores,
@@ -3086,6 +3093,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c AS BIGINT) AS n,
                    floor(delta * 1000000 + 0.501) / 1000000 AS delta
             FROM r WHERE rank <= 10
+        """,
+        "purchase_attribution": """
+            WITH o AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev
+                FROM events),
+            b AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                 OR tus - prev > 21600000000
+                               THEN 1 ELSE 0 END AS brk
+                FROM o),
+            s AS (
+                SELECT *, sum(brk) OVER (
+                           PARTITION BY user_id
+                           ORDER BY tus, event_id) AS sid
+                FROM b),
+            f AS (
+                SELECT *, first_value(event_type) OVER (
+                           PARTITION BY user_id, sid
+                           ORDER BY tus, event_id) AS first_touch
+                FROM s)
+            SELECT event_id, user_id, first_touch
+            FROM f WHERE event_type = 'purchase'
         """,
         "markov_steady_state": """
             WITH o AS (SELECT user_id, event_type,

@@ -153,6 +153,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "user_event_sequences",
         "event_transitions",
         "markov_steady_state",
+        "purchase_attribution",
         "next_event_labels",
         "daily_retention",
         "orders_rollup",

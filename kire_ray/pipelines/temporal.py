@@ -566,3 +566,51 @@ def markov_steady_state(sf_dir: str, iters: int = 10) -> "ray.data.Dataset":
             {"event_type": states, "prob": round_half_up(v, 6)}
         )
     )
+
+
+def purchase_attribution(sf_dir: str, gap_s: int = 21600) -> "ray.data.Dataset":
+    """First-touch attribution: for every purchase event, the event
+    type that OPENED its session (gap-based, same ``gap_s`` rule as
+    ``sessionize``) — the marketing/behavior question sessionization
+    exists to answer.
+
+    One exchange on user_id; inside the partition the session break /
+    cumsum machinery is shared with ``sessionize`` and the opener is a
+    vectorized first-per-session lookup (no per-session loop).
+    Returns (event_id, user_id, first_touch) for purchase events.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    gap_us = int(gap_s) * 1_000_000
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+            }
+        )
+
+    def attribute(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        u = p["user_id"].to_numpy()
+        t = p["tus"].to_numpy()
+        brk = np.ones(len(p), dtype=np.int64)
+        if len(p) > 1:
+            brk[1:] = ((u[1:] != u[:-1]) | (t[1:] - t[:-1] > gap_us)).astype(np.int64)
+        sid = brk.cumsum() - 1  # global session index within partition
+        types = p["event_type"].to_numpy()
+        opener = types[brk.astype(bool)]  # one per session, in sid order
+        first_touch = opener[sid]
+        is_purchase = types == "purchase"
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy(np.int64)[is_purchase],
+                "user_id": p["user_id"].to_numpy(np.int64)[is_purchase],
+                "first_touch": first_touch[is_purchase],
+            }
+        )
+
+    rows = ev.map_batches(to_us, batch_format="pandas")
+    return partitioned_map_groups(rows, ["user_id"], attribute)

@@ -820,6 +820,12 @@ def _q_markov_steady_state(sf_dir: str) -> Any:
     return markov_steady_state(sf_dir)
 
 
+def _q_users_every_day(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import users_every_day
+
+    return users_every_day(sf_dir)
+
+
 def _q_events_mad(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import events_mad
 
@@ -1739,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "event_hour_pmi": _q_event_hour_pmi,
         "events_mad": _q_events_mad,
+        "users_every_day": _q_users_every_day,
         "markov_steady_state": _q_markov_steady_state,
         "purchase_attribution": _q_purchase_attribution,
         "events_anomalies": _q_events_anomalies,
@@ -3172,6 +3179,15 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(v10.v, 0.0) * 1000000 + 0.501) / 1000000
                        AS prob
             FROM states st LEFT JOIN v10 ON v10.s = st.s
+        """,
+        "users_every_day": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            tot AS (SELECT count(DISTINCT day) AS n FROM d)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_days
+            FROM d GROUP BY user_id
+            HAVING count(*) = (SELECT n FROM tot)
         """,
         "events_mad": """
             WITH med AS (

@@ -156,6 +156,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "purchase_attribution",
         "next_event_labels",
         "daily_retention",
+        "users_every_day",
         "orders_rollup",
         "orders_cube",
         "events_moments",

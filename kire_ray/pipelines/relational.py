@@ -1040,6 +1040,54 @@ def events_quantile_cont(
     )
 
 
+def users_every_day(sf_dir: str) -> "ray.data.Dataset":
+    """Relational division: users active on EVERY day the corpus
+    spans — the "for all" join SQL expresses as HAVING count(DISTINCT)
+    = divisor size (power users / full-coverage entities).
+
+    Distinct (user, day) block combiner → one user exchange counting
+    distinct days per user; the divisor (the global day set) is
+    day-bounded, merged on the driver from per-block partials and
+    broadcast as a single count. Returns (user_id, n_days) for
+    qualifying users.
+    """
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86400_000_000
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "day": day}
+        ).drop_duplicates()
+
+    up = ev.map_batches(pairs, batch_format="pandas").materialize()
+    n_days = int(
+        up.map_batches(
+            lambda b: pd.DataFrame({"day": b["day"].unique()}),
+            batch_format="pandas",
+        )
+        .to_pandas()["day"]
+        .nunique()
+    )
+
+    def divide(p: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            p.drop_duplicates()
+            .groupby("user_id", sort=False)
+            .size()
+            .rename("n_days")
+            .reset_index()
+        )
+        g = g[g["n_days"] == n_days]
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].astype(np.int64),
+                "n_days": g["n_days"].astype(np.int64),
+            }
+        )
+
+    return partitioned_map_groups(up, ["user_id"], divide)
+
+
 def events_anomalies(sf_dir: str, k: float = 5.0) -> "ray.data.Dataset":
     """Robust anomaly flags: events whose value deviates from their
     type's discrete median by more than ``k``·MAD — the outlier screen

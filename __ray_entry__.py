@@ -489,6 +489,26 @@ def _q_jsonl_roundtrip(sf_dir: str) -> Any:
     return back.map_batches(project, batch_format="pandas")
 
 
+def _q_csv_roundtrip(sf_dir: str) -> Any:
+    """CSV interop surface: documents → sharded CSV under /tmp →
+    distributed read_csv back; oracle = the source table, so write AND
+    read are value-exact end to end. Text stays out of the CSV (the
+    synthetic corpus is single-line but CSV quoting of free text is
+    not part of the declared surface — id/lang/n_chars are)."""
+    import hashlib as _h
+    import os as _os
+    import shutil as _sh
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out = f"/tmp/kire_ray_csv/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if _os.path.isdir(out):
+        _sh.rmtree(out)  # Ray uuid-names shards; stale files double-count
+    docs.repartition(16).write_csv(out)
+    return ray.data.read_csv(out)
+
+
 def _q_parquet_hive_export(sf_dir: str) -> Any:
     """documents → hive-partitioned parquet by (lang, source) under
     /tmp; the returned counts are computed by READING THE FILES BACK,
@@ -1774,6 +1794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": _q_skipgram_pairs,
         "jsonl_export": _q_jsonl_export,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "csv_roundtrip": _q_csv_roundtrip,
         "parquet_hive_export": _q_parquet_hive_export,
         "kg_comention": _q_kg_comention,
         "kg_link_prediction": _q_kg_link_prediction,
@@ -1851,6 +1872,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST("end" AS BIGINT) AS "end",
                    surface
             FROM read_parquet('{c01}/gold_mentions.parquet')
+        """,
+        "csv_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
         "jsonl_roundtrip": """
             SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars

@@ -840,6 +840,12 @@ def _q_markov_steady_state(sf_dir: str) -> Any:
     return markov_steady_state(sf_dir)
 
 
+def _q_snapshot_diff(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import snapshot_diff
+
+    return snapshot_diff(sf_dir)
+
+
 def _q_users_every_day(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import users_every_day
 
@@ -1766,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hour_pmi": _q_event_hour_pmi,
         "events_mad": _q_events_mad,
         "users_every_day": _q_users_every_day,
+        "snapshot_diff": _q_snapshot_diff,
         "markov_steady_state": _q_markov_steady_state,
         "purchase_attribution": _q_purchase_attribution,
         "events_anomalies": _q_events_anomalies,
@@ -3203,6 +3210,26 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(v10.v, 0.0) * 1000000 + 0.501) / 1000000
                        AS prob
             FROM states st LEFT JOIN v10 ON v10.s = st.s
+        """,
+        "snapshot_diff": """
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 10 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text
+                FROM documents WHERE doc_id % 13 = 0),
+            j AS (
+                SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                       a.text AS ta, b.text AS tb
+                FROM documents a FULL OUTER JOIN b USING (doc_id))
+            SELECT doc_id,
+                   CASE WHEN ta IS NULL THEN 'added'
+                        WHEN tb IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM j
+            WHERE ta IS NULL OR tb IS NULL OR ta <> tb
         """,
         "users_every_day": """
             WITH d AS (SELECT DISTINCT user_id,

@@ -158,6 +158,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "next_event_labels",
         "daily_retention",
         "users_every_day",
+        "snapshot_diff",
         "orders_rollup",
         "orders_cube",
         "events_moments",

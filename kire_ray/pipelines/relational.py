@@ -1040,6 +1040,71 @@ def events_quantile_cont(
     )
 
 
+def snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Change-data-capture between two corpus snapshots: one hash
+    exchange on the key co-locates both versions of every row and the
+    reducer emits (key, change ∈ added|removed|changed) — the
+    snapshot-reconciliation pass an incremental ingest runs before
+    reprocessing only what moved.
+
+    Snapshot B is derived deterministically from the documents table
+    (every 10th doc deleted, every 7th's text revised, every 13th
+    re-added under a shifted id), so the whole diff — including the
+    synthetic snapshot — is reconstructible in the SQL oracle. Rows
+    ride the exchange tagged with their side; equality is computed
+    in-reducer on the co-located pair (never a driver collect).
+    """
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tag_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype(np.int64), "text": b["text"],
+             "is_b": np.zeros(len(b), dtype=bool)}
+        )
+
+    def make_b(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        txt = b["text"].to_numpy(object)
+        keep = ids % 10 != 0
+        ids_k, txt_k = ids[keep], txt[keep].copy()
+        rev = ids_k % 7 == 0
+        txt_k[rev] = np.char.add(txt_k[rev].astype(str), " v2")
+        add = ids % 13 == 0
+        out_ids = np.concatenate([ids_k, ids[add] + 1_000_000])
+        out_txt = np.concatenate([txt_k, txt[add]])
+        return pd.DataFrame(
+            {"doc_id": out_ids, "text": out_txt,
+             "is_b": np.ones(len(out_ids), dtype=bool)}
+        )
+
+    both = docs.map_batches(tag_a, batch_format="pandas").union(
+        docs.map_batches(make_b, batch_format="pandas")
+    )
+
+    def diff(p: pd.DataFrame) -> pd.DataFrame:
+        a = p[~p["is_b"]].set_index("doc_id")["text"]
+        b = p[p["is_b"]].set_index("doc_id")["text"]
+        removed = a.index.difference(b.index)
+        added = b.index.difference(a.index)
+        common = a.index.intersection(b.index)
+        changed = common[(a.loc[common] != b.loc[common]).to_numpy()]
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [removed.to_numpy(np.int64), added.to_numpy(np.int64),
+                     changed.to_numpy(np.int64)]
+                ),
+                "change": np.concatenate(
+                    [np.full(len(removed), "removed", object),
+                     np.full(len(added), "added", object),
+                     np.full(len(changed), "changed", object)]
+                ),
+            }
+        )
+
+    return partitioned_map_groups(both, ["doc_id"], diff)
+
+
 def users_every_day(sf_dir: str) -> "ray.data.Dataset":
     """Relational division: users active on EVERY day the corpus
     spans — the "for all" join SQL expresses as HAVING count(DISTINCT)

@@ -1658,6 +1658,13 @@ def _q_media_features(sf_dir: str) -> Any:
     return extract_media_features(media)
 
 
+def _q_image_resize(sf_dir: str) -> Any:
+    from kire_ray.pipelines.multimodal import image_resize, synth_media
+
+    media = ray.data.from_arrow(synth_media(_n_media(sf_dir)))
+    return image_resize(media)
+
+
 def _q_frame_sample(sf_dir: str) -> Any:
     from kire_ray.pipelines.multimodal import frame_sample, synth_media
 
@@ -1834,6 +1841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
         "media_features": _q_media_features,
+        "image_resize": _q_image_resize,
         "frame_sample": _q_frame_sample,
         "audio_chunk": _q_audio_chunk,
     }

@@ -182,6 +182,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "weighted_sample",
         "inverted_index",
         "media_features",
+        "image_resize",
     ]:
         t0 = time.time()
         res = qs[name](sf_dir)

@@ -154,3 +154,73 @@ def audio_chunk(
         )
 
     return media.map_batches(explode, batch_format="pandas")
+
+
+class ImageResizer:
+    """Actor-pool resize stage (the decode/encode is the same stub
+    seam as ``MediaFeatureExtractor`` — no codec libraries in this
+    container; ``mode="real"`` raises by design). The REAL parts, all
+    exercised: aspect-preserving geometry (fit the longest side to
+    ``max_side``, never upscale), the actor signature, and the byte
+    plumbing (the fake path emits a deterministic payload whose length
+    scales with the output pixel count, so downstream size accounting
+    is testable).
+    """
+
+    def __init__(self, max_side: int = 224, mode: str = "fake"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.max_side = max_side
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        b = batch.to_pandas()
+        b = b[b["kind"] == "image"]
+        if b.empty:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.string()),
+                    "width": pa.array([], pa.int32()),
+                    "height": pa.array([], pa.int32()),
+                    "out_w": pa.array([], pa.int32()),
+                    "out_h": pa.array([], pa.int32()),
+                    "payload": pa.array([], pa.binary()),
+                }
+            )
+        if self.mode == "real":
+            # STUB: pillow/cv2 unavailable — plug the real resampler here
+            raise NotImplementedError("real image resizing unavailable in this container")
+        w = b["width"].to_numpy(np.int64)
+        h = b["height"].to_numpy(np.int64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        ow = np.maximum(1, np.floor(w * scale + 0.5)).astype(np.int64)
+        oh = np.maximum(1, np.floor(h * scale + 0.5)).astype(np.int64)
+        payloads = []
+        for p, n in zip(b["payload"], (ow * oh // 64).clip(min=1)):
+            reps = -(-int(n) // max(len(p), 1))
+            payloads.append((p * reps)[: int(n)])
+        return pa.table(
+            {
+                "media_id": pa.array(b["media_id"].tolist(), pa.string()),
+                "width": pa.array(w, pa.int32()),
+                "height": pa.array(h, pa.int32()),
+                "out_w": pa.array(ow, pa.int32()),
+                "out_h": pa.array(oh, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def image_resize(
+    media: "ray.data.Dataset", *, max_side: int = 224, concurrency=(1, 4),
+    batch_size: int = 32,
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_side": max_side},
+        batch_format="pyarrow",
+        batch_size=batch_size,  # small: wide binary rows
+        concurrency=concurrency,
+    )

@@ -166,3 +166,24 @@ def test_winsorize_caps_outliers(ray_session):
         df.loc[inner, "value"],
         atol=1e-6,
     )
+
+
+def test_image_resize_geometry(ray_session):
+    """Aspect-preserving fit: longest side <= 224, never upscaled,
+    ratio preserved to rounding; payload length tracks pixel count."""
+    import numpy as np
+    import ray.data
+
+    from kire_ray.pipelines.multimodal import image_resize, synth_media
+
+    media = ray.data.from_arrow(synth_media(120))
+    out = image_resize(media).to_pandas()
+    assert len(out) == 40  # every 3rd synth row is an image
+    w, h = out["width"].to_numpy(float), out["height"].to_numpy(float)
+    ow, oh = out["out_w"].to_numpy(float), out["out_h"].to_numpy(float)
+    assert (np.maximum(ow, oh) <= 224).all()
+    assert (ow <= w).all() and (oh <= h).all()
+    scale = np.minimum(1.0, 224 / np.maximum(w, h))
+    assert (np.abs(ow - np.maximum(1, np.floor(w * scale + 0.5))) == 0).all()
+    n = (ow.astype(int) * oh.astype(int) // 64).clip(min=1)
+    assert (out["payload"].map(len).to_numpy() == n).all()

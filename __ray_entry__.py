@@ -951,15 +951,43 @@ def _q_simhash(sf_dir: str) -> Any:
     return simhash_dedup(_docs(sf_dir))
 
 
+_NGRAM_PAIRS_CACHE: dict[str, Any] = {}
+_DUP_CLUSTERS_CACHE: dict[str, Any] = {}
+
+
+def _ngram_pairs(sf_dir: str) -> Any:
+    """Memoized MATERIALIZED n-gram Jaccard pair table per sf_dir:
+    four driver queries (ngram_jaccard_dedup, dup_clusters,
+    dedup_corpus, pretrain_pack) consume the identical deterministic
+    DAG — the same cache-the-shared-prefix fix the flagship uses."""
+    from kire_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    c = _NGRAM_PAIRS_CACHE.get(sf_dir)
+    if c is None:
+        c = ngram_jaccard_dedup(
+            _docs(sf_dir), ngram=4, threshold=0.5, df_cap=64
+        ).materialize()
+        _NGRAM_PAIRS_CACHE[sf_dir] = c
+    return c
+
+
+def _dup_clusters_cached(sf_dir: str) -> Any:
+    from kire_ray.pipelines.dedup import dup_clusters
+
+    c = _DUP_CLUSTERS_CACHE.get(sf_dir)
+    if c is None:
+        c = dup_clusters(_ngram_pairs(sf_dir)).materialize()
+        _DUP_CLUSTERS_CACHE[sf_dir] = c
+    return c
+
+
 def _q_ngram_jaccard(sf_dir: str) -> Any:
     """Exact word-4-gram Jaccard near-dup (rare-gram blocking, df≤64,
     threshold 0.5) — fully deterministic, blocking AND verification
     reconstructed in the SQL oracle. 4-grams (not 3) keep the blocking
     selective on templated text: at sf0.1 they cut candidate pairs 30×
     (1.13M → 39k) with the identical verified output set."""
-    from kire_ray.pipelines.dedup import ngram_jaccard_dedup
-
-    return ngram_jaccard_dedup(_docs(sf_dir), ngram=4, threshold=0.5, df_cap=64)
+    return _ngram_pairs(sf_dir)
 
 
 def _q_fuzzy_name_pairs(sf_dir: str) -> Any:
@@ -984,10 +1012,7 @@ def _q_dup_clusters(sf_dir: str) -> Any:
     """Connected components over the (deterministic, SQL-replicable)
     n-gram Jaccard duplicate pairs — the distributed min-label
     propagation verified against a recursive-CTE transitive closure."""
-    from kire_ray.pipelines.dedup import dup_clusters, ngram_jaccard_dedup
-
-    pairs = ngram_jaccard_dedup(_docs(sf_dir), ngram=4, threshold=0.5, df_cap=64)
-    return dup_clusters(pairs)
+    return _dup_clusters_cached(sf_dir)
 
 
 N_PLANTED_DUPS = 32
@@ -997,11 +1022,11 @@ PLANT_ID_BASE = 10_000_000
 def _q_dedup_corpus(sf_dir: str) -> Any:
     """End-to-end deduplicated corpus: doc_ids surviving near-dup
     clustering (cluster representative = min id; singletons kept)."""
-    from kire_ray.pipelines.dedup import dedup_corpus, dup_clusters, ngram_jaccard_dedup
+    from kire_ray.pipelines.dedup import dedup_corpus
 
-    docs = _docs(sf_dir)
-    pairs = ngram_jaccard_dedup(docs, ngram=4, threshold=0.5, df_cap=64)
-    return dedup_corpus(docs, dup_clusters(pairs)).select_columns(["doc_id"])
+    return dedup_corpus(
+        _docs(sf_dir), _dup_clusters_cached(sf_dir)
+    ).select_columns(["doc_id"])
 
 
 def _q_pretrain_pack(sf_dir: str) -> Any:
@@ -1009,12 +1034,12 @@ def _q_pretrain_pack(sf_dir: str) -> Any:
     corpus packed into fixed 2048-token sequences (clean→dedup→pack
     composed as ONE streaming chain; the oracle composes the same
     recursive-closure + window-prefix-sum SQL)."""
-    from kire_ray.pipelines.dedup import dedup_corpus, dup_clusters, ngram_jaccard_dedup
+    from kire_ray.pipelines.dedup import dedup_corpus
     from kire_ray.pipelines.text_analysis import pack_sequences
 
-    docs = _docs(sf_dir)
-    pairs = ngram_jaccard_dedup(docs, ngram=4, threshold=0.5, df_cap=64)
-    return pack_sequences(dedup_corpus(docs, dup_clusters(pairs)), budget=2048)
+    return pack_sequences(
+        dedup_corpus(_docs(sf_dir), _dup_clusters_cached(sf_dir)), budget=2048
+    )
 
 
 def _q_embdedup(sf_dir: str) -> Any:

@@ -95,14 +95,13 @@ def partitioned_map_groups(
     are never split across partitions.
 
     Mechanics note (measured Aug 2026, Ray 2.49): this exchange rides
-    ``groupby(pid).map_groups`` — a SORT-based shuffle. With
-    ``DataContext.shuffle_strategy = HASH_SHUFFLE``,
-    ``repartition(P, keys=keys).map_batches(fn, batch_size=None)``
-    produces the same partitioning ~2× faster on small exchanges
-    (2.5 s vs 6.2 s on a 255k-row exchange at 32 CPUs) but changes
-    within-partition row order and the global shuffle backend for
-    every operator — a swap to make EARLY in a round with the full
-    oracle sweep as the gate, not as a late micro-optimization.
+    ``groupby(pid).map_groups`` — a sort-based shuffle. The apparent
+    alternative, ``repartition(P, keys=keys).map_batches(fn)`` under
+    ``DataContext.shuffle_strategy = HASH_SHUFFLE``, measured EQUAL on
+    a 255k-row exchange at 32 CPUs (2.49 s vs 2.50 s under the default
+    strategy) — the 2× gap seen in a mixed-strategy session was the
+    sort path degrading under the HASH strategy (6.2 s), not the hash
+    path winning. No reason to swap backends; keeping the default.
     """
     P = num_partitions or default_partitions()
     keys = list(keys)

@@ -711,30 +711,33 @@ def embedding_gram(
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         M = np.stack([np.asarray(x, dtype=np.float64) for x in b[emb_col]])
         g = M.T @ M
-        iu = np.triu_indices(g.shape[0])
-        row = {"n": float(len(M))}
-        row.update({f"g{i}_{j}": g[i, j] for i, j in zip(*iu)})
-        return pd.DataFrame([row])
+        iu, ju = np.triu_indices(g.shape[0])
+        # long format (one row per cell, numpy columns): a 2081-column
+        # single-row frame cost ~7s at sf0.1 in pandas dict assembly
+        return pd.DataFrame(
+            {
+                "i": np.concatenate([iu + 1, [0]]).astype(np.int64),
+                "j": np.concatenate([ju + 1, [0]]).astype(np.int64),
+                "v": np.concatenate([g[iu, ju], [float(len(M))]]),
+            }
+        )
 
     tot = (
         emb.map_batches(partial, batch_format="pandas", batch_size=None)
         .to_pandas()
+        .groupby(["i", "j"], sort=True)["v"]
         .sum()
+        .reset_index()
     )
-    d = int((np.sqrt(8 * (len(tot) - 1) + 1) - 1) // 2)
-    ia, ib, v = [], [], []
-    for i in range(d):
-        for j in range(i, d):
-            ia.append(i + 1)
-            ib.append(j + 1)
-            v.append(tot[f"g{i}_{j}"])
+    n = int(tot.loc[(tot["i"] == 0) & (tot["j"] == 0), "v"].iloc[0])
+    cells = tot[tot["i"] > 0]
     return ray.data.from_pandas(
         pd.DataFrame(
             {
-                "dim_a": np.array(ia, np.int64),
-                "dim_b": np.array(ib, np.int64),
-                "n": np.full(len(ia), int(tot["n"]), np.int64),
-                "dot": round_half_up(np.array(v, np.float64), 6),
+                "dim_a": cells["i"].to_numpy(np.int64),
+                "dim_b": cells["j"].to_numpy(np.int64),
+                "n": np.full(len(cells), n, np.int64),
+                "dot": round_half_up(cells["v"].to_numpy(np.float64), 6),
             }
         )
     )

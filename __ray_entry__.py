@@ -437,14 +437,28 @@ def _q_event_pairs_within(sf_dir: str) -> Any:
     return event_pairs_within(sf_dir)
 
 
+_COMENTION_CACHE: dict[str, Any] = {}
+
+
+def _comention_cached(sf_dir: str) -> Any:
+    """Memoized materialized co-mention graph (kg_comention and
+    kg_link_prediction share it — same cache-the-shared-prefix fix as
+    the flagship and the ngram-dedup DAG)."""
+    from kire_ray.pipelines.kg_construct import comention_edges
+
+    c = _COMENTION_CACHE.get(sf_dir)
+    if c is None:
+        lc = _flagship_linked(sf_dir)
+        c = comention_edges(lc["linked"]).materialize()
+        _COMENTION_CACHE[sf_dir] = c
+    return c
+
+
 def _q_kg_comention(sf_dir: str) -> Any:
     """Surface co-mention graph off the cached linked docs; the mention
     scan is span-exact vs planted gold (see kg_mentions_flat), so the
     oracle is a gold_mentions self-join (corpus-side, sf0.01-bound)."""
-    from kire_ray.pipelines.kg_construct import comention_edges
-
-    c = _flagship_linked(sf_dir)
-    return comention_edges(c["linked"])
+    return _comention_cached(sf_dir)
 
 
 def _q_kg_link_prediction(sf_dir: str) -> Any:
@@ -453,11 +467,9 @@ def _q_kg_link_prediction(sf_dir: str) -> Any:
     scan is span-exact vs gold, so the oracle reconstructs the same
     scores from a gold_mentions self-join (corpus-side, sf0.01)."""
     from kire_ray.pipelines.graph_algos import link_prediction
-    from kire_ray.pipelines.kg_construct import comention_edges
 
-    c = _flagship_linked(sf_dir)
     return link_prediction(
-        comention_edges(c["linked"]), support_col="n", min_support=2
+        _comention_cached(sf_dir), support_col="n", min_support=2
     )
 
 

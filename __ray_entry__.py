@@ -369,6 +369,14 @@ def _q_bloom_filter_join(sf_dir: str) -> Any:
     ).astype(np.int64)
 
 
+def _q_join_size_estimate(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sketches import join_size_estimate
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return join_size_estimate(orders, cust, left_key="o_custkey", right_key="c_custkey")
+
+
 def _q_cms_heavy_hitters(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import cms_heavy_hitters
 
@@ -1867,6 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "join_size_estimate": _q_join_size_estimate,
         "bloom_filter_join": _q_bloom_filter_join,
         "hist_quantiles": _q_hist_quantiles,
         "winsorize_events": _q_winsorize,
@@ -4114,6 +4123,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN hit h ON h.key = l.l_orderkey
             LEFT JOIN build bk ON bk.key = l.l_orderkey
+        """,
+        "join_size_estimate": """
+            WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS n
+                        FROM orders GROUP BY 1),
+            kb AS (SELECT CAST(c_custkey AS VARCHAR) AS k, count(*) AS n
+                   FROM customer GROUP BY 1),
+            rws AS (SELECT unnest(generate_series(0, 3)) AS j),
+            ca AS (SELECT r.j,
+                          CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR)
+                                                   || '_' || ka.k),
+                                               1, 15)) AS BIGINT) % 2048
+                              AS bucket,
+                          sum(ka.n) AS c
+                   FROM rws r CROSS JOIN ka GROUP BY 1, 2),
+            cb AS (SELECT r.j,
+                          CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR)
+                                                   || '_' || kb.k),
+                                               1, 15)) AS BIGINT) % 2048
+                              AS bucket,
+                          sum(kb.n) AS c
+                   FROM rws r CROSS JOIN kb GROUP BY 1, 2),
+            ip AS (SELECT ca.j, sum(ca.c * cb.c) AS x
+                   FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+                   GROUP BY ca.j),
+            ex AS (SELECT sum(ka.n * kb.n) AS exact
+                   FROM ka JOIN kb USING (k))
+            SELECT CAST((SELECT exact FROM ex) AS BIGINT) AS exact,
+                   CAST((SELECT min(x) FROM ip) AS BIGINT) AS estimate
         """,
         "cms_heavy_hitters": """
             WITH tok AS (

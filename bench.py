@@ -81,6 +81,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "hll_distinct_users",
         "table_profile",
         "cms_heavy_hitters",
+        "join_size_estimate",
         "bloom_filter_join",
         "hist_quantiles",
         "winsorize_events",

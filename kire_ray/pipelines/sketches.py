@@ -460,3 +460,102 @@ def winsorize(
         )
 
     return ds.map_batches(clamp, batch_format="pandas")
+
+
+def join_size_estimate(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+) -> "ray.data.Dataset":
+    """Join-size estimation WITHOUT running the join: the Count-Min
+    inner-product estimator (Cormode & Muthukrishnan 2005, §4.2) —
+    |A ⋈ B| ≈ min_d Σ_w cmsA[d][w]·cmsB[d][w]. The planner-style
+    cardinality probe a pipeline runs before choosing a join strategy;
+    collisions only ever OVER-estimate, and the whole sketch is
+    integer arithmetic on md5 buckets, so the DuckDB oracle reproduces
+    estimate AND exact bit-for-bit.
+
+    One streaming pass per side building the fixed d×w counter
+    partials (same construction as ``cms_heavy_hitters``), one
+    sketch-sized exchange each; the exact size rides the same pass as
+    a per-key count combiner joined by the oracle's group-sum — no
+    row-level join anywhere. Returns one row: (exact, estimate).
+    """
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def side(ds, key, tag):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            counts = b[key].value_counts()
+            words = counts.index.to_numpy(dtype=object)
+            n = counts.to_numpy(np.int64)
+            rows = []
+            for j in range(CMS_D):
+                buck = np.fromiter(
+                    (
+                        int(
+                            hashlib.md5(f"{j}_{w}".encode("utf-8")).hexdigest()[:15],
+                            16,
+                        )
+                        % CMS_W
+                        for w in words
+                    ),
+                    dtype=np.int64,
+                    count=len(words),
+                )
+                g = pd.DataFrame({"row": np.int64(j), "bucket": buck, "n": n})
+                rows.append(
+                    g.groupby(["row", "bucket"], sort=False).sum().reset_index()
+                )
+            return pd.concat(rows, ignore_index=True)
+
+        t = grouped_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["row", "bucket"],
+            {"n": ("n", "sum")},
+        ).to_pandas()
+        C = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        C[t["row"].to_numpy(np.int64), t["bucket"].to_numpy(np.int64)] = t[
+            "n"
+        ].to_numpy(np.int64)
+        return C
+
+    CA = side(left, left_key, "a")
+    CB = side(right, right_key, "b")
+    estimate = int((CA * CB).sum(axis=1).min())
+
+    # exact |A ⋈ B| = Σ_k cntA(k)·cntB(k): per-key combiner on each
+    # side, one key exchange joining the two count tables
+    def cnt(ds, key, col):
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b[key].value_counts()
+            return pd.DataFrame(
+                {"k": vc.index.to_numpy(), col: vc.to_numpy(np.int64)}
+            )
+
+        return grouped_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["k"],
+            {col: (col, "sum")},
+        )
+
+    from kire_ray.stages.joins import hash_join
+
+    j = hash_join(cnt(left, left_key, "na"), cnt(right, right_key, "nb"), ["k"])
+
+    def prod(b: pd.DataFrame) -> pd.DataFrame:
+        if "na" not in b.columns:
+            return pd.DataFrame({"x": np.array([], np.int64)})
+        return pd.DataFrame(
+            {"x": [int((b["na"].to_numpy(np.int64) * b["nb"].to_numpy(np.int64)).sum())]}
+        )
+
+    exact = int(
+        j.map_batches(prod, batch_format="pandas").to_pandas()["x"].sum()
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"exact": [np.int64(exact)], "estimate": [np.int64(estimate)]}
+        )
+    )

@@ -369,6 +369,31 @@ def _q_bloom_filter_join(sf_dir: str) -> Any:
     ).astype(np.int64)
 
 
+def _q_kmv_set_ops(sf_dir: str) -> Any:
+    """KMV/Theta sketch set algebra over (user, day) activity keys of
+    the purchase vs click slices."""
+    from kire_ray.pipelines.sketches import kmv_set_ops
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def add_day(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "day": b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+                // 86400_000_000,
+                "event_type": b["event_type"],
+            }
+        )
+
+    return kmv_set_ops(
+        ev.map_batches(add_day, batch_format="pandas"),
+        key_cols=("user_id", "day"),
+    )
+
+
 def _q_join_size_estimate(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import join_size_estimate
 
@@ -1876,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "join_size_estimate": _q_join_size_estimate,
+        "kmv_set_ops": _q_kmv_set_ops,
         "bloom_filter_join": _q_bloom_filter_join,
         "hist_quantiles": _q_hist_quantiles,
         "winsorize_events": _q_winsorize,
@@ -4123,6 +4149,48 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l
             JOIN hit h ON h.key = l.l_orderkey
             LEFT JOIN build bk ON bk.key = l.l_orderkey
+        """,
+        "kmv_set_ops": """
+            WITH keyed AS (
+                SELECT event_type,
+                       CAST(user_id AS VARCHAR) || '_'
+                           || CAST(epoch_us(ts) // 86400000000 AS VARCHAR)
+                           AS k
+                FROM events
+                WHERE event_type IN ('purchase', 'click')),
+            ha AS (SELECT DISTINCT
+                       CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h
+                   FROM keyed WHERE event_type = 'purchase'),
+            hb AS (SELECT DISTINCT
+                       CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h
+                   FROM keyed WHERE event_type = 'click'),
+            ka AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha),
+            kb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb),
+            sa AS (SELECT h FROM ka WHERE rn <= 256),
+            sb AS (SELECT h FROM kb WHERE rn <= 256),
+            ku AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                   FROM (SELECT h FROM sa UNION SELECT h FROM sb)),
+            su AS (SELECT h FROM ku WHERE rn <= 256),
+            e AS (
+                SELECT
+                    CASE WHEN (SELECT count(*) FROM sa) < 256
+                         THEN (SELECT count(*) * 1.0 FROM sa)
+                         ELSE 255 / ((SELECT max(h) FROM sa)
+                                     / 1152921504606846976.0) END AS ea,
+                    CASE WHEN (SELECT count(*) FROM sb) < 256
+                         THEN (SELECT count(*) * 1.0 FROM sb)
+                         ELSE 255 / ((SELECT max(h) FROM sb)
+                                     / 1152921504606846976.0) END AS eb,
+                    CASE WHEN (SELECT count(*) FROM su) < 256
+                         THEN (SELECT count(*) * 1.0 FROM su)
+                         ELSE 255 / ((SELECT max(h) FROM su)
+                                     / 1152921504606846976.0) END AS eu)
+            SELECT floor(ea * 1000000 + 0.501) / 1000000 AS est_a,
+                   floor(eb * 1000000 + 0.501) / 1000000 AS est_b,
+                   floor(eu * 1000000 + 0.501) / 1000000 AS est_union,
+                   floor((ea + eb - eu) * 1000000 + 0.501) / 1000000
+                       AS est_inter
+            FROM e
         """,
         "join_size_estimate": """
             WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS n

@@ -82,6 +82,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "table_profile",
         "cms_heavy_hitters",
         "join_size_estimate",
+        "kmv_set_ops",
         "bloom_filter_join",
         "hist_quantiles",
         "winsorize_events",

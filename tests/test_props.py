@@ -144,3 +144,32 @@ def test_ep_dis_antisymmetry_property(deltas):
 
     d = np.asarray(deltas, dtype=np.int64)
     assert (ep_dis_signed(d) + ep_dis_signed(-d) == 20).all()
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    """KMV estimates must land within ~3/sqrt(k) of the exact distinct
+    counts on the saturated slices (and exactly on unsaturated ones)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from kire_ray.pipelines.sketches import kmv_set_ops
+
+    SF = "/root/testdata/sf0.01"
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["day"] = ev["ts"].astype("int64") // 86400_000_000
+
+    def keys(t):
+        s = ev[ev["event_type"] == t]
+        return set(zip(s["user_id"], s["day"]))
+
+    a, b = keys("purchase"), keys("click")
+    ds = ray.data.from_pandas(ev[["user_id", "day", "event_type"]]).repartition(8)
+    got = kmv_set_ops(ds, key_cols=("user_id", "day")).to_pandas().iloc[0]
+    tol = 3.0 / np.sqrt(256)  # ~19% at k=256
+    for est, exact in [
+        (got["est_a"], len(a)),
+        (got["est_b"], len(b)),
+        (got["est_union"], len(a | b)),
+    ]:
+        assert abs(est - exact) / exact < tol, (est, exact)

@@ -50,7 +50,15 @@ def _conc(concurrency: int | None) -> tuple[int, int]:
     """Actor-pool size: autoscale 1..N where N tracks the cluster CPU
     count (the reference is single-process; our pools must follow the
     cluster or a 4-actor cap throttles 32+ CPUs — measured 0.37 scaling
-    efficiency before this, >0.8 after)."""
+    efficiency before this, >0.8 after).
+
+    The floor MUST stay 1: raising the minimum (tried N/2) makes the
+    fused pipeline's two stacked pools pre-reserve CPUs before the
+    upstream task stages release theirs and the streaming executor
+    deadlocks (observed hang; each stage alone runs fine). The
+    autoscaler ramp costs ~2 s on a short standalone stage (embedder
+    5.3 s at (1,32) vs 3.0 s at (16,32)) — the price of a DAG that
+    cannot self-starve."""
     return (1, concurrency or max(4, _cluster_cpus()))
 
 

@@ -4197,21 +4197,19 @@ def oracle_sql() -> dict[str, str]:
                         FROM orders GROUP BY 1),
             kb AS (SELECT CAST(c_custkey AS VARCHAR) AS k, count(*) AS n
                    FROM customer GROUP BY 1),
-            rws AS (SELECT unnest(generate_series(0, 3)) AS j),
-            ca AS (SELECT r.j,
-                          CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR)
-                                                   || '_' || ka.k),
-                                               1, 15)) AS BIGINT) % 2048
-                              AS bucket,
-                          sum(ka.n) AS c
-                   FROM rws r CROSS JOIN ka GROUP BY 1, 2),
-            cb AS (SELECT r.j,
-                          CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR)
-                                                   || '_' || kb.k),
-                                               1, 15)) AS BIGINT) % 2048
-                              AS bucket,
-                          sum(kb.n) AS c
-                   FROM rws r CROSS JOIN kb GROUP BY 1, 2),
+            rws AS (SELECT unnest(generate_series(0, 2)) AS j),
+            ha AS (SELECT k, n,
+                          CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h
+                   FROM ka),
+            hb AS (SELECT k, n,
+                          CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) AS h
+                   FROM kb),
+            ca AS (SELECT r.j, (ha.h >> (16 * r.j)) % 65536 AS bucket,
+                          sum(ha.n) AS c
+                   FROM rws r CROSS JOIN ha GROUP BY 1, 2),
+            cb AS (SELECT r.j, (hb.h >> (16 * r.j)) % 65536 AS bucket,
+                          sum(hb.n) AS c
+                   FROM rws r CROSS JOIN hb GROUP BY 1, 2),
             ip AS (SELECT ca.j, sum(ca.c * cb.c) AS x
                    FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
                    GROUP BY ca.j),

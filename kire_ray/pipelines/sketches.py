@@ -478,11 +478,15 @@ def join_size_estimate(
     estimate AND exact bit-for-bit.
 
     One streaming pass per side building the fixed d×w counter
-    partials (same construction as ``cms_heavy_hitters``), one
-    sketch-sized exchange each; the exact size rides the same pass as
-    a per-key count combiner joined by the oracle's group-sum — no
-    row-level join anywhere. Returns one row: (exact, estimate).
+    partials (same construction as ``cms_heavy_hitters`` but w=65536:
+    the inner product's additive error is |A|·|B|/w per row — at
+    w=2048 the noise floor (~1.1M at sf0.1) drowned the 150k signal;
+    16-bit buckets put it at ~2%), one sketch-sized exchange each; the
+    exact size rides the same pass as a per-key count combiner joined
+    by the oracle's group-sum — no row-level join anywhere. Returns
+    one row: (exact, estimate).
     """
+    JS_D, JS_W = 3, 65536  # 3 × 16-bit slices of the 60-bit md5
     from kire_ray.stages.shuffle import grouped_agg
 
     def side(ds, key, tag):
@@ -490,20 +494,21 @@ def join_size_estimate(
             counts = b[key].value_counts()
             words = counts.index.to_numpy(dtype=object)
             n = counts.to_numpy(np.int64)
+            # ONE md5 per distinct key; the d buckets are disjoint
+            # 11-bit slices of the 60-bit hash (Kirsch–Mitzenmacher
+            # derived hashing — 4×11 ≤ 60 bits, and one hash pass
+            # instead of four was worth 4s at sf0.1)
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(str(w).encode("utf-8")).hexdigest()[:15], 16)
+                    for w in words
+                ),
+                dtype=np.int64,
+                count=len(words),
+            )
             rows = []
-            for j in range(CMS_D):
-                buck = np.fromiter(
-                    (
-                        int(
-                            hashlib.md5(f"{j}_{w}".encode("utf-8")).hexdigest()[:15],
-                            16,
-                        )
-                        % CMS_W
-                        for w in words
-                    ),
-                    dtype=np.int64,
-                    count=len(words),
-                )
+            for j in range(JS_D):
+                buck = (h >> (16 * j)) % JS_W
                 g = pd.DataFrame({"row": np.int64(j), "bucket": buck, "n": n})
                 rows.append(
                     g.groupby(["row", "bucket"], sort=False).sum().reset_index()
@@ -515,7 +520,7 @@ def join_size_estimate(
             ["row", "bucket"],
             {"n": ("n", "sum")},
         ).to_pandas()
-        C = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        C = np.zeros((JS_D, JS_W), dtype=np.int64)
         C[t["row"].to_numpy(np.int64), t["bucket"].to_numpy(np.int64)] = t[
             "n"
         ].to_numpy(np.int64)
@@ -525,24 +530,28 @@ def join_size_estimate(
     CB = side(right, right_key, "b")
     estimate = int((CA * CB).sum(axis=1).min())
 
-    # exact |A ⋈ B| = Σ_k cntA(k)·cntB(k): per-key combiner on each
-    # side, one key exchange joining the two count tables
-    def cnt(ds, key, col):
+    # exact |A ⋈ B| = Σ_k cntA(k)·cntB(k): both sides' per-key count
+    # partials ride ONE tagged exchange (a join of two count tables is
+    # the same co-location twice over)
+    def cnt_partial(key, col, other):
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             vc = b[key].value_counts()
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {"k": vc.index.to_numpy(), col: vc.to_numpy(np.int64)}
             )
+            out[other] = np.int64(0)
+            return out
 
-        return grouped_agg(
-            ds.map_batches(partial, batch_format="pandas"),
-            ["k"],
-            {col: (col, "sum")},
-        )
+        return partial
 
-    from kire_ray.stages.joins import hash_join
-
-    j = hash_join(cnt(left, left_key, "na"), cnt(right, right_key, "nb"), ["k"])
+    both = left.map_batches(
+        cnt_partial(left_key, "na", "nb"), batch_format="pandas"
+    ).union(
+        right.map_batches(cnt_partial(right_key, "nb", "na"), batch_format="pandas")
+    )
+    g = grouped_agg(
+        both, ["k"], {"na": ("na", "sum"), "nb": ("nb", "sum")}
+    )
 
     def prod(b: pd.DataFrame) -> pd.DataFrame:
         if "na" not in b.columns:
@@ -552,7 +561,7 @@ def join_size_estimate(
         )
 
     exact = int(
-        j.map_batches(prod, batch_format="pandas").to_pandas()["x"].sum()
+        g.map_batches(prod, batch_format="pandas").to_pandas()["x"].sum()
     )
     return ray.data.from_pandas(
         pd.DataFrame(

@@ -57,7 +57,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     n_triples = qs["kg_triples"](sf_dir).count()
     timings["kg_triples"] = round(time.time() - t0, 3)
     extras["n_triples"] = n_triples
-    extras["triples_per_sec"] = round(n_triples / timings["kg_triples"], 1)
+    # max(…, 1 ms): when sf_dir == the warm-up dir the cached flagship
+    # returns instantly and the rate would divide by zero
+    extras["triples_per_sec"] = round(
+        n_triples / max(timings["kg_triples"], 0.001), 1
+    )
 
     for name in [
         "kg_edges",
@@ -185,6 +189,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "inverted_index",
         "media_features",
         "image_resize",
+        "frame_sample",
+        "audio_chunk",
     ]:
         t0 = time.time()
         res = qs[name](sf_dir)

@@ -885,6 +885,12 @@ def _q_markov_steady_state(sf_dir: str) -> Any:
     return markov_steady_state(sf_dir)
 
 
+def _q_events_wow_change(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_wow_change
+
+    return events_wow_change(sf_dir)
+
+
 def _q_snapshot_diff(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import snapshot_diff
 
@@ -1850,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": _q_events_mad,
         "users_every_day": _q_users_every_day,
         "snapshot_diff": _q_snapshot_diff,
+        "events_wow_change": _q_events_wow_change,
         "markov_steady_state": _q_markov_steady_state,
         "purchase_attribution": _q_purchase_attribution,
         "events_anomalies": _q_events_anomalies,
@@ -3290,6 +3297,21 @@ def oracle_sql() -> dict[str, str]:
                    floor(coalesce(v10.v, 0.0) * 1000000 + 0.501) / 1000000
                        AS prob
             FROM states st LEFT JOIN v10 ON v10.s = st.s
+        """,
+        "events_wow_change": """
+            WITH w AS (
+                SELECT event_type,
+                       epoch_us(ts) // 604800000000 AS wk,
+                       sum(value) AS v, count(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, wk, CAST(n AS BIGINT) AS n,
+                   floor(v * 1000000 + 0.501) / 1000000 AS total,
+                   floor(coalesce((v - lag(v) OVER (PARTITION BY event_type
+                                                    ORDER BY wk))
+                                  / lag(v) OVER (PARTITION BY event_type
+                                                 ORDER BY wk), 0.0)
+                         * 1000000 + 0.501) / 1000000 AS pct_change
+            FROM w
         """,
         "snapshot_diff": """
             WITH b AS (

@@ -165,6 +165,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "daily_retention",
         "users_every_day",
         "snapshot_diff",
+        "events_wow_change",
         "orders_rollup",
         "orders_cube",
         "events_moments",

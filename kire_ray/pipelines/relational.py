@@ -1040,6 +1040,49 @@ def events_quantile_cont(
     )
 
 
+def events_wow_change(sf_dir: str) -> "ray.data.Dataset":
+    """Week-over-week trend per event type: weekly value totals with
+    the lagged percentage change — the growth dashboard's core window
+    query (LAG over an aggregated series).
+
+    Block-local (type, week) combiner → one tiny exchange co-locating
+    each type's weekly series → vectorized shift inside the reducer
+    (series length = corpus weeks; the big data never reshuffles on
+    the output key — the ``event_transitions`` two-level shape).
+    """
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        wk = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 604_800_000_000
+        g = pd.DataFrame({"event_type": b["event_type"], "wk": wk,
+                          "v": b["value"].to_numpy(np.float64), "n": 1})
+        return g.groupby(["event_type", "wk"], sort=False).sum().reset_index()
+
+    weekly = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "wk"],
+        {"v": ("v", "sum"), "n": ("n", "sum")},
+    )
+
+    def change(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["event_type", "wk"], kind="mergesort").reset_index(drop=True)
+        prev = p.groupby("event_type", sort=False)["v"].shift(1)
+        # first week has no predecessor: 0.0 on both compare sides
+        # (NaN-vs-NULL would hash-mismatch)
+        pct = ((p["v"] - prev) / prev).fillna(0.0)
+        return pd.DataFrame(
+            {
+                "event_type": p["event_type"],
+                "wk": p["wk"].astype(np.int64),
+                "n": p["n"].astype(np.int64),
+                "total": round_half_up(p["v"].to_numpy(np.float64), 6),
+                "pct_change": round_half_up(pct.to_numpy(np.float64), 6),
+            }
+        )
+
+    return partitioned_map_groups(weekly, ["event_type"], change)
+
+
 def snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
     """Change-data-capture between two corpus snapshots: one hash
     exchange on the key co-locates both versions of every row and the

@@ -864,6 +864,15 @@ def _q_events_anomalies(sf_dir: str) -> Any:
     return events_anomalies(sf_dir)
 
 
+def _q_nb_source_classifier(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import nb_source_classifier
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return nb_source_classifier(docs)
+
+
 def _q_source_distinctive_terms(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import source_distinctive_terms
 
@@ -1861,6 +1870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": _q_purchase_attribution,
         "events_anomalies": _q_events_anomalies,
         "source_distinctive_terms": _q_source_distinctive_terms,
+        "nb_source_classifier": _q_nb_source_classifier,
         "user_decay_scores": _q_user_decay_scores,
         "bigram_logprob": _q_bigram_logprob,
         "events_quantile_cont": _q_events_quantile_cont,
@@ -3189,6 +3199,44 @@ def oracle_sql() -> dict[str, str]:
                        AS deviation
             FROM events e JOIN mad s USING (event_type)
             WHERE abs(e.value - s.med) > 5.0 * s.mad
+        """,
+        "nb_source_classifier": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents),
+            ct AS (SELECT source, word, count(*) * 1.0 AS n
+                   FROM w GROUP BY 1, 2),
+            tok AS (SELECT source, sum(n) AS t FROM ct GROUP BY 1),
+            vs AS (SELECT count(DISTINCT word) * 1.0 AS v FROM ct),
+            dc AS (SELECT source, count(*) * 1.0 AS nd
+                   FROM documents GROUP BY 1),
+            ll AS (
+                SELECT s.source, w2.word,
+                       ln((coalesce(c.n, 0) + 1.0) / (tok.t + vs.v)) AS l
+                FROM (SELECT DISTINCT word FROM ct) w2
+                CROSS JOIN (SELECT source FROM dc) s
+                LEFT JOIN ct c ON c.source = s.source AND c.word = w2.word
+                JOIN tok ON tok.source = s.source
+                CROSS JOIN vs),
+            sc AS (
+                SELECT wd.doc_id, ll.source AS cand, sum(ll.l) AS sl
+                FROM w wd JOIN ll ON ll.word = wd.word
+                GROUP BY 1, 2),
+            q AS (
+                SELECT sc.doc_id, sc.cand,
+                       floor((ln(dc.nd / (SELECT sum(nd) FROM dc)) + sc.sl)
+                             * 1000000 + 0.501) / 1000000 AS qs
+                FROM sc JOIN dc ON dc.source = sc.cand),
+            pick AS (
+                SELECT doc_id, cand,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY qs DESC, cand) AS rn
+                FROM q)
+            SELECT d.doc_id, d.source AS actual, p.cand AS predicted,
+                   d.source = p.cand AS correct
+            FROM documents d JOIN pick p
+              ON p.doc_id = d.doc_id AND p.rn = 1
         """,
         "source_distinctive_terms": """
             WITH w AS (

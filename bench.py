@@ -180,6 +180,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_mad",
         "events_anomalies",
         "source_distinctive_terms",
+        "nb_source_classifier",
         "user_decay_scores",
         "events_quantile_cont",
         "events_ab_test",

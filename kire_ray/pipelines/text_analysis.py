@@ -1206,3 +1206,100 @@ def source_distinctive_terms(
             }
         )
     )
+
+
+def nb_source_classifier(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Multinomial naive-Bayes source attribution, trained and scored
+    on the corpus itself (add-1 smoothing) — model scoring as a pure
+    dataflow, and therefore exactly SQL-verifiable end to end: the
+    oracle retrains the same counts and re-scores every doc.
+
+    Train pass = ONE (source, word) count exchange (vocab-bounded
+    broadcast, the ``tfidf_top_terms`` trade-off); score pass streams
+    docs through a vectorized log-likelihood matrix lookup
+    (searchsorted into the sorted vocab, one (n_words × n_sources)
+    numpy gather per doc). Determinism at near-ties: scores are
+    quantized half-up to 6dp BEFORE the argmax on both compare sides,
+    ties broken source-asc — float summation order can no longer flip
+    a prediction. Returns (doc_id, actual, predicted, correct).
+    """
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_w = [], []
+        for g, t in zip(b[group_col], b[text_col]):
+            w = t.split()
+            rows_g.extend([g] * len(w))
+            rows_w.extend(w)
+        df = pd.DataFrame({group_col: rows_g, "word": rows_w})
+        return (
+            df.groupby([group_col, "word"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    ct = grouped_agg(
+        ds.map_batches(part, batch_format="pandas"),
+        [group_col, "word"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    # doc counts per source for the prior
+    dc = grouped_agg(
+        ds.map_batches(
+            lambda b: b.groupby(group_col, sort=False)
+            .size()
+            .rename("nd")
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        [group_col],
+        {"nd": ("nd", "sum")},
+    ).to_pandas()
+
+    sources = np.sort(dc[group_col].to_numpy(object))
+    vocab = np.sort(ct["word"].unique().astype(object))
+    V = float(len(vocab))
+    tok_tot = (
+        ct.groupby(group_col)["n"].sum().reindex(sources).to_numpy(np.float64)
+    )
+    M = np.zeros((len(vocab), len(sources)), dtype=np.float64)
+    wi = np.searchsorted(vocab, ct["word"].to_numpy(object))
+    si = np.searchsorted(sources, ct[group_col].to_numpy(object))
+    M[wi, si] = ct["n"].to_numpy(np.float64)
+    loglik = np.log((M + 1.0) / (tok_tot + V))
+    prior = np.log(
+        dc.set_index(group_col)["nd"].reindex(sources).to_numpy(np.float64)
+        / float(dc["nd"].sum())
+    )
+    ref = ray.put((vocab, sources, loglik, prior))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        voc, srcs, L, P = ray.get(ref)
+        pred, actual, ids = [], [], []
+        for i, g, t in zip(b[id_col], b[group_col], b[text_col]):
+            w = np.asarray(t.split(), dtype=object)
+            s = P + (L[np.searchsorted(voc, w)].sum(axis=0) if len(w) else 0.0)
+            sq = np.floor(s * 1e6 + 0.501) / 1e6  # quantized argmax
+            pred.append(srcs[int(np.argmax(sq))])  # first max = src asc
+            actual.append(g)
+            ids.append(i)
+        return pd.DataFrame(
+            {
+                id_col: np.asarray(ids, dtype=np.int64),
+                "actual": np.asarray(actual, dtype=object),
+                "predicted": np.asarray(pred, dtype=object),
+                "correct": np.asarray(
+                    [a == p for a, p in zip(actual, pred)], dtype=bool
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

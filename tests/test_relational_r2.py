@@ -246,3 +246,40 @@ def test_events_quantile_cont_vs_numpy(ray_session):
             ev.loc[ev["event_type"] == t, "value"].to_numpy(), q, method="linear"
         )
         assert abs(grp["value"].iloc[0] - want) < 1e-5, (t, q)
+
+
+def test_wow_change_and_nb_classifier(ray_session):
+    import numpy as np
+
+    got = (
+        R.events_wow_change(SF)
+        .to_pandas()
+        .sort_values(["event_type", "wk"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["wk"] = ev["ts"].astype("int64") // 604_800_000_000
+    w = (
+        ev.groupby(["event_type", "wk"])["value"]
+        .agg(["sum", "size"])
+        .reset_index()
+        .sort_values(["event_type", "wk"])
+        .reset_index(drop=True)
+    )
+    assert (got["n"].to_numpy() == w["size"].to_numpy()).all()
+    prev = w.groupby("event_type")["sum"].shift(1)
+    pct = ((w["sum"] - prev) / prev).fillna(0.0)
+    assert np.abs(got["pct_change"].to_numpy() - pct.to_numpy()).max() < 1e-5
+
+    # NB classifier: deterministic, self-consistent, beats random
+    from kire_ray.pipelines.text_analysis import nb_source_classifier
+    import ray.data
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ds = ray.data.from_pandas(docs[["doc_id", "text", "source"]]).repartition(4)
+    out = nb_source_classifier(ds).to_pandas().sort_values("doc_id")
+    out2 = nb_source_classifier(ds).to_pandas().sort_values("doc_id")
+    assert (out["predicted"].to_numpy() == out2["predicted"].to_numpy()).all()
+    assert (out["correct"] == (out["actual"] == out["predicted"])).all()
+    n_src = docs["source"].nunique()
+    assert out["correct"].mean() > 1.0 / n_src  # better than chance

@@ -1903,6 +1903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "lineitem_corr": R.lineitem_corr,
         "q5_local_supplier_revenue": R.q5_local_supplier_revenue,
+        "q10_returned_items": R.q10_returned_items,
         "customer_status_setops": R.customer_status_setops,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
@@ -2818,6 +2819,22 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             ORDER BY rev DESC, o_orderdate, o_orderkey
             LIMIT 10
+        """,
+        "q10_returned_items": """
+            WITH r AS (
+                SELECT o.o_custkey, sum(l.l_extendedprice
+                                        * (1.0 - l.l_discount)) AS rev
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE l.l_returnflag = 'R'
+                GROUP BY 1)
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   floor(r.rev * 1000000 + 0.501) / 1000000 AS revenue
+            FROM r
+            JOIN customer c ON c.c_custkey = r.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY r.rev DESC, c.c_custkey
+            LIMIT 20
         """,
         "q5_local_supplier_revenue": f"""
             SELECT n_name,

@@ -155,6 +155,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "customer_order_outer",
         "q3_shipping_priority",
         "q5_local_supplier_revenue",
+        "q10_returned_items",
         "lineitem_corr",
         "customer_status_setops",
         "user_event_sequences",

@@ -1935,6 +1935,98 @@ def q3_shipping_priority(
     )
 
 
+def q10_returned_items(sf_dir: str, top: int = 20) -> "ray.data.Dataset":
+    """TPC-H Q10 shape — customers ranked by revenue lost to returned
+    items, with their nation name: the returned-item report.
+
+    Plan mirrors Q3/Q5: the return-flag filter prunes lineitem BEFORE
+    the single fact⋈fact hash join on orderkey (orders side reduced to
+    orderkey→custkey); customer and nation are dimension-sized
+    broadcast maps applied inside map_batches; per-customer revenue
+    via block-local combiner + one grouped exchange; partial top-k per
+    block then a k-row driver merge. Deterministic order: revenue
+    desc, c_custkey asc.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    c_ref = ray.put(
+        {
+            int(r.c_custkey): (r.c_name, r.n_name)
+            for r in cust.itertuples()
+        }
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def l_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].to_numpy(),
+                "rev": (b["l_extendedprice"] * (1.0 - b["l_discount"])).to_numpy(),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(l_side, batch_format="pandas"),
+        orders,
+        ["o_orderkey"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if "rev" not in b.columns:
+            return pd.DataFrame(
+                {"o_custkey": pd.Series([], dtype=np.int64),
+                 "revenue": pd.Series([], dtype=np.float64)}
+            )
+        return (
+            b.groupby("o_custkey", sort=False)["rev"]
+            .sum()
+            .rename("revenue")
+            .reset_index()
+        )
+
+    per_cust = grouped_agg(
+        j.map_batches(partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"revenue": ("revenue", "sum")},
+    )
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["revenue", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(top)
+
+    merged = topk(
+        per_cust.map_batches(topk, batch_format="pandas").to_pandas()
+    ).reset_index(drop=True)
+    lut = ray.get(c_ref)
+    names = merged["o_custkey"].map(lambda k: lut[int(k)])
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "c_custkey": merged["o_custkey"].astype(np.int64),
+                "c_name": names.map(lambda t: t[0]),
+                "n_name": names.map(lambda t: t[1]),
+                "revenue": round_half_up(
+                    merged["revenue"].to_numpy(np.float64), 6
+                ),
+            }
+        )
+    )
+
+
 def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
     """TPC-H Q5 shape — revenue per nation from lineitems whose
     customer and supplier share the nation, nation restricted to one

@@ -200,6 +200,48 @@ def _kg_coref(sf_dir: str) -> Any:
     return coref_pairs(c["linked"], c["ctx"])
 
 
+def _q_kg_nodes(sf_dir: str) -> Any:
+    """Node identity + provenance columns of the flagship nodes table
+    (driver-verifiable: the vote→canon→NT chain is reconstructed in SQL
+    from the gold parquet — see the kg_nodes oracle). The logsumexp
+    vector column rides in kg_node_vectors (rows-only; bit-equality vs
+    the sequential pool is pytest-verified, test_materialize)."""
+    return _flagship_graph(sf_dir, with_nodes=True)["nodes"].select_columns(
+        ["qid", "label", "n_docs", "n_mentions"]
+    )
+
+
+def _q_kg_node_vectors(sf_dir: str) -> Any:
+    """Full nodes table incl. the pooled entity vectors (M9/T3 output).
+    Vectors are logsumexp merges of RNG stand-in token embeddings — not
+    SQL-expressible; value-verified by pytest bit-equality instead."""
+    return _flagship_graph(sf_dir, with_nodes=True)["nodes"]
+
+
+def _q_kg_linked_docs(sf_dir: str) -> Any:
+    """Per-document linking summary, driver-verifiable: turn / entity /
+    mention counts and how many clusters linked to a KG id (non-NT).
+    The nested entities/mentions structure itself feeds every
+    downstream consumer (scorer/embedder/coref/features) and is
+    value-covered by kg_mentions_flat + kg_triples + kg_nodes."""
+    c = _flagship_linked(sf_dir)
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"],
+                "n_turns": b["turn_texts"].map(len).astype(np.int64),
+                "n_entities": b["entities"].map(len).astype(np.int64),
+                "n_mentions": b["mentions"].map(len).astype(np.int64),
+                "n_linked": b["entities"]
+                .map(lambda es: sum(1 for e in es if not e["qid"].startswith("NT")))
+                .astype(np.int64),
+            }
+        )
+
+    return c["linked"].map_batches(summarize, batch_format="pandas")
+
+
 # --------------------------------------------------------------------
 # training-data suite wrappers
 # --------------------------------------------------------------------
@@ -1460,12 +1502,17 @@ def _q_kg_eval(sf_dir: str) -> Any:
     """DocRED-style harness (A5/A6, evaluation.py:70-193 semantics):
     P/R/F1 of extracted canonical triples vs the planted gold — the
     BASELINE.json P/R >= 0.95 gate as a one-row metrics table."""
+    from kire_ray.functions.rounding import round_half_up
     from kire_ray.pipelines.eval import triple_prf
 
     corpus = _corpus(sf_dir)
     edges = _flagship_graph(sf_dir)["edges"].to_pandas()
     gold = pq.read_table(f"{corpus}/gold_triples.parquet").to_pandas()
     m = triple_prf(edges, gold)
+    for k in ("precision", "recall", "f1"):
+        m[k] = round_half_up(m[k], 6)
+    m["n_pred"] = np.int64(m["n_pred"])
+    m["n_gold"] = np.int64(m["n_gold"])
     return pd.DataFrame([m])
 
 
@@ -1473,9 +1520,11 @@ def _q_kg_eval_official(sf_dir: str) -> Any:
     """Full official DocRED metrics incl. Ign (evaluation.py:70-193):
     doc-level (doc,h,t,r) exact match; the Ign variant removes
     correct-and-in-train predictions via the train-fact semi-join
-    (J5/J6/M12 at the driver surface). Train split = deterministic
-    hash of doc_id (eval.split_train_dev)."""
-    from kire_ray.pipelines.eval import official_evaluate, split_train_dev
+    (J5/J6/M12 at the driver surface). Train split = the md5 doc split
+    (SQL-replicable, same as the GLRE intrain flag) so the whole row is
+    driver-verifiable against the gold parquet."""
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.pipelines.eval import official_evaluate
 
     corpus = _corpus(sf_dir)
     preds = _flagship_graph(sf_dir)["triples"].to_pandas().rename(columns={"pred": "r"})
@@ -1485,11 +1534,10 @@ def _q_kg_eval_official(sf_dir: str) -> Any:
         (p.doc_id, p.h_idx, p.t_idx, p.r): (p.subj_qid, p.r, p.obj_qid)
         for p in preds.itertuples()
     }
-    is_train = split_train_dev(preds["doc_id"])
     train_facts = {
         fact_by_key[(p.doc_id, p.h_idx, p.t_idx, p.r)]
-        for p, t in zip(preds.itertuples(), is_train)
-        if t
+        for p in preds.itertuples()
+        if _md5_is_train(p.doc_id)
     }
     m = official_evaluate(
         preds,
@@ -1497,16 +1545,31 @@ def _q_kg_eval_official(sf_dir: str) -> Any:
         train_facts=train_facts,
         fact_of=lambda k: fact_by_key.get(k, ("?",)),
     )
+    for k in ("precision", "recall", "f1", "ign_precision", "ign_f1"):
+        m[k] = round_half_up(m[k], 6)
+    for k in ("n_pred", "n_gold", "correct_in_train"):
+        m[k] = np.int64(m[k])
     return pd.DataFrame([m])
 
 
 def _q_theta_tuning(sf_dir: str) -> Any:
     """A6 global-sort theta tuning (GLRE tune_f1_theta semantics) over
-    the flagship's scored predictions vs the planted doc-level gold."""
+    the flagship's scored predictions vs the planted doc-level gold.
+
+    Predictions are pre-sorted on (doc_id, h_idx, t_idx, pred) so the
+    within-tie order of equal scores (same (s,r,o) triple in several
+    docs) is canonical — the stable descending argsort inside
+    tune_theta then matches the SQL oracle's ORDER BY exactly."""
+    from kire_ray.functions.rounding import round_half_up
     from kire_ray.pipelines.eval import tune_theta
 
     corpus = _corpus(sf_dir)
-    preds = _flagship_graph(sf_dir)["triples"].to_pandas()
+    preds = (
+        _flagship_graph(sf_dir)["triples"]
+        .to_pandas()
+        .sort_values(["doc_id", "h_idx", "t_idx", "pred"], kind="stable")
+        .reset_index(drop=True)
+    )
     gold = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
     gold_set = {(g.doc_id, g.h_idx, g.t_idx, g.r) for g in gold.itertuples()}
     is_corr = np.array(
@@ -1516,7 +1579,9 @@ def _q_theta_tuning(sf_dir: str) -> Any:
         ]
     )
     m = tune_theta(preds["score"].to_numpy(), is_corr, n_gold=len(gold_set))
-    return pd.DataFrame([m])
+    return pd.DataFrame(
+        [{k: round_half_up(v, 6) for k, v in m.items()}]
+    )
 
 
 def _q_kg_assembled_turns(sf_dir: str) -> Any:
@@ -1773,11 +1838,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from kire_ray.pipelines import relational as R
 
     return {
-        # flagship KG construction (non-SQL: synthetic transcript corpus)
+        # flagship KG construction (SQL-verified: the vote→canon→score
+        # chain is md5-derived, reconstructable from the gold parquet)
         "kg_triples": _kg("triples"),
         "kg_edges": _kg("edges"),
-        "kg_nodes": _kg("nodes"),
-        "kg_linked_docs": _kg("linked"),
+        "kg_nodes": _q_kg_nodes,
+        "kg_node_vectors": _q_kg_node_vectors,
+        "kg_linked_docs": _q_kg_linked_docs,
         "kg_coref_pairs": _kg_coref,
         "kg_assembled_turns": _q_kg_assembled_turns,
         "kg_mentions_flat": _q_kg_mentions_flat,
@@ -1937,6 +2004,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _sql_norm(col: str) -> str:
+    """DuckDB expression mirroring functions.textnorm.normalize_label
+    (the reference's _handleLabel) + whitespace collapse, so surface
+    forms join to alias_norm exactly as the linker's token-trie does."""
+    return (
+        "trim(regexp_replace(lower(replace(replace(replace("
+        f"{col}, chr(10), ' '), '.', ''), '-', ' ')), ' +', ' ', 'g'))"
+    )
+
+
+def _kg_chain_sql(c01: str) -> str:
+    """The flagship chain as one SQL CTE prefix (WITH RECURSIVE … ,
+    triples AS (…)) over the gold parquet — the driver-side oracle of
+    kg_triples / kg_edges / kg_nodes / kg_linked_docs / the eval rows.
+
+    Reconstructs, stage for stage:
+    - P_eq union-find closure → lexicographic-min representative
+      (stages/canonicalize.py:33) as a recursive transitive closure;
+    - mention→candidate lookup (normalized surface = alias_norm,
+      stages/linking.py build_alias_trie/detect_mentions — the scan is
+      span-exact vs planted gold, see kg_mentions_flat);
+    - per-mention vote = first (= lexicographic min) candidate,
+      majority vote per cluster with first-seen tie-break
+      (linking.py cluster_and_vote), canon-mapped; unlinked clusters
+      get the md5 NT id (functions/hashing.py nt_id);
+    - the scorer's keep filter (NT / 'time'-typed entities dropped),
+      evidence join against the canonicalized KG, md5 pair scores,
+      top-4 per pair, adaptive threshold (stages/scorer.py).
+    All md5-derived, so every value is bit-exact vs the pipeline."""
+    n_surf = _sql_norm("surface")
+    n_alias = _sql_norm("alias_norm")
+    n_fsurf = _sql_norm("d.fsurf")
+    return f"""
+WITH RECURSIVE
+kg AS (SELECT * FROM read_parquet('{c01}/kg_triples.parquet')),
+eq_edges AS (SELECT h_qid AS a, t_qid AS b FROM kg WHERE prop = 'P_eq'
+             UNION SELECT t_qid, h_qid FROM kg WHERE prop = 'P_eq'),
+reach(a, b) AS (
+    SELECT a, b FROM eq_edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN eq_edges e ON e.a = r.b
+    WHERE e.b <> r.a),
+canon AS (SELECT a AS qid, least(min(b), a) AS rep FROM reach GROUP BY a),
+gm AS (SELECT * FROM read_parquet('{c01}/gold_mentions.parquet')),
+al AS (SELECT {n_alias} AS k, qid
+       FROM read_parquet('{c01}/kg_alias.parquet')),
+firsts AS (SELECT doc_id, ent, min(turn_idx * 1000000 + start) AS fp,
+                  arg_min(surface, turn_idx * 1000000 + start) AS fsurf,
+                  count(*) AS nm
+           FROM gm GROUP BY doc_id, ent),
+dense AS (SELECT doc_id, ent, fsurf, nm,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY fp, ent) - 1 AS ent_idx
+          FROM firsts),
+mn AS (SELECT doc_id, ent, turn_idx, start, {n_surf} AS k FROM gm),
+mv AS (SELECT mn.doc_id, mn.ent, mn.turn_idx, mn.start, min(al.qid) AS vote
+       FROM mn JOIN al ON al.k = mn.k GROUP BY 1, 2, 3, 4),
+vc AS (SELECT doc_id, ent, vote, count(*) AS n,
+              min(turn_idx * 1000000 + start) AS fpos
+       FROM mv GROUP BY 1, 2, 3),
+win AS (SELECT doc_id, ent, vote FROM vc
+        QUALIFY row_number() OVER (PARTITION BY doc_id, ent
+                                   ORDER BY n DESC, fpos ASC) = 1),
+entall AS (SELECT d.doc_id, d.ent_idx,
+                  coalesce(c.rep, w.vote,
+                           'NT' || substr(md5({n_fsurf}), 1, 16)) AS qid,
+                  {n_fsurf} AS label, d.nm
+           FROM dense d
+           LEFT JOIN win w ON w.doc_id = d.doc_id AND w.ent = d.ent
+           LEFT JOIN canon c ON c.qid = w.vote),
+etype AS (SELECT qid, min(attr_val) AS t
+          FROM read_parquet('{c01}/kg_attrs.parquet')
+          WHERE attr_key = 'instance of' GROUP BY qid),
+kept AS (SELECT e.doc_id, e.ent_idx, e.qid
+         FROM entall e LEFT JOIN etype ty ON ty.qid = e.qid
+         WHERE e.qid NOT LIKE 'NT%' AND coalesce(ty.t, '') <> 'time'),
+ev AS (SELECT DISTINCT coalesce(ch.rep, kg.h_qid) AS h, kg.prop AS r,
+                       coalesce(ct.rep, kg.t_qid) AS t
+       FROM kg
+       LEFT JOIN canon ch ON ch.qid = kg.h_qid
+       LEFT JOIN canon ct ON ct.qid = kg.t_qid
+       WHERE kg.prop <> 'P_eq'),
+scored AS (
+    SELECT h.doc_id, h.ent_idx AS h_idx, t.ent_idx AS t_idx,
+           h.qid AS subj_qid, ev.r AS pred, t.qid AS obj_qid,
+           2.0 + 0.5 * (CAST(('0x' || substr(md5(h.qid || '|' || ev.r
+                             || '|' || t.qid), 1, 13)) AS BIGINT)
+                        / 4503599627370496.0) AS score,
+           1.0 + 0.5 * (CAST(('0x' || substr(md5('TH|' || h.qid || '|'
+                             || t.qid), 1, 13)) AS BIGINT)
+                        / 4503599627370496.0) AS th
+    FROM kept h
+    JOIN kept t ON t.doc_id = h.doc_id AND t.ent_idx <> h.ent_idx
+               AND t.qid <> h.qid
+    JOIN ev ON ev.h = h.qid AND ev.t = t.qid),
+triples AS (
+    SELECT doc_id, CAST(h_idx AS INT) AS h_idx, CAST(t_idx AS INT) AS t_idx,
+           subj_qid, pred, obj_qid, score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id, h_idx, t_idx
+                               ORDER BY score DESC, pred ASC) <= 4
+       AND score > th)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     """Static SQL strings, one per SQL-verified query.
 
@@ -1977,6 +2149,137 @@ def oracle_sql() -> dict[str, str]:
                    CAST("end" AS BIGINT) AS "end",
                    surface
             FROM read_parquet('{c01}/gold_mentions.parquet')
+        """,
+        "kg_triples": _kg_chain_sql(c01)
+        + """
+            SELECT doc_id, h_idx, t_idx, subj_qid, pred, obj_qid, score
+            FROM triples
+        """,
+        "kg_edges": _kg_chain_sql(c01)
+        + """
+            SELECT subj_qid, pred, obj_qid, max(score) AS score,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM triples GROUP BY 1, 2, 3
+        """,
+        "kg_nodes": _kg_chain_sql(c01)
+        + """
+            SELECT qid, min(label) AS label,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nm) AS BIGINT) AS n_mentions
+            FROM entall GROUP BY qid
+        """,
+        "kg_linked_docs": _kg_chain_sql(c01)
+        + f"""
+            , tr AS (SELECT conv_id AS doc_id,
+                            CAST(count(*) AS BIGINT) AS n_turns
+                     FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
+                     GROUP BY 1),
+            es AS (SELECT doc_id,
+                          count(*) AS n_entities,
+                          sum(nm) AS n_mentions,
+                          sum(CASE WHEN qid NOT LIKE 'NT%'
+                                   THEN 1 ELSE 0 END) AS n_linked
+                   FROM entall GROUP BY doc_id)
+            SELECT tr.doc_id, tr.n_turns,
+                   CAST(coalesce(es.n_entities, 0) AS BIGINT) AS n_entities,
+                   CAST(coalesce(es.n_mentions, 0) AS BIGINT) AS n_mentions,
+                   CAST(coalesce(es.n_linked, 0) AS BIGINT) AS n_linked
+            FROM tr LEFT JOIN es ON es.doc_id = tr.doc_id
+        """,
+        "kg_eval_prf": _kg_chain_sql(c01)
+        + f"""
+            , ps AS (SELECT DISTINCT subj_qid, pred, obj_qid FROM triples),
+            gs AS (SELECT DISTINCT subj_qid, pred, obj_qid
+                   FROM read_parquet('{c01}/gold_triples.parquet')),
+            cnt AS (SELECT (SELECT count(*) FROM ps) AS np,
+                           (SELECT count(*) FROM gs) AS ng,
+                           (SELECT count(*) FROM ps
+                            JOIN gs USING (subj_qid, pred, obj_qid)) AS tp),
+            pr AS (SELECT CAST(tp AS DOUBLE) / np AS p,
+                          CAST(tp AS DOUBLE) / ng AS r,
+                          np, ng FROM cnt)
+            SELECT {sql_round('p', 6)} AS precision,
+                   {sql_round('r', 6)} AS recall,
+                   {sql_round('2 * p * r / (p + r)', 6)} AS f1,
+                   CAST(np AS BIGINT) AS n_pred,
+                   CAST(ng AS BIGINT) AS n_gold
+            FROM pr
+        """,
+        "kg_eval_official": _kg_chain_sql(c01)
+        + f"""
+            , gl AS (SELECT DISTINCT doc_id, CAST(h_idx AS INT) AS h_idx,
+                            CAST(t_idx AS INT) AS t_idx, r
+                     FROM read_parquet('{c01}/gold_labels.parquet')),
+            pk AS (SELECT t.*,
+                          CASE WHEN g.r IS NOT NULL THEN 1 ELSE 0 END AS corr,
+                          CASE WHEN substr(md5(t.doc_id), 1, 2) < '80'
+                               THEN 1 ELSE 0 END AS intrain
+                   FROM triples t
+                   LEFT JOIN gl g ON g.doc_id = t.doc_id
+                                 AND g.h_idx = t.h_idx
+                                 AND g.t_idx = t.t_idx AND g.r = t.pred),
+            tf AS (SELECT DISTINCT subj_qid, pred, obj_qid
+                   FROM pk WHERE intrain = 1),
+            cit AS (SELECT count(*) AS c FROM pk
+                    JOIN tf USING (subj_qid, pred, obj_qid)
+                    WHERE pk.corr = 1),
+            cnt AS (SELECT (SELECT count(*) FROM pk) AS np,
+                           (SELECT count(*) FROM gl) AS ng,
+                           (SELECT sum(corr) FROM pk) AS tp,
+                           (SELECT c FROM cit) AS ct),
+            pr AS (SELECT CAST(tp AS DOUBLE) / np AS p,
+                          CAST(tp AS DOUBLE) / ng AS r,
+                          CAST(tp - ct AS DOUBLE) / (np - ct) AS p_ign,
+                          np, ng, ct FROM cnt)
+            SELECT {sql_round('p', 6)} AS precision,
+                   {sql_round('r', 6)} AS recall,
+                   {sql_round('2 * p * r / (p + r)', 6)} AS f1,
+                   CAST(np AS BIGINT) AS n_pred,
+                   CAST(ng AS BIGINT) AS n_gold,
+                   {sql_round('p_ign', 6)} AS ign_precision,
+                   {sql_round('2 * p_ign * r / (p_ign + r)', 6)} AS ign_f1,
+                   CAST(ct AS BIGINT) AS correct_in_train
+            FROM pr
+        """,
+        "kg_theta_tuning": _kg_chain_sql(c01)
+        + f"""
+            , gl AS (SELECT DISTINCT doc_id, CAST(h_idx AS INT) AS h_idx,
+                            CAST(t_idx AS INT) AS t_idx, r
+                     FROM read_parquet('{c01}/gold_labels.parquet')),
+            ng AS (SELECT greatest(count(*), 1) AS n FROM gl),
+            p AS (SELECT t.score,
+                         CASE WHEN g.r IS NOT NULL THEN 1.0 ELSE 0.0 END AS corr,
+                         row_number() OVER (ORDER BY t.score DESC, t.doc_id,
+                                            t.h_idx, t.t_idx, t.pred) AS k
+                  FROM triples t
+                  LEFT JOIN gl g ON g.doc_id = t.doc_id AND g.h_idx = t.h_idx
+                                AND g.t_idx = t.t_idx AND g.r = t.pred),
+            c AS (SELECT score, k,
+                         sum(corr) OVER (ORDER BY k) AS tp
+                  FROM p),
+            m AS (SELECT score, k,
+                         tp / CAST(k AS DOUBLE) AS prec,
+                         tp / CAST((SELECT n FROM ng) AS DOUBLE) AS rec
+                  FROM c),
+            f AS (SELECT score, k, prec, rec,
+                         CASE WHEN prec + rec > 0
+                              THEN 2 * prec * rec / (prec + rec)
+                              ELSE 0.0 END AS f1
+                  FROM m),
+            fl AS (SELECT rec, prec,
+                          lag(rec) OVER (ORDER BY k) AS rec0,
+                          lag(prec) OVER (ORDER BY k) AS prec0
+                   FROM f),
+            auc AS (SELECT sum((rec - rec0) * (prec + prec0) / 2) AS a
+                    FROM fl WHERE rec0 IS NOT NULL),
+            best AS (SELECT * FROM f ORDER BY f1 DESC, k ASC LIMIT 1)
+            SELECT {sql_round('best.score', 6)} AS theta,
+                   {sql_round('best.f1', 6)} AS best_f1,
+                   {sql_round('best.prec', 6)} AS precision,
+                   {sql_round('best.rec', 6)} AS recall,
+                   {sql_round('(SELECT a FROM auc)', 6)} AS auc
+            FROM best
         """,
         "csv_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -394,10 +394,38 @@ def _scaling_child() -> None:
     ray.shutdown()
 
 
+def _print_result(out: dict) -> None:
+    """Print a COMPACT headline JSON line first (complete driver
+    schema, small enough that no tail-capture can truncate it), then
+    the full per-query detail line. BENCH_r02 was driver-unparseable
+    because the only line carried 126 query timings and the capture
+    cut it mid-object."""
+    headline = {
+        k: out[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "num_cpus",
+            "n_triples",
+            "triples_per_sec",
+            "kg_precision",
+            "kg_recall",
+        )
+        if k in out
+    }
+    headline["queries"] = {
+        k: v for k, v in out.get("queries", {}).items() if k == "kg_triples"
+    }
+    print(json.dumps(headline), flush=True)
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child()
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        print(json.dumps(run_scaling(SF_DIR)), flush=True)
     else:
-        print(json.dumps(run_once(SF_DIR, NUM_CPUS)))
+        _print_result(run_once(SF_DIR, NUM_CPUS))

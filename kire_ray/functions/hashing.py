@@ -127,3 +127,30 @@ def score01(values) -> np.ndarray:
 
 def score01_str(value: str) -> float:
     return hash64_str(value) / float(2**64)
+
+
+def score01_md5(value: str) -> float:
+    """Uniform [0,1) score derived from md5 — the SQL-parity basis.
+
+    First 13 hex digits = 52 bits, exactly representable in float64,
+    and the division by 2**52 is exact, so DuckDB reproduces the value
+    bit-for-bit::
+
+        CAST(('0x' || substr(md5(s), 1, 13)) AS BIGINT)
+            / 4503599627370496.0
+
+    Used wherever a deterministic score must be *driver-verifiable*
+    (relation pair scores, adaptive thresholds) — the same promotion
+    trick as simhash / ann_lsh / doc_fingerprints.
+    """
+    return int(
+        hashlib.md5(value.encode("utf-8")).hexdigest()[:13], 16
+    ) / float(2**52)
+
+
+def nt_id(surface_norm: str) -> str:
+    """Synthetic id for an unlinkable entity cluster — content-derived
+    (replaces the reference's sequential ``NT<k>`` counters,
+    gen_kg_data.py:286-290; SURVEY.md §4(f)) and md5-based so SQL can
+    mint the identical id: ``'NT' || substr(md5(s), 1, 16)``."""
+    return "NT" + hashlib.md5(surface_norm.encode("utf-8")).hexdigest()[:16]

@@ -545,29 +545,78 @@ def knn_graph_mutual(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_limit: int = 200_000,
+    n_centroids: int = 64,
+    n_probe: int | None = None,
+    sample_size: int = 4096,
 ) -> "ray.data.Dataset":
     """Mutual-kNN graph over the corpus — the SemDeDup-style primitive
     behind embedding near-dup clustering and diversity sampling: an
     undirected edge (a, b) exists iff a is in b's cosine top-k AND b is
-    in a's.
+    in a's. Returns (a, b, cosine) with a < b.
 
-    Shape: the node table (id, normalized vector) is broadcast once
-    (`ray.put`, the same dimension-table contract pagerank documents —
-    at 100 TB swap the broadcast for IVF-bucketed candidate generation
-    via ``ann_ivf``'s cells and keep everything downstream identical);
-    each block computes its rows' directed top-k with one matmul and a
-    single stable argsort (ties fall back to id order because the
-    broadcast matrix is id-sorted — bitwise the SQL ``ORDER BY cos
-    DESC, id`` tie-break); the directed edges then meet in ONE exchange
-    on the unordered pair and survive iff both directions arrived.
+    Auto-selected by node-table size (the verify_jaccard pattern,
+    dedup.py):
 
-    Returns (a, b, cosine) with a < b.
+    - ≤ ``broadcast_limit`` rows: the (id, normalized vector) table is
+      collected once and broadcast (`ray.put`); each block computes its
+      rows' directed top-k with one matmul — exact, zero shuffles
+      before the mutual exchange. Right when the node table is
+      dimension-sized.
+    - above it: NO driver collect — IVF-bucketed candidate generation
+      (``_knn_directed_ivf``): centroids fit on a bounded sample, every
+      vector is indexed in its argmax cell and probed against its
+      ``n_probe`` nearest cells, per-cell partial top-k, then a grouped
+      merge to the directed top-k. Approximate with recall set by
+      n_probe/n_centroids (``n_probe=None`` → probe every cell =
+      exhaustive, exact — the equivalence-test setting).
+
+    Both paths feed the identical mutual-pair exchange: directed edges
+    meet in ONE exchange on the unordered pair and survive iff both
+    directions arrived.
     """
     from kire_ray.functions.rounding import round_half_up
     from kire_ray.stages.shuffle import partitioned_map_groups
 
-    # node-table-bounded driver collect (vectors only, no payloads)
-    node_df = emb.select_columns([id_col, vec_col]).to_pandas()
+    emb = emb.select_columns([id_col, vec_col]).materialize()
+    if emb.count() <= broadcast_limit:
+        edges = _knn_directed_broadcast(emb, k=k, vec_col=vec_col, id_col=id_col)
+    else:
+        edges = _knn_directed_ivf(
+            emb,
+            k=k,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            sample_size=sample_size,
+        )
+
+    def mutual(p: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            p.groupby(["lo", "hi"], sort=False)
+            .agg(n=("cosine", "size"), cosine=("cosine", "first"))
+            .reset_index()
+        )
+        g = g[g["n"] >= 2]
+        return pd.DataFrame(
+            {
+                "a": g["lo"].to_numpy(),
+                "b": g["hi"].to_numpy(),
+                "cosine": round_half_up(g["cosine"].to_numpy(np.float64), 6),
+            }
+        )
+
+    return partitioned_map_groups(edges, ["lo", "hi"], mutual)
+
+
+def _knn_directed_broadcast(
+    emb: "ray.data.Dataset", *, k: int, vec_col: str, id_col: str
+) -> "ray.data.Dataset":
+    """Directed top-k via one broadcast matmul per block (exact).
+    Ties fall back to id order because the broadcast matrix is
+    id-sorted — bitwise the SQL ``ORDER BY cos DESC, id`` tie-break."""
+    node_df = emb.to_pandas()
     all_ids = node_df[id_col].to_numpy()
     order = np.argsort(all_ids, kind="stable")
     all_ids = all_ids[order]
@@ -600,26 +649,129 @@ def knn_graph_mutual(
             }
         )
 
-    edges = emb.select_columns([id_col, vec_col]).map_batches(
-        directed, batch_format="pandas"
-    )
+    return emb.map_batches(directed, batch_format="pandas")
 
-    def mutual(p: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            p.groupby(["lo", "hi"], sort=False)
-            .agg(n=("cosine", "size"), cosine=("cosine", "first"))
-            .reset_index()
+
+def _knn_directed_ivf(
+    emb: "ray.data.Dataset",
+    *,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    n_probe: int | None,
+    sample_size: int,
+) -> "ray.data.Dataset":
+    """Directed top-k WITHOUT a driver-side node-table collect — the
+    100 TB path. IVF candidate generation (ann_ivf's cells):
+
+    1. centroids fit once on a bounded ``limit(sample_size)`` sample
+       (the only driver collect — sample-sized, not corpus-sized);
+    2. one streaming pass emits each vector once into its argmax cell
+       (index side) and ``n_probe`` times into its query-probe cells;
+    3. per-cell grouped matmul → per-(query, cell) partial top-k
+       (SHUFFLE #1, keyed by cell — cell-size-quadratic work is IVF's
+       cost model: size n_centroids ~ sqrt(N) and raise it with the
+       corpus, hot cells split by raising n_centroids);
+    4. grouped merge on the query id → directed top-k (SHUFFLE #2,
+       k-bounded rows per node).
+
+    Per-pair cosines are the same normalized-vector dots as the
+    broadcast path; ties break by id asc in the merge. ``n_probe=None``
+    probes every cell — exhaustive and therefore exact (the
+    equivalence-test setting); finite n_probe trades recall for cost
+    exactly as ann_ivf does.
+    """
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    probe_n = n_centroids if n_probe is None else min(n_probe, n_centroids)
+    sample_df = emb.limit(sample_size).to_pandas()
+    S = _norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in sample_df[vec_col]])
+    )
+    C = _kmeans_fit(S, min(n_centroids, len(S)))
+    cref = ray.put(C)
+
+    def scatter(b: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(cref)
+        M = _norm_rows(
+            np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
         )
-        g = g[g["n"] >= 2]
+        ids = b[id_col].to_numpy()
+        sims = M @ Cm.T
+        own = sims.argmax(axis=1)
+        pn = min(probe_n, Cm.shape[0])
+        probes = np.argsort(-sims, axis=1, kind="stable")[:, :pn]
+        n = len(ids)
         return pd.DataFrame(
             {
-                "a": g["lo"].to_numpy(),
-                "b": g["hi"].to_numpy(),
-                "cosine": round_half_up(g["cosine"].to_numpy(np.float64), 6),
+                "cell": np.concatenate([own, probes.ravel()]),
+                "role": np.concatenate(
+                    [np.zeros(n, dtype=np.int8), np.ones(n * pn, dtype=np.int8)]
+                ),
+                "id": np.concatenate([ids, np.repeat(ids, pn)]),
+                "vec": [v for v in M] + [v for v in np.repeat(M, pn, axis=0)],
             }
         )
 
-    return partitioned_map_groups(edges, ["lo", "hi"], mutual)
+    scattered = emb.map_batches(scatter, batch_format="pandas")
+
+    def per_cells(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("cell", sort=False):
+            idx = g[g["role"] == 0]
+            qry = g[g["role"] == 1]
+            if idx.empty or qry.empty:
+                continue
+            Mi = np.stack(idx["vec"].to_numpy())
+            ids_i = idx["id"].to_numpy()
+            o = np.argsort(ids_i, kind="stable")  # id-asc tie-break base
+            Mi, ids_i = Mi[o], ids_i[o]
+            Mq = np.stack(qry["vec"].to_numpy())
+            ids_q = qry["id"].to_numpy()
+            Scell = Mq @ Mi.T
+            Scell[ids_q[:, None] == ids_i[None, :]] = -2.0  # self
+            kk = min(k, Scell.shape[1])
+            top = np.argsort(-Scell, axis=1, kind="stable")[:, :kk]
+            a = np.repeat(ids_q, kk)
+            bb = ids_i[top].ravel()
+            cos = np.take_along_axis(Scell, top, axis=1).ravel()
+            keep = cos > -2.0
+            outs.append(
+                pd.DataFrame({"qid": a[keep], "nb": bb[keep], "cosine": cos[keep]})
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "qid": pd.Series([], dtype=np.int64),
+                    "nb": pd.Series([], dtype=np.int64),
+                    "cosine": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    partials = partitioned_map_groups(scattered, ["cell"], per_cells)
+
+    def merge_topk(part: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass: dedup (qid, nb) across probed cells, rank
+        # by (cosine desc, nb asc) within qid, keep top-k
+        part = part.drop_duplicates(subset=["qid", "nb"])
+        part = part.sort_values(
+            ["qid", "cosine", "nb"], ascending=[True, False, True], kind="stable"
+        )
+        rank = part.groupby("qid", sort=False).cumcount()
+        part = part[rank < k]
+        a = part["qid"].to_numpy()
+        bb = part["nb"].to_numpy()
+        return pd.DataFrame(
+            {
+                "lo": np.minimum(a, bb),
+                "hi": np.maximum(a, bb),
+                "cosine": part["cosine"].to_numpy(),
+            }
+        )
+
+    return partitioned_map_groups(partials, ["qid"], merge_topk)
 
 
 def embedding_top_component(

@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from kire_ray.functions.hashing import hash64_str
+from kire_ray.functions.hashing import nt_id
 from kire_ray.functions.textnorm import normalize_label
 from kire_ray.stages.linking import ENTITY_T, MENTION_T
 
@@ -54,7 +54,7 @@ def _vote_vertex(vertex: list[dict], alias_lookup, canon: dict[str, str]) -> str
         qid = max(votes, key=lambda q: votes[q])  # insertion order = first seen
         return canon.get(qid, qid)
     surf0 = normalize_label(vertex[0].get("name", "")) if vertex else ""
-    return f"NT{hash64_str(surf0):016x}"
+    return nt_id(surf0)
 
 
 def docs_to_linked(

@@ -36,7 +36,7 @@ import pyarrow as pa
 
 import ray
 
-from kire_ray.functions.hashing import hash64_str
+from kire_ray.functions.hashing import nt_id
 from kire_ray.functions.textnorm import normalize_label
 
 ENTITY_T = pa.struct(
@@ -211,7 +211,7 @@ def cluster_and_vote(mentions, canon: dict[str, str]):
             qid = canon.get(qid, qid)
         else:
             surf0 = normalize_label(mentions[members[0]][3])
-            qid = f"NT{hash64_str(surf0):016x}"
+            qid = nt_id(surf0)
         label = normalize_label(mentions[members[0]][3])
         entities.append((ent_idx, qid, label, len(members)))
         for i in members:

@@ -40,7 +40,7 @@ import pyarrow as pa
 
 import ray
 
-from kire_ray.functions.hashing import hash64_str, score01_str
+from kire_ray.functions.hashing import hash64_str, score01_md5
 from kire_ray.functions.textnorm import normalize_label
 
 EMB_DIM = 16
@@ -64,12 +64,19 @@ TRIPLE_SCHEMA = pa.schema(
 
 
 def pair_score(h_qid: str, rel: str, t_qid: str, evidence: bool) -> float:
-    base = BASE_W * score01_str(f"{h_qid}|{rel}|{t_qid}")
+    """Deterministic stand-in for the RE model logit (scorer contract,
+    ATLOP+KIRE losses.py adaptive-threshold semantics). md5-derived so
+    the driver's DuckDB oracle reproduces the value bit-for-bit:
+    ``2.0 + 0.5 * (('0x'||substr(md5(h||'|'||r||'|'||t),1,13))::BIGINT
+    / 4503599627370496.0)``."""
+    base = BASE_W * score01_md5(f"{h_qid}|{rel}|{t_qid}")
     return (KG_BOOST if evidence else 0.0) + base
 
 
 def pair_threshold(h_qid: str, t_qid: str) -> float:
-    return TH_BASE + TH_W * score01_str(f"TH|{h_qid}|{t_qid}")
+    """Adaptive per-pair threshold (losses.py TH class), md5-derived
+    for SQL parity (see pair_score)."""
+    return TH_BASE + TH_W * score01_md5(f"TH|{h_qid}|{t_qid}")
 
 
 def token_vec(token: str) -> np.ndarray:

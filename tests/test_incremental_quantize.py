@@ -78,6 +78,52 @@ def test_knn_graph_mutual_planted(ray_session):
     pd.testing.assert_frame_equal(out, out2)
 
 
+def test_knn_graph_mutual_ivf_path(ray_session, monkeypatch):
+    """The 100 TB path: broadcast_limit=0 forces IVF-bucketed candidate
+    generation. With n_probe=None (probe every cell) it is exhaustive,
+    so the mutual graph is IDENTICAL to the broadcast path's — and it
+    must run without any corpus-sized driver collect (the broadcast
+    builder is monkeypatched to raise; the only to_pandas allowed is
+    the bounded centroid-fit sample)."""
+    import kire_ray.pipelines.similarity as S
+
+    rng = np.random.default_rng(11)
+    M = rng.normal(size=(300, 8))
+    M[250] = M[17]  # planted duplicate
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(M)})
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    want = (
+        S.knn_graph_mutual(ds, k=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast path taken above threshold")
+
+    monkeypatch.setattr(S, "_knn_directed_broadcast", boom)
+    got = (
+        S.knn_graph_mutual(
+            ds, k=4, broadcast_limit=0, n_centroids=8, n_probe=None,
+            sample_size=64,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # finite n_probe: approximate but well-formed (a<b, within-range)
+    approx = S.knn_graph_mutual(
+        ds, k=4, broadcast_limit=0, n_centroids=8, n_probe=4, sample_size=64
+    ).to_pandas()
+    assert (approx["a"] < approx["b"]).all()
+    assert set(map(tuple, approx[["a", "b"]].to_numpy())) <= set(
+        map(tuple, want[["a", "b"]].to_numpy())
+    ) or len(approx) > 0
+
+
 def test_skipgram_pairs_window(ray_session):
     """Window-3 pairs on a known sentence, both directions, exact
     counts; invariant to partitioning."""

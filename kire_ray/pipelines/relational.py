@@ -1847,37 +1847,72 @@ def q3_shipping_priority(
     segment: str = "BUILDING",
     cutoff: str = "1998-06-01",
     top: int = 10,
+    *,
+    broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """TPC-H Q3 shape — the top unshipped orders by revenue for one
     market segment: date-filtered fact⋈fact join, grouped revenue,
     global top-k.
 
-    Plan: customer is dimension-sized, so the segment filter rides as
-    a broadcast custkey set applied inside the orders scan (no
-    shuffle); ONE fact⋈fact hash join lineitem⋈orders on orderkey
-    (both sides pruned to 3 columns and date-filtered BEFORE the
-    exchange — predicate pushdown is what keeps the shuffle small);
-    per-order revenue via block-local combiner + one grouped exchange;
-    partial top-k per block before the driver-side k-row merge (the
+    Plan: the segment filter over customer is size-thresholded
+    (customer scales with SF): under ``broadcast_limit`` rows the
+    segment custkeys ride as a broadcast set applied inside the orders
+    scan (no shuffle); above it, a distributed semi-join
+    orders⋈customer(segment) on custkey replaces the broadcast — same
+    rows either way (tests assert equality + path choice). Then ONE
+    fact⋈fact hash join lineitem⋈orders on orderkey (both sides pruned
+    to 3 columns and date-filtered BEFORE the exchange — predicate
+    pushdown is what keeps the shuffle small); per-order revenue via
+    block-local combiner + one grouped exchange; partial top-k per
+    block before the driver-side k-row merge (the
     ``top_parts_by_revenue`` pattern). Deterministic order: revenue
     desc, then o_orderdate asc, l_orderkey asc.
     """
     from kire_ray.stages.joins import hash_join
 
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    seg_keys = frozenset(cust[cust["c_mktsegment"] == segment]["c_custkey"])
-    seg_ref = ray.put(seg_keys)
     cut = pd.Timestamp(cutoff)
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
                                       "o_orderpriority"])
 
-    def o_side(b: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(seg_ref)
-        b = b[(b["o_orderdate"] < cut) & b["o_custkey"].isin(keys)]
-        return b[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+    if _nrows_parquet(f"{sf_dir}/customer.parquet") <= broadcast_limit:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).to_pandas()
+        seg_keys = frozenset(cust[cust["c_mktsegment"] == segment]["c_custkey"])
+        seg_ref = ray.put(seg_keys)
+
+        def o_side(b: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(seg_ref)
+            b = b[(b["o_orderdate"] < cut) & b["o_custkey"].isin(keys)]
+            return b[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+    else:
+        seg_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "o_custkey": b.loc[
+                        b["c_mktsegment"] == segment, "c_custkey"
+                    ].to_numpy()
+                }
+            ),
+            batch_format="pandas",
+        )
+        pre = orders.map_batches(
+            lambda b: b[b["o_orderdate"] < cut], batch_format="pandas"
+        )
+        # customer is unique on custkey → inner join == semi-join;
+        # materialize before the stacked fact⋈fact join (joins.py)
+        orders = hash_join(pre, seg_ds, ["o_custkey"]).materialize()
+
+        def o_side(b: pd.DataFrame) -> pd.DataFrame:
+            if "o_orderkey" not in b.columns:
+                return pd.DataFrame(
+                    {
+                        "o_orderkey": pd.Series([], dtype=np.int64),
+                        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                        "o_orderpriority": pd.Series([], dtype=object),
+                    }
+                )
+            return b[["o_orderkey", "o_orderdate", "o_orderpriority"]]
 
     li = _read(
         sf_dir, "lineitem",
@@ -1941,27 +1976,16 @@ def q10_returned_items(sf_dir: str, top: int = 20) -> "ray.data.Dataset":
 
     Plan mirrors Q3/Q5: the return-flag filter prunes lineitem BEFORE
     the single fact⋈fact hash join on orderkey (orders side reduced to
-    orderkey→custkey); customer and nation are dimension-sized
-    broadcast maps applied inside map_batches; per-customer revenue
-    via block-local combiner + one grouped exchange; partial top-k per
-    block then a k-row driver merge. Deterministic order: revenue
-    desc, c_custkey asc.
+    orderkey→custkey); per-customer revenue via block-local combiner +
+    one grouped exchange; partial top-k per block then a k-row driver
+    merge. Customer names/nations attach AFTER the top-k via a
+    predicate-pushdown read filtered to the k surviving custkeys — the
+    customer table scales with SF (it is NOT a dimension), so a
+    driver-built custkey→name dict would be multi-GB at the target
+    scale while the filtered read stays k-row-bounded at any scale.
+    Deterministic order: revenue desc, c_custkey asc.
     """
     from kire_ray.stages.joins import hash_join
-
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
-    ).to_pandas()
-    nat = pq.read_table(
-        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
-    c_ref = ray.put(
-        {
-            int(r.c_custkey): (r.c_name, r.n_name)
-            for r in cust.itertuples()
-        }
-    )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     li = _read(
@@ -2011,34 +2035,69 @@ def q10_returned_items(sf_dir: str, top: int = 20) -> "ray.data.Dataset":
     merged = topk(
         per_cust.map_batches(topk, batch_format="pandas").to_pandas()
     ).reset_index(drop=True)
-    lut = ray.get(c_ref)
-    names = merged["o_custkey"].map(lambda k: lut[int(k)])
+    # k-row-bounded name lookup: row-filtered, column-pruned read
+    import pyarrow.dataset as pads
+
+    keys = [int(x) for x in merged["o_custkey"]]
+    cust = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            filter=pads.field("c_custkey").isin(keys),
+        )
+        .to_pandas()
+    )
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = merged.merge(cust, left_on="o_custkey", right_on="c_custkey")
     return ray.data.from_pandas(
         pd.DataFrame(
             {
-                "c_custkey": merged["o_custkey"].astype(np.int64),
-                "c_name": names.map(lambda t: t[0]),
-                "n_name": names.map(lambda t: t[1]),
+                "c_custkey": out["o_custkey"].astype(np.int64),
+                "c_name": out["c_name"],
+                "n_name": out["n_name"],
                 "revenue": round_half_up(
-                    merged["revenue"].to_numpy(np.float64), 6
+                    out["revenue"].to_numpy(np.float64), 6
                 ),
             }
         )
     )
 
 
-def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Dataset":
+def _nrows_parquet(path: str) -> int:
+    """Metadata-only row count of a parquet file/dir (no data read) —
+    the size probe behind the broadcast-vs-join plan choice."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path).count_rows()
+
+
+def q5_local_supplier_revenue(
+    sf_dir: str, region: str = "ASIA", *, broadcast_limit: int = 1_000_000
+) -> "ray.data.Dataset":
     """TPC-H Q5 shape — revenue per nation from lineitems whose
     customer and supplier share the nation, nation restricted to one
     region: the canonical multi-way join.
 
     The distributed plan has exactly ONE fact⋈fact exchange (lineitem ⋈
     orders on orderkey, both sides column-pruned to 2-4 columns before
-    the shuffle); customer, supplier and nation⋈region are
-    dimension-sized and ride as broadcast id→nationkey / id→name maps
-    applied inside map_batches (no shuffle), and the final aggregate is
-    a per-nation combiner into a 5-row exchange. This is the plan every
-    distributed SQL engine picks for Q5 — re-expressed as Dataset ops.
+    the shuffle); nation⋈region is a true dimension and always rides
+    broadcast. Customer and supplier scale WITH SF (they are not
+    dimensions), so their id→nationkey maps are size-thresholded
+    (metadata row count, no data read):
+
+    - ≤ ``broadcast_limit`` rows: driver dict + ``ray.put``, applied
+      inside map_batches — zero extra shuffles;
+    - above it: two distributed hash joins (orders⋈customer on custkey,
+      lineitem⋈supplier on suppkey) BEFORE the fact⋈fact exchange —
+      the plan every distributed SQL engine picks for Q5 once the
+      "small" sides stop fitting an executor. Both paths feed the same
+      combiner and produce identical rows (tests assert equality and
+      the path choice).
+
+    The final aggregate is a per-nation combiner into a 5-row exchange.
     """
     from kire_ray.stages.joins import hash_join
 
@@ -2047,53 +2106,134 @@ def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA") -> "ray.data.Da
     nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
     in_region = nat[nat["r_name"] == region]
     n_name = dict(zip(in_region["n_nationkey"], in_region["n_name"]))
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    supp = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    ).to_pandas()
-    c_nat_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
-    s_nat_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
     names_ref = ray.put(n_name)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def o_side(b: pd.DataFrame) -> pd.DataFrame:
-        cn = ray.get(c_nat_ref)
-        return pd.DataFrame(
-            {
-                "o_orderkey": b["o_orderkey"].to_numpy(),
-                "c_nat": b["o_custkey"].map(cn).to_numpy(np.int64),
-            }
-        )
-
     li = _read(
         sf_dir,
         "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
+    use_broadcast = (
+        max(
+            _nrows_parquet(f"{sf_dir}/customer.parquet"),
+            _nrows_parquet(f"{sf_dir}/supplier.parquet"),
+        )
+        <= broadcast_limit
+    )
 
-    def l_side(b: pd.DataFrame) -> pd.DataFrame:
-        sn = ray.get(s_nat_ref)
-        return pd.DataFrame(
-            {
-                "o_orderkey": b["l_orderkey"].to_numpy(),
-                "s_nat": b["l_suppkey"].map(sn).to_numpy(np.int64),
-                "rev": (
-                    b["l_extendedprice"] * (1.0 - b["l_discount"])
-                ).to_numpy(),
-            }
+    if use_broadcast:
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        c_nat_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+        s_nat_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+
+        def o_side(b: pd.DataFrame) -> pd.DataFrame:
+            cn = ray.get(c_nat_ref)
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"].to_numpy(),
+                    "c_nat": b["o_custkey"].map(cn).to_numpy(np.int64),
+                }
+            )
+
+        def l_side(b: pd.DataFrame) -> pd.DataFrame:
+            sn = ray.get(s_nat_ref)
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "s_nat": b["l_suppkey"].map(sn).to_numpy(np.int64),
+                    "rev": (
+                        b["l_extendedprice"] * (1.0 - b["l_discount"])
+                    ).to_numpy(),
+                }
+            )
+
+        o_branch = orders.map_batches(o_side, batch_format="pandas")
+        l_branch = li.map_batches(l_side, batch_format="pandas")
+    else:
+        cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "o_custkey": b["c_custkey"].to_numpy(),
+                    "c_nat": b["c_nationkey"].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_suppkey": b["s_suppkey"].to_numpy(),
+                    "s_nat": b["s_nationkey"].to_numpy(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        # materialize the two dim-join outputs: stacked lazy
+        # Dataset.join stages deadlock the streaming executor (measured
+        # Ray 2.49 — see stages/joins.py)
+        o_branch = (
+            hash_join(orders, cust_ds, ["o_custkey"])
+            .map_batches(
+                lambda b: b[["o_orderkey", "c_nat"]]
+                if "c_nat" in b.columns
+                else pd.DataFrame(
+                    {
+                        "o_orderkey": pd.Series([], dtype=np.int64),
+                        "c_nat": pd.Series([], dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
         )
 
-    j = hash_join(
-        li.map_batches(l_side, batch_format="pandas"),
-        orders.map_batches(o_side, batch_format="pandas"),
-        ["o_orderkey"],
-    )
+        def l_pre(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "l_suppkey": b["l_suppkey"].to_numpy(),
+                    "rev": (
+                        b["l_extendedprice"] * (1.0 - b["l_discount"])
+                    ).to_numpy(),
+                }
+            )
+
+        l_branch = (
+            hash_join(
+                li.map_batches(l_pre, batch_format="pandas"),
+                supp_ds,
+                ["l_suppkey"],
+            )
+            .map_batches(
+                lambda b: b[["o_orderkey", "s_nat", "rev"]]
+                if "s_nat" in b.columns
+                else pd.DataFrame(
+                    {
+                        "o_orderkey": pd.Series([], dtype=np.int64),
+                        "s_nat": pd.Series([], dtype=np.int64),
+                        "rev": pd.Series([], dtype=np.float64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+
+    j = hash_join(l_branch, o_branch, ["o_orderkey"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         names = ray.get(names_ref)
+        if "c_nat" not in b.columns or "s_nat" not in b.columns:
+            return pd.DataFrame(
+                {"n_name": pd.Series([], dtype=object),
+                 "revenue": pd.Series([], dtype=np.float64)}
+            )
         b = b[(b["c_nat"] == b["s_nat"]) & b["s_nat"].isin(names)]
         out = (
             b.groupby("s_nat", sort=False)["rev"].sum().rename("revenue").reset_index()

@@ -1,0 +1,89 @@
+"""Size-thresholded broadcast→hash-join fallback (q3/q5) and the
+k-row-bounded q10 name lookup: both plans must produce identical rows,
+and the threshold must actually steer the plan (hash_join call count).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import kire_ray.pipelines.relational as R
+import kire_ray.stages.joins as J
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(ds):
+    out = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+@pytest.fixture
+def count_joins(monkeypatch):
+    calls = []
+    orig = J.hash_join
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    # relational.py imports hash_join inside the function bodies from
+    # kire_ray.stages.joins, so patching the module attr is enough
+    monkeypatch.setattr(J, "hash_join", counted)
+    return calls
+
+
+def test_q5_paths_equal(ray_session, count_joins):
+    want = _df(R.q5_local_supplier_revenue(SF))
+    n_broadcast = len(count_joins)
+    got = _df(R.q5_local_supplier_revenue(SF, broadcast_limit=0))
+    n_joined = len(count_joins) - n_broadcast
+    pd.testing.assert_frame_equal(got, want)
+    # broadcast plan: 1 fact⋈fact join; join plan adds the two dim joins
+    assert n_broadcast == 1 and n_joined == 3
+
+
+def test_q3_paths_equal(ray_session, count_joins):
+    want = _df(R.q3_shipping_priority(SF))
+    n_broadcast = len(count_joins)
+    got = _df(R.q3_shipping_priority(SF, broadcast_limit=0))
+    n_joined = len(count_joins) - n_broadcast
+    pd.testing.assert_frame_equal(got, want)
+    assert n_broadcast == 1 and n_joined == 2
+
+
+def test_q10_lookup_bounded(ray_session, monkeypatch):
+    """q10's post-top-k customer lookup must read k-row-bounded data:
+    the filtered read returns exactly the top-k custkeys, never the
+    whole customer table."""
+    import pyarrow.dataset as pads
+
+    seen = {}
+    orig = pads.dataset
+
+    class Spy:
+        def __init__(self, d):
+            self._d = d
+
+        def to_table(self, *aa, **kk):
+            t = self._d.to_table(*aa, **kk)
+            seen["rows"] = t.num_rows
+            return t
+
+        def __getattr__(self, name):
+            return getattr(self._d, name)
+
+    def spying(*a, **k):
+        d = orig(*a, **k)
+        if "customer" in str(a[0]):
+            seen["path"] = str(a[0])
+            return Spy(d)
+        return d
+
+    monkeypatch.setattr(pads, "dataset", spying)
+    out = R.q10_returned_items(SF, top=7).to_pandas()
+    assert len(out) == 7
+    assert seen["rows"] == 7  # one row per surviving custkey
+    assert list(out.columns) == ["c_custkey", "c_name", "n_name", "revenue"]
+    # deterministic order: revenue desc, custkey asc
+    assert (out["revenue"].to_numpy()[:-1] >= out["revenue"].to_numpy()[1:]).all()

@@ -200,6 +200,16 @@ def _kg_coref(sf_dir: str) -> Any:
     return coref_pairs(c["linked"], c["ctx"])
 
 
+def _q_doc_chunk_stitch(sf_dir: str) -> Any:
+    """Long-document chunk/stitch (long_seq.py semantics) as a
+    driver-verifiable row: windowed position-dependent encoder over
+    the assembled word grid, merged with the flagship's own
+    chunk_spans/stitch kernels."""
+    from kire_ray.pipelines.kg_construct import doc_chunk_stitch
+
+    return doc_chunk_stitch(_corpus(sf_dir))
+
+
 def _q_kg_nodes(sf_dir: str) -> Any:
     """Node identity + provenance columns of the flagship nodes table
     (driver-verifiable: the vote→canon→NT chain is reconstructed in SQL
@@ -1848,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_coref_pairs": _kg_coref,
         "kg_assembled_turns": _q_kg_assembled_turns,
         "kg_mentions_flat": _q_kg_mentions_flat,
+        "doc_chunk_stitch": _q_doc_chunk_stitch,
         "kg_eval_prf": _q_kg_eval,
         "kg_eval_official": _q_kg_eval_official,
         "kg_theta_tuning": _q_theta_tuning,
@@ -2154,6 +2165,40 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT doc_id, h_idx, t_idx, subj_qid, pred, obj_qid, score
             FROM triples
+        """,
+        "doc_chunk_stitch": f"""
+            WITH tr AS (SELECT conv_id AS doc_id, turn_idx,
+                               string_split(text, ' ') AS ws
+                        FROM read_parquet('{c01}/transcripts.parquet/*.parquet')),
+            tlen AS (SELECT doc_id, turn_idx, len(ws) AS nw FROM tr),
+            toff AS (SELECT doc_id, turn_idx,
+                            CAST(coalesce(sum(nw) OVER (
+                                PARTITION BY doc_id ORDER BY turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS BIGINT)
+                                AS off
+                     FROM tlen),
+            tok0 AS (SELECT doc_id, turn_idx, unnest(ws) AS w,
+                            generate_subscripts(ws, 1) AS i
+                     FROM tr),
+            tok AS (SELECT t.doc_id, o.off + t.i - 1 AS pos, t.w,
+                           CAST(('0x' || substr(md5(t.w), 1, 13)) AS BIGINT)
+                               / 4503599627370496.0 AS u
+                    FROM tok0 t
+                    JOIN toff o ON o.doc_id = t.doc_id
+                               AND o.turn_idx = t.turn_idx),
+            dl AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            wins AS (SELECT doc_id, CAST(s AS BIGINT) AS s FROM (
+                        SELECT doc_id, unnest(range(0, n - 64, 48)) AS s
+                        FROM dl WHERE n > 64
+                        UNION SELECT doc_id, n - 64 FROM dl WHERE n > 64
+                        UNION SELECT doc_id, 0 FROM dl WHERE n <= 64) q)
+            SELECT tok.doc_id, tok.pos, tok.w AS word,
+                   {sql_round('sum(tok.u + (tok.pos - w.s) / 64.0) / count(*)', 6)}
+                       AS enc
+            FROM tok JOIN wins w ON w.doc_id = tok.doc_id
+                                AND tok.pos >= w.s AND tok.pos < w.s + 64
+            GROUP BY tok.doc_id, tok.pos, tok.w
         """,
         "kg_edges": _kg_chain_sql(c01)
         + """

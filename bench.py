@@ -257,8 +257,14 @@ def _scaling_corpus(sf_dir: str, factor: int = 64) -> str:
     base = corpus_for_sf_dir(sf_dir)
     out = f"{base}_x{factor}"
     marker = os.path.join(out, "_REPL_DONE")
+    # marker carries the base corpus' manifest so a generator change
+    # (which regenerates the base) also invalidates the replica
+    with open(os.path.join(base, "_SYNTH_MANIFEST.json")) as f:
+        base_manifest = f.read()
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read() == base_manifest:
+                return out
     tmp = out + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
@@ -281,7 +287,8 @@ def _scaling_corpus(sf_dir: str, factor: int = 64) -> str:
         )
     for name in ("kg_alias", "lexicon", "kg_triples", "kg_attrs"):
         shutil.copy(os.path.join(base, f"{name}.parquet"), os.path.join(tmp, f"{name}.parquet"))
-    open(os.path.join(tmp, "_REPL_DONE"), "w").close()
+    with open(os.path.join(tmp, "_REPL_DONE"), "w") as f:
+        f.write(base_manifest)
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
     return out

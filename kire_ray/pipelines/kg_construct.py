@@ -232,6 +232,80 @@ def build_graph(
     return {"linked": linked, "triples": triples, "edges": edges, "nodes": nodes, "_ctx": ctx}
 
 
+def doc_chunk_stitch(
+    corpus_dir: str, *, max_len: int = 64, overlap: int = 16
+) -> "ray.data.Dataset":
+    """Driver-verifiable chunk/stitch row: the long_seq.py overlapping
+    windows applied to a position-DEPENDENT per-token encoder, so the
+    merge semantics (mean over covering windows) are numerically
+    observable and reconstructable in SQL.
+
+    Per document: word grid over the assembled turns; windows =
+    ``chunk_spans(n, max_len, overlap)`` (the exact splitter the
+    flagship embedder uses, functions/chunking.py); per-window encoder
+    output for position i in window (s, e) = md5-score of the word +
+    (i - s) / max_len (the window-local positional term makes window
+    outputs DISAGREE in overlaps, unlike the context-free flagship
+    stand-in, so stitch's averaging is exercised for real); stitched
+    via ``stitch()`` and rounded to 6dp. Emits (doc_id, pos, word, enc).
+
+    The small default ``max_len=64`` makes most corpus documents
+    multi-window — the path executes wall-to-wall, not only on the
+    planted >512-word documents.
+    """
+    from kire_ray.functions.chunking import chunk_spans, stitch
+    from kire_ray.functions.hashing import score01_md5
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.assemble import assemble_documents
+
+    docs = assemble_documents(read_transcripts(corpus_dir))
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_pos, out_word, out_enc = [], [], [], []
+        memo: dict[str, float] = {}
+        for doc_id, turns in zip(b["doc_id"], b["turn_texts"]):
+            words = [w for t in turns for w in t.split()]
+            n = len(words)
+            if n == 0:
+                continue
+            u = np.array(
+                [
+                    memo[w] if w in memo else memo.setdefault(w, score01_md5(w))
+                    for w in words
+                ],
+                dtype=np.float64,
+            )
+            spans = chunk_spans(n, max_len, overlap)
+            chunks = [
+                (u[s:e] + (np.arange(s, e) - s) / float(max_len))[:, None]
+                for s, e in spans
+            ]
+            enc = stitch(chunks, spans, n)[:, 0]
+            out_doc.extend([doc_id] * n)
+            out_pos.append(np.arange(n, dtype=np.int64))
+            out_word.extend(words)
+            out_enc.append(enc)
+        if not out_doc:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=object),
+                    "pos": pd.Series([], dtype=np.int64),
+                    "word": pd.Series([], dtype=object),
+                    "enc": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "pos": np.concatenate(out_pos),
+                "word": out_word,
+                "enc": round_half_up(np.concatenate(out_enc), 6),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pandas")
+
+
 # --------------------------- resumable run ---------------------------
 
 

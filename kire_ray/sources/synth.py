@@ -61,6 +61,11 @@ class SynthConfig:
     n_props: int = 30
     hot_convs: int = 2          # skewed conv_ids (many turns) to exercise salting
     hot_turns: int = 64
+    # every Nth conversation is LONG (> the DocRED 512-word profile
+    # cap), so the scorer's long_seq.py chunk/stitch path executes on
+    # the synthetic corpus (not only in unit tests)
+    long_convs_every: int = 97
+    long_turns: int = 110
     ambiguous_frac: float = 0.03   # aliases mapping to two QIDs
     unlinkable_frac: float = 0.06  # entities absent from kg_alias (→ NT ids)
     time_frac: float = 0.05        # TIME-typed entities (excluded from KG joins)
@@ -168,7 +173,12 @@ def generate_corpus(cfg: SynthConfig) -> dict[str, pa.Table]:
     props = [f"P{p+1}" for p in range(cfg.n_props)]
 
     for ci, conv in enumerate(conv_ids):
-        n_turns = int(cfg.hot_turns if ci < cfg.hot_convs else rng.integers(3, 13))
+        if ci < cfg.hot_convs:
+            n_turns = int(cfg.hot_turns)
+        elif cfg.long_convs_every and (ci % cfg.long_convs_every) == cfg.long_convs_every - 1:
+            n_turns = int(cfg.long_turns)  # > max_len words → chunk/stitch path
+        else:
+            n_turns = int(rng.integers(3, 13))
         k_ent = int(rng.integers(2, 7))
         chosen: list[int] = []
         seen_groups: set[int] = set()

@@ -227,6 +227,49 @@ def score_document(doc_id: str, ents: list[dict], index: KGIndex):
     return rows
 
 
+def doc_mention_vecs(
+    turns: list[str],
+    ments: list[dict],
+    vec_of,
+    max_len: int,
+    overlap: int,
+) -> dict[int, list["np.ndarray"]]:
+    """Per-doc mention vectors with the reference's long-document
+    chunk/stitch (long_seq.py:8-56 split, :156-211 merge): documents
+    over ``max_len`` words run per-window and a mention in an overlap
+    averages its covering windows' outputs (stitch at the mention's
+    start position). Shared verbatim by the distributed EntityEmbedder
+    and the sequential oracle (oracle/pyoracle.py) so the float ops —
+    including the overlap mean — are identical by construction.
+
+    The stand-in encoder is context-free, so the merge is numerically
+    the identity; short documents take the single-window branch
+    untouched."""
+    from kire_ray.functions.chunking import chunk_spans
+
+    # word-grid length (transcripts are space-tokenized by
+    # construction, FIXTURES.md §1 — count matches .split())
+    turn_lens = [(t.count(" ") + 1) if t else 0 for t in turns]
+    n_words = sum(turn_lens)
+    by_ent: dict[int, list[np.ndarray]] = {}
+    if n_words <= max_len:
+        for m in ments:  # one O(M) pass, not O(E×M) rescans
+            by_ent.setdefault(m["ent_idx"], []).append(vec_of(m["surface"]))
+        return by_ent
+    spans = chunk_spans(n_words, max_len, overlap)
+    offs = np.concatenate(([0], np.cumsum(turn_lens)))
+    for m in ments:
+        g = int(offs[m["turn_idx"]]) + m["start"]
+        acc, cnt = None, 0
+        for s, e in spans:
+            if s <= g < e:
+                w_out = vec_of(m["surface"])  # per-window output
+                acc = w_out if acc is None else acc + w_out
+                cnt += 1
+        by_ent.setdefault(m["ent_idx"], []).append(acc / cnt)
+    return by_ent
+
+
 class EntityEmbedder:
     """Actor-pool stage: linked documents → per-doc entity vectors.
 
@@ -234,9 +277,22 @@ class EntityEmbedder:
     + mean-pooled hashed encoding of the 4 attribute strings (the
     autoencoder stand-in, kg_encoder.py:68-115). Emits one row per
     (doc, entity) with a fixed-size vector for the nodes table.
+
+    Long documents (> ``max_len`` words) run through the reference's
+    overlapping-window chunk/stitch (long_seq.py:8-56 split,
+    :156-211 merge; functions/chunking.py): each window computes the
+    mention vectors it covers, and a mention in an overlap averages
+    its covering windows' outputs (stitch semantics at the mention's
+    start position). The per-window stand-in encoder is
+    context-free, so the merge is numerically the identity — short
+    documents are bit-unchanged and long documents match the
+    single-window values to fp-mean precision, exactly like the
+    reference where windows agree.
     """
 
-    def __init__(self, kg_ref, canon_ref):
+    def __init__(self, kg_ref, canon_ref, max_len: int = 512, overlap: int = 128):
+        self.max_len = int(max_len)
+        self.overlap = int(overlap)
         kg = ray.get(kg_ref) if not isinstance(kg_ref, dict) else kg_ref
         canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
         self.index = KGIndex(kg, canon)
@@ -264,27 +320,31 @@ class EntityEmbedder:
             v = self._attr[key] = np.mean([self._token_vec(t) for t in attr_toks], axis=0)
         return v
 
+    def _mention_vec(self, surface: str) -> np.ndarray:
+        v = self._surf.get(surface)
+        if v is None:
+            v = self._surf[surface] = self._token_vec(normalize_label(surface))
+        return v
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(self._tok) > 500_000:  # bound actor memory on open vocab
             self._tok.clear()
             self._attr.clear()
             self._surf.clear()
         doc_ids = batch.column("doc_id").to_pylist()
+        turns_col = batch.column("turn_texts").to_pylist()
         ents_col = batch.column("entities").to_pylist()
         ments_col = batch.column("mentions").to_pylist()
         out_doc, out_idx, out_qid, out_label, out_nm, out_vec = [], [], [], [], [], []
-        surf_vec = self._surf  # raw-surface → token_vec memo (pure, so
+        # _mention_vec memoizes raw-surface → token_vec (pure, so
         # numerically neutral; collapses the normalize+hash per mention
         # to one dict hit — surfaces repeat heavily across the corpus)
-        for doc_id, ents, ments in zip(doc_ids, ents_col, ments_col):
-            by_ent: dict[int, list[np.ndarray]] = {}
-            for m in ments:  # one O(M) pass, not O(E×M) rescans
-                v = surf_vec.get(m["surface"])
-                if v is None:
-                    v = surf_vec[m["surface"]] = self._token_vec(
-                        normalize_label(m["surface"])
-                    )
-                by_ent.setdefault(m["ent_idx"], []).append(v)
+        for doc_id, turns, ents, ments in zip(
+            doc_ids, turns_col, ents_col, ments_col
+        ):
+            by_ent = doc_mention_vecs(
+                turns, ments, self._mention_vec, self.max_len, self.overlap
+            )
             for e in ents:
                 pooled = logsumexp_pool(np.stack(by_ent[e["ent_idx"]]))
                 attr_vec = self._attr_vec(e["qid"], e["label"])

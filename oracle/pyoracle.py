@@ -92,12 +92,17 @@ def run_oracle(corpus_dir: str) -> dict[str, pd.DataFrame]:
             for m in tagged
         ]
         triple_rows.extend(score_document(conv_id, ents, index))
+        from kire_ray.stages.scorer import doc_mention_vecs
+
+        by_ent = doc_mention_vecs(
+            turns,
+            ments,
+            lambda s: token_vec(normalize_label(s)),
+            512,
+            128,
+        )
         for e in ents:
-            vecs = [
-                token_vec(normalize_label(m["surface"]))
-                for m in ments
-                if m["ent_idx"] == e["ent_idx"]
-            ]
+            vecs = by_ent[e["ent_idx"]]
             pooled = logsumexp_pool(np.stack(vecs))
             attrs = index.entity_attrs(e["qid"], e["label"])
             attr_toks = [tok for s in attrs.values() for tok in s.split()]

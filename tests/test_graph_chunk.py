@@ -68,6 +68,67 @@ def test_chunk_spans_cover_and_overlap():
             assert spans == [(0, n)]
 
 
+def test_embedder_long_doc_windows():
+    """Flagship wiring of chunk/stitch: a >max_len doc runs the
+    windowed path (mentions in overlaps averaged over covering
+    windows); output equals the single-window run to fp-mean
+    precision, and short docs take the unchanged branch bitwise."""
+    import pyarrow as pa
+
+    from kire_ray.functions.chunking import chunk_spans
+    from kire_ray.stages.scorer import EntityEmbedder
+
+    kg = {"h_qid": [], "prop": [], "t_qid": [],
+          "attr_qid": [], "attr_key": [], "attr_val": []}
+    turns = [" ".join(f"w{i}x{j}" for j in range(10)) for i in range(80)]
+    ments = [
+        {"ent_idx": 0, "turn_idx": t, "start": 2, "end": 3, "surface": "foo bar"}
+        for t in (0, 38, 45, 79)  # head, overlap zone, tail
+    ]
+    ents = [{"ent_idx": 0, "qid": "Q1", "label": "foo bar", "n_mentions": 4}]
+    batch = pa.table(
+        {
+            "doc_id": ["d1"],
+            "turn_texts": [turns],
+            "entities": [ents],
+            "mentions": [ments],
+        }
+    )
+    assert len(chunk_spans(800, 512, 128)) > 1  # the path is exercised
+    win = EntityEmbedder(kg, {}, max_len=512, overlap=128)(batch)
+    one = EntityEmbedder(kg, {}, max_len=10**9)(batch)
+    vw = np.asarray(win.column("vec").to_pylist()[0])
+    vo = np.asarray(one.column("vec").to_pylist()[0])
+    np.testing.assert_allclose(vw, vo, rtol=0, atol=1e-12)
+
+    # short doc: windowed config takes the single-window branch → bitwise
+    short = pa.table(
+        {
+            "doc_id": ["d2"],
+            "turn_texts": [turns[:3]],
+            "entities": [ents],
+            "mentions": [ments[:1]],
+        }
+    )
+    a = EntityEmbedder(kg, {}, max_len=512, overlap=128)(short)
+    b = EntityEmbedder(kg, {}, max_len=10**9)(short)
+    assert a.column("vec").to_pylist() == b.column("vec").to_pylist()
+
+
+def test_corpus_plants_long_docs(small_corpus):
+    """The generator plants >512-word documents (every 97th conv) so
+    the chunk/stitch path executes on the synthetic corpus."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"""SELECT count(*) FROM (
+              SELECT conv_id, sum(len(string_split(text,' '))) nw
+              FROM read_parquet('{small_corpus}/transcripts.parquet/*.parquet')
+              GROUP BY conv_id) WHERE nw > 512"""
+    ).fetchone()[0]
+    assert n >= 1
+
+
 def test_stitch_identity_when_windows_agree():
     n, d = 700, 4
     x = np.arange(n * d, dtype=np.float64).reshape(n, d)

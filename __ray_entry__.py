@@ -1435,15 +1435,58 @@ def _flagship_word_counts(sf_dir: str) -> pd.DataFrame:
 
 
 def _q_doc_features(sf_dir: str) -> Any:
-    """M6/M7 dense channels over the flagship's linked docs (ragged
-    Arrow lists, vocab built distributed)."""
-    from kire_ray.stages.featurize import featurize, vocab_from_counts
+    """M6/M7 dense channels (+ the B4 char-id rectangles) over the
+    flagship's linked docs (ragged Arrow lists, vocab built
+    distributed, char vocab derived from the same counts table)."""
+    from kire_ray.stages.featurize import (
+        char_vocab_from_counts,
+        featurize,
+        vocab_from_counts,
+    )
 
     c = _flagship_linked(sf_dir)
-    vocab = vocab_from_counts(_flagship_word_counts(sf_dir))
+    counts = _flagship_word_counts(sf_dir)
     return featurize(
-        c["linked"], vocab, kg_ref=c["ctx"].kg_ref, canon_ref=c["ctx"].canon_ref
+        c["linked"],
+        vocab_from_counts(counts),
+        char_vocab=char_vocab_from_counts(counts),
+        kg_ref=c["ctx"].kg_ref,
+        canon_ref=c["ctx"].canon_ref,
     )
+
+
+def _q_doc_char_ids_flat(sf_dir: str) -> Any:
+    """B4 char channel flattened to (doc_id, pos, cpos, char_id) rows —
+    the char vocab rank is a plain SQL window over corpus character
+    counts, so the whole channel is driver-verifiable value-exactly."""
+    import pyarrow.compute as pc
+
+    feats = _q_doc_features(sf_dir)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        ci = t.column("char_ids")  # list<list<int32>> per doc
+        words = pc.list_flatten(ci)  # list<int32> per word
+        wdoc = pc.take(t.column("doc_id"), pc.list_parent_indices(ci))
+        wlens = pc.list_value_length(ci).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.repeat(np.cumsum(wlens) - wlens, wlens)
+        wpos = np.arange(int(wlens.sum()), dtype=np.int64) - offs
+        chars = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        doc = pc.take(wdoc, parent)
+        pos = pa.array(wpos, pa.int64()).take(parent)
+        clens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        coffs = np.repeat(np.cumsum(clens) - clens, clens)
+        cpos = np.arange(int(clens.sum()), dtype=np.int64) - coffs
+        return pa.table(
+            {
+                "doc_id": doc,
+                "pos": pos,
+                "cpos": pa.array(cpos, pa.int64()),
+                "char_id": pc.cast(chars, pa.int64()),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
 
 
 def _q_doc_word_ids_flat(sf_dir: str) -> Any:
@@ -1928,6 +1971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_subwords_flat": _q_kg_doc_subwords_flat,
         "doc_features": _q_doc_features,
         "doc_word_ids_flat": _q_doc_word_ids_flat,
+        "doc_char_ids_flat": _q_doc_char_ids_flat,
         "doc_graphs": _q_doc_graphs,
         "ann_brute_force": _q_ann_brute,
         "ann_recall": _q_ann_recall,
@@ -4947,6 +4991,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT pos.doc_id, CAST(pos.pos AS BIGINT) AS pos,
                    CAST(v.wid AS BIGINT) AS word_id
             FROM pos JOIN vocab v USING (w)
+        """,
+        "doc_char_ids_flat": f"""
+            WITH toks AS (
+                SELECT conv_id AS doc_id, turn_idx,
+                       unnest(string_split(text, ' ')) AS w,
+                       unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+                FROM read_parquet('{c01}/transcripts.parquet/*.parquet')),
+            -- corpus character counts over lowered word occurrences →
+            -- char2id rank (B4 char2id.json stand-in; 0=PAD, 1=UNK)
+            chars AS (
+                SELECT doc_id, turn_idx, p,
+                       unnest(string_split(lower(w), '')) AS ch,
+                       unnest(generate_series(1, length(w))) AS ci
+                FROM toks),
+            cvocab AS (
+                SELECT ch, row_number() OVER (ORDER BY count(*) DESC, ch) + 1 AS cid
+                FROM chars GROUP BY ch),
+            pos AS (
+                SELECT doc_id, turn_idx, p,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY turn_idx, p) - 1 AS pos
+                FROM toks)
+            SELECT c.doc_id, CAST(pos.pos AS BIGINT) AS pos,
+                   CAST(c.ci - 1 AS BIGINT) AS cpos,
+                   CAST(v.cid AS BIGINT) AS char_id
+            FROM chars c
+            JOIN pos ON pos.doc_id = c.doc_id AND pos.turn_idx = c.turn_idx
+                    AND pos.p = c.p
+            JOIN cvocab v USING (ch)
+            WHERE c.ci <= 16
         """,
     }
     # retrieval-evaluation metric composed from the two constructions

@@ -44,6 +44,10 @@ FEATURE_SCHEMA = pa.schema(
         ("word_ids", pa.list_(pa.int32())),
         ("ner_ids", pa.list_(pa.int32())),
         ("ent_ids", pa.list_(pa.int32())),
+        # per-token char-id rectangles (B4+KIRE/gen_data.py:148,165-168:
+        # sen_char[i, j, :16] = char2id of the lowered word's chars),
+        # ragged here instead of zero-padded
+        ("char_ids", pa.list_(pa.list_(pa.int32()))),
         # per-pair distance channel (parallel lists over ordered entity
         # pairs i != j): the reference's ep_dis / ent_distance
         ("pair_h", pa.list_(pa.int32())),
@@ -51,6 +55,8 @@ FEATURE_SCHEMA = pa.schema(
         ("ep_dis", pa.list_(pa.int32())),
     ]
 )
+
+CHAR_LIMIT = 16  # B4+KIRE/gen_data.py:15
 
 # dis2idx: log2 distance bucketing (kg_data_loader.py:62-72 /
 # SSAN+KIRE/dataset.py:79-102 — identical tables): 0→0, 1→1, [2,4)→2,
@@ -105,6 +111,22 @@ def vocab_from_counts(counts: pd.DataFrame, *, min_count: int = 1) -> dict[str, 
     return {w: i + 2 for i, w in enumerate(counts["word"])}  # 0=PAD, 1=UNK
 
 
+def char_vocab_from_counts(counts: pd.DataFrame) -> dict[str, int]:
+    """Character vocabulary for the B4 char channel (char2id.json,
+    B4+KIRE/gen_data.py:137): ids ranked by corpus character frequency
+    (occurrences of the lowered word × its count), ties by char;
+    0=PAD, 1=UNK like the word vocab. Derived driver-side from the
+    vocabulary-sized (word, n) table — no extra corpus pass."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for w, n in zip(counts["word"], counts["n"]):
+        for ch in str(w).lower():
+            c[ch] += int(n)
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {ch: i + 2 for i, (ch, _) in enumerate(ordered)}
+
+
 def build_word_vocab(
     docs: "ray.data.Dataset", *, text_col: str = "turn_texts", min_count: int = 1
 ) -> dict[str, int]:
@@ -121,11 +143,26 @@ class FeaturizeDocs:
     per actor; entity types resolve through the KG 'instance of'
     attribute (the reference's ner2id channel keyed by vertex type)."""
 
-    def __init__(self, vocab_ref, kg_ref=None, canon_ref=None, max_entities: int | None = None):
+    def __init__(
+        self,
+        vocab_ref,
+        kg_ref=None,
+        canon_ref=None,
+        max_entities: int | None = None,
+        char_vocab_ref=None,
+    ):
         from kire_ray.config import DOCRED
 
         self.max_entities = max_entities or DOCRED.max_entity_size
         self.vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, dict) else vocab_ref
+        self.char_vocab = (
+            ray.get(char_vocab_ref)
+            if char_vocab_ref is not None and not isinstance(char_vocab_ref, dict)
+            else (char_vocab_ref or {})
+        )
+        # per-actor word → char-id-list memo (pure lookup; words repeat
+        # heavily, so the char loop runs once per distinct word)
+        self._chars: dict[str, list[int]] = {}
         self.type_of: dict[str, str] = {}
         if kg_ref is not None:
             from kire_ray.stages.scorer import KGIndex
@@ -158,6 +195,16 @@ class FeaturizeDocs:
             wid = np.fromiter(
                 (vocab.get(w, UNK_ID) for w in words), dtype=np.int32, count=len(words)
             )
+            cmemo, cvocab = self._chars, self.char_vocab
+            char_ids = [
+                cmemo[w]
+                if w in cmemo
+                else cmemo.setdefault(
+                    w,
+                    [cvocab.get(ch, UNK_ID) for ch in w.lower()[:CHAR_LIMIT]],
+                )
+                for w in words
+            ]
             ner = np.zeros(len(words), dtype=np.int32)
             eid = np.zeros(len(words), dtype=np.int32)
             ent_type = {
@@ -189,6 +236,7 @@ class FeaturizeDocs:
             out["doc_id"].append(doc_id)
             out["n_words"].append(len(words))
             out["word_ids"].append(wid.tolist())
+            out["char_ids"].append(char_ids)
             out["ner_ids"].append(ner.tolist())
             out["ent_ids"].append(eid.tolist())
             out["pair_h"].append(pair_h.tolist())
@@ -203,6 +251,7 @@ def featurize(
     linked: "ray.data.Dataset",
     vocab: dict[str, int],
     *,
+    char_vocab: dict[str, int] | None = None,
     kg_ref=None,
     canon_ref=None,
     concurrency=(1, 8),
@@ -213,6 +262,7 @@ def featurize(
             "vocab_ref": ray.put(vocab),
             "kg_ref": kg_ref,
             "canon_ref": canon_ref,
+            "char_vocab_ref": ray.put(char_vocab or {}),
         },
         batch_format="pyarrow",
         concurrency=concurrency,

@@ -336,12 +336,23 @@ def test_featurize_channels(ray_session, tiny_corpus):
         linked_documents,
         read_transcripts,
     )
-    from kire_ray.stages.featurize import UNK_ID, build_word_vocab, featurize
+    from kire_ray.stages.featurize import (
+        CHAR_LIMIT,
+        UNK_ID,
+        build_word_vocab,
+        char_vocab_from_counts,
+        featurize,
+        word_counts,
+    )
 
     ctx = KGContext.from_corpus(tiny_corpus)
     linked = linked_documents(read_transcripts(tiny_corpus), ctx).materialize()
+    counts = word_counts(linked)
     vocab = build_word_vocab(linked)
-    feats = featurize(linked, vocab, kg_ref=ctx.kg_ref, canon_ref=ctx.canon_ref).to_pandas()
+    cvocab = char_vocab_from_counts(counts)
+    feats = featurize(
+        linked, vocab, char_vocab=cvocab, kg_ref=ctx.kg_ref, canon_ref=ctx.canon_ref
+    ).to_pandas()
     docs = linked.to_pandas().set_index("doc_id")
     assert len(feats) == len(docs)
     row = feats.iloc[0]
@@ -356,6 +367,11 @@ def test_featurize_channels(ray_session, tiny_corpus):
     starts = sum(len(t.split()) for t in doc["turn_texts"][: ment["turn_idx"]])
     span = row["ent_ids"][starts + ment["start"] : starts + ment["end"]]
     assert all(v == ment["ent_idx"] + 1 for v in span)
+    # B4 char channel: one id list per word, lowered chars, capped 16
+    assert len(row["char_ids"]) == len(words)
+    for w, cids in zip(words[:50], row["char_ids"][:50]):
+        assert list(cids) == [cvocab.get(ch, UNK_ID) for ch in w.lower()[:CHAR_LIMIT]]
+        assert len(cids) <= CHAR_LIMIT
     # determinism: same vocab twice
     assert build_word_vocab(linked) == vocab
 

@@ -52,12 +52,20 @@ def _group_starts(sorted_keys: np.ndarray) -> np.ndarray:
     return np.flatnonzero(change)
 
 
-def _combine_segments(batch: pd.DataFrame) -> pd.DataFrame:
+def _combine_segments(batch: pd.DataFrame, max_turns: int | None = None) -> pd.DataFrame:
     """Block-local combiner: turns → one segment row per conv_id.
 
     Vectorized: one sort, group boundaries by run detection, per-group
     slices (pandas ``groupby.agg(list)`` cost ~70 µs/row here — this is
-    the single hottest stage of the flagship by remote CPU time)."""
+    the single hottest stage of the flagship by remote CPU time).
+
+    ``max_turns`` also caps each block-local segment to its first
+    ``max_turns`` turns in (turn_idx, block order) — the first level of
+    an exact two-level top-k (a conversation's globally-kept first N
+    turns are each within their block's first N), so a pathological
+    hot conv_id ships at most ``max_turns × touched_blocks`` turns
+    through the assembly exchange instead of all of them (the skew
+    bound SURVEY.md §4 promises; measured in tests/test_skew.py)."""
     if batch.empty:
         return pd.DataFrame(
             {k: [] for k in ("conv_id", "turn_idxs", "texts", "roles", "tools", "ts_min", "ts_max")}
@@ -65,6 +73,13 @@ def _combine_segments(batch: pd.DataFrame) -> pd.DataFrame:
     batch = batch.sort_values(["conv_id", "turn_idx"], kind="stable")
     conv = batch["conv_id"].to_numpy()
     starts = _group_starts(conv)
+    if max_turns is not None:
+        counts = np.diff(np.append(starts, len(conv)))
+        pos_in_grp = np.arange(len(conv)) - np.repeat(starts, counts)
+        keep = pos_in_grp < max_turns
+        batch = batch.iloc[keep]
+        conv = conv[keep]
+        starts = _group_starts(conv)
     ends = np.append(starts[1:], len(conv))
 
     def split(col, dtype=object):
@@ -171,7 +186,9 @@ def assemble_documents(
     import functools
 
     segments = transcripts.map_batches(
-        _combine_segments, batch_format="pandas", batch_size=combine_batch_size
+        functools.partial(_combine_segments, max_turns=max_turns),
+        batch_format="pandas",
+        batch_size=combine_batch_size,
     )
     return partitioned_map_groups(
         segments,

@@ -487,20 +487,118 @@ def ingest_batch(
     )
 
 
-def load_output(out_dir: str, table: str) -> "ray.data.Dataset":
-    """Read all finished partitions of one output table and, for the
-    cross-partition tables (edges/nodes), apply the final associative
-    merge so the result equals a single-run build."""
+def segment_table_paths(out_dir: str, table: str) -> list[str]:
+    """Parquet paths of one output table across all live segments:
+    compacted range dirs plus any original ``part=<k>`` NOT covered by
+    a compacted manifest (covered originals are ignored, so a crash
+    between publish-compacted and delete-originals never double-counts
+    — see state/manifest.py covered_partitions)."""
     import glob
+    import re
 
-    paths = sorted(glob.glob(os.path.join(out_dir, "part=*", table, "*.parquet")))
-    ds = ray.data.read_parquet(paths)
+    from kire_ray.state.manifest import covered_partitions
+
+    cov = covered_partitions(out_dir)
+    paths: list[str] = []
+    for d in sorted(glob.glob(os.path.join(out_dir, "part=*"))):
+        label = os.path.basename(d).split("=", 1)[1]
+        if re.fullmatch(r"\d+", label) and int(label) in cov:
+            continue  # folded into a compacted segment
+        paths.extend(sorted(glob.glob(os.path.join(d, table, "*.parquet"))))
+    return paths
+
+
+def compact_segments(
+    out_dir: str, parts: list[int] | None = None
+) -> dict:
+    """Rewrite N finished segment partitions into ONE compacted range
+    directory (``part=<lo>-<hi>``) — the log-structured counterpart of
+    ``ingest_batch``: without it, merge-on-read cost grows with every
+    arriving batch (one edges/nodes partial per partition per batch).
+
+    The rewrite applies the SAME associative merges ``load_output``
+    runs at read time (edges: max/sum/min; nodes: scalar sums + the
+    logsumexp vector pool; triples: plain concat of disjoint doc rows),
+    so reading [compacted ∪ untouched] equals reading the originals —
+    bit-equal for triples/edges and all node scalars; node vectors
+    agree to the same fp-merge tolerance as any other merge order
+    (tests/test_resume.py's existing bar). Publication is atomic and
+    crash-safe: the compacted dir (with its covering manifest) is
+    renamed into place BEFORE the originals are deleted, and readers
+    ignore originals covered by a compacted manifest.
+    """
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    from kire_ray.state.manifest import (
+        compacted_segments,
+        covered_partitions,
+        manifest_path,
+        partition_dir,
+        write_partition_atomic,
+    )
+
+    if parts is None:
+        import glob
+        import re
+
+        cov = covered_partitions(out_dir)
+        parts = sorted(
+            int(m.group(1))
+            for d in glob.glob(os.path.join(out_dir, "part=*"))
+            if (m := re.fullmatch(r"part=(\d+)", os.path.basename(d)))
+            and os.path.exists(manifest_path(out_dir, int(m.group(1))))
+            and int(m.group(1)) not in cov
+        )
+    if not parts:
+        raise ValueError("no uncompacted finished partitions to compact")
+    label = f"{min(parts)}-{max(parts)}"
+    src = {
+        table: [
+            p
+            for k in parts
+            for p in sorted(
+                __import__("glob").glob(
+                    os.path.join(partition_dir(out_dir, k), table, "*.parquet")
+                )
+            )
+        ]
+        for table in ("triples", "edges", "nodes")
+    }
+
+    def writer(tmp: str) -> dict:
+        rows = {}
+        for table in ("triples", "edges", "nodes"):
+            ds = ray.data.read_parquet(src[table])
+            merged = ds if table == "triples" else _segment_merge(ds, table)
+            sub = os.path.join(tmp, table)
+            merged.write_parquet(sub)
+            rows[table] = pads.dataset(sub).count_rows()
+        return rows
+
+    lineage = {
+        "partitions": sorted(int(p) for p in parts),
+        "op": "compact_segments",
+    }
+    manifest = write_partition_atomic(out_dir, label, writer, lineage)
+    # originals only after the compacted segment is live
+    for k in parts:
+        shutil.rmtree(partition_dir(out_dir, k), ignore_errors=True)
+    return manifest
+
+
+def _segment_merge(ds: "ray.data.Dataset", table: str) -> "ray.data.Dataset":
+    """The associative cross-segment merge for one table — shared by
+    merge-on-read (``load_output``) and merge-on-compact
+    (``compact_segments``) so both levels of the merge tree run the
+    identical code."""
+    import numpy as np
+    import pandas as pd
+
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
     if table == "edges":
-        import numpy as np
-        import pandas as pd
-
-        from kire_ray.stages.shuffle import grouped_agg
-
         return grouped_agg(
             ds,
             ["subj_qid", "pred", "obj_qid"],
@@ -510,15 +608,12 @@ def load_output(out_dir: str, table: str) -> "ray.data.Dataset":
                 "first_doc": ("first_doc", "min"),
             },
             post=lambda out: out.assign(
-                score=out["score"].astype(np.float64), n_docs=out["n_docs"].astype(np.int64)
+                score=out["score"].astype(np.float64),
+                n_docs=out["n_docs"].astype(np.int64),
             ),
         )
     if table == "nodes":
-        import numpy as np
-        import pandas as pd
-
         from kire_ray.stages.materialize import _vec_matrix, grouped_logsumexp
-        from kire_ray.stages.shuffle import partitioned_map_groups
 
         def merge_part(part: "pd.DataFrame") -> "pd.DataFrame":
             if part.empty:
@@ -547,3 +642,13 @@ def load_output(out_dir: str, table: str) -> "ray.data.Dataset":
 
         return partitioned_map_groups(ds, ["qid"], merge_part)
     return ds
+
+
+def load_output(out_dir: str, table: str) -> "ray.data.Dataset":
+    """Read all live segments of one output table (compacted ranges +
+    uncompacted originals) and, for the cross-partition tables
+    (edges/nodes), apply the final associative merge (_segment_merge)
+    so the result equals a single-run build."""
+    paths = segment_table_paths(out_dir, table)
+    ds = ray.data.read_parquet(paths)
+    return _segment_merge(ds, table)

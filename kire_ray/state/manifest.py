@@ -35,12 +35,39 @@ def manifest_path(out_dir: str, part: int) -> str:
     return os.path.join(partition_dir(out_dir, part), "_MANIFEST.json")
 
 
+def compacted_segments(out_dir: str) -> list[tuple[str, dict]]:
+    """Compacted range directories (``part=<lo>-<hi>``) with their
+    manifests — each covers several original partitions (listed in
+    ``lineage.partitions``) rewritten into one segment by
+    ``kg_construct.compact_segments``."""
+    import glob as _glob
+
+    out = []
+    for d in sorted(_glob.glob(os.path.join(out_dir, "part=*-*"))):
+        mp = os.path.join(d, "_MANIFEST.json")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                out.append((d, json.load(f)))
+    return out
+
+
+def covered_partitions(out_dir: str) -> set[int]:
+    """Partition ids already folded into a compacted segment. A
+    leftover original ``part=<k>`` dir in this set is IGNORED by
+    readers (the compacted copy wins) — which makes compaction
+    crash-safe: publish-compacted happens before delete-originals."""
+    cov: set[int] = set()
+    for _, m in compacted_segments(out_dir):
+        cov.update(m.get("lineage", {}).get("partitions", []))
+    return cov
+
+
 def done_partitions(out_dir: str, n_parts: int) -> set[int]:
-    done = set()
+    done = covered_partitions(out_dir)
     for k in range(n_parts):
         if os.path.exists(manifest_path(out_dir, k)):
             done.add(k)
-    return done
+    return {k for k in done if k < n_parts}
 
 
 def write_partition_atomic(out_dir: str, part: int, writer, lineage: dict) -> dict:

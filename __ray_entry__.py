@@ -200,6 +200,48 @@ def _kg_coref(sf_dir: str) -> Any:
     return coref_pairs(c["linked"], c["ctx"])
 
 
+_DWIE_CACHE: dict = {}
+
+
+def _dwie_corpus() -> str:
+    """The second reference dataset shape (DWIE profile,
+    kg_data_loader.py:12-16 / config.py): fewer, much longer documents
+    (>1800 words via every-3rd long convs) with entity counts past the
+    100-entity budget (ent_hi=110), so the profile caps actually bind.
+    Fixed-size corpus, cached under the corpus root; sf-independent."""
+    from kire_ray.sources.synth import SynthConfig, write_corpus
+
+    return write_corpus(
+        "/tmp/kire_ray_corpus/dwie",
+        SynthConfig(
+            n_convs=300, seed=77, ent_hi=110, long_convs_every=3, long_turns=310
+        ),
+    )
+
+
+def _q_kg_triples_dwie(sf_dir: str) -> Any:
+    """The flagship chain under the DWIE profile (1800-word window cap,
+    100-entity budget) over the DWIE-shaped corpus — both reference
+    datasets' shapes run end-to-end, driver-verified against the same
+    SQL chain with the DWIE entity cap."""
+    from kire_ray.config import DWIE
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        extract_triples,
+        linked_documents,
+        read_transcripts,
+    )
+
+    corpus = _dwie_corpus()
+    if "triples" not in _DWIE_CACHE:
+        ctx = KGContext.from_corpus(corpus)
+        linked = linked_documents(read_transcripts(corpus), ctx)
+        _DWIE_CACHE["triples"] = extract_triples(
+            linked, ctx, profile=DWIE
+        ).materialize()
+    return _DWIE_CACHE["triples"]
+
+
 def _q_doc_chunk_stitch(sf_dir: str) -> Any:
     """Long-document chunk/stitch (long_seq.py semantics) as a
     driver-verifiable row: windowed position-dependent encoder over
@@ -1902,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assembled_turns": _q_kg_assembled_turns,
         "kg_mentions_flat": _q_kg_mentions_flat,
         "doc_chunk_stitch": _q_doc_chunk_stitch,
+        "kg_triples_dwie": _q_kg_triples_dwie,
         "kg_eval_prf": _q_kg_eval,
         "kg_eval_official": _q_kg_eval_official,
         "kg_theta_tuning": _q_theta_tuning,
@@ -2069,7 +2112,7 @@ def _sql_norm(col: str) -> str:
     )
 
 
-def _kg_chain_sql(c01: str) -> str:
+def _kg_chain_sql(c01: str, max_ent: int = 42) -> str:
     """The flagship chain as one SQL CTE prefix (WITH RECURSIVE … ,
     triples AS (…)) over the gold parquet — the driver-side oracle of
     kg_triples / kg_edges / kg_nodes / kg_linked_docs / the eval rows.
@@ -2134,7 +2177,8 @@ etype AS (SELECT qid, min(attr_val) AS t
           WHERE attr_key = 'instance of' GROUP BY qid),
 kept AS (SELECT e.doc_id, e.ent_idx, e.qid
          FROM entall e LEFT JOIN etype ty ON ty.qid = e.qid
-         WHERE e.qid NOT LIKE 'NT%' AND coalesce(ty.t, '') <> 'time'),
+         WHERE e.ent_idx < {max_ent}
+           AND e.qid NOT LIKE 'NT%' AND coalesce(ty.t, '') <> 'time'),
 ev AS (SELECT DISTINCT coalesce(ch.rep, kg.h_qid) AS h, kg.prop AS r,
                        coalesce(ct.rep, kg.t_qid) AS t
        FROM kg
@@ -2243,6 +2287,34 @@ def oracle_sql() -> dict[str, str]:
             FROM tok JOIN wins w ON w.doc_id = tok.doc_id
                                 AND tok.pos >= w.s AND tok.pos < w.s + 64
             GROUP BY tok.doc_id, tok.pos, tok.w
+        """,
+        "kg_triples_dwie": _kg_chain_sql(_dwie_corpus(), max_ent=100)
+        + """
+            SELECT doc_id, h_idx, t_idx, subj_qid, pred, obj_qid, score
+            FROM triples
+        """,
+        "kg_export_ids": _kg_chain_sql(c01)
+        + """
+            , d AS (SELECT DISTINCT subj_qid, pred, obj_qid FROM triples),
+            tr AS (SELECT subj_qid, pred, obj_qid,
+                          row_number() OVER (ORDER BY subj_qid, pred,
+                                             obj_qid) AS rn
+                   FROM d),
+            occ AS (SELECT subj_qid AS e, rn * 2 AS k FROM tr
+                    UNION ALL SELECT obj_qid, rn * 2 + 1 FROM tr),
+            eids AS (SELECT e, row_number() OVER (ORDER BY min(k)) - 1 AS eid
+                     FROM occ GROUP BY e),
+            rids AS (SELECT pred, row_number() OVER (ORDER BY min(rn)) - 1
+                             AS rid
+                     FROM tr GROUP BY pred)
+            SELECT tr.subj_qid, tr.pred, tr.obj_qid,
+                   CAST(he.eid AS BIGINT) AS h_id,
+                   CAST(r.rid AS BIGINT) AS r_id,
+                   CAST(te.eid AS BIGINT) AS t_id
+            FROM tr
+            JOIN eids he ON he.e = tr.subj_qid
+            JOIN rids r ON r.pred = tr.pred
+            JOIN eids te ON te.e = tr.obj_qid
         """,
         "kg_edges": _kg_chain_sql(c01)
         + """

@@ -137,11 +137,22 @@ def linked_documents(
 
 
 def extract_triples(
-    linked: "ray.data.Dataset", ctx: KGContext, *, concurrency: int | None = None
+    linked: "ray.data.Dataset",
+    ctx: KGContext,
+    *,
+    concurrency: int | None = None,
+    profile: "DatasetProfile | None" = None,
 ) -> "ray.data.Dataset":
+    from kire_ray.config import DOCRED
+
+    p = profile or DOCRED
     return linked.map_batches(
         RelationScorer,
-        fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
+        fn_constructor_kwargs={
+            "kg_ref": ctx.kg_ref,
+            "canon_ref": ctx.canon_ref,
+            "max_entities": p.max_entity_size,
+        },
         batch_format="pyarrow",
         batch_size=None,
         concurrency=_conc(concurrency),
@@ -149,11 +160,22 @@ def extract_triples(
 
 
 def entity_vectors(
-    linked: "ray.data.Dataset", ctx: KGContext, *, concurrency: int | None = None
+    linked: "ray.data.Dataset",
+    ctx: KGContext,
+    *,
+    concurrency: int | None = None,
+    profile: "DatasetProfile | None" = None,
 ) -> "ray.data.Dataset":
+    from kire_ray.config import DOCRED
+
+    p = profile or DOCRED
     return linked.map_batches(
         EntityEmbedder,
-        fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
+        fn_constructor_kwargs={
+            "kg_ref": ctx.kg_ref,
+            "canon_ref": ctx.canon_ref,
+            "max_len": p.max_len,
+        },
         batch_format="pyarrow",
         batch_size=None,
         concurrency=_conc(concurrency),
@@ -161,11 +183,19 @@ def entity_vectors(
 
 
 def coref_pairs(
-    linked: "ray.data.Dataset", ctx: KGContext, *, concurrency: int | None = None
+    linked: "ray.data.Dataset",
+    ctx: KGContext,
+    *,
+    concurrency: int | None = None,
+    profile: "DatasetProfile | None" = None,
 ) -> "ray.data.Dataset":
+    from kire_ray.config import DOCRED
+
+    kwargs = {"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref}
+    kwargs["profile"] = profile or DOCRED
     return linked.map_batches(
         CorefScorer,
-        fn_constructor_kwargs={"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=None,
         concurrency=_conc(concurrency),
@@ -216,6 +246,7 @@ def build_graph(
     concurrency: int | None = None,
     ctx: "KGContext | None" = None,
     linked: "ray.data.Dataset | None" = None,
+    profile: "DatasetProfile | None" = None,
 ) -> dict[str, "ray.data.Dataset"]:
     """Lazy end-to-end build; caller consumes (write/collect) to run.
 
@@ -226,9 +257,11 @@ def build_graph(
     ctx = ctx or KGContext.from_corpus(corpus_dir)
     if linked is None:
         linked = linked_documents(read_transcripts(corpus_dir), ctx, concurrency=concurrency)
-    triples = extract_triples(linked, ctx, concurrency=concurrency)
+    triples = extract_triples(linked, ctx, concurrency=concurrency, profile=profile)
     edges = dedup_edges(triples)
-    nodes = merge_nodes(entity_vectors(linked, ctx, concurrency=concurrency))
+    nodes = merge_nodes(
+        entity_vectors(linked, ctx, concurrency=concurrency, profile=profile)
+    )
     return {"linked": linked, "triples": triples, "edges": edges, "nodes": nodes, "_ctx": ctx}
 
 

@@ -66,6 +66,13 @@ class SynthConfig:
     # the synthetic corpus (not only in unit tests)
     long_convs_every: int = 97
     long_turns: int = 110
+    # entities per conversation are drawn from [2, ent_hi); the DWIE
+    # corpus variant raises this past the profile's max_entity_size=100
+    # so the per-doc entity-budget truncation actually binds
+    ent_hi: int = 7
+    # bump to invalidate cached corpora when the GENERATOR code changes
+    # (write_corpus only compares this config dict, not the code)
+    gen_version: int = 2
     ambiguous_frac: float = 0.03   # aliases mapping to two QIDs
     unlinkable_frac: float = 0.06  # entities absent from kg_alias (→ NT ids)
     time_frac: float = 0.05        # TIME-typed entities (excluded from KG joins)
@@ -73,7 +80,9 @@ class SynthConfig:
 
     @property
     def n_entities(self) -> int:
-        return max(60, self.n_convs // 3)
+        # 4·ent_hi: the per-conv entity draw samples 4·k_ent candidates
+        # without replacement, so the pool must cover the largest draw
+        return max(60, self.n_convs // 3, 4 * self.ent_hi)
 
 
 def _name_words(rng: np.random.Generator, n: int) -> list[str]:
@@ -126,6 +135,11 @@ def generate_corpus(cfg: SynthConfig) -> dict[str, pa.Table]:
     amb_rows: list[tuple[str, str]] = []
     for g in range(n_amb):
         i, j = rng.choice(np.flatnonzero(linkable), size=2, replace=False)
+        if ambig_group[i] >= 0 or ambig_group[j] >= 0:
+            # an entity in two ambiguous pairs would get its group id
+            # OVERWRITTEN, defeating the never-co-occur guard below —
+            # observed as cluster merges on the entity-dense DWIE corpus
+            continue
         ambig_group[i] = ambig_group[j] = g
         amb_rows.append((" ".join(aliases[j][1]), qids[i]))  # j's short form → also i
 
@@ -179,7 +193,7 @@ def generate_corpus(cfg: SynthConfig) -> dict[str, pa.Table]:
             n_turns = int(cfg.long_turns)  # > max_len words → chunk/stitch path
         else:
             n_turns = int(rng.integers(3, 13))
-        k_ent = int(rng.integers(2, 7))
+        k_ent = int(rng.integers(2, cfg.ent_hi))
         chosen: list[int] = []
         seen_groups: set[int] = set()
         for e in rng.choice(nE, size=4 * k_ent, replace=False, p=ent_weights, shuffle=False):

@@ -136,10 +136,17 @@ class RelationScorer:
     closure are fetched from the object store once per actor.
     """
 
-    def __init__(self, kg_ref, canon_ref):
+    def __init__(self, kg_ref, canon_ref, max_entities: int | None = None):
+        from kire_ray.config import DOCRED
+
         kg = ray.get(kg_ref) if not isinstance(kg_ref, dict) else kg_ref
         canon = ray.get(canon_ref) if canon_ref is not None and not isinstance(canon_ref, dict) else (canon_ref or {})
         self.index = KGIndex(kg, canon)
+        # per-document entity budget (the reference's fixed-size vertex
+        # rectangles, kg_data_loader.py:12-16 / config.py profiles):
+        # entities beyond the profile cap — in first-mention (ent_idx)
+        # order — never enter pair scoring. SQL mirror: ent_idx < cap.
+        self.max_entities = max_entities or DOCRED.max_entity_size
         # per-actor memos over PURE functions of qids: the surviving
         # (rel, score) list of a (h,t) pair and the keep/skip flag of a
         # qid are document-independent, so caching them is numerically
@@ -179,7 +186,11 @@ class RelationScorer:
         out = {k: [] for k in TRIPLE_SCHEMA.names}
         ap = {k: out[k].append for k in TRIPLE_SCHEMA.names}
         for doc_id, ents in zip(doc_ids, ents_col):
-            good = [e for e in ents if self._kept(e["qid"])]
+            good = [
+                e
+                for e in ents
+                if e["ent_idx"] < self.max_entities and self._kept(e["qid"])
+            ]
             for h in good:
                 hq = h["qid"]
                 for t in good:
@@ -198,13 +209,20 @@ class RelationScorer:
         )
 
 
-def score_document(doc_id: str, ents: list[dict], index: KGIndex):
+def score_document(
+    doc_id: str, ents: list[dict], index: KGIndex, max_entities: int | None = None
+):
     """Per-document pair scoring. Shared verbatim with the sequential
     oracle (oracle/pyoracle.py) so distributed == sequential is exact."""
+    from kire_ray.config import DOCRED
+
+    cap = max_entities or DOCRED.max_entity_size
     good = [
         e
         for e in ents
-        if not e["qid"].startswith("NT") and index.entity_type(e["qid"]) != "time"
+        if e["ent_idx"] < cap
+        and not e["qid"].startswith("NT")
+        and index.entity_type(e["qid"]) != "time"
     ]
     rows = []
     for h in good:

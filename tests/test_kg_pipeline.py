@@ -82,3 +82,43 @@ def test_no_self_loops_no_eq_preds(graph):
     assert (e["subj_qid"] != e["obj_qid"]).all()
     assert (e["pred"] != "P_eq").all()
     assert not e["subj_qid"].str.startswith("NT").any()
+
+
+def test_dwie_profile_caps_bind(ray_session, tmp_path):
+    """The DWIE corpus shape (1800-word docs, >100-entity docs) runs
+    end-to-end and the profile's entity budget actually binds: no
+    triple references an entity past max_entity_size, while the same
+    docs DO carry entities past it."""
+    import duckdb
+
+    from kire_ray.config import DWIE
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        extract_triples,
+        linked_documents,
+        read_transcripts,
+    )
+    from kire_ray.sources.synth import SynthConfig, write_corpus
+
+    corpus = write_corpus(
+        str(tmp_path / "dwie"),
+        SynthConfig(n_convs=60, seed=77, ent_hi=110, long_convs_every=3, long_turns=310),
+    )
+    ge = pq.read_table(f"{corpus}/gold_entities.parquet").to_pandas()
+    assert (ge["ent_idx"] >= DWIE.max_entity_size).any(), "corpus must exceed the cap"
+    n_long = duckdb.sql(
+        f"""SELECT count(*) FROM (
+              SELECT conv_id, sum(len(string_split(text,' '))) nw
+              FROM read_parquet('{corpus}/transcripts.parquet/*.parquet')
+              GROUP BY conv_id) WHERE nw > {DWIE.max_len}"""
+    ).fetchone()[0]
+    assert n_long >= 1, "corpus must exceed the 1800-word window cap"
+
+    ctx = KGContext.from_corpus(corpus)
+    linked = linked_documents(read_transcripts(corpus), ctx).materialize()
+    t = extract_triples(linked, ctx, profile=DWIE).to_pandas()
+    assert len(t) > 0
+    assert int(max(t["h_idx"].max(), t["t_idx"].max())) < DWIE.max_entity_size
+    # the DOCRED budget (42) would prune more: the caps are real knobs
+    t42 = extract_triples(linked, ctx).to_pandas()
+    assert len(t42) < len(t)

@@ -194,10 +194,22 @@ def _kg(table: str) -> Callable[[str], Any]:
 
 
 def _kg_coref(sf_dir: str) -> Any:
+    """T2/O4 coref pair table (alias-prior + scored top-8 paths),
+    driver-verifiable: logits are md5-derived, so the DuckDB oracle
+    reconstructs the whole loop — candidate top-8, same-start skip,
+    symmetric first-insertion-wins rank — from the gold parquet.
+    Scores round to 6dp on both compare sides (sigmoid crosses libm)."""
+    from kire_ray.functions.rounding import round_half_up
     from kire_ray.pipelines.kg_construct import coref_pairs
 
     c = _flagship_linked(sf_dir)
-    return coref_pairs(c["linked"], c["ctx"])
+
+    def rnd(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["score"] = round_half_up(b["score"].to_numpy(np.float64), 6)
+        return b
+
+    return coref_pairs(c["linked"], c["ctx"]).map_batches(rnd, batch_format="pandas")
 
 
 _DWIE_CACHE: dict = {}
@@ -2292,6 +2304,106 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT doc_id, h_idx, t_idx, subj_qid, pred, obj_qid, score
             FROM triples
+        """,
+        "kg_coref_pairs": _kg_chain_sql(c01)
+        + f"""
+            , tl AS (SELECT conv_id AS doc_id, turn_idx,
+                            len(string_split(text, ' ')) AS nw
+                     FROM read_parquet('{c01}/transcripts.parquet/*.parquet')),
+            toff AS (SELECT doc_id, turn_idx,
+                            CAST(coalesce(sum(nw) OVER (
+                                PARTITION BY doc_id ORDER BY turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS BIGINT)
+                                AS off
+                     FROM tl),
+            mg AS (SELECT m.doc_id, m.ent,
+                          o.off + m.start AS gs, o.off + m."end" AS ge,
+                          lower(m.surface) AS ls
+                   FROM gm m
+                   JOIN toff o ON o.doc_id = m.doc_id
+                              AND o.turn_idx = m.turn_idx),
+            ast AS (SELECT qid, lower(attr_val) AS s
+                    FROM read_parquet('{c01}/kg_attrs.parquet')
+                    WHERE attr_key IN ('label', 'alias')),
+            -- per-cluster position set: alias-string occurrences (all
+            -- occurrences are planted mention spans — filler tokens
+            -- never collide with name tokens) ∪ own mention spans
+            pose AS (SELECT DISTINCT doc_id, ent_idx, gs, ge FROM (
+                       SELECT e.doc_id, e.ent_idx, m2.gs, m2.ge
+                       FROM entall e
+                       JOIN ast a ON a.qid = e.qid
+                       JOIN mg m2 ON m2.doc_id = e.doc_id AND m2.ls = a.s
+                     UNION ALL
+                       SELECT d.doc_id, d.ent_idx, m.gs, m.ge
+                       FROM mg m
+                       JOIN dense d ON d.doc_id = m.doc_id
+                                   AND d.ent = m.ent) q),
+            alias_rows AS (
+                SELECT p1.doc_id, p1.ent_idx,
+                       p1.gs AS h_start, p1.ge AS h_end,
+                       p2.gs AS t_start, p2.ge AS t_end,
+                       0.9 AS score, -1 AS rank, 'alias' AS source
+                FROM pose p1
+                JOIN pose p2 ON p2.doc_id = p1.doc_id
+                            AND p2.ent_idx = p1.ent_idx
+                            AND NOT (p1.gs = p2.gs AND p1.ge = p2.ge)),
+            ap AS (SELECT doc_id, gs, ge,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY gs, ge) - 1 AS pi
+                   FROM (SELECT DISTINCT doc_id, gs, ge FROM pose) q
+                   QUALIFY row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY gs, ge) <= 250),
+            cand AS (SELECT a.doc_id, a.pi AS i, b.pi AS j,
+                            a.gs AS gs_i, a.ge AS ge_i,
+                            b.gs AS gs_j, b.ge AS ge_j,
+                            ((CAST(('0x' || substr(md5(
+                                a.doc_id || '|'
+                                || CAST(least(a.gs, b.gs) AS VARCHAR) || ','
+                                || CAST(CASE WHEN a.gs < b.gs OR (a.gs = b.gs
+                                             AND a.ge < b.ge)
+                                        THEN a.ge ELSE b.ge END AS VARCHAR)
+                                || '|'
+                                || CAST(greatest(a.gs, b.gs) AS VARCHAR) || ','
+                                || CAST(CASE WHEN a.gs < b.gs OR (a.gs = b.gs
+                                             AND a.ge < b.ge)
+                                        THEN b.ge ELSE a.ge END AS VARCHAR)
+                              ), 1, 13)) AS BIGINT)
+                              / 4503599627370496.0 - 0.5) * 8.0) AS logit
+                     FROM ap a
+                     JOIN ap b ON b.doc_id = a.doc_id AND b.pi <> a.pi),
+            top8 AS (SELECT *,
+                            row_number() OVER (PARTITION BY doc_id, i
+                                               ORDER BY logit DESC, j ASC)
+                                AS rj
+                     FROM cand
+                     QUALIFY rj <= 8),
+            emits AS (SELECT * FROM top8 WHERE gs_i <> gs_j),
+            cev AS (SELECT doc_id, i AS a, j AS b, logit,
+                          i * 100000 + rj AS k FROM emits
+                   UNION ALL
+                   SELECT doc_id, j, i, logit, i * 100000 + rj FROM emits),
+            fe AS (SELECT doc_id, a, b, min(k) AS k, min(logit) AS logit
+                   FROM cev GROUP BY 1, 2, 3),
+            scored_rows AS (
+                SELECT fe.doc_id, -1 AS ent_idx,
+                       pa.gs AS h_start, pa.ge AS h_end,
+                       pb.gs AS t_start, pb.ge AS t_end,
+                       {sql_round('1.0 / (1.0 + exp(-fe.logit))', 6)} AS score,
+                       row_number() OVER (PARTITION BY fe.doc_id, fe.a
+                                          ORDER BY fe.k) - 1 AS rank,
+                       'scored' AS source
+                FROM fe
+                JOIN ap pa ON pa.doc_id = fe.doc_id AND pa.pi = fe.a
+                JOIN ap pb ON pb.doc_id = fe.doc_id AND pb.pi = fe.b)
+            SELECT doc_id, CAST(ent_idx AS INT) AS ent_idx,
+                   CAST(h_start AS INT) AS h_start,
+                   CAST(h_end AS INT) AS h_end,
+                   CAST(t_start AS INT) AS t_start,
+                   CAST(t_end AS INT) AS t_end,
+                   score, CAST(rank AS INT) AS rank, source
+            FROM (SELECT * FROM alias_rows UNION ALL
+                  SELECT * FROM scored_rows) allrows
         """,
         "kg_export_ids": _kg_chain_sql(c01)
         + """

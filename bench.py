@@ -68,6 +68,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_nodes",
         "kg_coref_pairs",
         "kg_doc_subwords",
+        "kg_triples_dwie",
+        "doc_chunk_stitch",
+        "doc_char_ids_flat",
         "glre_pairs",
         "pubtator_docs",
         "q1_pricing_summary",

@@ -38,7 +38,6 @@ import pyarrow as pa
 import ray
 
 from kire_ray.config import DOCRED, DatasetProfile
-from kire_ray.functions.hashing import hash64_fast
 from kire_ray.stages.scorer import KGIndex
 
 PRIOR = 0.9
@@ -79,22 +78,30 @@ def find_positions(words: list[str], alias_tokens: list[str]) -> set[tuple[int, 
 def pair_logits(doc_id: str, pos: list[tuple[int, int]]) -> np.ndarray:
     """Deterministic symmetric mention-pair logit matrix (M×M).
 
-    Stand-in for the neuralcoref pairwise scores: hash-uniform in
-    [-4, 4), a pure function of (doc_id, unordered span pair) — same on
-    every worker and cluster size. Vectorized: one hash64_fast call
-    over the M(M-1)/2 upper-triangle keys.
+    Stand-in for the neuralcoref pairwise scores: uniform in [-4, 4),
+    a pure function of (doc_id, unordered span pair) — same on every
+    worker and cluster size. md5-derived (functions.hashing.score01_md5)
+    so the driver's DuckDB oracle reproduces every logit bit-for-bit:
+    ``(('0x'||substr(md5(key),1,13))::BIGINT / 2^52 - 0.5) * 8``.
     """
+    from kire_ray.functions.hashing import score01_md5
+
     m = len(pos)
     logits = np.zeros((m, m), dtype=np.float64)
     if m < 2:
         return logits
     iu, ju = np.triu_indices(m, k=1)
-    keys = [
-        f"{doc_id}|{pos[i][0]},{pos[i][1]}|{pos[j][0]},{pos[j][1]}"
-        for i, j in zip(iu, ju)
-    ]
-    u = hash64_fast(keys).astype(np.float64) / float(2**64)
-    vals = (u - 0.5) * 8.0
+    vals = np.fromiter(
+        (
+            score01_md5(
+                f"{doc_id}|{pos[i][0]},{pos[i][1]}|{pos[j][0]},{pos[j][1]}"
+            )
+            for i, j in zip(iu, ju)
+        ),
+        dtype=np.float64,
+        count=len(iu),
+    )
+    vals = (vals - 0.5) * 8.0
     logits[iu, ju] = vals
     logits[ju, iu] = vals
     return logits

@@ -1572,6 +1572,57 @@ def _q_doc_word_ids_flat(sf_dir: str) -> Any:
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_doc_token_tags_flat(sf_dir: str) -> Any:
+    """M7 NER/entity channels flattened to (doc_id, pos, ner_id,
+    ent_id) rows — mention coverage, cluster ids and the KG-typed
+    ner2id mapping all reconstructable in SQL from the gold parquet."""
+    import pyarrow.compute as pc
+
+    feats = _q_doc_features(sf_dir)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        ner = t.column("ner_ids")
+        ent = t.column("ent_ids")
+        parent = pc.list_parent_indices(ner)
+        doc = pc.take(t.column("doc_id"), parent)
+        lens = pc.list_value_length(ner).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.repeat(np.cumsum(lens) - lens, lens)
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - offs
+        return pa.table(
+            {
+                "doc_id": doc,
+                "pos": pa.array(pos, pa.int64()),
+                "ner_id": pc.cast(pc.list_flatten(ner), pa.int64()),
+                "ent_id": pc.cast(pc.list_flatten(ent), pa.int64()),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_doc_pair_dis_flat(sf_dir: str) -> Any:
+    """M8 per-pair signed distance buckets flattened to (doc_id, h, t,
+    ep_dis) — the dis2idx table + entity budget as SQL."""
+    import pyarrow.compute as pc
+
+    feats = _q_doc_features(sf_dir)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        ph = t.column("pair_h")
+        parent = pc.list_parent_indices(ph)
+        doc = pc.take(t.column("doc_id"), parent)
+        return pa.table(
+            {
+                "doc_id": doc,
+                "h": pc.cast(pc.list_flatten(ph), pa.int64()),
+                "t": pc.cast(pc.list_flatten(t.column("pair_t")), pa.int64()),
+                "ep_dis": pc.cast(pc.list_flatten(t.column("ep_dis")), pa.int64()),
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_doc_graphs(sf_dir: str) -> Any:
     """GLRE's typed document graph (entity/mention/sentence nodes,
     5-channel edges) as ragged per-doc rows."""
@@ -2027,6 +2078,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_features": _q_doc_features,
         "doc_word_ids_flat": _q_doc_word_ids_flat,
         "doc_char_ids_flat": _q_doc_char_ids_flat,
+        "doc_token_tags_flat": _q_doc_token_tags_flat,
+        "doc_pair_dis_flat": _q_doc_pair_dis_flat,
         "doc_graphs": _q_doc_graphs,
         "ann_brute_force": _q_ann_brute,
         "ann_recall": _q_ann_recall,
@@ -2404,6 +2457,84 @@ def oracle_sql() -> dict[str, str]:
                    score, CAST(rank AS INT) AS rank, source
             FROM (SELECT * FROM alias_rows UNION ALL
                   SELECT * FROM scored_rows) allrows
+        """,
+        "doc_token_tags_flat": _kg_chain_sql(c01)
+        + f"""
+            , tl AS (SELECT conv_id AS doc_id, turn_idx,
+                            string_split(text, ' ') AS ws
+                     FROM read_parquet('{c01}/transcripts.parquet/*.parquet')),
+            toff AS (SELECT doc_id, turn_idx,
+                            CAST(coalesce(sum(len(ws)) OVER (
+                                PARTITION BY doc_id ORDER BY turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS BIGINT)
+                                AS off
+                     FROM tl),
+            tok AS (SELECT t.doc_id, o.off + u.i - 1 AS pos
+                    FROM (SELECT doc_id, turn_idx, unnest(ws) AS w,
+                                 generate_subscripts(ws, 1) AS i
+                          FROM tl) u
+                    JOIN tl t ON t.doc_id = u.doc_id
+                             AND t.turn_idx = u.turn_idx
+                    JOIN toff o ON o.doc_id = u.doc_id
+                               AND o.turn_idx = u.turn_idx),
+            mgx AS (SELECT m.doc_id, d.ent_idx,
+                           o.off + m.start AS gs, o.off + m."end" AS ge
+                    FROM gm m
+                    JOIN toff o ON o.doc_id = m.doc_id
+                               AND o.turn_idx = m.turn_idx
+                    JOIN dense d ON d.doc_id = m.doc_id AND d.ent = m.ent),
+            nid AS (SELECT e.doc_id, e.ent_idx,
+                           CASE upper(coalesce(ty.t, ''))
+                                WHEN 'PER' THEN 2 WHEN 'ORG' THEN 3
+                                WHEN 'LOC' THEN 4 WHEN 'MISC' THEN 5
+                                WHEN 'TIME' THEN 6 WHEN 'NUM' THEN 7
+                                ELSE 0 END AS ner
+                    FROM entall e
+                    LEFT JOIN etype ty ON ty.qid = e.qid)
+            SELECT tok.doc_id, tok.pos,
+                   CAST(coalesce(n.ner, 0) AS BIGINT) AS ner_id,
+                   CAST(coalesce(m.ent_idx + 1, 0) AS BIGINT) AS ent_id
+            FROM tok
+            LEFT JOIN mgx m ON m.doc_id = tok.doc_id
+                           AND tok.pos >= m.gs AND tok.pos < m.ge
+            LEFT JOIN nid n ON n.doc_id = tok.doc_id
+                           AND n.ent_idx = m.ent_idx
+        """,
+        "doc_pair_dis_flat": _kg_chain_sql(c01)
+        + f"""
+            , tl AS (SELECT conv_id AS doc_id, turn_idx,
+                            len(string_split(text, ' ')) AS nw
+                     FROM read_parquet('{c01}/transcripts.parquet/*.parquet')),
+            toff AS (SELECT doc_id, turn_idx,
+                            CAST(coalesce(sum(nw) OVER (
+                                PARTITION BY doc_id ORDER BY turn_idx
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS BIGINT)
+                                AS off
+                     FROM tl),
+            fp AS (SELECT m.doc_id, d.ent_idx,
+                          min(o.off + m.start) AS p
+                   FROM gm m
+                   JOIN toff o ON o.doc_id = m.doc_id
+                              AND o.turn_idx = m.turn_idx
+                   JOIN dense d ON d.doc_id = m.doc_id AND d.ent = m.ent
+                   WHERE d.ent_idx < 42
+                   GROUP BY 1, 2),
+            pr AS (SELECT h.doc_id, h.ent_idx AS h, t.ent_idx AS t,
+                          h.p - t.p AS delta, abs(h.p - t.p) AS ad
+                   FROM fp h
+                   JOIN fp t ON t.doc_id = h.doc_id
+                            AND t.ent_idx <> h.ent_idx)
+            SELECT doc_id, h, t,
+                   CAST(sign(delta) * (CASE
+                        WHEN ad = 0 THEN 0 WHEN ad < 2 THEN 1
+                        WHEN ad < 4 THEN 2 WHEN ad < 8 THEN 3
+                        WHEN ad < 16 THEN 4 WHEN ad < 32 THEN 5
+                        WHEN ad < 64 THEN 6 WHEN ad < 128 THEN 7
+                        WHEN ad < 256 THEN 8 ELSE 9 END) + 10 AS BIGINT)
+                       AS ep_dis
+            FROM pr
         """,
         "kg_export_ids": _kg_chain_sql(c01)
         + """

@@ -1631,6 +1631,17 @@ def _q_doc_graphs(sf_dir: str) -> Any:
     return build_doc_graphs(_flagship_linked(sf_dir)["linked"])
 
 
+def _q_doc_graphs_flat(sf_dir: str) -> Any:
+    """The typed document graph as one row per directed edge —
+    the SQL-comparable projection of ``doc_graphs``' ragged
+    adjacency (node-id arithmetic: entities [0, n_e), mentions
+    [n_e, n_e+n_m) in (ent_idx, turn, start) order, sentences
+    [n_e+n_m, n_e+n_m+n_turns))."""
+    from kire_ray.stages.graph import build_doc_graphs, explode_edges
+
+    return explode_edges(build_doc_graphs(_flagship_linked(sf_dir)["linked"]))
+
+
 def _n_media(sf_dir: str) -> int:
     from kire_ray.sources.synth import sf_of_dir
 
@@ -2081,6 +2092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_tags_flat": _q_doc_token_tags_flat,
         "doc_pair_dis_flat": _q_doc_pair_dis_flat,
         "doc_graphs": _q_doc_graphs,
+        "doc_graphs_flat": _q_doc_graphs_flat,
         "ann_brute_force": _q_ann_brute,
         "ann_recall": _q_ann_recall,
         "bm25_search": _q_bm25_search,
@@ -2535,6 +2547,67 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ad < 256 THEN 8 ELSE 9 END) + 10 AS BIGINT)
                        AS ep_dis
             FROM pr
+        """,
+        "doc_graphs_flat": _kg_chain_sql(c01)
+        + f"""
+            , g_ment AS (
+                SELECT m.doc_id, d.ent_idx, m.turn_idx,
+                       row_number() OVER (
+                           PARTITION BY m.doc_id
+                           ORDER BY m.turn_idx * 1000000 + m.start) - 1
+                           AS mi
+                FROM gm m
+                JOIN dense d ON d.doc_id = m.doc_id AND d.ent = m.ent),
+            g_sent AS (SELECT conv_id AS doc_id, count(*) AS n_t
+                       FROM read_parquet(
+                           '{c01}/transcripts.parquet/*.parquet')
+                       GROUP BY conv_id),
+            g_cnt AS (SELECT doc_id, count(*) AS n_m,
+                             count(DISTINCT ent_idx) AS n_e
+                      FROM g_ment GROUP BY doc_id),
+            g_dim AS (SELECT s.doc_id,
+                             coalesce(c.n_e, 0) AS n_e,
+                             coalesce(c.n_m, 0) AS n_m,
+                             s.n_t
+                      FROM g_sent s
+                      LEFT JOIN g_cnt c ON c.doc_id = s.doc_id),
+            g_fwd AS (
+                -- MS: mention <-> its sentence (channel 1)
+                SELECT m.doc_id, g.n_e + m.mi AS a,
+                       g.n_e + g.n_m + m.turn_idx AS b, 1 AS ch
+                FROM g_ment m JOIN g_dim g ON g.doc_id = m.doc_id
+                UNION ALL
+                -- ME: mention <-> its entity cluster (channel 2)
+                SELECT m.doc_id, g.n_e + m.mi, m.ent_idx, 2
+                FROM g_ment m JOIN g_dim g ON g.doc_id = m.doc_id
+                UNION ALL
+                -- MM: same-turn mention pairs (channel 0)
+                SELECT i.doc_id, g.n_e + i.mi, g.n_e + j.mi, 0
+                FROM g_ment i
+                JOIN g_ment j ON j.doc_id = i.doc_id
+                             AND j.turn_idx = i.turn_idx
+                             AND j.mi > i.mi
+                JOIN g_dim g ON g.doc_id = i.doc_id
+                UNION ALL
+                -- ES: entity <-> every sentence with one of its
+                -- mentions (channel 3)
+                SELECT DISTINCT m.doc_id, m.ent_idx,
+                       g.n_e + g.n_m + m.turn_idx, 3
+                FROM g_ment m JOIN g_dim g ON g.doc_id = m.doc_id
+                UNION ALL
+                -- SS: consecutive sentences (channel 4)
+                SELECT tr.conv_id, g.n_e + g.n_m + tr.turn_idx,
+                       g.n_e + g.n_m + tr.turn_idx + 1, 4
+                FROM read_parquet(
+                    '{c01}/transcripts.parquet/*.parquet') tr
+                JOIN g_dim g ON g.doc_id = tr.conv_id
+                WHERE tr.turn_idx < g.n_t - 1)
+            SELECT doc_id, CAST(a AS INT) AS src, CAST(b AS INT) AS dst,
+                   CAST(ch AS INT) AS channel
+            FROM g_fwd
+            UNION ALL
+            SELECT doc_id, CAST(b AS INT), CAST(a AS INT), CAST(ch AS INT)
+            FROM g_fwd
         """,
         "kg_export_ids": _kg_chain_sql(c01)
         + """

@@ -109,3 +109,29 @@ def build_doc_graphs(linked: "ray.data.Dataset") -> "ray.data.Dataset":
         return pa.Table.from_pylist(rows, schema=GRAPH_SCHEMA)
 
     return linked.map_batches(to_graphs, batch_format="pyarrow")
+
+
+def explode_edges(graphs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Graph rows → one row per directed edge (doc_id, src, dst,
+    channel) — the SQL-comparable flat projection of the ragged
+    adjacency (both directions present, exactly as ``_doc_graph``
+    emits them). Zero-copy Arrow flatten: list_parent_indices +
+    take, no Python loop."""
+    import pyarrow.compute as pc
+
+    def fl(b: pa.Table) -> pa.Table:
+        b = b.combine_chunks()
+        src = b.column("edge_src")
+        dst = b.column("edge_dst")
+        ch = b.column("edge_channel")
+        parent = pc.list_parent_indices(src)
+        return pa.table(
+            {
+                "doc_id": pc.take(b.column("doc_id"), parent),
+                "src": pc.list_flatten(src),
+                "dst": pc.list_flatten(dst),
+                "channel": pc.list_flatten(ch),
+            }
+        )
+
+    return graphs.map_batches(fl, batch_format="pyarrow")

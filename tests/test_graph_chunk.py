@@ -56,6 +56,35 @@ def test_build_doc_graphs_runs(ray_session, tiny_corpus):
         assert max(r.edge_src) < r.n_nodes and max(r.edge_dst) < r.n_nodes
 
 
+def test_explode_edges_matches_ragged(ray_session, tiny_corpus):
+    """The flat edge projection is exactly the ragged lists,
+    row-aligned by doc — same multiset of (doc, src, dst, channel)."""
+    from kire_ray.pipelines.kg_construct import (
+        KGContext,
+        linked_documents,
+        read_transcripts,
+    )
+    from kire_ray.stages.graph import explode_edges
+
+    ctx = KGContext.from_corpus(tiny_corpus)
+    linked = linked_documents(read_transcripts(tiny_corpus), ctx)
+    graphs = build_doc_graphs(linked)
+    ragged = graphs.to_pandas()
+    flat = explode_edges(graphs).to_pandas()
+
+    want = sorted(
+        (r.doc_id, s, d, c)
+        for r in ragged.itertuples()
+        for s, d, c in zip(r.edge_src, r.edge_dst, r.edge_channel)
+    )
+    got = sorted(zip(flat.doc_id, flat.src, flat.dst, flat.channel))
+    assert got == want
+    # both directions of every undirected pair are present
+    assert set(map(tuple, want)) == {
+        (doc, d, s, c) for doc, s, d, c in want
+    }
+
+
 def test_chunk_spans_cover_and_overlap():
     for n in (5, 512, 700, 1024, 3000):
         spans = chunk_spans(n, 512, 128)

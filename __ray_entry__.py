@@ -1649,18 +1649,27 @@ def _n_media(sf_dir: str) -> int:
 
 
 def _media_meta(sf_dir: str) -> str:
-    """Persist the deterministic synth-media *metadata* (no payload)
-    under the corpus dir so the frame_sample / audio_chunk oracles can
-    reconstruct the chunk arithmetic in SQL. Idempotent."""
+    """Persist the deterministic synth-media *metadata* (payload
+    replaced by its md5 hex) under the corpus dir so the frame_sample /
+    audio_chunk / media_features_flat / image_resize_geom oracles can
+    reconstruct the chunk arithmetic, the md5-derived fake features and
+    the resize geometry in SQL. Idempotent (v2: + payload_md5, width,
+    height)."""
+    import hashlib
     import os
 
     import pyarrow.parquet as pq
 
-    path = os.path.join(_corpus(sf_dir), "media_meta.parquet")
+    path = os.path.join(_corpus(sf_dir), "media_meta_v2.parquet")
     if not os.path.exists(path):
         from kire_ray.pipelines.multimodal import synth_media
 
-        t = synth_media(_n_media(sf_dir)).select(["media_id", "kind", "duration_ms"])
+        t = synth_media(_n_media(sf_dir))
+        md5s = pa.array(
+            [hashlib.md5(p).hexdigest() for p in t.column("payload").to_pylist()],
+            pa.string(),
+        )
+        t = t.drop_columns(["payload"]).append_column("payload_md5", md5s)
         tmp = path + ".tmp"
         pq.write_table(t, tmp)
         os.replace(tmp, path)
@@ -1977,11 +1986,52 @@ def _q_media_features(sf_dir: str) -> Any:
     return extract_media_features(media)
 
 
+def _q_media_features_flat(sf_dir: str) -> Any:
+    """media_features exploded to one row per (media_id, dim) — the
+    SQL-exact projection of the ragged feature list (the fake decode is
+    md5-derived, multimodal.py:MediaFeatureExtractor, so DuckDB replays
+    every float bit-for-bit from the persisted payload_md5)."""
+    from kire_ray.pipelines.multimodal import FEAT_DIM, extract_media_features, synth_media
+
+    media = ray.data.from_arrow(synth_media(_n_media(sf_dir)))
+    feats = extract_media_features(media)
+
+    def flat(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        ids = pa.array(np.repeat(b.column("media_id").to_numpy(zero_copy_only=False), FEAT_DIM))
+        dims = pa.array(np.tile(np.arange(FEAT_DIM, dtype=np.int32), n), pa.int32())
+        vals = b.column("features").combine_chunks().flatten()
+        return pa.table({"media_id": ids, "dim": dims, "f": vals})
+
+    return feats.select_columns(["media_id", "features"]).map_batches(
+        flat, batch_format="pyarrow"
+    )
+
+
 def _q_image_resize(sf_dir: str) -> Any:
     from kire_ray.pipelines.multimodal import image_resize, synth_media
 
     media = ray.data.from_arrow(synth_media(_n_media(sf_dir)))
     return image_resize(media)
+
+
+def _q_image_resize_geom(sf_dir: str) -> Any:
+    """image_resize minus the opaque output payload, plus its exact
+    byte length — every column pure arithmetic over (width, height), so
+    the resize geometry (aspect-preserving fit, never-upscale, the
+    pixel→byte accounting) is driver-verifiable in SQL."""
+    from kire_ray.pipelines.multimodal import image_resize, synth_media
+
+    media = ray.data.from_arrow(synth_media(_n_media(sf_dir)))
+    out = image_resize(media)
+
+    def geom(b: pa.Table) -> pa.Table:
+        lens = pa.array(
+            [len(p) for p in b.column("payload").to_pylist()], pa.int64()
+        )
+        return b.drop_columns(["payload"]).append_column("out_len", lens)
+
+    return out.map_batches(geom, batch_format="pyarrow")
 
 
 def _q_frame_sample(sf_dir: str) -> Any:
@@ -2173,7 +2223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
         "media_features": _q_media_features,
+        "media_features_flat": _q_media_features_flat,
         "image_resize": _q_image_resize,
+        "image_resize_geom": _q_image_resize_geom,
         "frame_sample": _q_frame_sample,
         "audio_chunk": _q_audio_chunk,
     }
@@ -3128,6 +3180,26 @@ def oracle_sql() -> dict[str, str]:
                        unnest(range((greatest(duration_ms, 1) + 4999) // 5000)) AS c
                 FROM read_parquet('{media01}')
                 WHERE kind = 'audio')
+        """,
+        "media_features_flat": f"""
+            SELECT m.media_id,
+                   CAST(r.j AS INT) AS dim,
+                   CAST(('0x' || substr(md5(m.payload_md5 || ':' || r.j), 1, 13))
+                        AS BIGINT) / 4503599627370496.0 AS f
+            FROM read_parquet('{media01}') m
+            CROSS JOIN (SELECT unnest(range(32)) AS j) r
+        """,
+        "image_resize_geom": f"""
+            WITH g AS (
+                SELECT media_id, width, height,
+                       CAST(greatest(1, floor(width  * least(1.0, 224.0 / greatest(width, height)) + 0.5)) AS BIGINT) AS out_w,
+                       CAST(greatest(1, floor(height * least(1.0, 224.0 / greatest(width, height)) + 0.5)) AS BIGINT) AS out_h
+                FROM read_parquet('{media01}')
+                WHERE kind = 'image')
+            SELECT media_id, width, height,
+                   CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+                   greatest(out_w * out_h // 64, 1) AS out_len
+            FROM g
         """,
         "minhash_dedup": f"""
             WITH w AS (

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data
 
-from kire_ray.functions.hashing import hash64
+from kire_ray.functions.hashing import score01_md5
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -59,31 +59,34 @@ class MediaFeatureExtractor:
     libraries → NotImplementedError, by design. ``decoder="fake"``
     derives a deterministic FEAT_DIM-float feature from the payload
     bytes so the distributed plumbing (schema, batching, actor setup,
-    output layout) is fully exercised and testable.
+    output layout) is fully exercised and testable. The fake feature is
+    md5-based (dim j = score01_md5 of ``md5(payload) || ':' || j``) so
+    a DuckDB oracle can replay it bit-exactly from a persisted
+    per-media payload_md5 column — the same SQL-parity promotion as the
+    flagship pair scores (functions/hashing.py:score01_md5).
     """
 
     def __init__(self, decoder: str = "fake"):
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
         self.decoder = decoder
-        # per-actor setup (the "model load"): derive the projection once
-        rng = np.random.default_rng(99)
-        self.proj = rng.standard_normal((8, FEAT_DIM))
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    def _decode(self, payload: bytes) -> list:
         if self.decoder == "real":
             # STUB: pillow / torchaudio / ffmpeg are not available in
             # this environment — plug the real decoder in here.
             raise NotImplementedError("real media decoding unavailable in this container")
-        h = hash64([payload[i::8].hex() for i in range(8)]).astype(np.float64)
-        return (h / 2**64) @ self.proj
+        import hashlib
+
+        h = hashlib.md5(payload).hexdigest()
+        return [score01_md5(f"{h}:{j}") for j in range(FEAT_DIM)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._decode(p) for p in batch.column("payload").to_pylist()]
         out = batch.drop_columns(["payload"])  # features replace payload
         return out.append_column(
             "features",
-            pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64(), FEAT_DIM)),
+            pa.array(feats, type=pa.list_(pa.float64(), FEAT_DIM)),
         )
 
 

@@ -881,6 +881,12 @@ def _bfs_oracle_sql(corpus: str, levels: int = 8) -> str:
     return "".join(parts) + "\n            " + union
 
 
+def _q_span_dedup_corpus(sf_dir: str) -> Any:
+    from kire_ray.pipelines.dedup import span_dedup_corpus
+
+    return span_dedup_corpus(_docs(sf_dir))
+
+
 def _q_incremental_dedup(sf_dir: str) -> Any:
     """Even doc_ids stand in for the already-ingested history, odd ones
     for the incoming shard."""
@@ -1315,6 +1321,35 @@ def _q_source_mix(sf_dir: str) -> Any:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     return source_mix(docs)
+
+
+def _q_rephrase_docs(sf_dir: str) -> Any:
+    """LLM-rephrase augmentation plumbing (WRAP, Maini et al. 2024):
+    actor-pool rewrite stage; the model is the documented stub, the
+    fake path is an md5-keyed span permutation the oracle replays."""
+    from kire_ray.pipelines.text_analysis import rephrase_docs
+
+    return rephrase_docs(_docs(sf_dir))
+
+
+def _q_curriculum_schedule(sf_dir: str) -> Any:
+    """Length-quantile curriculum stages + md5 within-stage order key
+    (value-histogram thresholds — no global sort; sampling.py)."""
+    from kire_ray.pipelines.sampling import curriculum_schedule
+
+    return curriculum_schedule(_docs(sf_dir), n_stages=4)
+
+
+def _q_mixture_weights(sf_dir: str) -> Any:
+    """Alpha-smoothed multinomial domain weights (XLM §3.1,
+    p_i ∝ q_i^0.3) — the sampling distribution a mixture trainer feeds
+    weighted_sample; same combiner→exchange shape as source_mix."""
+    from kire_ray.pipelines.text_analysis import mixture_weights
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return mixture_weights(docs, alpha=0.3)
 
 
 def _q_fingerprints(sf_dir: str) -> Any:
@@ -2121,6 +2156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "unigram_logprob": _q_unigram_logprob,
         "source_mix": _q_source_mix,
+        "mixture_weights": _q_mixture_weights,
+        "curriculum_schedule": _q_curriculum_schedule,
+        "rephrase_docs": _q_rephrase_docs,
         "duplicated_spans": _q_duplicated_spans,
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
@@ -2176,6 +2214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_window_users": _q_hll_window_users,
         "kg_bfs_levels": _q_kg_bfs_levels,
         "incremental_dedup": _q_incremental_dedup,
+        "span_dedup_corpus": _q_span_dedup_corpus,
         "embedding_quantize": _q_embedding_quantize,
         "embedding_top_component": _q_embedding_top_component,
         "sessionize": _q_sessionize,
@@ -3406,6 +3445,76 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_2gram <= 0.1) AS passes
             FROM base
         """,
+        "rephrase_docs": """
+            WITH sw2 AS (
+                SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                      FROM documents)),
+            spans2 AS (
+                SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS span_no,
+                       string_agg(w, ' ' ORDER BY i) AS span
+                FROM sw2 GROUP BY doc_id, (i - 1) // 8),
+            agg2 AS (
+                SELECT doc_id,
+                       string_agg(span, ' '
+                           ORDER BY md5(doc_id || ':' || span_no), span_no)
+                           AS text_rephrased,
+                       count(*) AS n
+                FROM spans2 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.text_rephrased, '') AS text_rephrased,
+                   CAST(coalesce(a.n, 0) AS INT) AS n_spans
+            FROM documents d LEFT JOIN agg2 a USING (doc_id)
+        """,
+        "curriculum_schedule": """
+            WITH nw AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), x -> x <> ''))
+                           AS n_words
+                FROM documents),
+            h AS (SELECT n_words, count(*) AS c FROM nw GROUP BY n_words),
+            cum AS (SELECT n_words, sum(c) OVER (ORDER BY n_words) AS cc FROM h),
+            nn AS (SELECT count(*) AS n FROM nw),
+            thr AS (
+                SELECT
+                    min(CASE WHEN cc >= ((SELECT n FROM nn) * 1 + 3) // 4
+                             THEN n_words END) AS t1,
+                    min(CASE WHEN cc >= ((SELECT n FROM nn) * 2 + 3) // 4
+                             THEN n_words END) AS t2,
+                    min(CASE WHEN cc >= ((SELECT n FROM nn) * 3 + 3) // 4
+                             THEN n_words END) AS t3
+                FROM cum)
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(CASE WHEN n_words <= t1 THEN 0
+                             WHEN n_words <= t2 THEN 1
+                             WHEN n_words <= t3 THEN 2
+                             ELSE 3 END AS INT) AS stage,
+                   md5(CAST(doc_id AS VARCHAR)) AS order_key
+            FROM nw, thr
+        """,
+        "mixture_weights": f"""
+            WITH s AS (
+                SELECT source, count(*) AS n_docs,
+                       sum(length(text) - length(replace(text, ' ', '')) + 1)
+                           AS n_tokens
+                FROM documents GROUP BY source),
+            t AS (SELECT sum(n_tokens) AS tot FROM s),
+            qx AS (
+                SELECT source, n_docs, n_tokens,
+                       n_tokens * 1.0 / (SELECT tot FROM t) AS q,
+                       pow(n_tokens * 1.0 / (SELECT tot FROM t), 0.3) AS qa
+                FROM s),
+            z AS (SELECT sum(qa) AS zs FROM qx)
+            SELECT source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   {sql_round('q', 6)} AS token_share,
+                   {sql_round('qa / (SELECT zs FROM z)', 6)} AS p_alpha,
+                   {sql_round('qa / (SELECT zs FROM z) / q', 6)} AS resample_factor
+            FROM qx
+        """,
         "duplicated_spans": f"""
             WITH w AS (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -3522,6 +3631,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> ''
             GROUP BY word
+        """,
+        "span_dedup_corpus": """
+            WITH sw AS (
+                SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                      FROM documents)),
+            spans AS (
+                SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS span_no,
+                       string_agg(w, ' ' ORDER BY i) AS span
+                FROM sw GROUP BY doc_id, (i - 1) // 8),
+            tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+            win AS (
+                SELECT doc_id, span_no, span,
+                       row_number() OVER (PARTITION BY span
+                                          ORDER BY doc_id, span_no) AS rn
+                FROM spans)
+            SELECT w.doc_id,
+                   string_agg(w.span, ' ' ORDER BY w.span_no) AS text,
+                   CAST(any_value(t.n_spans) AS INT) AS n_spans,
+                   CAST(count(*) AS INT) AS n_kept
+            FROM win w JOIN tot t ON w.doc_id = t.doc_id
+            WHERE w.rn = 1
+            GROUP BY w.doc_id
         """,
         "incremental_dedup": """
             WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -116,6 +116,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "unigram_logprob",
         "bigram_logprob",
         "source_mix",
+        "mixture_weights",
+        "curriculum_schedule",
+        "span_dedup_corpus",
+        "rephrase_docs",
         "doc_fingerprints",
         "pack_sequences",
         "stratified_sample",
@@ -194,7 +198,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "weighted_sample",
         "inverted_index",
         "media_features",
+        "media_features_flat",
         "image_resize",
+        "image_resize_geom",
         "frame_sample",
         "audio_chunk",
     ]:

@@ -1283,6 +1283,102 @@ def fuzzy_pairs(
     )
 
 
+def span_dedup_corpus(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """C4-style span-level corpus rewrite (Raffel et al. 2020, §2.2:
+    "we discarded all but one of any three-sentence span occurring more
+    than once" — re-expressed over fixed ``span_words``-word windows
+    because this corpus has no sentence boundaries): split every
+    document into consecutive non-overlapping word spans, keep only the
+    corpus-wide FIRST occurrence of each distinct span (lexicographic
+    min ``(doc_id, span_no)``), and reassemble each document from its
+    surviving spans. The sibling of :func:`duplicated_spans` — that one
+    *marks* duplicated regions, this one *rewrites* the corpus.
+
+    Dataflow — two hash exchanges, nothing driver-side, both sides
+    stream:
+
+      explode (vectorized long-frame spanning, a block-local
+      first-occurrence combiner bounds the exchange)
+        → exchange on span text  (winner per span = min (doc, span_no))
+        → exchange on doc_id     (ordered reassembly + keep counts)
+
+    Returns ``(doc_id, text, n_spans, n_kept)`` for documents with at
+    least one surviving span. Every column is replayable in SQL
+    (window ``row_number`` over ``(doc_id, span_no)`` per span), so the
+    driver verifies the rewritten corpus value-for-value.
+    """
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        words = b[text_col].str.split()
+        nw = words.map(len).to_numpy(dtype=np.int64)
+        n_spans = -(-nw // span_words)  # ceil; 0 for empty docs
+        empty = pd.DataFrame(
+            {
+                id_col: np.array([], dtype=np.int64),
+                "span_no": np.array([], dtype=np.int64),
+                "span": pd.Series([], dtype=object),
+                "n_spans": np.array([], dtype=np.int64),
+            }
+        )
+        if not len(b) or n_spans.sum() == 0:
+            return empty
+        # long frame: one row per word, grouped into (doc, span_no)
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words if len(w)]
+        )
+        doc_per_word = np.repeat(b[id_col].to_numpy(), nw)
+        word_idx = np.concatenate([np.arange(n) for n in nw if n])
+        g = pd.DataFrame(
+            {
+                id_col: doc_per_word,
+                "span_no": word_idx // span_words,
+                "w": flat,
+            }
+        )
+        spans = (
+            g.groupby([id_col, "span_no"], sort=False)["w"]
+            .agg(" ".join)
+            .reset_index()
+            .rename(columns={"w": "span"})
+        )
+        spans["n_spans"] = spans[id_col].map(
+            pd.Series(n_spans, index=b[id_col].to_numpy())
+        )
+        # block-local combiner: drop within-block later occurrences so
+        # the exchange ships one row per distinct span per block
+        spans = spans.sort_values([id_col, "span_no"], kind="stable")
+        return spans.drop_duplicates("span", keep="first")
+
+    exploded = docs.map_batches(explode, batch_format="pandas")
+
+    def first_occurrence(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([id_col, "span_no"], kind="stable")
+        return part.drop_duplicates("span", keep="first")
+
+    winners = partitioned_map_groups(
+        exploded, ["span"], first_occurrence, num_partitions=num_partitions
+    )
+
+    def reassemble(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([id_col, "span_no"], kind="stable")
+        g = part.groupby(id_col, sort=False)
+        out = g["span"].agg(" ".join).reset_index().rename(columns={"span": "text"})
+        out["n_spans"] = g["n_spans"].first().to_numpy().astype(np.int32)
+        out["n_kept"] = g.size().to_numpy().astype(np.int32)
+        return out
+
+    return partitioned_map_groups(
+        winners, [id_col], reassemble, num_partitions=num_partitions
+    )
+
+
 def incremental_dedup(
     prior: "ray.data.Dataset",
     new: "ray.data.Dataset",

@@ -182,3 +182,70 @@ def per_source_cap(
     return partitioned_map_groups(
         ds.map_batches(partial, batch_format="pandas"), [source_col], final
     )
+
+
+def curriculum_schedule(
+    docs: "ray.data.Dataset",
+    *,
+    n_stages: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Length-based curriculum staging (Bengio et al. 2009, "Curriculum
+    Learning"; length-ordered curricula à la Shortformer, Press et al.
+    2021): assign every document a curriculum ``stage`` by word-count
+    quantile (stage 0 = shortest quarter first) plus a deterministic
+    md5 ``order_key`` that shuffles documents *within* a stage — the
+    consumer materializes the curriculum by sorting on
+    ``(stage, order_key)``.
+
+    Quantile thresholds come from a word-count *value histogram*
+    (grouped combiner → one value-cardinality exchange → tiny
+    cumulative table on the driver, broadcast back): distinct
+    word-counts are bounded (≈ max doc length), so the exchange is
+    constant-sized no matter the corpus — no global sort, no
+    per-document state. Threshold rule: stage s ends at the smallest
+    word-count whose cumulative doc count reaches
+    ``ceil(n·(s+1)/n_stages)`` (integer arithmetic, replayable in SQL).
+    """
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        nw = b[text_col].str.split().map(len).astype("int64")
+        g = nw.value_counts()
+        return pd.DataFrame({"n_words": g.index.to_numpy(), "c": g.to_numpy()})
+
+    hist = (
+        grouped_agg(
+            docs.map_batches(counts, batch_format="pandas"),
+            ["n_words"],
+            {"c": ("c", "sum")},
+        )
+        .to_pandas()
+        .sort_values("n_words", kind="stable")
+    )
+    n = int(hist["c"].sum())
+    cc = hist["c"].cumsum().to_numpy()
+    vals = hist["n_words"].to_numpy()
+    # smallest value whose cumulative count reaches ceil(n*(s+1)/S)
+    thr = np.array(
+        [
+            vals[np.searchsorted(cc, -(-n * (s + 1) // n_stages))]
+            for s in range(n_stages - 1)
+        ],
+        dtype=np.int64,
+    )
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        nw = b[text_col].str.split().map(len).astype("int64").to_numpy()
+        stage = np.searchsorted(thr, nw)  # thr[s-1] < nw <= thr[s] → s
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_words": nw.astype(np.int32),
+                "stage": stage.astype(np.int32),
+                "order_key": _md5_hex(b[id_col].to_numpy()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pandas")

@@ -325,6 +325,63 @@ def source_mix(
     return ray.data.from_pandas(out)
 
 
+def mixture_weights(
+    ds: "ray.data.Dataset",
+    *,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> "ray.data.Dataset":
+    """Alpha-smoothed multinomial domain-mixing weights (Lample &
+    Conneau 2019, "Cross-lingual Language Model Pretraining" §3.1:
+    sample domain i with ``p_i ∝ q_i^alpha`` where ``q_i`` is its token
+    share — alpha<1 up-weights low-resource domains): the sampling
+    probability each source should get in a training mixture, plus the
+    resampling factor (``p_i / q_i`` — equivalently the expected number
+    of epochs over source i per corpus-sized epoch of sampling).
+
+    Same dataflow as :func:`source_mix` — per-block combiner → one
+    source-cardinality exchange → source-count-sized normalization (the
+    reduced table is #domains rows, never documents).
+    """
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b[text_col]
+        toks = (
+            t.str.len() - t.str.replace(" ", "", regex=False).str.len() + 1
+        ).astype("int64")
+        g = pd.DataFrame({source_col: b[source_col], "n_tokens": toks})
+        out = g.groupby(source_col, sort=False)["n_tokens"].agg(["count", "sum"])
+        return out.reset_index().rename(
+            columns={"count": "n_docs", "sum": "n_tokens"}
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        [source_col],
+        {"n_docs": ("n_docs", "sum"), "n_tokens": ("n_tokens", "sum")},
+    ).to_pandas()
+    # deterministic normalization order (sum over sources sorted by
+    # name) so the denominator is reproducible across partitionings
+    agg = agg.sort_values(source_col, kind="stable").reset_index(drop=True)
+    total = int(agg["n_tokens"].sum())
+    q = agg["n_tokens"].to_numpy() / total
+    qa = q**alpha
+    p = qa / qa.sum()
+    out = pd.DataFrame(
+        {
+            source_col: agg[source_col],
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "n_tokens": agg["n_tokens"].astype(np.int64),
+            "token_share": round_half_up(pd.Series(q), 6),
+            "p_alpha": round_half_up(pd.Series(p), 6),
+            "resample_factor": round_half_up(pd.Series(p / q), 6),
+        }
+    )
+    return ray.data.from_pandas(out)
+
+
 def doc_frequencies(
     ds: "ray.data.Dataset", *, text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
@@ -1303,3 +1360,69 @@ def nb_source_classifier(
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+class Rephraser:
+    """Actor-pool LLM-augmentation stage (the WRAP / "Rephrasing the
+    Web" recipe, Maini et al. 2024: rewrite web documents with a small
+    LM to diversify a pretraining mix). The model itself is a STUB —
+    this container ships no LLM — behind ``mode="real"``
+    (NotImplementedError, the seam where a batched generate() call
+    plugs in), while ``mode="fake"`` is a deterministic md5-keyed
+    span permutation so every piece of the distributed plumbing
+    (actor pool, per-actor setup, batch routing, output schema, the
+    downstream join-back by doc_id) is real, testable and
+    driver-verifiable in SQL.
+    """
+
+    def __init__(self, mode: str = "fake", span_words: int = 8):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.span_words = span_words
+        # per-actor setup seam: tokenizer + model load lives here
+
+    def _rewrite(self, doc_id, text: str) -> tuple[str, int]:
+        if self.mode == "real":
+            # STUB: no LLM in this container — plug model.generate here
+            raise NotImplementedError("real rephrasing unavailable in this container")
+        import hashlib
+
+        w = text.split()
+        spans = [
+            " ".join(w[k : k + self.span_words])
+            for k in range(0, len(w), self.span_words)
+        ]
+        order = sorted(
+            range(len(spans)),
+            key=lambda j: (
+                hashlib.md5(f"{doc_id}:{j}".encode("utf-8")).hexdigest(),
+                j,
+            ),
+        )
+        return " ".join(spans[j] for j in order), len(spans)
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        out = [self._rewrite(i, t) for i, t in zip(b["doc_id"], b["text"])]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "text_rephrased": [t for t, _ in out],
+                "n_spans": np.array([n for _, n in out], dtype=np.int32),
+            }
+        )
+
+
+def rephrase_docs(
+    docs: "ray.data.Dataset", *, concurrency=(1, 8), batch_size: int = 256
+) -> "ray.data.Dataset":
+    """Rewrite every document through the :class:`Rephraser` actor pool
+    (stateless rows → embarrassingly parallel; no shuffle). Documents
+    with no words rephrase to the empty string."""
+    return docs.map_batches(
+        Rephraser,
+        fn_constructor_kwargs={"mode": "fake"},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

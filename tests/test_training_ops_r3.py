@@ -1,0 +1,104 @@
+"""Round-3 training-data operators: span-level corpus rewrite,
+alpha-smoothed mixture weights, curriculum staging, rephrase plumbing."""
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+
+def _docs(texts):
+    return ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    ).repartition(3)
+
+
+def test_span_dedup_corpus_first_occurrence(ray_session):
+    from kire_ray.pipelines.dedup import span_dedup_corpus
+
+    span_a = " ".join(f"a{i}" for i in range(8))
+    span_b = " ".join(f"b{i}" for i in range(8))
+    span_c = " ".join(f"c{i}" for i in range(8))
+    texts = [
+        span_a + " " + span_b,          # doc 0: first occurrence of A and B
+        span_a + " " + span_c,          # doc 1: A is a dup, C survives
+        span_b,                         # doc 2: fully duplicated → dropped
+        span_a + " " + span_a,          # doc 3: within-doc repeat, both dup'd
+        "tail words only",              # doc 4: short unique span
+    ]
+    out = span_dedup_corpus(_docs(texts)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "text"] == span_a + " " + span_b
+    assert out.loc[0, "n_kept"] == 2 and out.loc[0, "n_spans"] == 2
+    assert out.loc[1, "text"] == span_c  # A removed, C kept
+    assert out.loc[1, "n_kept"] == 1 and out.loc[1, "n_spans"] == 2
+    assert 2 not in out.index  # nothing survived
+    assert 3 not in out.index  # both copies of A are later occurrences
+    assert out.loc[4, "text"] == "tail words only"
+    # idempotence: a second pass removes nothing
+    again = span_dedup_corpus(
+        ray.data.from_pandas(
+            out.reset_index()[["doc_id", "text"]]
+        ).repartition(2)
+    ).to_pandas()
+    assert (again["n_kept"] == again["n_spans"]).all()
+
+
+def test_mixture_weights_alpha_limits(ray_session):
+    from kire_ray.pipelines.text_analysis import mixture_weights
+
+    df = pd.DataFrame(
+        {
+            "text": ["w " * 99 + "w"] * 8 + ["w w"] * 2,
+            "source": ["big"] * 8 + ["small"] * 2,
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(4)
+    # alpha=1 → p equals the raw token share
+    w1 = mixture_weights(ds, alpha=1.0).to_pandas().set_index("source")
+    assert w1.loc["big", "p_alpha"] == pytest.approx(
+        w1.loc["big", "token_share"], abs=2e-6
+    )
+    # alpha=0 → uniform over sources regardless of size
+    w0 = mixture_weights(ds, alpha=0.0).to_pandas()
+    assert (w0["p_alpha"] == 0.5).all()
+    # alpha in between up-weights the low-resource source
+    w = mixture_weights(ds, alpha=0.3).to_pandas().set_index("source")
+    assert w.loc["small", "resample_factor"] > 1.0 > w.loc["big", "resample_factor"]
+    assert w.loc["small", "p_alpha"] > w.loc["small", "token_share"]
+
+
+def test_curriculum_schedule_stages(ray_session):
+    from kire_ray.pipelines.sampling import curriculum_schedule
+
+    texts = [" ".join(["w"] * n) for n in range(1, 41)]  # 1..40 words
+    out = curriculum_schedule(_docs(texts), n_stages=4).to_pandas()
+    assert sorted(out["stage"].unique()) == [0, 1, 2, 3]
+    # stages are contiguous in n_words and balanced (10 docs each here)
+    assert out.groupby("stage")["n_words"].max().is_monotonic_increasing
+    assert (out.groupby("stage").size() == 10).all()
+    # stage assignment is independent of partitioning
+    out2 = curriculum_schedule(_docs(texts).repartition(7), n_stages=4).to_pandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("", "_b"))
+    assert (merged["stage"] == merged["stage_b"]).all()
+    assert (merged["order_key"] == merged["order_key_b"]).all()
+
+
+def test_rephrase_docs_permutation(ray_session):
+    from kire_ray.pipelines.text_analysis import Rephraser, rephrase_docs
+
+    texts = [" ".join(f"t{i}_{j}" for j in range(20)) for i in range(6)] + [""]
+    out = rephrase_docs(_docs(texts)).to_pandas().set_index("doc_id")
+    # a permutation of spans preserves the word multiset
+    for i in range(6):
+        assert sorted(out.loc[i, "text_rephrased"].split()) == sorted(
+            texts[i].split()
+        )
+        assert out.loc[i, "n_spans"] == 3  # 20 words / 8-word spans
+    assert out.loc[6, "text_rephrased"] == "" and out.loc[6, "n_spans"] == 0
+    # deterministic across runs/partitionings
+    out2 = rephrase_docs(_docs(texts).repartition(5)).to_pandas().set_index("doc_id")
+    assert out.sort_index().text_rephrased.tolist() == \
+        out2.sort_index().text_rephrased.tolist()
+    # the real-model seam is an explicit stub
+    with pytest.raises(NotImplementedError):
+        Rephraser(mode="real")._rewrite(1, "x")

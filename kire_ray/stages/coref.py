@@ -84,24 +84,30 @@ def pair_logits(doc_id: str, pos: list[tuple[int, int]]) -> np.ndarray:
     so the driver's DuckDB oracle reproduces every logit bit-for-bit:
     ``(('0x'||substr(md5(key),1,13))::BIGINT / 2^52 - 0.5) * 8``.
     """
-    from kire_ray.functions.hashing import score01_md5
+    import hashlib
 
     m = len(pos)
     logits = np.zeros((m, m), dtype=np.float64)
     if m < 2:
         return logits
     iu, ju = np.triu_indices(m, k=1)
+    # bit-equal fast path of functions.hashing.score01_md5: the first
+    # 13 hex digits are digest[:7] big-endian >> 4 (14 nibbles → 13) —
+    # skips the hexdigest string + int parse on the hottest md5 loop
+    # in the engine (M² keys per doc). Span strings are precomputed
+    # once per mention instead of twice per pair.
+    ps = [f"{s},{e}" for s, e in pos]
+    pre = f"{doc_id}|"
+    md5 = hashlib.md5
     vals = np.fromiter(
         (
-            score01_md5(
-                f"{doc_id}|{pos[i][0]},{pos[i][1]}|{pos[j][0]},{pos[j][1]}"
-            )
+            int.from_bytes(md5(f"{pre}{ps[i]}|{ps[j]}".encode("utf-8")).digest()[:7], "big") >> 4
             for i, j in zip(iu, ju)
         ),
         dtype=np.float64,
         count=len(iu),
     )
-    vals = (vals - 0.5) * 8.0
+    vals = (vals / float(2**52) - 0.5) * 8.0
     logits[iu, ju] = vals
     logits[ju, iu] = vals
     return logits
@@ -127,17 +133,27 @@ def scored_doc_coref_pairs(
     if m < 2:
         return []
     logits = pair_logits(doc_id, pos)
+    # one stable argsort over the whole matrix replaces m python sorts;
+    # removing self (logits[i,i]=0) from a stable descending order
+    # leaves the other candidates' relative order unchanged, so this
+    # matches the reference's sorted(j != i, key=score desc) exactly
+    order = np.argsort(-logits, axis=1, kind="stable").tolist()
+    logit_rows = logits.tolist()  # plain-float rows: no np-scalar boxing
+    starts = [s for s, _ in pos]
     out: dict[int, dict[int, float]] = {}
     for i in range(m):
-        # sorted(..., key=score, reverse=True): stable → equal scores
-        # keep candidate (position) order, like the reference's sorted()
-        order = sorted(
-            (j for j in range(m) if j != i), key=lambda j: -logits[i, j]
-        )
-        for j in order[:top_k]:
-            if pos[i][0] == pos[j][0]:  # identical start: skipped (:41-42)
+        taken = 0
+        row = logit_rows[i]
+        si = starts[i]
+        for j in order[i]:
+            if j == i:
                 continue
-            score = 1.0 / (1.0 + math.exp(-logits[i, j]))
+            if taken >= top_k:
+                break
+            taken += 1  # a same-start candidate still consumes a slot
+            if si == starts[j]:  # identical start: skipped (:41-42)
+                continue
+            score = 1.0 / (1.0 + math.exp(-row[j]))
             out.setdefault(i, {}).setdefault(j, score)
             out.setdefault(j, {}).setdefault(i, score)
     rows = []
@@ -202,19 +218,9 @@ class CorefScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         p = self.profile
-        out = {k: [] for k in COREF_SCHEMA.names}
-
-        def emit(doc_id, ent_idx, h_s, h_e, t_s, t_e, score, rank, source):
-            out["doc_id"].append(doc_id)
-            out["ent_idx"].append(ent_idx)
-            out["h_start"].append(h_s)
-            out["h_end"].append(h_e)
-            out["t_start"].append(t_s)
-            out["t_end"].append(t_e)
-            out["score"].append(score)
-            out["rank"].append(rank)
-            out["source"].append(source)
-
+        # one flat row-tuple list + a single zip(*) transpose instead of
+        # a 9-append emit() per row (measured: emit was ~20% of the UDF)
+        rows: list[tuple] = []
         for doc_id, turns, ents, ments in zip(
             batch.column("doc_id").to_pylist(),
             batch.column("turn_texts").to_pylist(),
@@ -225,7 +231,7 @@ class CorefScorer:
                 doc_id, turns, ents, ments, self.index, max_pairs=p.max_pair_cnt
             )
             for ent_idx, h_s, h_e, t_s, t_e in alias_rows:
-                emit(doc_id, ent_idx, h_s, h_e, t_s, t_e, PRIOR, -1, "alias")
+                rows.append((doc_id, ent_idx, h_s, h_e, t_s, t_e, PRIOR, -1, "alias"))
             for h_s, h_e, t_s, t_e, score, rank in scored_doc_coref_pairs(
                 doc_id,
                 sorted(positions),
@@ -233,7 +239,11 @@ class CorefScorer:
                 max_mentions=p.max_coref_mention_size,
                 max_pairs=p.max_pair_cnt,
             ):
-                emit(doc_id, -1, h_s, h_e, t_s, t_e, score, rank, "scored")
+                rows.append((doc_id, -1, h_s, h_e, t_s, t_e, score, rank, "scored"))
+        cols = list(zip(*rows)) if rows else [[] for _ in COREF_SCHEMA.names]
         return pa.table(
-            {k: pa.array(out[k], type=COREF_SCHEMA.field(k).type) for k in COREF_SCHEMA.names}
+            {
+                k: pa.array(cols[n], type=COREF_SCHEMA.field(k).type)
+                for n, k in enumerate(COREF_SCHEMA.names)
+            }
         )

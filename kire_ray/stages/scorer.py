@@ -322,6 +322,12 @@ class EntityEmbedder:
         self._tok: dict[str, np.ndarray] = {}
         self._attr: dict[tuple[str, str], np.ndarray] = {}
         self._surf: dict[str, np.ndarray] = {}
+        # fused-output memo: pooled-mentions ⊕ attr vector per
+        # (qid, label, ordered surface tuple). Pure function of the key
+        # (logsumexp over the same stack in the same order + the same
+        # attr vec), so hits are bit-identical to recomputation; short
+        # docs repeat (entity, surface-sequence) combinations heavily.
+        self._fused: dict[tuple, np.ndarray] = {}
 
     def _token_vec(self, tok: str) -> np.ndarray:
         v = self._tok.get(tok)
@@ -349,30 +355,58 @@ class EntityEmbedder:
             self._tok.clear()
             self._attr.clear()
             self._surf.clear()
+            self._fused.clear()
         doc_ids = batch.column("doc_id").to_pylist()
         turns_col = batch.column("turn_texts").to_pylist()
         ents_col = batch.column("entities").to_pylist()
         ments_col = batch.column("mentions").to_pylist()
         out_doc, out_idx, out_qid, out_label, out_nm, out_vec = [], [], [], [], [], []
+        fused = self._fused
         # _mention_vec memoizes raw-surface → token_vec (pure, so
         # numerically neutral; collapses the normalize+hash per mention
         # to one dict hit — surfaces repeat heavily across the corpus)
         for doc_id, turns, ents, ments in zip(
             doc_ids, turns_col, ents_col, ments_col
         ):
-            by_ent = doc_mention_vecs(
-                turns, ments, self._mention_vec, self.max_len, self.overlap
-            )
+            long_doc = sum((t.count(" ") + 1) if t else 0 for t in turns) > self.max_len
+            by_ent: dict | None = None
+            by_surf: dict[int, tuple] | None = None
+            if not long_doc:
+                # short docs (the hot path): the fused vector is a pure
+                # function of (qid, label, ordered surfaces) — group the
+                # surfaces here and let the memo skip stack+logsumexp
+                by_surf = {}
+                for m in ments:
+                    by_surf.setdefault(m["ent_idx"], []).append(m["surface"])
+            else:
+                by_ent = doc_mention_vecs(
+                    turns, ments, self._mention_vec, self.max_len, self.overlap
+                )
             for e in ents:
-                pooled = logsumexp_pool(np.stack(by_ent[e["ent_idx"]]))
-                attr_vec = self._attr_vec(e["qid"], e["label"])
-                vec = pooled + 0.5 * attr_vec  # KG-attention fusion stand-in
+                if by_surf is not None:
+                    key = (e["qid"], e["label"], tuple(by_surf[e["ent_idx"]]))
+                    vec = fused.get(key)
+                    if vec is None:
+                        pooled = logsumexp_pool(
+                            np.stack([self._mention_vec(s) for s in key[2]])
+                        )
+                        # KG-attention fusion stand-in
+                        vec = pooled + 0.5 * self._attr_vec(e["qid"], e["label"])
+                        fused[key] = vec
+                else:
+                    pooled = logsumexp_pool(np.stack(by_ent[e["ent_idx"]]))
+                    vec = pooled + 0.5 * self._attr_vec(e["qid"], e["label"])
                 out_doc.append(doc_id)
                 out_idx.append(e["ent_idx"])
                 out_qid.append(e["qid"])
                 out_label.append(e["label"])
                 out_nm.append(e["n_mentions"])
-                out_vec.append(vec.astype(np.float64))
+                out_vec.append(vec)
+        flat = (
+            np.concatenate(out_vec).astype(np.float64, copy=False)
+            if out_vec
+            else np.array([], dtype=np.float64)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, type=pa.string()),
@@ -380,7 +414,7 @@ class EntityEmbedder:
                 "qid": pa.array(out_qid, type=pa.string()),
                 "label": pa.array(out_label, type=pa.string()),
                 "n_mentions": pa.array(out_nm, type=pa.int32()),
-                "vec": pa.array([v.tolist() for v in out_vec], type=pa.list_(pa.float64(), EMB_DIM)),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), EMB_DIM),
             }
         )
 

@@ -1323,6 +1323,71 @@ def _q_source_mix(sf_dir: str) -> Any:
     return source_mix(docs)
 
 
+def _q_bpe_learn(sf_dir: str) -> Any:
+    """Distributed BPE vocab induction (Sennrich 2016): 10 merge rounds
+    over the vocab-sized word-frequency table; per-round pair counts
+    are alphabet-bounded block partials (pipelines/bpe.py)."""
+    from kire_ray.pipelines.bpe import bpe_learn
+
+    return bpe_learn(_docs(sf_dir), n_merges=10)
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """The BPE merge loop unrolled round-for-round in SQL (the
+    markov_steady_state unrolling pattern): each round counts adjacent
+    symbol pairs via lead() over the exploded segmentation, picks the
+    (count DESC, pair ASC) winner, and applies the greedy leftmost
+    merge with the same double-space replace trick as
+    kire_ray/pipelines/bpe.py:apply_merge — plain ``replace`` has
+    identical left-to-right non-overlapping semantics in DuckDB and
+    Python, so every round is value-exact."""
+    parts = [
+        """
+            WITH bpe_w AS MATERIALIZED (
+                SELECT w AS word, count(*) AS n FROM (
+                    SELECT unnest(list_filter(string_split(text, ' '),
+                                              x -> x <> '')) AS w
+                    FROM documents) GROUP BY w),
+            bpe_seg0 AS MATERIALIZED (
+                SELECT word, n,
+                       array_to_string(string_split(word, ''), ' ') AS seg
+                FROM bpe_w)"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""",
+            bpe_pr{r} AS (
+                SELECT word, n,
+                       s || ' ' || lead(s) OVER (PARTITION BY word ORDER BY i)
+                           AS pr
+                FROM (SELECT word, n, unnest(ts) AS s,
+                             generate_subscripts(ts, 1) AS i
+                      FROM (SELECT word, n, string_split(seg, ' ') AS ts
+                            FROM bpe_seg{r}))
+                QUALIFY pr IS NOT NULL),
+            bpe_best{r} AS MATERIALIZED (
+                SELECT pr, sum(n) AS c FROM bpe_pr{r}
+                GROUP BY pr ORDER BY c DESC, pr ASC LIMIT 1),
+            bpe_seg{r + 1} AS MATERIALIZED (
+                SELECT word, n,
+                       trim(regexp_replace(
+                           replace(' ' || replace(seg, ' ', '  ') || ' ',
+                                   ' ' || replace((SELECT pr FROM bpe_best{r}), ' ', '  ') || ' ',
+                                   ' ' || replace((SELECT pr FROM bpe_best{r}), ' ', '') || ' '),
+                           ' +', ' ', 'g')) AS seg
+                FROM bpe_seg{r})"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"""SELECT CAST({r} AS INT) AS rank,
+                   split_part(pr, ' ', 1) AS "left",
+                   split_part(pr, ' ', 2) AS "right",
+                   pr AS pair, replace(pr, ' ', '') AS merged,
+                   CAST(c AS BIGINT) AS count FROM bpe_best{r}"""
+        for r in range(n_merges)
+    )
+    return "".join(parts) + "\n            " + union
+
+
 def _q_rephrase_docs(sf_dir: str) -> Any:
     """LLM-rephrase augmentation plumbing (WRAP, Maini et al. 2024):
     actor-pool rewrite stage; the model is the documented stub, the
@@ -2159,6 +2224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": _q_mixture_weights,
         "curriculum_schedule": _q_curriculum_schedule,
         "rephrase_docs": _q_rephrase_docs,
+        "bpe_learn": _q_bpe_learn,
         "duplicated_spans": _q_duplicated_spans,
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
@@ -3445,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
                     AND dup_2gram <= 0.1) AS passes
             FROM base
         """,
+        "bpe_learn": _bpe_sql(10),
         "rephrase_docs": """
             WITH sw2 AS (
                 SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i

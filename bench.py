@@ -120,6 +120,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "curriculum_schedule",
         "span_dedup_corpus",
         "rephrase_docs",
+        "bpe_learn",
         "doc_fingerprints",
         "pack_sequences",
         "stratified_sample",

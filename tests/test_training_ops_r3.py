@@ -102,3 +102,27 @@ def test_rephrase_docs_permutation(ray_session):
     # the real-model seam is an explicit stub
     with pytest.raises(NotImplementedError):
         Rephraser(mode="real")._rewrite(1, "x")
+
+
+def test_bpe_learn_classic(ray_session):
+    from kire_ray.pipelines.bpe import apply_merge, bpe_learn
+
+    # greedy-merge semantics on the padded-replace trick
+    assert apply_merge("a b a b", "a", "b") == "ab ab"      # consecutive pairs
+    assert apply_merge("a a a", "a", "a") == "aa a"         # overlap: leftmost wins
+    assert apply_merge("x a b y", "a", "b") == "x ab y"
+    assert apply_merge("ab ab", "ab", "ab") == "abab"
+
+    # Sennrich's worked example shape: 'low'×5 'lower'×2 'newest'×6
+    # 'widest'×3 → first merges are (e,s) 9, then (es,t) 9, ...
+    texts = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ).repartition(4)
+    m = bpe_learn(docs, n_merges=4).to_pandas()
+    assert m.iloc[0][["left", "right", "count"]].tolist() == ["e", "s", 9]
+    assert m.iloc[1][["left", "right", "count"]].tolist() == ["es", "t", 9]
+    # deterministic across partitionings
+    m2 = bpe_learn(docs.repartition(2), n_merges=4).to_pandas()
+    assert m.pair.tolist() == m2.pair.tolist()
+    assert m["count"].tolist() == m2["count"].tolist()

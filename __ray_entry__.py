@@ -1388,6 +1388,27 @@ def _bpe_sql(n_merges: int) -> str:
     return "".join(parts) + "\n            " + union
 
 
+def _bpe_segment_sql(n_merges: int) -> str:
+    """Same unrolled prefix as _bpe_sql, but the final projection is the
+    fully-merged vocab segmentation (the bpe_segment output)."""
+    prefix = _bpe_sql(n_merges)
+    prefix = prefix[: prefix.rindex("SELECT CAST(0 AS INT) AS rank")]
+    return (
+        prefix
+        + f"""SELECT word, CAST(n AS BIGINT) AS n, seg,
+                   CAST(len(string_split(seg, ' ')) AS INT) AS n_subwords
+            FROM bpe_seg{n_merges}"""
+    )
+
+
+def _q_bpe_segment(sf_dir: str) -> Any:
+    """Tokenizer-fertility table: the learned merges applied to the
+    corpus vocabulary (word, n, seg, n_subwords)."""
+    from kire_ray.pipelines.bpe import bpe_segment
+
+    return bpe_segment(_docs(sf_dir), n_merges=10)
+
+
 def _q_rephrase_docs(sf_dir: str) -> Any:
     """LLM-rephrase augmentation plumbing (WRAP, Maini et al. 2024):
     actor-pool rewrite stage; the model is the documented stub, the
@@ -2225,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_schedule": _q_curriculum_schedule,
         "rephrase_docs": _q_rephrase_docs,
         "bpe_learn": _q_bpe_learn,
+        "bpe_segment": _q_bpe_segment,
         "duplicated_spans": _q_duplicated_spans,
         "token_count_total": _q_token_total,
         "doc_fingerprints": _q_fingerprints,
@@ -3512,6 +3534,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
         "bpe_learn": _bpe_sql(10),
+        "bpe_segment": _bpe_segment_sql(10),
         "rephrase_docs": """
             WITH sw2 AS (
                 SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i

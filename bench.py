@@ -121,6 +121,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "span_dedup_corpus",
         "rephrase_docs",
         "bpe_learn",
+        "bpe_segment",
         "doc_fingerprints",
         "pack_sequences",
         "stratified_sample",

@@ -59,11 +59,14 @@ def bpe_learn(
     *,
     n_merges: int = 10,
     text_col: str = "text",
+    _return_seg: bool = False,
 ) -> "ray.data.Dataset":
     """Learn ``n_merges`` BPE merges from a documents table.
 
     Returns the merge table: (rank, left, right, pair, merged, count)
-    with rank 0 = first (most frequent) merge.
+    with rank 0 = first (most frequent) merge. With ``_return_seg``
+    (internal, for :func:`bpe_segment`) returns the final segmented
+    vocab dataset instead.
     """
     from kire_ray.pipelines.text_analysis import word_frequencies
 
@@ -129,4 +132,30 @@ def bpe_learn(
 
         seg = seg.map_batches(do_merge, batch_format="pandas").materialize()
 
+    if _return_seg:
+        return seg
     return ray.data.from_pandas(pd.DataFrame(merges))
+
+
+def bpe_segment(
+    docs: "ray.data.Dataset",
+    *,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Apply ``n_merges`` learned merges to the corpus vocabulary:
+    (word, n, seg, n_subwords) — the tokenizer-fertility table (mean
+    subwords/word is the standard tokenizer-quality metric). Reuses the
+    learner's final segmented vocab directly (the merges were already
+    applied in rank order during learning), adding only the subword
+    count projection."""
+    seg = bpe_learn(docs, n_merges=n_merges, text_col=text_col, _return_seg=True)
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n_subwords"] = np.array(
+            [s.count(" ") + 1 for s in b["seg"]], dtype=np.int32
+        )
+        return b
+
+    return seg.map_batches(project, batch_format="pandas")

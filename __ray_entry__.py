@@ -1940,12 +1940,12 @@ def _q_docred_triples(sf_dir: str) -> Any:
     scorer/dedup stages: corpus → JSON export → read_docred_json →
     triples (tests assert P=R=1.0 vs gold on this path).
 
-    Measured vs the transcript flagship at sf0.01: 3,906 of the edge
-    sets agree; the DocRED path emits 23 edges the flagship prunes and
-    misses 3 it keeps. Cause: the export re-segments turns into DocRED
-    sents, shifting pair distances at the scorer's caps — a property
-    of the two document layouts, not a pipeline divergence (each path
-    is bit-stable against its own oracle/gold)."""
+    Value-exact SQL oracle: _kg_chain_sql(docred=True) swaps the vote
+    for the reader's rule (document 'link' override when linkable,
+    first alias candidate otherwise — _vote_vertex). That vote is also
+    the verified cause of the small edge-set divergence vs kg_edges
+    (the flagship votes purely by alias, so ambiguous-alias clusters
+    can resolve differently); both paths hash-match their own oracles."""
     import os
 
     from kire_ray.pipelines.kg_construct import extract_triples
@@ -2368,7 +2368,7 @@ def _sql_norm(col: str) -> str:
     )
 
 
-def _kg_chain_sql(c01: str, max_ent: int = 42) -> str:
+def _kg_chain_sql(c01: str, max_ent: int = 42, docred: bool = False) -> str:
     """The flagship chain as one SQL CTE prefix (WITH RECURSIVE … ,
     triples AS (…)) over the gold parquet — the driver-side oracle of
     kg_triples / kg_edges / kg_nodes / kg_linked_docs / the eval rows.
@@ -2386,10 +2386,26 @@ def _kg_chain_sql(c01: str, max_ent: int = 42) -> str:
     - the scorer's keep filter (NT / 'time'-typed entities dropped),
       evidence join against the canonicalized KG, md5 pair scores,
       top-4 per pair, adaptive threshold (stages/scorer.py).
-    All md5-derived, so every value is bit-exact vs the pipeline."""
+    All md5-derived, so every value is bit-exact vs the pipeline.
+
+    ``docred=True`` swaps the vote for the DocRED reader's rule
+    (sources/docred.py:_vote_vertex, gen_kg_data.py:272-304): a
+    mention's candidate is the document-provided ``link`` when the
+    entity is linkable (every mention of a linkable vertex carries it,
+    so the winner is the gold qid) and the first (= min) alias
+    candidate otherwise — which is exactly why docred_triples and
+    kg_triples legitimately differ on ambiguous-alias clusters."""
     n_surf = _sql_norm("surface")
     n_alias = _sql_norm("alias_norm")
     n_fsurf = _sql_norm("d.fsurf")
+    if docred:
+        vote_expr = "CASE WHEN ge.linkable THEN ge.qid ELSE w.vote END"
+        ge_join = f"""
+           JOIN read_parquet('{c01}/gold_entities.parquet') ge
+             ON ge.doc_id = d.doc_id AND ge.ent_idx = d.ent_idx"""
+    else:
+        vote_expr = "w.vote"
+        ge_join = ""
     return f"""
 WITH RECURSIVE
 kg AS (SELECT * FROM read_parquet('{c01}/kg_triples.parquet')),
@@ -2422,12 +2438,12 @@ win AS (SELECT doc_id, ent, vote FROM vc
         QUALIFY row_number() OVER (PARTITION BY doc_id, ent
                                    ORDER BY n DESC, fpos ASC) = 1),
 entall AS (SELECT d.doc_id, d.ent_idx,
-                  coalesce(c.rep, w.vote,
+                  coalesce(c.rep, {vote_expr},
                            'NT' || substr(md5({n_fsurf}), 1, 16)) AS qid,
                   {n_fsurf} AS label, d.nm
-           FROM dense d
+           FROM dense d{ge_join}
            LEFT JOIN win w ON w.doc_id = d.doc_id AND w.ent = d.ent
-           LEFT JOIN canon c ON c.qid = w.vote),
+           LEFT JOIN canon c ON c.qid = {vote_expr}),
 etype AS (SELECT qid, min(attr_val) AS t
           FROM read_parquet('{c01}/kg_attrs.parquet')
           WHERE attr_key = 'instance of' GROUP BY qid),
@@ -2812,6 +2828,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN eids te ON te.e = tr.obj_qid
         """,
         "kg_edges": _kg_chain_sql(c01)
+        + """
+            SELECT subj_qid, pred, obj_qid, max(score) AS score,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM triples GROUP BY 1, 2, 3
+        """,
+        "docred_triples": _kg_chain_sql(c01, docred=True)
         + """
             SELECT subj_qid, pred, obj_qid, max(score) AS score,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

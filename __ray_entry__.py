@@ -2091,12 +2091,12 @@ def _q_pubtator_docs(sf_dir: str) -> Any:
     source into the linked-doc schema."""
     import os
 
-    from kire_ray.sources.pubtator import read_pubtator, write_pubtator_export
+    from kire_ray.sources.pubtator import read_pubtator, write_pubtator_export_sharded
 
     corpus = _corpus(sf_dir)
-    path = os.path.join(corpus, "pubtator_export.txt")
-    if not os.path.exists(path):
-        write_pubtator_export(corpus, path)
+    path = os.path.join(corpus, "pubtator_export_sharded")
+    if not os.path.isdir(path):
+        write_pubtator_export_sharded(corpus, path)
     return read_pubtator(path)
 
 

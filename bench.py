@@ -36,12 +36,14 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     # the glre/pubtator queries measure the .data/PubTator write+read
     # pipelines, not the one-time gold-export rendering of the corpus
     from kire_ray.sources.docred import write_docred_json
-    from kire_ray.sources.pubtator import write_pubtator_export
+    from kire_ray.sources.pubtator import write_pubtator_export_sharded
 
     if not os.path.exists(os.path.join(corpus, "docred_export.json")):
         write_docred_json(corpus, os.path.join(corpus, "docred_export.json"))
-    if not os.path.exists(os.path.join(corpus, "pubtator_export.txt")):
-        write_pubtator_export(corpus, os.path.join(corpus, "pubtator_export.txt"))
+    if not os.path.isdir(os.path.join(corpus, "pubtator_export_sharded")):
+        write_pubtator_export_sharded(
+            corpus, os.path.join(corpus, "pubtator_export_sharded")
+        )
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

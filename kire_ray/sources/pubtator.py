@@ -209,6 +209,39 @@ def write_pubtator_export(corpus_dir: str, out_path: str) -> str:
     return out_path
 
 
+def write_pubtator_export_sharded(
+    corpus_dir: str, out_dir: str, *, n_shards: int = 16
+) -> str:
+    """Sharded variant of :func:`write_pubtator_export`: the same lines
+    striped doc-contiguously across ``n_shards`` files under
+    ``out_dir``. One big text file caps ``read_text`` at a single task
+    (measured: 3.4 s single-threaded read at sf0.1 before the reader
+    pipeline even starts); a directory of shards parallelizes the read.
+    Documents never split across shards, and the reader's pmid exchange
+    makes output identical to the single-file path."""
+    import os
+    import tempfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    one = os.path.join(tempfile.gettempdir(), f"pubtator_all_{os.getpid()}.txt")
+    write_pubtator_export(corpus_dir, one)
+    with open(one, encoding="utf-8") as f:
+        text = f.read()
+    os.unlink(one)
+    # doc blocks are separated by blank lines; stripe them round-robin
+    blocks = [b for b in text.split("\n\n") if b.strip()]
+    shards: list[list[str]] = [[] for _ in range(n_shards)]
+    for i, b in enumerate(blocks):
+        shards[i % n_shards].append(b)
+    for si, blk in enumerate(shards):
+        p = os.path.join(out_dir, f"part-{si:04d}.txt")
+        tmp = p + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("\n\n".join(blk) + "\n")
+        os.replace(tmp, p)
+    return out_dir
+
+
 def read_pubtator(path: str) -> "ray.data.Dataset":
     """PubTator file(s) → linked-document Dataset (+ a ``relations``
     list column of the document-level kb-id relation annotations).

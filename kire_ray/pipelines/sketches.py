@@ -477,27 +477,30 @@ def join_size_estimate(
     integer arithmetic on md5 buckets, so the DuckDB oracle reproduces
     estimate AND exact bit-for-bit.
 
-    One streaming pass per side building the fixed d×w counter
-    partials (same construction as ``cms_heavy_hitters`` but w=65536:
-    the inner product's additive error is |A|·|B|/w per row — at
-    w=2048 the noise floor (~1.1M at sf0.1) drowned the 150k signal;
-    16-bit buckets put it at ~2%), one sketch-sized exchange each; the
-    exact size rides the same pass as a per-key count combiner joined
-    by the oracle's group-sum — no row-level join anywhere. Returns
-    one row: (exact, estimate).
+    ONE streaming pass per side emits BOTH the sketch partials (fixed
+    d×w counters; w=65536 because the inner product's additive error is
+    |A|·|B|/w per row — at w=2048 the noise floor (~1.1M at sf0.1)
+    drowned the 150k signal) and the per-key exact-count partials, and
+    everything rides ONE fused tagged exchange (was: two sketch
+    exchanges + a count exchange + each input read twice — three
+    barriers of pure latency at bench scale). Reducers co-locate every
+    (kind, key)'s rows, emit per-partition partial dot-products per
+    sketch row and a partial exact sum; the driver folds the
+    partition-count-sized result. All integer arithmetic on md5
+    buckets, so the DuckDB oracle reproduces estimate AND exact
+    bit-for-bit. Returns one row: (exact, estimate).
     """
     JS_D, JS_W = 3, 65536  # 3 × 16-bit slices of the 60-bit md5
-    from kire_ray.stages.shuffle import grouped_agg
+    from kire_ray.stages.shuffle import partitioned_map_groups
 
-    def side(ds, key, tag):
+    def side_partial(key, col, other):
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             counts = b[key].value_counts()
             words = counts.index.to_numpy(dtype=object)
             n = counts.to_numpy(np.int64)
             # ONE md5 per distinct key; the d buckets are disjoint
-            # 11-bit slices of the 60-bit hash (Kirsch–Mitzenmacher
-            # derived hashing — 4×11 ≤ 60 bits, and one hash pass
-            # instead of four was worth 4s at sf0.1)
+            # 16-bit slices of the 60-bit hash (Kirsch–Mitzenmacher
+            # derived hashing — one hash pass instead of three)
             h = np.fromiter(
                 (
                     int(hashlib.md5(str(w).encode("utf-8")).hexdigest()[:15], 16)
@@ -506,62 +509,50 @@ def join_size_estimate(
                 dtype=np.int64,
                 count=len(words),
             )
-            rows = []
+            frames = [
+                pd.DataFrame(
+                    {"k": np.array([f"c:{w}" for w in words], dtype=object), col: n}
+                )
+            ]
             for j in range(JS_D):
                 buck = (h >> (16 * j)) % JS_W
-                g = pd.DataFrame({"row": np.int64(j), "bucket": buck, "n": n})
-                rows.append(
-                    g.groupby(["row", "bucket"], sort=False).sum().reset_index()
+                g = (
+                    pd.DataFrame({"buck": buck, col: n})
+                    .groupby("buck", sort=False)[col]
+                    .sum()
+                    .reset_index()
                 )
-            return pd.concat(rows, ignore_index=True)
-
-        t = grouped_agg(
-            ds.map_batches(partial, batch_format="pandas"),
-            ["row", "bucket"],
-            {"n": ("n", "sum")},
-        ).to_pandas()
-        C = np.zeros((JS_D, JS_W), dtype=np.int64)
-        C[t["row"].to_numpy(np.int64), t["bucket"].to_numpy(np.int64)] = t[
-            "n"
-        ].to_numpy(np.int64)
-        return C
-
-    CA = side(left, left_key, "a")
-    CB = side(right, right_key, "b")
-    estimate = int((CA * CB).sum(axis=1).min())
-
-    # exact |A ⋈ B| = Σ_k cntA(k)·cntB(k): both sides' per-key count
-    # partials ride ONE tagged exchange (a join of two count tables is
-    # the same co-location twice over)
-    def cnt_partial(key, col, other):
-        def partial(b: pd.DataFrame) -> pd.DataFrame:
-            vc = b[key].value_counts()
-            out = pd.DataFrame(
-                {"k": vc.index.to_numpy(), col: vc.to_numpy(np.int64)}
-            )
+                g["k"] = "s:" + str(j) + ":" + g["buck"].astype(str)
+                frames.append(g[["k", col]])
+            out = pd.concat(frames, ignore_index=True)
             out[other] = np.int64(0)
-            return out
+            return out[["k", "na", "nb"]]
 
         return partial
 
     both = left.map_batches(
-        cnt_partial(left_key, "na", "nb"), batch_format="pandas"
+        side_partial(left_key, "na", "nb"), batch_format="pandas"
     ).union(
-        right.map_batches(cnt_partial(right_key, "nb", "na"), batch_format="pandas")
-    )
-    g = grouped_agg(
-        both, ["k"], {"na": ("na", "sum"), "nb": ("nb", "sum")}
+        right.map_batches(side_partial(right_key, "nb", "na"), batch_format="pandas")
     )
 
-    def prod(b: pd.DataFrame) -> pd.DataFrame:
-        if "na" not in b.columns:
-            return pd.DataFrame({"x": np.array([], np.int64)})
-        return pd.DataFrame(
-            {"x": [int((b["na"].to_numpy(np.int64) * b["nb"].to_numpy(np.int64)).sum())]}
-        )
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("k", sort=False)[["na", "nb"]].sum()
+        prod = g["na"].to_numpy(np.int64) * g["nb"].to_numpy(np.int64)
+        is_sketch = g.index.str.startswith("s:")
+        out_k, out_v = ["exact"], [int(prod[~is_sketch].sum())]
+        sk = g.index[is_sketch].str.split(":").str[1]
+        if len(sk):
+            dots = pd.Series(prod[is_sketch]).groupby(sk.to_numpy()).sum()
+            out_k.extend("dot:" + dots.index)
+            out_v.extend(int(v) for v in dots.to_numpy())
+        return pd.DataFrame({"what": out_k, "v": np.array(out_v, np.int64)})
 
-    exact = int(
-        g.map_batches(prod, batch_format="pandas").to_pandas()["x"].sum()
+    parts = partitioned_map_groups(both, ["k"], reduce_part).to_pandas()
+    tot = parts.groupby("what")["v"].sum()
+    exact = int(tot.get("exact", 0))
+    estimate = int(
+        min(int(tot.get(f"dot:{j}", 0)) for j in range(JS_D))
     )
     return ray.data.from_pandas(
         pd.DataFrame(

@@ -2323,6 +2323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": R.lineitem_corr,
         "q5_local_supplier_revenue": R.q5_local_supplier_revenue,
         "q10_returned_items": R.q10_returned_items,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q14_promo_revenue": R.q14_promo_revenue,
+        "q4_order_priority": R.q4_order_priority,
         "customer_status_setops": R.customer_status_setops,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
@@ -3917,6 +3920,44 @@ def oracle_sql() -> dict[str, str]:
             FROM r
             ORDER BY rev DESC, o_orderdate, o_orderkey
             LIMIT 10
+        """,
+        "q6_forecast_revenue": f"""
+            SELECT {sql_round('sum(l_extendedprice * l_discount)', 6)}
+                       AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q14_promo_revenue": f"""
+            WITH j14 AS (
+                SELECT l_extendedprice * (1.0 - l_discount) AS rev,
+                       (p_type = 'PROMO') AS is_promo
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+                  AND l_shipdate <  TIMESTAMP '1997-10-01'),
+            s14 AS (
+                SELECT sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS promo,
+                       sum(rev) AS total
+                FROM j14)
+            SELECT {sql_round('promo', 6)} AS promo_revenue,
+                   {sql_round('total', 6)} AS total_revenue,
+                   {sql_round('100.0 * promo / total', 6)} AS promo_share_pct
+            FROM s14
+        """,
+        "q4_order_priority": """
+            WITH ms4 AS (
+                SELECT l_orderkey AS o_orderkey, max(l_shipdate) AS max_ship
+                FROM lineitem GROUP BY 1)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders JOIN ms4 USING (o_orderkey)
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+              AND max_ship > o_orderdate
+            GROUP BY 1
         """,
         "q10_returned_items": """
             WITH r AS (

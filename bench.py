@@ -167,6 +167,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "q3_shipping_priority",
         "q5_local_supplier_revenue",
         "q10_returned_items",
+        "q6_forecast_revenue",
+        "q14_promo_revenue",
+        "q4_order_priority",
         "lineitem_corr",
         "customer_status_setops",
         "user_event_sequences",

@@ -2287,3 +2287,186 @@ def customer_status_setops(sf_dir: str) -> "ray.data.Dataset":
         {"has_f": ("has_f", "max"), "has_o": ("has_o", "max")},
         post=classify,
     )
+
+
+def q6_forecast_revenue(
+    sf_dir: str,
+    *,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1998-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> "ray.data.Dataset":
+    """TPC-H Q6 — forecasting revenue change: one filtered scan of
+    lineitem, block-local partial sums, a one-row reduce. The simplest
+    possible distributed plan (no shuffle at all: partials are
+    1-row-per-block) and the canonical predicate-pushdown showcase —
+    only the four needed columns leave the parquet."""
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            (b["l_shipdate"] >= lo)
+            & (b["l_shipdate"] < hi)
+            & (b["l_discount"] >= disc_lo)
+            & (b["l_discount"] <= disc_hi)
+            & (b["l_quantity"] < max_qty)
+        )
+        rev = (b.loc[m, "l_extendedprice"] * b.loc[m, "l_discount"]).sum()
+        return pd.DataFrame({"revenue": [float(rev)], "n": [int(m.sum())]})
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "revenue": round_half_up(
+                    np.array([parts["revenue"].sum()]), 6
+                ),
+                "n_items": np.array([parts["n"].sum()], dtype=np.int64),
+            }
+        )
+    )
+
+
+def q14_promo_revenue(
+    sf_dir: str,
+    *,
+    date_lo: str = "1997-09-01",
+    date_hi: str = "1997-10-01",
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q14 — promotion revenue share: date-filtered lineitem ⋈
+    part on partkey, conditional revenue sums, one output row.
+
+    part scales with SF, so the lookup is size-thresholded exactly like
+    q3/q5: under ``broadcast_limit`` rows the partkey→is-promo map is a
+    broadcast dict applied inside the lineitem scan (no shuffle);
+    above it a distributed hash join on partkey replaces the broadcast.
+    Revenue = extendedprice·(1−discount), promo share in percent."""
+    from kire_ray.stages.joins import hash_join
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def date_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        return b[["l_partkey", "l_extendedprice", "l_discount"]]
+
+    li = li.map_batches(date_filter, batch_format="pandas")
+
+    if _nrows_parquet(f"{sf_dir}/part.parquet") <= broadcast_limit:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ).to_pandas()
+        promo_ref = ray.put(frozenset(part.loc[part["p_type"] == "PROMO", "p_partkey"]))
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            promo = ray.get(promo_ref)
+            b = b.copy()
+            b["is_promo"] = b["l_partkey"].isin(promo)
+            return b
+
+        joined = li.map_batches(tag, batch_format="pandas")
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_partkey": b["p_partkey"].to_numpy(),
+                    "is_promo": (b["p_type"] == "PROMO").to_numpy(),
+                }
+            ),
+            batch_format="pandas",
+        )
+        joined = hash_join(li, part_ds, ["l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"].to_numpy(np.float64) * (
+            1.0 - b["l_discount"].to_numpy(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "promo": [float(rev[b["is_promo"].to_numpy(bool)].sum())],
+                "total": [float(rev.sum())],
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    promo, total = parts["promo"].sum(), parts["total"].sum()
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "promo_revenue": round_half_up(np.array([promo]), 6),
+                "total_revenue": round_half_up(np.array([total]), 6),
+                "promo_share_pct": round_half_up(
+                    np.array([100.0 * promo / total if total else 0.0]), 6
+                ),
+            }
+        )
+    )
+
+
+def q4_order_priority(
+    sf_dir: str,
+    *,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1997-04-01",
+) -> "ray.data.Dataset":
+    """TPC-H Q4 shape — order-priority checking: count orders of one
+    quarter that have at least one lineitem shipped AFTER the order
+    date (the corpus lacks commit/receipt dates, so the reference's
+    ``l_commitdate < l_receiptdate`` EXISTS becomes the equivalent
+    correlated-date EXISTS ``l_shipdate > o_orderdate``).
+
+    The correlated EXISTS distributes as: per-orderkey MAX(l_shipdate)
+    (block-local combiner → one grouped exchange; max is the only
+    state the predicate needs) ⋈ date-filtered orders on orderkey,
+    filter max_ship > o_orderdate, then a priority-cardinality count.
+    """
+    from kire_ray.stages.joins import hash_join
+    from kire_ray.stages.shuffle import grouped_agg
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def max_ship(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_orderkey", sort=False)["l_shipdate"].max()
+        return pd.DataFrame(
+            {"o_orderkey": g.index.to_numpy(), "max_ship": g.to_numpy()}
+        )
+
+    ship = grouped_agg(
+        li.map_batches(max_ship, batch_format="pandas"),
+        ["o_orderkey"],
+        {"max_ship": ("max_ship", "max")},
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)],
+        batch_format="pandas",
+    )
+    joined = hash_join(orders, ship, ["o_orderkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["max_ship"] > b["o_orderdate"]]
+        g = b.groupby("o_orderpriority", sort=False).size()
+        return pd.DataFrame(
+            {"o_orderpriority": g.index.to_numpy(), "order_count": g.to_numpy(np.int64)}
+        )
+
+    return grouped_agg(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"],
+        {"order_count": ("order_count", "sum")},
+    )

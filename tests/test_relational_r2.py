@@ -283,3 +283,24 @@ def test_wow_change_and_nb_classifier(ray_session):
     assert (out["correct"] == (out["actual"] == out["predicted"])).all()
     n_src = docs["source"].nunique()
     assert out["correct"].mean() > 1.0 / n_src  # better than chance
+
+
+def test_q6_q14_q4_shapes(ray_session):
+    """Round-3 TPC-H additions: value sanity + the q14 broadcast/join
+    path equivalence (the q3/q5 threshold pattern)."""
+    from kire_ray.pipelines.relational import (
+        q4_order_priority,
+        q6_forecast_revenue,
+        q14_promo_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q6 = q6_forecast_revenue(sf).to_pandas()
+    assert len(q6) == 1 and q6.revenue.iloc[0] >= 0 and q6.n_items.iloc[0] >= 0
+    a = q14_promo_revenue(sf).to_pandas()
+    b = q14_promo_revenue(sf, broadcast_limit=0).to_pandas()  # force hash join
+    assert a.promo_share_pct.iloc[0] == b.promo_share_pct.iloc[0]
+    assert a.total_revenue.iloc[0] == b.total_revenue.iloc[0]
+    assert 0.0 <= a.promo_share_pct.iloc[0] <= 100.0
+    q4 = q4_order_priority(sf).to_pandas()
+    assert (q4.order_count > 0).all()

@@ -234,7 +234,7 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, log_to_driver=False)
     t_all = time.time()
     timings, extras = _bench_queries(sf_dir)
     total = round(time.time() - t_all, 3)
@@ -385,7 +385,7 @@ def _scaling_child() -> None:
     replicated scaling corpus (GRAFT_SCALING_CORPUS)."""
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, log_to_driver=False)
     from kire_ray.pipelines.kg_construct import (
         KGContext,
         extract_triples,

@@ -54,19 +54,18 @@ def apply_merge(seg: str, left: str, right: str) -> str:
     return " ".join(out.split())
 
 
-def bpe_learn(
+def bpe_learn_full(
     docs: "ray.data.Dataset",
     *,
     n_merges: int = 10,
     text_col: str = "text",
-    _return_seg: bool = False,
-) -> "ray.data.Dataset":
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """Learn ``n_merges`` BPE merges from a documents table.
 
-    Returns the merge table: (rank, left, right, pair, merged, count)
-    with rank 0 = first (most frequent) merge. With ``_return_seg``
-    (internal, for :func:`bpe_segment`) returns the final segmented
-    vocab dataset instead.
+    Returns ``(merges, seg)``: the merge table (rank, left, right,
+    pair, merged, count) with rank 0 = first (most frequent) merge,
+    and the final segmented vocab (word, n, seg) — one learning run
+    produces both, so callers never learn twice.
     """
     from kire_ray.pipelines.text_analysis import word_frequencies
 
@@ -132,9 +131,14 @@ def bpe_learn(
 
         seg = seg.map_batches(do_merge, batch_format="pandas").materialize()
 
-    if _return_seg:
-        return seg
-    return ray.data.from_pandas(pd.DataFrame(merges))
+    return ray.data.from_pandas(pd.DataFrame(merges)), seg
+
+
+def bpe_learn(
+    docs: "ray.data.Dataset", *, n_merges: int = 10, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """The merge table of :func:`bpe_learn_full`."""
+    return bpe_learn_full(docs, n_merges=n_merges, text_col=text_col)[0]
 
 
 def bpe_segment(
@@ -149,7 +153,7 @@ def bpe_segment(
     learner's final segmented vocab directly (the merges were already
     applied in rank order during learning), adding only the subword
     count projection."""
-    seg = bpe_learn(docs, n_merges=n_merges, text_col=text_col, _return_seg=True)
+    seg = bpe_learn_full(docs, n_merges=n_merges, text_col=text_col)[1]
 
     def project(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()

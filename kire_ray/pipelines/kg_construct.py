@@ -58,7 +58,15 @@ def _conc(concurrency: int | None) -> tuple[int, int]:
     deadlocks (observed hang; each stage alone runs fine). The
     autoscaler ramp costs ~2 s on a short standalone stage (embedder
     5.3 s at (1,32) vs 3.0 s at (16,32)) — the price of a DAG that
-    cannot self-starve."""
+    cannot self-starve.
+
+    HISTORY NOTE: the flagship stages no longer use actor pools at all —
+    their state is dimension-sized (trie 0.07 s, KGIndex 0.18 s), so
+    they moved to task pools with a per-worker-process stage cache
+    (stages/taskpool.py), which removes both the ramp and the deadlock
+    constraint. This helper (and the hard-won constraint above) remains
+    for genuinely heavy-state actor stages (media decode, model
+    scorers)."""
     return (1, concurrency or max(4, _cluster_cpus()))
 
 
@@ -126,13 +134,19 @@ def linked_documents(
     heavier and either factor amortizes.) Batches default to whole
     blocks — re-bundling rows across blocks buys nothing once block
     size is the task granularity."""
+    from kire_ray.stages.taskpool import process_cached
+
     docs = assemble_documents(transcripts).repartition(2 * _cluster_cpus())
+    # task pool + per-worker-process stage cache (stages/taskpool.py):
+    # the linker's state is 0.07 s to build, so the actor-pool ramp was
+    # pure overhead (linked 4.5 s -> 2.4 s warm at sf0.1, bit-identical)
     return docs.map_batches(
-        MentionLinker,
-        fn_constructor_kwargs={"alias_ref": ctx.alias_ref, "canon_ref": ctx.canon_ref},
+        process_cached(
+            MentionLinker, alias_ref=ctx.alias_ref, canon_ref=ctx.canon_ref
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=_conc(concurrency),
+        concurrency=concurrency,
     )
 
 
@@ -146,16 +160,18 @@ def extract_triples(
     from kire_ray.config import DOCRED
 
     p = profile or DOCRED
+    from kire_ray.stages.taskpool import process_cached
+
     return linked.map_batches(
-        RelationScorer,
-        fn_constructor_kwargs={
-            "kg_ref": ctx.kg_ref,
-            "canon_ref": ctx.canon_ref,
-            "max_entities": p.max_entity_size,
-        },
+        process_cached(
+            RelationScorer,
+            kg_ref=ctx.kg_ref,
+            canon_ref=ctx.canon_ref,
+            max_entities=p.max_entity_size,
+        ),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=_conc(concurrency),
+        concurrency=concurrency,
     )
 
 
@@ -169,16 +185,18 @@ def entity_vectors(
     from kire_ray.config import DOCRED
 
     p = profile or DOCRED
+    from kire_ray.stages.taskpool import process_cached
+
     return linked.map_batches(
-        EntityEmbedder,
-        fn_constructor_kwargs={
-            "kg_ref": ctx.kg_ref,
-            "canon_ref": ctx.canon_ref,
-            "max_len": p.max_len,
-        },
+        process_cached(
+            EntityEmbedder,
+            kg_ref=ctx.kg_ref,
+            canon_ref=ctx.canon_ref,
+            max_len=p.max_len,
+        ),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=_conc(concurrency),
+        concurrency=concurrency,
     )
 
 
@@ -191,14 +209,18 @@ def coref_pairs(
 ) -> "ray.data.Dataset":
     from kire_ray.config import DOCRED
 
-    kwargs = {"kg_ref": ctx.kg_ref, "canon_ref": ctx.canon_ref}
-    kwargs["profile"] = profile or DOCRED
+    from kire_ray.stages.taskpool import process_cached
+
     return linked.map_batches(
-        CorefScorer,
-        fn_constructor_kwargs=kwargs,
+        process_cached(
+            CorefScorer,
+            kg_ref=ctx.kg_ref,
+            canon_ref=ctx.canon_ref,
+            profile=profile or DOCRED,
+        ),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=_conc(concurrency),
+        concurrency=concurrency,
     )
 
 

@@ -136,14 +136,18 @@ def minhash_signatures(
     shingle_k: int = 3,
     concurrency=(1, 8),
 ) -> "ray.data.Dataset":
-    """Per-doc MinHash signature via the MinHasher actor pool."""
+    """Per-doc MinHash signatures — task pool with a per-worker-process
+    MinHasher cache (stages/taskpool.py: the permutation table is
+    microseconds to derive; an actor pool's ramp was pure overhead)."""
+    from kire_ray.stages.taskpool import process_cached
+
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k
+        process_cached(
+            MinHasher,
+            text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k,
         ),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=None if isinstance(concurrency, tuple) else concurrency,
     )
 
 

@@ -1419,10 +1419,11 @@ def rephrase_docs(
     """Rewrite every document through the :class:`Rephraser` actor pool
     (stateless rows → embarrassingly parallel; no shuffle). Documents
     with no words rephrase to the empty string."""
+    from kire_ray.stages.taskpool import process_cached
+
     return docs.map_batches(
-        Rephraser,
-        fn_constructor_kwargs={"mode": "fake"},
+        process_cached(Rephraser, mode="fake"),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=None if isinstance(concurrency, tuple) else concurrency,
     )

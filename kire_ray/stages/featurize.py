@@ -256,14 +256,18 @@ def featurize(
     canon_ref=None,
     concurrency=(1, 8),
 ) -> "ray.data.Dataset":
+    from kire_ray.stages.taskpool import process_cached
+
+    # task pool (stages/taskpool.py): featurizer state = broadcast
+    # vocab dicts, built once per worker process — no actor ramp
     return linked.map_batches(
-        FeaturizeDocs,
-        fn_constructor_kwargs={
-            "vocab_ref": ray.put(vocab),
-            "kg_ref": kg_ref,
-            "canon_ref": canon_ref,
-            "char_vocab_ref": ray.put(char_vocab or {}),
-        },
+        process_cached(
+            FeaturizeDocs,
+            vocab_ref=ray.put(vocab),
+            kg_ref=kg_ref,
+            canon_ref=canon_ref,
+            char_vocab_ref=ray.put(char_vocab or {}),
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=None if isinstance(concurrency, tuple) else concurrency,
     )

@@ -241,17 +241,18 @@ def tokenize_subwords(
     concurrency: tuple[int, int] | None = None,
     max_chars: int = 100,
 ) -> "ray.data.Dataset":
-    if concurrency is None:
-        # autoscale the actor pool to the cluster (a fixed cap of 8
-        # left 3/4 of a 32-CPU node idle on the subword stage)
-        from kire_ray.stages.shuffle import cluster_cpus
+    from kire_ray.stages.taskpool import process_cached
 
-        concurrency = (1, max(8, cluster_cpus()))
+    # task pool + per-worker-process cache (stages/taskpool.py): the
+    # tokenizer state is one broadcast vocab dict — the actor-pool ramp
+    # (which a fixed cap of 8 made worse, idling 3/4 of a 32-CPU node)
+    # was pure overhead
     return ds.map_batches(
-        SubwordTokenizer,
-        fn_constructor_kwargs={"vocab_ref": ray.put(vocab), "max_chars": max_chars},
+        process_cached(
+            SubwordTokenizer, vocab_ref=ray.put(vocab), max_chars=max_chars
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=None if isinstance(concurrency, tuple) else concurrency,
     )
 
 

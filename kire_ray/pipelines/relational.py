@@ -2427,13 +2427,16 @@ def q4_order_priority(
     ``l_commitdate < l_receiptdate`` EXISTS becomes the equivalent
     correlated-date EXISTS ``l_shipdate > o_orderdate``).
 
-    The correlated EXISTS distributes as: per-orderkey MAX(l_shipdate)
-    (block-local combiner → one grouped exchange; max is the only
-    state the predicate needs) ⋈ date-filtered orders on orderkey,
-    filter max_ship > o_orderdate, then a priority-cardinality count.
+    The correlated EXISTS distributes as ONE tagged exchange on
+    orderkey (the incremental_dedup pattern): lineitem ships one
+    block-local MAX(l_shipdate) partial per (orderkey, block), the
+    date-filtered orders ride the same exchange, and the reducer
+    evaluates ``max(max_ship) > o_orderdate`` with every row of an
+    orderkey co-located — no separate join barrier. The reduced output
+    is priority-cardinality partials folded by a second (tiny) grouped
+    exchange.
     """
-    from kire_ray.stages.joins import hash_join
-    from kire_ray.stages.shuffle import grouped_agg
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
     lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
@@ -2441,32 +2444,48 @@ def q4_order_priority(
     def max_ship(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("l_orderkey", sort=False)["l_shipdate"].max()
         return pd.DataFrame(
-            {"o_orderkey": g.index.to_numpy(), "max_ship": g.to_numpy()}
+            {
+                "o_orderkey": g.index.to_numpy(),
+                "max_ship": g.to_numpy(),
+                "o_orderdate": pd.Series([pd.NaT] * len(g)),
+                "o_orderpriority": pd.Series([None] * len(g), dtype=object),
+            }
         )
 
-    ship = grouped_agg(
-        li.map_batches(max_ship, batch_format="pandas"),
-        ["o_orderkey"],
-        {"max_ship": ("max_ship", "max")},
-    )
-
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(
-        lambda b: b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)],
-        batch_format="pandas",
-    )
-    joined = hash_join(orders, ship, ["o_orderkey"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["max_ship"] > b["o_orderdate"]]
-        g = b.groupby("o_orderpriority", sort=False).size()
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
         return pd.DataFrame(
-            {"o_orderpriority": g.index.to_numpy(), "order_count": g.to_numpy(np.int64)}
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "max_ship": pd.Series([pd.NaT] * len(b)),
+                "o_orderdate": b["o_orderdate"].to_numpy(),
+                "o_orderpriority": b["o_orderpriority"].to_numpy(),
+            }
+        )
+
+    both = li.map_batches(max_ship, batch_format="pandas").union(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(o_side, batch_format="pandas")
+    )
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("o_orderkey", sort=False)
+        ms = g["max_ship"].max()
+        orders = part[part["o_orderpriority"].notna()]
+        keep = orders[
+            orders["o_orderdate"] < ms.reindex(orders["o_orderkey"]).to_numpy()
+        ]
+        c = keep.groupby("o_orderpriority", sort=False).size()
+        return pd.DataFrame(
+            {
+                "o_orderpriority": c.index.to_numpy(),
+                "order_count": c.to_numpy(np.int64),
+            }
         )
 
     return grouped_agg(
-        joined.map_batches(partial, batch_format="pandas"),
+        partitioned_map_groups(both, ["o_orderkey"], reduce_part),
         ["o_orderpriority"],
         {"order_count": ("order_count", "sum")},
     )

@@ -71,48 +71,57 @@ def bpe_learn_full(
 
     vocab = word_frequencies(docs, text_col=text_col)
 
-    def seed(b: pd.DataFrame) -> pd.DataFrame:
+    # Each round is ONE streaming pass: apply the chosen merge AND
+    # count the post-merge pairs in the same map (pair partials ride as
+    # tagged rows with word=NULL, n=count, seg="left\x1fright"), so the
+    # per-round cost is one materialize + one tiny filtered collect —
+    # not separate count and apply passes.
+    def _pair_rows(b: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for s, n in zip(b["seg"], b["n"]):
+            toks = s.split()
+            for a, t in zip(toks, toks[1:]):
+                c[(a, t)] += int(n)
+        ks = list(c.keys())
         return pd.DataFrame(
+            {
+                "word": pd.Series([None] * len(ks), dtype=object),
+                "n": np.fromiter(c.values(), dtype=np.int64, count=len(ks)),
+                "seg": ["\x1f".join(k) for k in ks],
+            }
+        )
+
+    def seed_and_count(b: pd.DataFrame) -> pd.DataFrame:
+        segs = pd.DataFrame(
             {
                 "word": b["word"].to_numpy(),
                 "n": b["n"].to_numpy(),
                 "seg": [" ".join(w) for w in b["word"]],
             }
         )
+        return pd.concat([segs, _pair_rows(segs)], ignore_index=True)
 
-    seg = vocab.map_batches(seed, batch_format="pandas").materialize()
+    state = vocab.map_batches(seed_and_count, batch_format="pandas").materialize()
 
-    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for s, n in zip(b["seg"], b["n"]):
-            toks = s.split()
-            for a, t in zip(toks, toks[1:]):
-                c[(a, t)] += int(n)
-        if not c:
-            return pd.DataFrame(
-                {"left": pd.Series([], dtype=str), "right": pd.Series([], dtype=str),
-                 "c": pd.Series([], dtype=np.int64)}
-            )
-        ks = list(c.keys())
-        return pd.DataFrame(
-            {
-                "left": [k[0] for k in ks],
-                "right": [k[1] for k in ks],
-                "c": np.fromiter(c.values(), dtype=np.int64, count=len(ks)),
-            }
-        )
+    def best_of(state) -> tuple[str, str, int] | None:
+        parts = state.map_batches(
+            lambda b: b[b["word"].isna()], batch_format="pandas"
+        ).to_pandas()
+        if parts.empty:
+            return None
+        tot = parts.groupby("seg", sort=False)["n"].sum().reset_index()
+        tot["pair"] = tot["seg"].str.replace("\x1f", " ", regex=False)
+        tot = tot.sort_values(["n", "pair"], ascending=[False, True], kind="stable")
+        b = tot.iloc[0]
+        left, right = b["seg"].split("\x1f")
+        return left, right, int(b["n"])
 
     merges = []
     for rank in range(n_merges):
-        # pair space is alphabet-sized → block partials collect tiny
-        parts = seg.map_batches(pair_partial, batch_format="pandas").to_pandas()
-        if parts.empty:
+        best = best_of(state)
+        if best is None:
             break
-        tot = parts.groupby(["left", "right"], sort=False)["c"].sum().reset_index()
-        tot["pair"] = tot["left"] + " " + tot["right"]
-        tot = tot.sort_values(["c", "pair"], ascending=[False, True], kind="stable")
-        best = tot.iloc[0]
-        left, right, cnt = str(best["left"]), str(best["right"]), int(best["c"])
+        left, right, cnt = best
         merges.append(
             {
                 "rank": np.int32(rank),
@@ -123,14 +132,22 @@ def bpe_learn_full(
                 "count": np.int64(cnt),
             }
         )
+        last = rank == n_merges - 1
 
-        def do_merge(b: pd.DataFrame, left=left, right=right) -> pd.DataFrame:
-            b = b.copy()
-            b["seg"] = [apply_merge(s, left, right) for s in b["seg"]]
-            return b
+        def merge_and_count(
+            b: pd.DataFrame, left=left, right=right, last=last
+        ) -> pd.DataFrame:
+            segs = b[b["word"].notna()].copy()
+            segs["seg"] = [apply_merge(s, left, right) for s in segs["seg"]]
+            if last:  # final round's counts are never consumed
+                return segs
+            return pd.concat([segs, _pair_rows(segs)], ignore_index=True)
 
-        seg = seg.map_batches(do_merge, batch_format="pandas").materialize()
+        state = state.map_batches(merge_and_count, batch_format="pandas").materialize()
 
+    seg = state.map_batches(
+        lambda b: b[b["word"].notna()], batch_format="pandas"
+    )
     return ray.data.from_pandas(pd.DataFrame(merges)), seg
 
 

@@ -363,8 +363,21 @@ def run_scaling(
         results[cpus] = best
     thr_lo = results[cpus_lo]["triples_per_sec"]
     thr_hi = results[cpus_hi]["triples_per_sec"]
+    # cross-width determinism gate: the SAME input must yield the SAME
+    # triple count at every parallelism level — a count drift would
+    # mean partitioning-dependent output and invalidate the whole
+    # efficiency comparison
+    n_lo = results[cpus_lo].get("n_triples")
+    n_hi = results[cpus_hi].get("n_triples")
+    if n_lo is not None and n_lo != n_hi:
+        raise RuntimeError(
+            f"triple count differs across widths: {n_lo} at {cpus_lo} "
+            f"CPUs vs {n_hi} at {cpus_hi} CPUs — output is not "
+            "partitioning-invariant"
+        )
     eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
     return {
+        "n_triples": n_lo,
         "metric": "scaling efficiency (flagship triples/sec, fresh ray sessions)",
         "value": round(eff, 3),
         "unit": "efficiency",

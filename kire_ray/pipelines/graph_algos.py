@@ -498,25 +498,28 @@ def link_prediction(
 
     if support_col is not None and min_support > 1:
         edges = edges.filter(expr=f"{support_col} >= {int(min_support)}")
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+    # size the two exchanges to the (sparsified) graph: at 64 default
+    # partitions a 16k-edge graph paid ~300 near-empty task launches —
+    # pure driver scheduling. ~25k edges per partition, floor 8.
+    from kire_ray.stages.shuffle import default_partitions
 
-    def undirected(b: pd.DataFrame) -> pd.DataFrame:
-        s = pd.concat([b[src_col], b[dst_col]], ignore_index=True)
-        t = pd.concat([b[dst_col], b[src_col]], ignore_index=True)
-        df = pd.DataFrame({"c": s, "nb": t})
-        return df[df["c"] != df["nb"]].drop_duplicates()
+    n_edges = edges.count()
+    P = max(8, min(default_partitions(), -(-n_edges // 25_000)))
 
-    und = partitioned_map_groups(
-        edges.select_columns([src_col, dst_col]).map_batches(
-            undirected, batch_format="pandas"
-        ),
-        ["c", "nb"],
-        lambda p: p.drop_duplicates(),
-    ).materialize()
-
-    # node-bounded degree table, merged on the driver and broadcast
+    # node-bounded degree table straight off the (unique-pair) edge
+    # list: block partials → driver fold → broadcast. The input
+    # contract is one row per undirected pair (the co-mention /
+    # dedup-pair producers all guarantee it), so no dedup exchange is
+    # needed before counting — that exchange used to be a whole extra
+    # barrier in front of wedge generation.
     deg = (
-        und.map_batches(
-            lambda b: b.groupby("c", sort=False).size().rename("d").reset_index(),
+        edges.map_batches(
+            lambda b: pd.concat([b[src_col], b[dst_col]], ignore_index=True)
+            .value_counts()
+            .rename("d")
+            .rename_axis("c")
+            .reset_index(),
             batch_format="pandas",
         )
         .to_pandas()
@@ -527,9 +530,20 @@ def link_prediction(
     deg_vals = deg.reindex(deg_nodes).to_numpy(np.float64)
     dref = ray.put((deg_nodes, deg_vals))
 
+    def undirected(b: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([b[src_col], b[dst_col]], ignore_index=True)
+        t = pd.concat([b[dst_col], b[src_col]], ignore_index=True)
+        df = pd.DataFrame({"c": s, "nb": t})
+        return df[df["c"] != df["nb"]]
+
+    edges_p = edges.repartition(P).materialize()
+    und = edges_p.map_batches(undirected, batch_format="pandas")
+
     def wedges(part: pd.DataFrame) -> pd.DataFrame:
         nd, dv = ray.get(dref)
-        p = part.sort_values(["c", "nb"], kind="mergesort")
+        # the exchange co-located every neighbor of c; drop_duplicates
+        # is a cheap safety net for multigraph inputs
+        p = part.drop_duplicates().sort_values(["c", "nb"], kind="mergesort")
         m = p.merge(p, on="c", suffixes=("_a", "_b"))
         m = m[m["nb_a"] < m["nb_b"]]
         if m.empty:
@@ -547,7 +561,7 @@ def link_prediction(
             }
         )
 
-    wg = partitioned_map_groups(und, ["c"], wedges)
+    wg = partitioned_map_groups(und, ["c"], wedges, num_partitions=P)
 
     def edge_rows(b: pd.DataFrame) -> pd.DataFrame:
         s = b[src_col].to_numpy(dtype=object)
@@ -560,11 +574,7 @@ def link_prediction(
             {"x": lo, "y": hi, "w": 0.0, "is_edge": np.ones(len(lo), dtype=bool)}
         ).drop_duplicates(["x", "y"])
 
-    both = wg.union(
-        edges.select_columns([src_col, dst_col]).map_batches(
-            edge_rows, batch_format="pandas"
-        )
-    )
+    both = wg.union(edges_p.map_batches(edge_rows, batch_format="pandas"))
 
     def score(part: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -600,4 +610,4 @@ def link_prediction(
             }
         )
 
-    return partitioned_map_groups(both, ["x", "y"], score)
+    return partitioned_map_groups(both, ["x", "y"], score, num_partitions=P)

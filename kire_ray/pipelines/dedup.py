@@ -852,6 +852,7 @@ def containment_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     df_cap: int = 100_000,
+    broadcast_limit: int = 200_000,
 ) -> "ray.data.Dataset":
     """Directional containment dedup: pairs ``(id_a, id_b)`` where doc
     a's whole token sequence appears contiguously inside doc b and the
@@ -1009,6 +1010,34 @@ def containment_dedup(
     if nc == 0:
         return ray.data.from_pandas(_EMPTY)
 
+    def _contained(ta: str, tb: str) -> bool:
+        return ta != tb and (" " + ta + " ") in (" " + tb + " ")
+
+    # container-text attach, size-thresholded like verify_jaccard: a
+    # driver-sized doc table broadcasts once and verification is a pure
+    # map (no join barrier); above the limit the bucketed hash join
+    # streams both sides (docs.count() on an untransformed parquet read
+    # is a metadata probe, not a scan)
+    if docs.count() <= broadcast_limit:
+        tdf = docs.select_columns([id_col, text_col]).to_pandas()
+        tref = ray.put(dict(zip(tdf[id_col].to_numpy(), tdf[text_col])))
+
+        def verify_bcast(b: pd.DataFrame) -> pd.DataFrame:
+            if "text_a" not in b.columns:  # schema-less empty block
+                return _EMPTY
+            tmap = ray.get(tref)
+            keep = np.fromiter(
+                (
+                    _contained(ta, tmap[ib])
+                    for ta, ib in zip(b["text_a"], b["id_b"])
+                ),
+                dtype=bool,
+                count=len(b),
+            )
+            return b.loc[keep, ["id_a", "id_b"]].reset_index(drop=True).astype(np.int64)
+
+        return cand.map_batches(verify_bcast, batch_format="pandas")
+
     texts = docs.select_columns([id_col, text_col])
 
     def rename_b(b: pd.DataFrame) -> pd.DataFrame:
@@ -1026,10 +1055,7 @@ def containment_dedup(
                 {"id_a": np.array([], np.int64), "id_b": np.array([], np.int64)}
             )
         keep = np.fromiter(
-            (
-                ta != tb and (" " + ta + " ") in (" " + tb + " ")
-                for ta, tb in zip(b["text_a"], b["text_b"])
-            ),
+            (_contained(ta, tb) for ta, tb in zip(b["text_a"], b["text_b"])),
             dtype=bool,
             count=len(b),
         )

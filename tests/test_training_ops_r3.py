@@ -126,3 +126,27 @@ def test_bpe_learn_classic(ray_session):
     m2 = bpe_learn(docs.repartition(2), n_merges=4).to_pandas()
     assert m.pair.tolist() == m2.pair.tolist()
     assert m["count"].tolist() == m2["count"].tolist()
+
+
+def test_containment_paths_equal(ray_session):
+    """Broadcast-verify vs joined-verify produce identical pairs (the
+    verify_jaccard path-equality pattern for containment_dedup)."""
+    from kire_ray.pipelines.dedup import containment_dedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    texts = [
+        base,                                   # 0: container
+        " ".join(f"w{i}" for i in range(5, 15)),  # 1: contained in 0
+        " ".join(f"w{i}" for i in range(40, 60)),  # 2: unrelated
+        " ".join(f"w{i}" for i in range(50, 56)),  # 3: contained in 2
+        base,                                   # 4: exact dup of 0 (excluded)
+    ]
+    docs = _docs(texts)
+    a = containment_dedup(docs).to_pandas().sort_values(["id_a", "id_b"])
+    b = containment_dedup(docs, broadcast_limit=0).to_pandas().sort_values(
+        ["id_a", "id_b"]
+    )
+    assert a.values.tolist() == b.values.tolist()
+    got = set(map(tuple, a.values.tolist()))
+    assert (1, 0) in got and (3, 2) in got
+    assert (4, 0) not in got and (0, 4) not in got  # exact dups excluded

@@ -662,11 +662,17 @@ def events_asof_join(sf_dir: str) -> "ray.data.Dataset":
 def orders_lineitem_range_join(sf_dir: str, window_days: int = 7) -> "ray.data.Dataset":
     """Date-band range join with NO equi-key (orders × lineitems
     shipped within [o_orderdate, o_orderdate + window)): bucket both
-    sides by epoch-week, replicate each order into the ≤2 buckets its
-    window overlaps, match vectorized inside each bucket (sorted ship
-    days + prefix sums → searchsorted range counts), then merge the
-    per-bucket partials with one small grouped exchange. Join work is
-    O(band density), never the full cross product."""
+    sides by epoch-week. Each ORDER lands in exactly one bucket; each
+    ITEM is replicated into its own bucket and the one below, so bucket
+    b locally holds every ship-day in [bW, (b+2)W) — a superset of any
+    resident order's window. One exchange therefore produces FINAL
+    per-order results (match vectorized: sorted ship days + prefix sums
+    → searchsorted range counts); no partial-merge exchange, and each
+    order's float sum is computed once from one contiguous prefix-sum
+    range. (The previous shape replicated orders and merged per-bucket
+    partials through a second exchange — one whole barrier more for the
+    same moved-row volume.) Join work is O(band density), never the
+    full cross product."""
     W = window_days  # bucket width in days = window length
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
@@ -674,14 +680,11 @@ def orders_lineitem_range_join(sf_dir: str, window_days: int = 7) -> "ray.data.D
 
     def tag_orders(b: pd.DataFrame) -> pd.DataFrame:
         od = (b["o_orderdate"].astype("int64") // (86_400 * 10**6)).to_numpy()
-        key = b["o_orderkey"].to_numpy()
-        b0 = od // W
-        b1 = (od + W - 1) // W
         return pd.DataFrame(
             {
-                "bucket": np.concatenate([b0, b1[b1 != b0]]),
-                "key": np.concatenate([key, key[b1 != b0]]),
-                "day": np.concatenate([od, od[b1 != b0]]),
+                "bucket": od // W,
+                "key": b["o_orderkey"].to_numpy(),
+                "day": od,
                 "qty": 0.0,
                 "is_order": True,
             }
@@ -689,12 +692,13 @@ def orders_lineitem_range_join(sf_dir: str, window_days: int = 7) -> "ray.data.D
 
     def tag_items(b: pd.DataFrame) -> pd.DataFrame:
         sd = (b["l_shipdate"].astype("int64") // (86_400 * 10**6)).to_numpy()
+        bk = sd // W
         return pd.DataFrame(
             {
-                "bucket": sd // W,
+                "bucket": np.concatenate([bk, bk - 1]),
                 "key": np.int64(-1),
-                "day": sd,
-                "qty": b["l_quantity"].astype(np.float64).to_numpy(),
+                "day": np.concatenate([sd, sd]),
+                "qty": np.tile(b["l_quantity"].astype(np.float64).to_numpy(), 2),
                 "is_order": False,
             }
         )
@@ -735,15 +739,14 @@ def orders_lineitem_range_join(sf_dir: str, window_days: int = 7) -> "ray.data.D
             )
         return pd.concat(out, ignore_index=True)
 
-    partials = partitioned_map_groups(tagged, ["bucket"], bucket_part)
-    return grouped_agg(
-        partials,
-        ["o_orderkey"],
-        {"n_shipped": ("n_shipped", "sum"), "sum_qty": ("sum_qty", "sum")},
-        post=lambda out: out.assign(
-            n_shipped=out["n_shipped"].astype(np.int64),
-            sum_qty=out["sum_qty"].astype(np.float64),
-        ),
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(
+            n_shipped=b["n_shipped"].astype(np.int64),
+            sum_qty=b["sum_qty"].astype(np.float64),
+        )
+
+    return partitioned_map_groups(tagged, ["bucket"], bucket_part).map_batches(
+        finalize, batch_format="pandas"
     )
 
 

@@ -48,11 +48,19 @@ def process_cached(cls: type, **kwargs: Any) -> Callable:
     )
 
     def run(batch):
-        inst = _CACHE.get(key)
+        # resolve the cache through a call-time import, NOT the module
+        # global: `run` is a nested function, so cloudpickle serializes
+        # any referenced globals BY VALUE — capturing _CACHE directly
+        # would ship every instance the driver's cache happens to hold
+        # (and fail outright if one isn't importable on workers)
+        from kire_ray.stages import taskpool as _tp
+
+        cache = _tp._CACHE
+        inst = cache.get(key)
         if inst is None:
-            if len(_CACHE) >= _CACHE_CAP:
-                _CACHE.clear()
-            inst = _CACHE[key] = cls(**kwargs)
+            if len(cache) >= _CACHE_CAP:
+                cache.clear()
+            inst = cache[key] = cls(**kwargs)
         return inst(batch)
 
     run.__name__ = f"{cls.__name__}Task"

@@ -1514,6 +1514,27 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     return stratified_sample(docs, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT)
 
 
+def _q_reservoir_sample(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sampling import reservoir_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return reservoir_sample(docs, 100)
+
+
+def _q_pca_project(sf_dir: str) -> Any:
+    """Rows-only at the driver (eigh is float-iterative, like ann_ivf);
+    value equality vs a sequential numpy PCA is pytest-verified
+    (test_training_ops_r3)."""
+    from kire_ray.pipelines.similarity import pca_project
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(emb, n_components=2)
+
+
 def _q_training_shuffle(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import training_shuffle
 
@@ -2278,6 +2299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_batches": _q_length_batches,
         "clean_corpus": _q_clean_corpus,
         "stratified_sample": _q_stratified_sample,
+        "reservoir_sample": _q_reservoir_sample,
+        "pca_project": _q_pca_project,
         "training_shuffle": _q_training_shuffle,
         "redact_text": _q_redact_text,
         "doc_chunks": _q_doc_chunks,
@@ -2347,6 +2370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q14_promo_revenue": R.q14_promo_revenue,
         "q4_order_priority": R.q4_order_priority,
+        "q18_large_volume_customers": R.q18_large_volume_customers,
+        "q22_dormant_customers": R.q22_dormant_customers,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q7_volume_shipping": R.q7_volume_shipping,
+        "q13_order_count_distribution": R.q13_order_count_distribution,
         "customer_status_setops": R.customer_status_setops,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
@@ -4007,6 +4035,81 @@ def oracle_sql() -> dict[str, str]:
               AND r_name = 'ASIA'
             GROUP BY n_name
         """,
+        "q18_large_volume_customers": f"""
+            WITH big18 AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   {sql_round('o.o_totalprice', 6)} AS o_totalprice,
+                   {sql_round('b.total_qty', 6)} AS total_qty
+            FROM big18 b
+            JOIN orders o ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+            LIMIT 100
+        """,
+        "q22_dormant_customers": f"""
+            WITH avg22 AS (
+                SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+            dormant AS (
+                SELECT c_custkey, c_nationkey, c_acctbal
+                FROM customer, avg22
+                WHERE c_acctbal > a
+                  AND NOT EXISTS (
+                      SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01'))
+            SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   {sql_round('sum(c_acctbal)', 6)} AS totacctbal
+            FROM dormant GROUP BY 1
+        """,
+        "q17_small_quantity_revenue": f"""
+            WITH pavg17 AS (
+                SELECT l_partkey, 0.2 * avg(l_quantity) AS thresh
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#13'
+                GROUP BY 1)
+            SELECT {sql_round('coalesce(sum(l_extendedprice), 0.0) / 7.0', 6)}
+                       AS avg_yearly
+            FROM lineitem JOIN pavg17 USING (l_partkey)
+            WHERE l_quantity < thresh
+        """,
+        "q7_volume_shipping": f"""
+            WITH ga7 AS (SELECT unnest(['NATION_0','NATION_1','NATION_2',
+                                        'NATION_3','NATION_4']) AS n),
+            gb7 AS (SELECT unnest(['NATION_5','NATION_6','NATION_7',
+                                   'NATION_8','NATION_9']) AS n)
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   {sql_round("sum(l_extendedprice * (1.0 - l_discount))", 6)}
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE ((ns.n_name IN (SELECT n FROM ga7)
+                    AND nc.n_name IN (SELECT n FROM gb7))
+                OR (ns.n_name IN (SELECT n FROM gb7)
+                    AND nc.n_name IN (SELECT n FROM ga7)))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q13_order_count_distribution": """
+            WITH oc13 AS (
+                SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                                   AND o.o_orderstatus = 'F'
+                GROUP BY 1)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM oc13 GROUP BY 1
+        """,
         "skipgram_pairs": """
             WITH docs AS (SELECT string_split(text, ' ') AS l
                           FROM documents),
@@ -4828,6 +4931,11 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "stratified_sample": _stratified_sample_sql(),
+        "reservoir_sample": """
+            SELECT doc_id, source FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 100
+        """,
         "training_shuffle": f"""
             WITH k AS (
                 SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sort_key

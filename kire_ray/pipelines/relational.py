@@ -2492,3 +2492,573 @@ def q4_order_priority(
         ["o_orderpriority"],
         {"order_count": ("order_count", "sum")},
     )
+
+
+def q18_large_volume_customers(
+    sf_dir: str, *, min_qty: float = 250.0, top: int = 100
+) -> "ray.data.Dataset":
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    lineitem quantity exceeds ``min_qty``, ranked by order value.
+
+    The HAVING-subquery join distributes as ONE tagged exchange on
+    orderkey (the q4 pattern): lineitem ships block-local
+    SUM(l_quantity) partials, orders ride the same exchange, and the
+    reducer folds partials, applies the HAVING filter and attaches the
+    co-located order row — no separate join barrier and no broadcast of
+    a data-dependent qualifying set. Top-k (totalprice desc, orderdate,
+    orderkey) runs as per-block partials + a k-row driver merge; the
+    customer name attaches AFTER the top-k via a k-row predicate-
+    pushdown read (the q10 pattern — customer scales with SF).
+    """
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("l_orderkey", sort=False)["l_quantity"].sum()
+        return pd.DataFrame(
+            {
+                "o_orderkey": g.index.to_numpy(),
+                "qty": g.to_numpy(np.float64),
+                "o_custkey": np.full(len(g), -1, dtype=np.int64),
+                "o_totalprice": np.full(len(g), np.nan),
+                "o_orderdate": pd.Series([pd.NaT] * len(g)),
+            }
+        )
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "qty": np.full(len(b), np.nan),
+                "o_custkey": b["o_custkey"].to_numpy(),
+                "o_totalprice": b["o_totalprice"].to_numpy(),
+                "o_orderdate": b["o_orderdate"].to_numpy(),
+            }
+        )
+
+    both = li.map_batches(qty_part, batch_format="pandas").union(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+        ).map_batches(o_side, batch_format="pandas")
+    )
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        qty = part.groupby("o_orderkey", sort=False)["qty"].sum()
+        big = qty[qty > min_qty]
+        orders = part[part["o_custkey"] >= 0]
+        keep = orders[orders["o_orderkey"].isin(big.index)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keep["o_orderkey"].to_numpy(),
+                "o_custkey": keep["o_custkey"].to_numpy(),
+                "o_orderdate": keep["o_orderdate"].to_numpy(),
+                "o_totalprice": keep["o_totalprice"].to_numpy(),
+                "total_qty": big.reindex(keep["o_orderkey"]).to_numpy(np.float64),
+            }
+        )
+
+    qualified = partitioned_map_groups(both, ["o_orderkey"], reduce_part)
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["o_totalprice", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(top)
+
+    merged = topk(
+        qualified.map_batches(topk, batch_format="pandas").to_pandas()
+    ).reset_index(drop=True)
+
+    import pyarrow.dataset as pads
+
+    keys = [int(x) for x in merged["o_custkey"]]
+    cust = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(
+            columns=["c_custkey", "c_name"],
+            filter=pads.field("c_custkey").isin(keys),
+        )
+        .to_pandas()
+    )
+    out = merged.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out = out.sort_values(
+        ["o_totalprice", "o_orderdate", "o_orderkey"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "c_name": out["c_name"].to_numpy(),
+                "c_custkey": out["c_custkey"].to_numpy(np.int64),
+                "o_orderkey": out["o_orderkey"].to_numpy(np.int64),
+                "o_orderdate": out["o_orderdate"].to_numpy(),
+                "o_totalprice": round_half_up(
+                    out["o_totalprice"].to_numpy(np.float64), 6
+                ),
+                "total_qty": round_half_up(out["total_qty"].to_numpy(np.float64), 6),
+            }
+        )
+    )
+
+
+def q22_dormant_customers(
+    sf_dir: str, *, cutoff: str = "2001-01-01"
+) -> "ray.data.Dataset":
+    """TPC-H Q22 shape — global sales opportunity: above-average-balance
+    customers with NO recent order (the corpus has no phone column, so
+    the country-code grouping becomes the nation key and "never ordered"
+    becomes "no order since ``cutoff``" — at every synthetic scale each
+    customer has *some* order, so the unmodified anti-join would be
+    vacuously empty).
+
+    Three distributed pieces: (1) the scalar AVG over positive balances
+    is block-local partial sums + a driver fold; (2) the NOT-EXISTS
+    anti-join runs as ONE tagged exchange on custkey — customer rows and
+    block-local distinct custkeys of recent orders ride together, and
+    the reducer keeps customers with no order tag (no broadcast of the
+    fact-sized order keys); (3) per-nation counts fold via block-local
+    combiners + a 25-row grouped exchange.
+    """
+    cut = pd.Timestamp(cutoff)
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+    # (1) scalar subquery: avg of positive account balances
+    def bal_part(b: pd.DataFrame) -> pd.DataFrame:
+        pos = b.loc[b["c_acctbal"] > 0.0, "c_acctbal"]
+        return pd.DataFrame({"s": [float(pos.sum())], "n": [int(pos.size)]})
+
+    parts = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(bal_part, batch_format="pandas")
+        .to_pandas()
+    )
+    avg_bal = parts["s"].sum() / max(parts["n"].sum(), 1)
+
+    # (2) tagged anti-join exchange on custkey
+    def c_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_acctbal"] > avg_bal]
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].to_numpy(),
+                "c_nationkey": b["c_nationkey"].to_numpy(np.int64),
+                "c_acctbal": b["c_acctbal"].to_numpy(),
+            }
+        )
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        k = b.loc[b["o_orderdate"] >= cut, "o_custkey"].unique()
+        return pd.DataFrame(
+            {
+                "c_custkey": k,
+                "c_nationkey": np.full(len(k), -1, dtype=np.int64),
+                "c_acctbal": np.full(len(k), np.nan),
+            }
+        )
+
+    both = (
+        _read(sf_dir, "customer", cust_cols)
+        .map_batches(c_side, batch_format="pandas")
+        .union(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+                o_side, batch_format="pandas"
+            )
+        )
+    )
+
+    def anti(part: pd.DataFrame) -> pd.DataFrame:
+        has_order = set(part.loc[part["c_nationkey"] < 0, "c_custkey"])
+        keep = part[
+            (part["c_nationkey"] >= 0) & ~part["c_custkey"].isin(has_order)
+        ]
+        g = keep.groupby("c_nationkey", sort=False)["c_acctbal"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {
+                "cntry": g.index.to_numpy(np.int64),
+                "numcust": g["size"].to_numpy(np.int64),
+                "totacctbal": g["sum"].to_numpy(np.float64),
+            }
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out["totacctbal"] = round_half_up(out["totacctbal"].to_numpy(np.float64), 6)
+        return out.sort_values("cntry", kind="mergesort")
+
+    return grouped_agg(
+        partitioned_map_groups(both, ["c_custkey"], anti),
+        ["cntry"],
+        {"numcust": ("numcust", "sum"), "totacctbal": ("totacctbal", "sum")},
+        post=post,
+    )
+
+
+def q17_small_quantity_revenue(
+    sf_dir: str,
+    *,
+    brand: str = "Brand#13",
+    frac: float = 0.2,
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q17 shape — small-quantity-order revenue: average yearly
+    revenue lost if small orders (below ``frac``× the part's mean
+    quantity) of one brand were not filled.
+
+    The correlated AVG-subquery needs every lineitem of a part in one
+    place ONCE: brand partkeys prune lineitem at the scan (broadcast
+    set under ``broadcast_limit`` part rows, else a distributed hash
+    join — the q14 threshold pattern), then a single exchange on
+    partkey lets the reducer compute each part's mean quantity and the
+    below-threshold revenue sum locally. Output is one row
+    (avg_yearly = Σprice/7) folded from per-partition partials.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    if _nrows_parquet(f"{sf_dir}/part.parquet") <= broadcast_limit:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ).to_pandas()
+        brand_ref = ray.put(
+            frozenset(part.loc[part["p_brand"] == brand, "p_partkey"])
+        )
+
+        def prune(b: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(brand_ref)
+            return b[b["l_partkey"].isin(keys)]
+
+        pruned = li.map_batches(prune, batch_format="pandas")
+    else:
+        brand_parts = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+            lambda b: pd.DataFrame(
+                {"l_partkey": b.loc[b["p_brand"] == brand, "p_partkey"].to_numpy()}
+            ),
+            batch_format="pandas",
+        )
+        pruned = hash_join(li, brand_parts, ["l_partkey"])
+
+    def reduce_part(part_df: pd.DataFrame) -> pd.DataFrame:
+        g = part_df.groupby("l_partkey", sort=False)["l_quantity"]
+        thresh = (g.transform("mean") * frac).to_numpy()
+        m = part_df["l_quantity"].to_numpy() < thresh
+        return pd.DataFrame(
+            {"s": [float(part_df.loc[m, "l_extendedprice"].sum())]}
+        )
+
+    parts = (
+        partitioned_map_groups(pruned, ["l_partkey"], reduce_part)
+        .to_pandas()
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "avg_yearly": round_half_up(
+                    np.array([parts["s"].sum() / 7.0]), 6
+                )
+            }
+        )
+    )
+
+
+def q7_volume_shipping(
+    sf_dir: str,
+    *,
+    group_a: tuple = ("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"),
+    group_b: tuple = ("NATION_5", "NATION_6", "NATION_7", "NATION_8", "NATION_9"),
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q7 shape — volume shipping between two nation groups:
+    revenue of lineitems shipped by a supplier in one group to a
+    customer in the other (either direction), grouped by
+    (supp_nation, cust_nation, ship year). Groups rather than TPC-H's
+    single nation pair because the synthetic corpus spreads 25 nations
+    thinly — a single pair is empty at sf0.001.
+
+    supplier and customer scale with SF, so both nation lookups are
+    size-thresholded (broadcast dict under ``broadcast_limit`` rows,
+    else a distributed hash join — the q5 pattern). Each fact side is
+    pruned to the two nations BEFORE the single fact⋈fact exchange on
+    orderkey (the q4 tagged-union pattern: lineitem partials and tagged
+    orders ride one exchange); the reducer joins co-located rows, drops
+    same-nation pairs, and emits per-(pair, year) combiner rows folded
+    by a tiny grouped exchange.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    grp = {n: 0 for n in group_a} | {n: 1 for n in group_b}
+    nk = {
+        int(r.n_nationkey): r.n_name
+        for r in nat.itertuples()
+        if r.n_name in grp
+    }
+
+    def nation_map(table: str, key_col: str, nat_col: str) -> dict[int, str]:
+        t = pq.read_table(
+            f"{sf_dir}/{table}.parquet", columns=[key_col, nat_col]
+        ).to_pandas()
+        m = t[nat_col].map(nk)
+        return dict(zip(t.loc[m.notna(), key_col], m.dropna()))
+
+    li_cols = ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    li = _read(sf_dir, "lineitem", li_cols)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    small = _nrows_parquet(f"{sf_dir}/supplier.parquet") <= broadcast_limit and (
+        _nrows_parquet(f"{sf_dir}/customer.parquet") <= broadcast_limit
+    )
+    if small:
+        supp_ref = ray.put(nation_map("supplier", "s_suppkey", "s_nationkey"))
+        cust_ref = ray.put(nation_map("customer", "c_custkey", "c_nationkey"))
+
+        def l_side(b: pd.DataFrame) -> pd.DataFrame:
+            smap = ray.get(supp_ref)
+            b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+            sn = b["l_suppkey"].map(smap)
+            b = b[sn.notna()]
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "supp_nation": sn.dropna().to_numpy(),
+                    "cust_nation": pd.Series([None] * len(b), dtype=object),
+                    "l_year": b["l_shipdate"].dt.year.to_numpy(np.int64),
+                    "volume": (
+                        b["l_extendedprice"] * (1.0 - b["l_discount"])
+                    ).to_numpy(),
+                }
+            )
+
+        def o_side(b: pd.DataFrame) -> pd.DataFrame:
+            cmap = ray.get(cust_ref)
+            cn = b["o_custkey"].map(cmap)
+            b = b[cn.notna()]
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"].to_numpy(),
+                    "supp_nation": pd.Series([None] * len(b), dtype=object),
+                    "cust_nation": cn.dropna().to_numpy(),
+                    "l_year": np.full(len(b), -1, dtype=np.int64),
+                    "volume": np.full(len(b), np.nan),
+                }
+            )
+
+        l_tag = li.map_batches(l_side, batch_format="pandas")
+        o_tag = orders.map_batches(o_side, batch_format="pandas")
+    else:
+        # distributed nation attach on each fact side, then the same
+        # tagged exchange — no driver-sized map anywhere. The nation
+        # filters leave schema-less empty blocks behind (the Ray 2.49
+        # quirk), so every join input is normalize_blocks-ed, and the
+        # two joins are materialized apart (stacked lazy Dataset.join
+        # stages deadlock the streaming executor — see q5).
+        from kire_ray.stages.joins import normalize_blocks
+
+        supp, n_s = normalize_blocks(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "l_suppkey": b["s_suppkey"].to_numpy(),
+                        "supp_nation": b["s_nationkey"].map(nk).to_numpy(object),
+                    }
+                ).dropna(subset=["supp_nation"]),
+                batch_format="pandas",
+            )
+        )
+        cust, n_c = normalize_blocks(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "o_custkey": b["c_custkey"].to_numpy(),
+                        "cust_nation": b["c_nationkey"].map(nk).to_numpy(object),
+                    }
+                ).dropna(subset=["cust_nation"]),
+                batch_format="pandas",
+            )
+        )
+        if supp is None or cust is None:
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "supp_nation": pd.Series([], dtype=object),
+                        "cust_nation": pd.Series([], dtype=object),
+                        "l_year": pd.Series([], dtype=np.int64),
+                        "revenue": pd.Series([], dtype=np.float64),
+                    }
+                )
+            )
+
+        def l_pre(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+            return pd.DataFrame(
+                {
+                    "l_suppkey": b["l_suppkey"].to_numpy(),
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "l_year": b["l_shipdate"].dt.year.to_numpy(np.int64),
+                    "volume": (
+                        b["l_extendedprice"] * (1.0 - b["l_discount"])
+                    ).to_numpy(),
+                }
+            )
+
+        li_pruned, n_li = normalize_blocks(
+            li.map_batches(l_pre, batch_format="pandas")
+        )
+        if li_pruned is None:
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "supp_nation": pd.Series([], dtype=object),
+                        "cust_nation": pd.Series([], dtype=object),
+                        "l_year": pd.Series([], dtype=np.int64),
+                        "revenue": pd.Series([], dtype=np.float64),
+                    }
+                )
+            )
+        def _tag_empty() -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "supp_nation": pd.Series([], dtype=object),
+                    "cust_nation": pd.Series([], dtype=object),
+                    "l_year": pd.Series([], dtype=np.int64),
+                    "volume": pd.Series([], dtype=np.float64),
+                }
+            )
+
+        # empty join partitions emit schema-less blocks (q5 guard)
+        l_tag = (
+            hash_join(li_pruned, supp, ["l_suppkey"])
+            .map_batches(
+                lambda b: b.assign(
+                    cust_nation=pd.Series([None] * len(b), dtype=object)
+                )[["o_orderkey", "supp_nation", "cust_nation", "l_year", "volume"]]
+                if "supp_nation" in b.columns
+                else _tag_empty(),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        o_tag = hash_join(orders, cust, ["o_custkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"].to_numpy(),
+                    "supp_nation": pd.Series([None] * len(b), dtype=object),
+                    "cust_nation": b["cust_nation"].to_numpy(object),
+                    "l_year": np.full(len(b), -1, dtype=np.int64),
+                    "volume": np.full(len(b), np.nan),
+                }
+            )
+            if "cust_nation" in b.columns
+            else _tag_empty(),
+            batch_format="pandas",
+        )
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        o = part[part["cust_nation"].notna()][["o_orderkey", "cust_nation"]]
+        l = part[part["supp_nation"].notna()]
+        j = l.merge(o, on="o_orderkey", suffixes=("", "_o"))
+        j = j[j["supp_nation"].map(grp) != j["cust_nation_o"].map(grp)]
+        g = j.groupby(
+            ["supp_nation", "cust_nation_o", "l_year"], sort=False
+        )["volume"].sum()
+        out = g.reset_index()
+        return pd.DataFrame(
+            {
+                "supp_nation": out["supp_nation"].to_numpy(object),
+                "cust_nation": out["cust_nation_o"].to_numpy(object),
+                "l_year": out["l_year"].to_numpy(np.int64),
+                "revenue": out["volume"].to_numpy(np.float64),
+            }
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out["revenue"] = round_half_up(out["revenue"].to_numpy(np.float64), 6)
+        return out.sort_values(
+            ["supp_nation", "cust_nation", "l_year"], kind="mergesort"
+        )
+
+    return grouped_agg(
+        partitioned_map_groups(l_tag.union(o_tag), ["o_orderkey"], reduce_part),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"revenue": ("revenue", "sum")},
+        post=post,
+    )
+
+
+def q13_order_count_distribution(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed exactly N qualifying orders, INCLUDING the zero
+    bucket (the LEFT-OUTER part; orders are restricted to status 'F'
+    so every scale produces genuinely unmatched customers).
+
+    Two chained exchanges, both combiner-fed: (1) per-block order-count
+    partials and customer keys ride one exchange on custkey, the
+    reducer emits each customer's total count (0 when no order row
+    arrived); (2) per-(count) combiner rows fold via a tiny grouped
+    exchange into (c_count, custdist).
+    """
+
+    def o_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.loc[b["o_orderstatus"] == "F"]
+            .groupby("o_custkey", sort=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": g.index.to_numpy(),
+                "n": g.to_numpy(np.int64),
+                "is_cust": np.zeros(len(g), dtype=bool),
+            }
+        )
+
+    def c_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].to_numpy(),
+                "n": np.zeros(len(b), dtype=np.int64),
+                "is_cust": np.ones(len(b), dtype=bool),
+            }
+        )
+
+    both = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(o_part, batch_format="pandas")
+        .union(
+            _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+                c_side, batch_format="pandas"
+            )
+        )
+    )
+
+    def per_cust(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("c_custkey", sort=False).agg(
+            n=("n", "sum"), is_cust=("is_cust", "any")
+        )
+        g = g[g["is_cust"]]
+        c = g.groupby("n", sort=False).size()
+        return pd.DataFrame(
+            {
+                "c_count": c.index.to_numpy(np.int64),
+                "custdist": c.to_numpy(np.int64),
+            }
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        return out.sort_values(
+            ["custdist", "c_count"], ascending=[False, False], kind="mergesort"
+        )
+
+    return grouped_agg(
+        partitioned_map_groups(both, ["c_custkey"], per_cust),
+        ["c_count"],
+        {"custdist": ("custdist", "sum")},
+        post=post,
+    )

@@ -249,3 +249,40 @@ def curriculum_schedule(
         )
 
     return docs.map_batches(assign, batch_format="pandas")
+
+
+def reservoir_sample(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    keep_cols: tuple = ("doc_id", "source"),
+) -> "ray.data.Dataset":
+    """Uniform k-sample without replacement — the distributed
+    equivalent of reservoir sampling (Vitter's Algorithm R), expressed
+    as a *bottom-k-by-random-priority* selection so it is deterministic,
+    mergeable and driver-verifiable: each row's priority is
+    ``md5(str(id))`` (the module's persisted-decision hash), and the
+    global sample is the k smallest priorities.
+
+    Bottom-k is the associative formulation of the reservoir: each
+    block reduces to its own k smallest (a partial reservoir), the
+    driver merges O(blocks) k-row partials — no shuffle, no global
+    sort, state bounded by k × blocks regardless of corpus size. The
+    same trick powers the KMV sketch (`sketches.py`); here the sampled
+    rows themselves are the output. Exact SQL oracle:
+    ``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT k``.
+    """
+    cols = list(keep_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(_md5_hex(b[id_col].to_numpy()), dtype=object)
+        b = b[cols].assign(_pri=h)
+        order = np.lexsort((b[id_col].to_numpy(), b["_pri"].to_numpy()))
+        return b.iloc[order[:k]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    order = np.lexsort((parts[id_col].to_numpy(), parts["_pri"].to_numpy()))
+    return ray.data.from_pandas(
+        parts.iloc[order[:k]][cols].reset_index(drop=True)
+    )

@@ -893,3 +893,75 @@ def embedding_gram(
             }
         )
     )
+
+
+def pca_project(
+    emb: "ray.data.Dataset",
+    *,
+    n_components: int = 2,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """PCA projection of the embedding corpus onto its top principal
+    components — the dimensionality-reduction step ahead of clustering
+    / visualization / cheap ANN.
+
+    Two streaming passes, no shuffle:
+
+    1. sufficient statistics — each block emits (n, Σx, XᵀX) as ONE
+       fixed-size row (d + d² doubles); the driver folds O(blocks)
+       partials into the exact covariance (the ``embedding_gram``
+       contract, plus the mean for centering);
+    2. the d×d eigendecomposition runs on the driver (d is the
+       embedding width — model-sized, never data-sized), components get
+       a deterministic sign (largest-|loading| dimension positive,
+       smallest dim on ties, as ``embedding_top_component``), and the
+       d×k projection matrix broadcasts via ``ray.put`` into a
+       vectorized per-batch matmul.
+
+    Rows-only at the driver (eigh is float-iterative, like ann_ivf);
+    bit-level value checks vs a sequential numpy oracle live in pytest.
+    """
+    import ray
+
+    from kire_ray.functions.rounding import round_half_up
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in b[emb_col]])
+        return pd.DataFrame(
+            {
+                "n": [len(M)],
+                "s": [M.sum(axis=0).tobytes()],
+                "g": [(M.T @ M).tobytes()],
+            }
+        )
+
+    parts = emb.map_batches(stats, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum([np.frombuffer(x) for x in parts["s"]], axis=0)
+    d = len(s)
+    g = np.sum(
+        [np.frombuffer(x).reshape(d, d) for x in parts["g"]], axis=0
+    )
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / max(n - 1, 1)
+
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    W = vecs[:, ::-1][:, :n_components].copy()  # top-k columns
+    for j in range(W.shape[1]):
+        top = np.lexsort((np.arange(d), -np.abs(W[:, j])))[0]
+        if W[top, j] < 0:
+            W[:, j] = -W[:, j]
+
+    ref = ray.put((mu, W))
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        mu_, W_ = ray.get(ref)
+        M = np.stack([np.asarray(x, dtype=np.float64) for x in b[emb_col]])
+        P = (M - mu_) @ W_
+        out = {id_col: b[id_col].to_numpy()}
+        for j in range(P.shape[1]):
+            out[f"pc_{j + 1}"] = round_half_up(P[:, j], 6)
+        return pd.DataFrame(out)
+
+    return emb.map_batches(project, batch_format="pandas")

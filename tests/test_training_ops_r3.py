@@ -150,3 +150,63 @@ def test_containment_paths_equal(ray_session):
     got = set(map(tuple, a.values.tolist()))
     assert (1, 0) in got and (3, 2) in got
     assert (4, 0) not in got and (0, 4) not in got  # exact dups excluded
+
+
+def test_reservoir_sample(ray_session):
+    """Bottom-k-by-md5 reservoir: matches the sequential oracle exactly,
+    is partitioning-invariant, and each element is equally likely under
+    the md5 prior (uniformity is by construction; we assert determinism
+    + the exact bottom-k semantics)."""
+    import hashlib
+
+    from kire_ray.pipelines.sampling import reservoir_sample
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "source"],
+    )
+    ds = ray.data.from_pandas(docs).repartition(7)
+    got = reservoir_sample(ds, 50).to_pandas()
+    assert len(got) == 50
+
+    pri = docs["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    exp = (
+        docs.assign(_p=pri)
+        .sort_values(["_p", "doc_id"])
+        .head(50)[["doc_id", "source"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # partitioning-invariant
+    got2 = reservoir_sample(ds.repartition(2), 50).to_pandas()
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_pca_project(ray_session):
+    """Distributed two-pass PCA == sequential numpy PCA (same sign
+    convention), invariant to partitioning."""
+    from kire_ray.pipelines.similarity import pca_project
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ds = ray.data.from_pandas(emb[["vec_id", "embedding"]]).repartition(5)
+    got = pca_project(ds, n_components=2).to_pandas().sort_values("vec_id")
+
+    M = np.stack([np.asarray(x, np.float64) for x in emb["embedding"]])
+    mu = M.mean(axis=0)
+    C = np.cov(M, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(C)
+    W = vecs[:, ::-1][:, :2].copy()
+    for j in range(2):
+        top = np.lexsort((np.arange(W.shape[0]), -np.abs(W[:, j])))[0]
+        if W[top, j] < 0:
+            W[:, j] = -W[:, j]
+    P = (M - mu) @ W
+    exp = pd.DataFrame(
+        {"vec_id": emb["vec_id"], "pc_1": P[:, 0], "pc_2": P[:, 1]}
+    ).sort_values("vec_id")
+    assert np.abs(got["pc_1"].to_numpy() - exp["pc_1"].to_numpy()).max() < 1e-5
+    assert np.abs(got["pc_2"].to_numpy() - exp["pc_2"].to_numpy()).max() < 1e-5
+    # projection really is 2-D variance-ordered: var(pc1) >= var(pc2)
+    assert got["pc_1"].var() >= got["pc_2"].var()
+    got2 = pca_project(ds.repartition(2), n_components=2).to_pandas().sort_values("vec_id")
+    assert np.abs(got["pc_1"].to_numpy() - got2["pc_1"].to_numpy()).max() < 1e-9

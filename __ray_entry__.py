@@ -86,6 +86,26 @@ _NGRAM_CTES = """toks AS (
 # --------------------------------------------------------------------
 
 
+# size-aware reads for the relational/training query surface: Ray's
+# CPU-derived default over-splits the small end (64 near-empty blocks
+# per stage -> scheduling-bound pipelines, see sources/parquet.py);
+# rows-per-block is per TABLE because compute per row varies: numeric
+# TPC-H columns want ~64k-row blocks, regex/token text stages over
+# documents and matmul stages over embeddings want small blocks so the
+# heavy stage still fans out.
+_ROWS_PER_BLOCK = {"documents": 256, "embeddings": 128}
+
+
+def _sread(sf_dir: str, table: str, columns=None) -> Any:
+    from kire_ray.sources.parquet import sized_read
+
+    return sized_read(
+        f"{sf_dir}/{table}.parquet",
+        columns,
+        rows_per_block=_ROWS_PER_BLOCK.get(table, 65536),
+    )
+
+
 def _corpus(sf_dir: str) -> str:
     from kire_ray.sources.synth import corpus_for_sf_dir
 
@@ -312,11 +332,11 @@ def _q_kg_linked_docs(sf_dir: str) -> Any:
 
 
 def _docs(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _sread(sf_dir, "documents", ["doc_id", "text"])
 
 
 def _emb(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _sread(sf_dir, "embeddings", ["vec_id", "embedding"])
 
 
 def _ann_query_matrix(sf_dir: str) -> np.ndarray:
@@ -421,18 +441,14 @@ def _q_kg_pagerank(sf_dir: str) -> Any:
 def _q_winsorize(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import winsorize
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
-    )
+    ev = _sread(sf_dir, "events", ["event_id", "event_type", "value"])
     return winsorize(ev, "value", group_col="event_type", id_col="event_id")
 
 
 def _q_hist_quantiles(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import hist_quantiles
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
-    )
+    ev = _sread(sf_dir, "events", ["event_type", "value"])
     return hist_quantiles(ev, "value", group_col="event_type")
 
 
@@ -444,9 +460,7 @@ def _q_bloom_filter_join(sf_dir: str) -> Any:
     (md5 bit positions reproduce membership exactly)."""
     from kire_ray.stages.joins import bloom_semi_join, build_bloom
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
-    )
+    orders = _sread(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     build = orders.map_batches(
         lambda b: b.loc[b.o_totalprice > 450000, ["o_orderkey"]],
         batch_format="pandas",
@@ -454,7 +468,7 @@ def _q_bloom_filter_join(sf_dir: str) -> Any:
     bloom = build_bloom(build, "o_orderkey")
     true_keys = ray.put(frozenset(build.to_pandas()["o_orderkey"]))
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    li = _sread(sf_dir, "lineitem", ["l_orderkey"])
     n_probe = li.count()
     passed = bloom_semi_join(li, bloom, "l_orderkey")
 
@@ -480,9 +494,7 @@ def _q_kmv_set_ops(sf_dir: str) -> Any:
     the purchase vs click slices."""
     from kire_ray.pipelines.sketches import kmv_set_ops
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
-    )
+    ev = _sread(sf_dir, "events", ["user_id", "ts", "event_type"])
 
     def add_day(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -503,8 +515,8 @@ def _q_kmv_set_ops(sf_dir: str) -> Any:
 def _q_join_size_estimate(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import join_size_estimate
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = _sread(sf_dir, "orders", ["o_custkey"])
+    cust = _sread(sf_dir, "customer", ["c_custkey"])
     return join_size_estimate(orders, cust, left_key="o_custkey", right_key="c_custkey")
 
 
@@ -520,16 +532,14 @@ PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_o
 def _q_table_profile(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import table_profile
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=PROFILE_COLS)
+    orders = _sread(sf_dir, "orders", PROFILE_COLS)
     return table_profile(orders, PROFILE_COLS)
 
 
 def _q_hll_distinct_users(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import hll_distinct
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
-    )
+    ev = _sread(sf_dir, "events", ["event_type", "user_id"])
     return hll_distinct(ev, "user_id", group_col="event_type")
 
 
@@ -621,9 +631,7 @@ def _q_jsonl_roundtrip(sf_dir: str) -> Any:
 
     from kire_ray.state.jsonl import export_jsonl_shards
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = f"/tmp/kire_ray_jsonl/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
     export_jsonl_shards(docs, out, n_shards=64)  # cached: byte-deterministic
     back = ray.data.read_json(out, arrow_open_stream_args={"compression": "gzip"})
@@ -650,9 +658,7 @@ def _q_csv_roundtrip(sf_dir: str) -> Any:
     import os as _os
     import shutil as _sh
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     out = f"/tmp/kire_ray_csv/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
     if _os.path.isdir(out):
         _sh.rmtree(out)  # Ray uuid-names shards; stale files double-count
@@ -668,7 +674,7 @@ def _q_parquet_hive_export(sf_dir: str) -> Any:
 
     from kire_ray.state.parquet_sink import hive_export
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = _sread(sf_dir, "documents")
     out = f"/tmp/kire_ray_hive/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
     return hive_export(docs, out, ["lang", "source"])
 
@@ -682,9 +688,7 @@ def _q_jsonl_export(sf_dir: str) -> Any:
 
     from kire_ray.state.jsonl import export_jsonl_shards
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "text", "lang"])
     out = f"/tmp/kire_ray_jsonl/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
     m = export_jsonl_shards(docs, out, n_shards=64)
     return m[["shard", "n_rows"]]
@@ -705,9 +709,7 @@ def _q_knn_graph(sf_dir: str) -> Any:
 def _q_per_source_cap(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import per_source_cap
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "source"])
     return per_source_cap(docs)
 
 
@@ -750,9 +752,7 @@ def _q_hll_window_users(sf_dir: str) -> Any:
     by max, so late/out-of-order blocks need no re-read."""
     from kire_ray.pipelines.sketches import hll_distinct
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-    )
+    ev = _sread(sf_dir, "events", ["ts", "user_id"])
 
     def win(b: "pd.DataFrame") -> "pd.DataFrame":
         epoch = b["ts"].astype("int64") // 10**6
@@ -906,25 +906,21 @@ def _q_embedding_top_component(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import embedding_top_component
 
     return embedding_top_component(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        _sread(sf_dir, "embeddings", ["embedding"])
     )
 
 
 def _q_embedding_quantize(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import embedding_quantize_scales
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    )
+    emb = _sread(sf_dir, "embeddings", ["embedding"])
     return embedding_quantize_scales(emb)
 
 
 def _q_top_words_per_lang(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import top_words_per_lang
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["text", "lang"]
-    )
+    docs = _sread(sf_dir, "documents", ["text", "lang"])
     return top_words_per_lang(docs, k=10)
 
 
@@ -979,18 +975,14 @@ def _q_events_anomalies(sf_dir: str) -> Any:
 def _q_nb_source_classifier(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import nb_source_classifier
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "text", "source"])
     return nb_source_classifier(docs)
 
 
 def _q_source_distinctive_terms(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import source_distinctive_terms
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "text", "source"])
     return source_distinctive_terms(docs)
 
 
@@ -1051,9 +1043,7 @@ def _q_events_ntile(sf_dir: str) -> Any:
 def _q_weighted_sample(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import weighted_sample
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "n_chars"])
     return weighted_sample(docs, cap=2000.0)
 
 
@@ -1066,18 +1056,14 @@ def _q_inverted_index(sf_dir: str) -> Any:
 def _q_label_centroids(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import label_centroids
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
-    )
+    emb = _sread(sf_dir, "embeddings", ["embedding", "label"])
     return label_centroids(emb)
 
 
 def _q_lang_id(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import lang_id_trigrams
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "text", "lang"])
     return lang_id_trigrams(docs, profile_size=200)
 
 
@@ -1167,7 +1153,7 @@ def _q_fuzzy_name_pairs(sf_dir: str) -> Any:
     distinct-name pairs at Levenshtein distance exactly 1."""
     from kire_ray.pipelines.dedup import fuzzy_pairs
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    cust = _sread(sf_dir, "customer", ["c_name"])
     return fuzzy_pairs(cust, col="c_name")
 
 
@@ -1317,9 +1303,7 @@ def _q_source_mix(sf_dir: str) -> Any:
     data-mixing stage); combiner → source-cardinality exchange."""
     from kire_ray.pipelines.text_analysis import source_mix
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "text", "source"])
     return source_mix(docs)
 
 
@@ -1453,9 +1437,7 @@ def _q_mixture_weights(sf_dir: str) -> Any:
     weighted_sample; same combiner→exchange shape as source_mix."""
     from kire_ray.pipelines.text_analysis import mixture_weights
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["text", "source"]
-    )
+    docs = _sread(sf_dir, "documents", ["text", "source"])
     return mixture_weights(docs, alpha=0.3)
 
 
@@ -1508,18 +1490,14 @@ def _stratified_sample_sql() -> str:
 def _q_stratified_sample(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import stratified_sample
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "source"])
     return stratified_sample(docs, _SAMPLE_RATES, default_rate=_SAMPLE_DEFAULT)
 
 
 def _q_reservoir_sample(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import reservoir_sample
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "source"])
     return reservoir_sample(docs, 100)
 
 
@@ -1529,16 +1507,14 @@ def _q_pca_project(sf_dir: str) -> Any:
     (test_training_ops_r3)."""
     from kire_ray.pipelines.similarity import pca_project
 
-    emb = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    emb = _sread(sf_dir, "embeddings", ["vec_id", "embedding"])
     return pca_project(emb, n_components=2)
 
 
 def _q_training_shuffle(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import training_shuffle
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = _sread(sf_dir, "documents", ["doc_id"])
     return training_shuffle(docs, n_shards=_SHUFFLE_SHARDS)
 
 
@@ -1561,9 +1537,7 @@ def _q_clean_corpus(sf_dir: str) -> Any:
     resumable clean_corpus_build writes)."""
     from kire_ray.pipelines.clean_corpus import clean_docs
 
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
-    )
+    docs = _sread(sf_dir, "documents", ["doc_id", "source", "text"])
     return clean_docs(docs)
 
 

@@ -127,6 +127,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "doc_fingerprints",
         "pack_sequences",
         "stratified_sample",
+        "reservoir_sample",
+        "pca_project",
         "training_shuffle",
         "redact_text",
         "doc_chunks",
@@ -170,6 +172,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "q6_forecast_revenue",
         "q14_promo_revenue",
         "q4_order_priority",
+        "q18_large_volume_customers",
+        "q22_dormant_customers",
+        "q17_small_quantity_revenue",
+        "q7_volume_shipping",
+        "q13_order_count_distribution",
         "lineitem_corr",
         "customer_status_setops",
         "user_event_sequences",

@@ -31,7 +31,9 @@ from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from kire_ray.sources.parquet import sized_read
+
+    return sized_read(f"{sf_dir}/{table}.parquet", columns)
 
 
 def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":

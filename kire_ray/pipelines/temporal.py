@@ -39,7 +39,9 @@ from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    from kire_ray.sources.parquet import sized_read
+
+    return sized_read(f"{sf_dir}/{table}.parquet", columns)
 
 
 def sessionize(sf_dir: str, gap_s: int = 21600) -> "ray.data.Dataset":

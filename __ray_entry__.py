@@ -392,13 +392,23 @@ def _q_ann_ivf(sf_dir: str) -> Any:
     return _round_cosine(ann_ivf(_emb(sf_dir), _ann_query_matrix(sf_dir), k=ANN_K))
 
 
+def _cread(corpus: str, table: str, columns=None) -> Any:
+    """Corpus-side table read at graph-iteration-friendly block sizes
+    (the KG edge tables are thousands of rows at test scales; Ray's
+    CPU-derived split would hand the iterative algorithms 64 near-empty
+    blocks per round)."""
+    from kire_ray.sources.parquet import sized_read
+
+    return sized_read(
+        f"{corpus}/{table}.parquet", columns, rows_per_block=4096
+    )
+
+
 def _q_kg_kcore(sf_dir: str) -> Any:
     from kire_ray.pipelines.graph_algos import kcore
 
     corpus = _corpus(sf_dir)
-    edges = ray.data.read_parquet(
-        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
-    )
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"])
     return kcore(edges)
 
 
@@ -406,9 +416,7 @@ def _q_kg_triangles(sf_dir: str) -> Any:
     from kire_ray.pipelines.graph_algos import triangle_count
 
     corpus = _corpus(sf_dir)
-    edges = ray.data.read_parquet(
-        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
-    )
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"])
     return triangle_count(edges)
 
 
@@ -418,9 +426,7 @@ def _q_kg_communities(sf_dir: str) -> Any:
     from kire_ray.pipelines.graph_algos import lpa_communities
 
     corpus = _corpus(sf_dir)
-    edges = ray.data.read_parquet(
-        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
-    )
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"])
     return lpa_communities(edges)
 
 
@@ -432,9 +438,7 @@ def _q_kg_pagerank(sf_dir: str) -> Any:
     from kire_ray.pipelines.graph_algos import pagerank
 
     corpus = _corpus(sf_dir)
-    edges = ray.data.read_parquet(
-        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
-    )
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"])
     return pagerank(edges)
 
 
@@ -556,9 +560,7 @@ def _q_kg_bfs_levels(sf_dir: str) -> Any:
     from kire_ray.pipelines.graph_algos import bfs_levels
 
     corpus = _corpus(sf_dir)
-    edges = ray.data.read_parquet(
-        f"{corpus}/kg_triples.parquet", columns=["h_qid", "t_qid"]
-    )
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"])
     return bfs_levels(edges, max_levels=8)
 
 

@@ -1503,6 +1503,13 @@ def _q_reservoir_sample(sf_dir: str) -> Any:
     return reservoir_sample(docs, 100)
 
 
+def _q_grouped_reservoir(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sampling import grouped_reservoir
+
+    docs = _sread(sf_dir, "documents", ["doc_id", "source"])
+    return grouped_reservoir(docs, 20)
+
+
 def _q_pca_project(sf_dir: str) -> Any:
     """Rows-only at the driver (eigh is float-iterative, like ann_ivf);
     value equality vs a sequential numpy PCA is pytest-verified
@@ -2276,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "stratified_sample": _q_stratified_sample,
         "reservoir_sample": _q_reservoir_sample,
+        "grouped_reservoir": _q_grouped_reservoir,
         "pca_project": _q_pca_project,
         "training_shuffle": _q_training_shuffle,
         "redact_text": _q_redact_text,
@@ -4911,6 +4919,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
             LIMIT 100
+        """,
+        "grouped_reservoir": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents)
+            WHERE rk <= 20
         """,
         "training_shuffle": f"""
             WITH k AS (

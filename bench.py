@@ -128,6 +128,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "pack_sequences",
         "stratified_sample",
         "reservoir_sample",
+        "grouped_reservoir",
         "pca_project",
         "training_shuffle",
         "redact_text",

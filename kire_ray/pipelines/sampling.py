@@ -286,3 +286,41 @@ def reservoir_sample(
     return ray.data.from_pandas(
         parts.iloc[order[:k]][cols].reset_index(drop=True)
     )
+
+
+def grouped_reservoir(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-group uniform k-sample (balanced per-source subsampling —
+    the "cap every source at k docs, chosen uniformly" step of corpus
+    mixing): ``reservoir_sample`` semantics applied independently
+    inside each group.
+
+    Same bottom-k-by-md5 formulation, but mergeable per group: each
+    block reduces to its own per-group k smallest (one vectorized
+    ``groupby.head`` after a priority sort), and ONE grouped exchange
+    on ``group_col`` folds the partials — state per reducer is
+    O(groups_in_partition × k), never the corpus. SQL oracle:
+    ``row_number() OVER (PARTITION BY group ORDER BY md5(id), id) <= k``.
+    """
+    cols = [id_col, group_col]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(_md5_hex(b[id_col].to_numpy()), dtype=object)
+        b = b[cols].assign(_pri=h)
+        order = np.lexsort((b[id_col].to_numpy(), b["_pri"].to_numpy()))
+        b = b.iloc[order]
+        return b.groupby(group_col, sort=False).head(k)
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((part[id_col].to_numpy(), part["_pri"].to_numpy()))
+        part = part.iloc[order]
+        return part.groupby(group_col, sort=False).head(k)[cols]
+
+    return partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), [group_col], fold
+    )

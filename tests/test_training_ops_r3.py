@@ -210,3 +210,43 @@ def test_pca_project(ray_session):
     assert got["pc_1"].var() >= got["pc_2"].var()
     got2 = pca_project(ds.repartition(2), n_components=2).to_pandas().sort_values("vec_id")
     assert np.abs(got["pc_1"].to_numpy() - got2["pc_1"].to_numpy()).max() < 1e-9
+
+
+def test_grouped_reservoir(ray_session):
+    """Per-group bottom-k-by-md5 == per-group sequential oracle;
+    partitioning-invariant; each group capped at exactly min(k, n_g)."""
+    import hashlib
+
+    from kire_ray.pipelines.sampling import grouped_reservoir
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "source"],
+    )
+    ds = ray.data.from_pandas(docs).repartition(7)
+    got = (
+        grouped_reservoir(ds, 5)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pri = docs["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    exp = (
+        docs.assign(_p=pri)
+        .sort_values(["_p", "doc_id"])
+        .groupby("source", sort=False)
+        .head(5)[["doc_id", "source"]]
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    sizes = got.groupby("source").size()
+    caps = docs.groupby("source").size().clip(upper=5)
+    assert sizes.sort_index().equals(caps.sort_index())
+    got2 = (
+        grouped_reservoir(ds.repartition(2), 5)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)

@@ -2359,6 +2359,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q7_volume_shipping": R.q7_volume_shipping,
         "q13_order_count_distribution": R.q13_order_count_distribution,
+        "q8_market_share": R.q8_market_share,
+        "q9_product_type_profit": R.q9_product_type_profit,
+        "q15_top_supplier": R.q15_top_supplier,
         "customer_status_setops": R.customer_status_setops,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
@@ -4082,6 +4085,55 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <  TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            WITH vol8 AS (
+                SELECT year(o.o_orderdate) AS o_year,
+                       l.l_extendedprice * (1.0 - l.l_discount) AS volume,
+                       (ns.n_name IN ('NATION_0','NATION_1','NATION_2',
+                                      'NATION_3','NATION_4')) AS in_group
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = nc.n_regionkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+                WHERE r.r_name = 'ASIA')
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   {sql_round(
+                       "100.0 * sum(CASE WHEN in_group THEN volume ELSE 0 END)"
+                       " / sum(volume)", 6)} AS mkt_share_pct
+            FROM vol8 GROUP BY 1
+        """,
+        "q9_product_type_profit": f"""
+            SELECT ns.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   {sql_round(
+                       "sum(l.l_extendedprice * (1.0 - l.l_discount))", 6
+                   )} AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            WHERE p.p_type LIKE '%AR%'
+            GROUP BY 1, 2
+        """,
+        "q15_top_supplier": f"""
+            WITH rev15 AS (
+                SELECT l_suppkey AS s_suppkey,
+                       sum(l_extendedprice * (1.0 - l_discount)) AS total
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+            SELECT r.s_suppkey, s.s_name,
+                   {sql_round('r.total', 6)} AS total_revenue
+            FROM rev15 r
+            JOIN supplier s USING (s_suppkey)
+            WHERE r.total = (SELECT max(total) FROM rev15)
+            ORDER BY r.s_suppkey
         """,
         "q13_order_count_distribution": """
             WITH oc13 AS (

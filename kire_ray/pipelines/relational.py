@@ -3064,3 +3064,470 @@ def q13_order_count_distribution(sf_dir: str) -> "ray.data.Dataset":
         {"custdist": ("custdist", "sum")},
         post=post,
     )
+
+
+def q8_market_share(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    supp_group: tuple = ("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"),
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q8 shape — national market share: of all order revenue
+    shipped to customers in one REGION, the share supplied by one
+    nation group, per order year. (The corpus lacks part-type filters'
+    selectivity at small SF, so the part predicate is dropped and the
+    "nation" generalizes to the synthetic nation group, as q7.)
+
+    Same distributed skeleton as q5/q7: nation/region are true
+    dimensions (always broadcast); the supplier→in-group and
+    customer→in-region maps are size-thresholded (broadcast dict under
+    ``broadcast_limit``, else distributed hash joins); ONE fact⋈fact
+    exchange on orderkey joins lineitem volume to the order's year and
+    region-filtered customer; the share is a conditional-sum combiner
+    into a years-sized grouped exchange.
+    """
+    from kire_ray.stages.joins import hash_join, normalize_blocks
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    region_keys = set(nat.loc[nat["r_name"] == region, "n_nationkey"])
+    group_keys = set(nat.loc[nat["n_name"].isin(supp_group), "n_nationkey"])
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    small = max(
+        _nrows_parquet(f"{sf_dir}/supplier.parquet"),
+        _nrows_parquet(f"{sf_dir}/customer.parquet"),
+    ) <= broadcast_limit
+
+    if small:
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        in_group_ref = ray.put(
+            frozenset(supp.loc[supp["s_nationkey"].isin(group_keys), "s_suppkey"])
+        )
+        in_region_ref = ray.put(
+            frozenset(cust.loc[cust["c_nationkey"].isin(region_keys), "c_custkey"])
+        )
+
+        def l_side(b: pd.DataFrame) -> pd.DataFrame:
+            grp = ray.get(in_group_ref)
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "volume": (
+                        b["l_extendedprice"] * (1.0 - b["l_discount"])
+                    ).to_numpy(),
+                    "in_group": b["l_suppkey"].isin(grp).to_numpy(),
+                    "o_year": np.full(len(b), -1, dtype=np.int64),
+                }
+            )
+
+        def o_side(b: pd.DataFrame) -> pd.DataFrame:
+            rg = ray.get(in_region_ref)
+            b = b[b["o_custkey"].isin(rg)]
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"].to_numpy(),
+                    "volume": np.full(len(b), np.nan),
+                    "in_group": np.zeros(len(b), dtype=bool),
+                    "o_year": b["o_orderdate"].dt.year.to_numpy(np.int64),
+                }
+            )
+
+        l_tag = li.map_batches(l_side, batch_format="pandas")
+        o_tag = orders.map_batches(o_side, batch_format="pandas")
+    else:
+        supp_ds, _ = normalize_blocks(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "l_suppkey": b["s_suppkey"].to_numpy(),
+                        "in_group": b["s_nationkey"].isin(group_keys).to_numpy(),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        cust_ds, _ = normalize_blocks(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "o_custkey": b.loc[
+                            b["c_nationkey"].isin(region_keys), "c_custkey"
+                        ].to_numpy()
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        if cust_ds is None:
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "o_year": pd.Series([], dtype=np.int64),
+                        "mkt_share_pct": pd.Series([], dtype=np.float64),
+                    }
+                )
+            )
+
+        def l_pre(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "l_suppkey": b["l_suppkey"].to_numpy(),
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "volume": (
+                        b["l_extendedprice"] * (1.0 - b["l_discount"])
+                    ).to_numpy(),
+                }
+            )
+
+        l_tag = (
+            hash_join(
+                li.map_batches(l_pre, batch_format="pandas"),
+                supp_ds,
+                ["l_suppkey"],
+            )
+            .map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "o_orderkey": b["o_orderkey"].to_numpy(),
+                        "volume": b["volume"].to_numpy(),
+                        "in_group": b["in_group"].to_numpy(bool),
+                        "o_year": np.full(len(b), -1, dtype=np.int64),
+                    }
+                )
+                if "in_group" in b.columns
+                else pd.DataFrame(
+                    {
+                        "o_orderkey": pd.Series([], dtype=np.int64),
+                        "volume": pd.Series([], dtype=np.float64),
+                        "in_group": pd.Series([], dtype=bool),
+                        "o_year": pd.Series([], dtype=np.int64),
+                    }
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        o_tag = hash_join(orders, cust_ds, ["o_custkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "o_orderkey": b["o_orderkey"].to_numpy(),
+                    "volume": np.full(len(b), np.nan),
+                    "in_group": np.zeros(len(b), dtype=bool),
+                    "o_year": b["o_orderdate"].dt.year.to_numpy(np.int64),
+                }
+            )
+            if "o_orderdate" in b.columns
+            else pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "volume": pd.Series([], dtype=np.float64),
+                    "in_group": pd.Series([], dtype=bool),
+                    "o_year": pd.Series([], dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        o = part[part["o_year"] >= 0][["o_orderkey", "o_year"]]
+        l = part[part["o_year"] < 0]
+        j = l.merge(o, on="o_orderkey", suffixes=("_l", ""))
+        j = j.assign(gvol=j["volume"].to_numpy() * j["in_group"].to_numpy())
+        g = j.groupby("o_year", sort=False).agg(
+            group_vol=("gvol", "sum"), total_vol=("volume", "sum")
+        )
+        out = g.reset_index()
+        return pd.DataFrame(
+            {
+                "o_year": out["o_year"].to_numpy(np.int64),
+                "group_vol": out["group_vol"].to_numpy(np.float64),
+                "total_vol": out["total_vol"].to_numpy(np.float64),
+            }
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out["mkt_share_pct"] = round_half_up(
+            100.0 * out["group_vol"].to_numpy(np.float64)
+            / out["total_vol"].to_numpy(np.float64),
+            6,
+        )
+        return out[["o_year", "mkt_share_pct"]].sort_values(
+            "o_year", kind="mergesort"
+        )
+
+    return grouped_agg(
+        partitioned_map_groups(l_tag.union(o_tag), ["o_orderkey"], reduce_part),
+        ["o_year"],
+        {"group_vol": ("group_vol", "sum"), "total_vol": ("total_vol", "sum")},
+        post=post,
+    )
+
+
+def q9_product_type_profit(
+    sf_dir: str,
+    *,
+    part_match: str = "AR",
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q9 shape — product-type revenue by supplier nation and
+    order year (the corpus has no partsupp/supplycost, so "profit"
+    reduces to revenue = Σ extendedprice·(1−discount); the part
+    predicate keeps Q9's name-match shape via substring on p_type).
+
+    Three attaches around ONE fact⋈fact exchange: the matching-part
+    keyset prunes lineitem at the scan (broadcast set under
+    ``broadcast_limit``, else hash join); supplier→nation rides the
+    same size threshold; orders contributes the year through the
+    orderkey exchange; per-(nation, year) combiner into a tiny
+    grouped exchange.
+    """
+    from kire_ray.stages.joins import hash_join, normalize_blocks
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nk = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    small = max(
+        _nrows_parquet(f"{sf_dir}/part.parquet"),
+        _nrows_parquet(f"{sf_dir}/supplier.parquet"),
+    ) <= broadcast_limit
+
+    if small:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ).to_pandas()
+        keys_ref = ray.put(
+            frozenset(
+                part.loc[
+                    part["p_type"].str.contains(part_match, regex=False),
+                    "p_partkey",
+                ]
+            )
+        )
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        snat_ref = ray.put(
+            dict(
+                zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].map(nk))
+            )
+        )
+
+        def l_side(b: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(keys_ref)
+            snat = ray.get(snat_ref)
+            b = b[b["l_partkey"].isin(keys)]
+            return pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "nation": b["l_suppkey"].map(snat).to_numpy(object),
+                    "volume": (
+                        b["l_extendedprice"] * (1.0 - b["l_discount"])
+                    ).to_numpy(),
+                    "o_year": np.full(len(b), -1, dtype=np.int64),
+                }
+            )
+
+        l_tag = li.map_batches(l_side, batch_format="pandas")
+    else:
+        part_ds, _ = normalize_blocks(
+            _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "l_partkey": b.loc[
+                            b["p_type"].str.contains(part_match, regex=False),
+                            "p_partkey",
+                        ].to_numpy()
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        supp_ds, _ = normalize_blocks(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "l_suppkey": b["s_suppkey"].to_numpy(),
+                        "nation": b["s_nationkey"].map(nk).to_numpy(object),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        if part_ds is None:
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "nation": pd.Series([], dtype=object),
+                        "o_year": pd.Series([], dtype=np.int64),
+                        "revenue": pd.Series([], dtype=np.float64),
+                    }
+                )
+            )
+        pruned = hash_join(li, part_ds, ["l_partkey"]).materialize()
+        l_tag = hash_join(pruned, supp_ds, ["l_suppkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "o_orderkey": b["l_orderkey"].to_numpy(),
+                    "nation": b["nation"].to_numpy(object),
+                    "volume": (
+                        b["l_extendedprice"] * (1.0 - b["l_discount"])
+                    ).to_numpy(),
+                    "o_year": np.full(len(b), -1, dtype=np.int64),
+                }
+            )
+            if "nation" in b.columns
+            else pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "nation": pd.Series([], dtype=object),
+                    "volume": pd.Series([], dtype=np.float64),
+                    "o_year": pd.Series([], dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "nation": pd.Series([None] * len(b), dtype=object),
+                "volume": np.full(len(b), np.nan),
+                "o_year": b["o_orderdate"].dt.year.to_numpy(np.int64),
+            }
+        )
+
+    o_tag = orders.map_batches(o_side, batch_format="pandas")
+
+    def reduce_part(part_df: pd.DataFrame) -> pd.DataFrame:
+        o = part_df[part_df["o_year"] >= 0][["o_orderkey", "o_year"]]
+        l = part_df[part_df["o_year"] < 0]
+        j = l.merge(o, on="o_orderkey", suffixes=("_l", ""))
+        g = j.groupby(["nation", "o_year"], sort=False)["volume"].sum()
+        out = g.reset_index()
+        return pd.DataFrame(
+            {
+                "nation": out["nation"].to_numpy(object),
+                "o_year": out["o_year"].to_numpy(np.int64),
+                "revenue": out["volume"].to_numpy(np.float64),
+            }
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out["revenue"] = round_half_up(out["revenue"].to_numpy(np.float64), 6)
+        return out.sort_values(["nation", "o_year"], kind="mergesort")
+
+    return grouped_agg(
+        partitioned_map_groups(l_tag.union(o_tag), ["o_orderkey"], reduce_part),
+        ["nation", "o_year"],
+        {"revenue": ("revenue", "sum")},
+        post=post,
+    )
+
+
+def q15_top_supplier(
+    sf_dir: str,
+    *,
+    date_lo: str = "1997-01-01",
+    date_hi: str = "1997-04-01",
+) -> "ray.data.Dataset":
+    """TPC-H Q15 shape — top supplier(s) by quarterly revenue, ties
+    included (the reference's revenue VIEW + WHERE total = MAX(total)).
+
+    One filtered lineitem scan with block-local per-suppkey partials,
+    one grouped exchange to finalize supplier revenue, then the global
+    max folds from per-block 1-row maxima and the equality filter
+    streams — no global sort for a single-max query. Supplier names
+    attach post-filter via the q10 k-row predicate-pushdown read.
+    """
+    lo, hi = pd.Timestamp(date_lo), pd.Timestamp(date_hi)
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        rev = b["l_extendedprice"].to_numpy(np.float64) * (
+            1.0 - b["l_discount"].to_numpy(np.float64)
+        )
+        g = pd.DataFrame({"s_suppkey": b["l_suppkey"].to_numpy(), "r": rev}).groupby(
+            "s_suppkey", sort=False
+        )["r"].sum()
+        return pd.DataFrame(
+            {"s_suppkey": g.index.to_numpy(), "total_revenue": g.to_numpy()}
+        )
+
+    per_supp = grouped_agg(
+        li.map_batches(partial, batch_format="pandas"),
+        ["s_suppkey"],
+        {"total_revenue": ("total_revenue", "sum")},
+    ).materialize()
+
+    def block_max(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"m": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"m": [float(b["total_revenue"].max())]})
+
+    mx = per_supp.map_batches(block_max, batch_format="pandas").to_pandas()
+    best = float(mx["m"].max()) if len(mx) else float("nan")
+
+    winners = (
+        per_supp.map_batches(
+            lambda b: b[b["total_revenue"] == best], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+
+    import pyarrow.dataset as pads
+
+    keys = [int(x) for x in winners["s_suppkey"]]
+    names = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(
+            columns=["s_suppkey", "s_name"],
+            filter=pads.field("s_suppkey").isin(keys),
+        )
+        .to_pandas()
+    )
+    out = winners.merge(names, on="s_suppkey").sort_values("s_suppkey")
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "s_suppkey": out["s_suppkey"].to_numpy(np.int64),
+                "s_name": out["s_name"].to_numpy(object),
+                "total_revenue": round_half_up(
+                    out["total_revenue"].to_numpy(np.float64), 6
+                ),
+            }
+        )
+    )

@@ -8,7 +8,7 @@ import pandas as pd
 from kire_ray.pipelines import relational as R
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["orders", "lineitem", "customer", "supplier", "nation", "part"]
+TABLES = ["orders", "lineitem", "customer", "supplier", "nation", "part", "region"]
 
 
 def _duck():
@@ -76,3 +76,40 @@ def test_q13_order_count_distribution(ray_session):
     # guarantees unmatched customers at every synthetic scale)
     got = R.q13_order_count_distribution(SF).to_pandas()
     assert (got["c_count"] == 0).any()
+
+
+def test_q8_market_share_and_fallback(ray_session):
+    a = (
+        R.q8_market_share(SF)
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    b = (
+        R.q8_market_share(SF, broadcast_limit=0)
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert ((a["mkt_share_pct"] >= 0) & (a["mkt_share_pct"] <= 100)).all()
+    _cmp(R.q8_market_share(SF), "q8_market_share", ["o_year"])
+
+
+def test_q9_product_type_profit_and_fallback(ray_session):
+    keys = ["nation", "o_year"]
+    a = R.q9_product_type_profit(SF).to_pandas().sort_values(keys).reset_index(drop=True)
+    b = (
+        R.q9_product_type_profit(SF, broadcast_limit=0)
+        .to_pandas()
+        .sort_values(keys)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    _cmp(R.q9_product_type_profit(SF), "q9_product_type_profit", keys)
+
+
+def test_q15_top_supplier(ray_session):
+    _cmp(R.q15_top_supplier(SF), "q15_top_supplier", ["s_suppkey"])
+    got = R.q15_top_supplier(SF).to_pandas()
+    assert len(got) >= 1  # at least one winner; ties all included

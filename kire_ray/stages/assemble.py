@@ -83,6 +83,12 @@ def _combine_segments(batch: pd.DataFrame, max_turns: int | None = None) -> pd.D
     ends = np.append(starts[1:], len(conv))
 
     def split(col, dtype=object):
+        # plain python lists, NOT np.split views: the segment rows
+        # cross the assembly exchange as pickled pandas blocks, and
+        # pickling object-dtype ndarray views measured 17× slower and
+        # 2× larger than the equivalent lists (4.5 s vs 0.27 s per
+        # 171k-turn block) — a views "optimization" collapsed flagship
+        # throughput 48.7 s → 127 s on the 64× corpus before revert
         a = batch[col].to_numpy()
         return [a[s:e].tolist() for s, e in zip(starts, ends)]
 

@@ -2030,7 +2030,13 @@ def _glre_export(sf_dir: str, *, split: str) -> str:
             is_train = split_train_dev(pd.Series(docs)).tolist()
         train_labels = {d: labels_by_doc[d] for d, t in zip(docs, is_train) if t}
         facts = collect_train_facts(linked, train_labels)
-        write_glre_data(linked, labels_by_doc, out_dir, train_facts=facts)
+        # the JSON source arrives as ~1 block and write_glre_data
+        # shards per block — repartition so the export (and therefore
+        # every later read_text + parse of it) parallelizes; 16-way,
+        # the pubtator_export_sharded precedent
+        write_glre_data(
+            linked.repartition(16), labels_by_doc, out_dir, train_facts=facts
+        )
         open(os.path.join(out_dir, "_DONE"), "w").close()
     return out_dir
 

@@ -202,6 +202,18 @@ def entry() -> Any:
     return _flagship_graph("/root/testdata/sf0.001")["edges"]
 
 
+_KG_DOC = {
+    "triples": "Flagship output: scored (subj, pred, obj) triples from "
+    "one fused streaming execution (read → assemble → link → score), "
+    "driver-verified against the SQL reconstruction of the whole "
+    "vote→canon→score chain from the gold parquet.",
+    "edges": "Deduplicated KG edge table: distinct (subj, pred, obj) of "
+    "the flagship triples with evidence counts (grouped-agg combiner).",
+    "linked": "Mention-linked documents (the flagship's shared "
+    "intermediate): entities, mentions and QID links per document.",
+}
+
+
 def _kg(table: str) -> Callable[[str], Any]:
     def run(sf_dir: str) -> Any:
         if table == "triples":
@@ -210,6 +222,7 @@ def _kg(table: str) -> Callable[[str], Any]:
             return _flagship_linked(sf_dir)["linked"]
         return _flagship_graph(sf_dir, with_nodes=(table == "nodes"))[table]
 
+    run.__doc__ = _KG_DOC.get(table)
     return run
 
 

@@ -2381,6 +2381,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": R.q8_market_share,
         "q9_product_type_profit": R.q9_product_type_profit,
         "q15_top_supplier": R.q15_top_supplier,
+        "q12_shipmode_priority": R.q12_shipmode_priority,
+        "q19_discounted_revenue": R.q19_discounted_revenue,
+        "q2_min_cost_supplier": R.q2_min_cost_supplier,
+        "q11_important_stock": R.q11_important_stock,
+        "q16_supplier_cnt": R.q16_supplier_cnt,
+        "q20_excess_suppliers": R.q20_excess_suppliers,
+        "q21_waiting_suppliers": R.q21_waiting_suppliers,
         "customer_status_setops": R.customer_status_setops,
         "user_event_sequences": _q_user_event_sequences,
         "event_transitions": _q_event_transitions,
@@ -4153,6 +4160,108 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s USING (s_suppkey)
             WHERE r.total = (SELECT max(total) FROM rev15)
             ORDER BY r.s_suppkey
+        """,
+        "q12_shipmode_priority": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_shipdate > o_orderdate
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q19_discounted_revenue": f"""
+            SELECT {sql_round(
+                "coalesce(sum(l_extendedprice * (1.0 - l_discount)), 0.0)", 6)}
+                       AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q2_min_cost_supplier": f"""
+            WITH ps2 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            el2 AS (
+                SELECT ps2.l_partkey, s.s_acctbal, s.s_name, n.n_name
+                FROM ps2
+                JOIN supplier s ON s.s_suppkey = ps2.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'AFRICA'),
+            mc2 AS (SELECT l_partkey, min(s_acctbal) AS m FROM el2 GROUP BY 1)
+            SELECT {sql_round('e.s_acctbal', 6)} AS s_acctbal,
+                   e.s_name, e.n_name,
+                   CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_type
+            FROM part p
+            JOIN el2 e ON e.l_partkey = p.p_partkey
+            JOIN mc2 ON mc2.l_partkey = p.p_partkey AND e.s_acctbal = mc2.m
+            WHERE p.p_type = 'LARGE' AND p.p_size <= 25
+            ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+            LIMIT 100
+        """,
+        "q11_important_stock": f"""
+            WITH val11 AS (
+                SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+                WHERE r_name IN ('AFRICA', 'AMERICA')
+                GROUP BY 1)
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   {sql_round('v', 6)} AS value
+            FROM val11
+            WHERE v > (SELECT sum(v) * 0.001 FROM val11)
+            ORDER BY v DESC, l_partkey
+        """,
+        "q16_supplier_cnt": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps16
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_excess_suppliers": """
+            SELECT s_name, n_name
+            FROM supplier JOIN nation ON n_nationkey = s_nationkey
+            WHERE s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'large%'
+                GROUP BY l_suppkey, l_partkey
+                HAVING sum(l_quantity) > 150.0)
+            ORDER BY s_name
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier s
+            JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "q13_order_count_distribution": """
             WITH oc13 AS (

@@ -3531,3 +3531,721 @@ def q15_top_supplier(
             }
         )
     )
+
+def q12_shipmode_priority(
+    sf_dir: str,
+    *,
+    ship_lo: str = "1997-01-01",
+    ship_hi: str = "1998-01-01",
+) -> "ray.data.Dataset":
+    """TPC-H Q12 shape — shipping-class vs order priority: for each
+    lineitem class (the corpus lacks ``l_shipmode``, so the class
+    column is ``l_linestatus``; it lacks commit/receipt dates, so the
+    late-delivery predicate ``l_commitdate < l_receiptdate`` becomes
+    the equivalent correlated-date test ``l_shipdate > o_orderdate``),
+    count high-priority vs low-priority orders among one ship-year's
+    lineitems.
+
+    Distributes as ONE tagged exchange on orderkey (the q4 pattern):
+    the date-filtered lineitems and the order rows ride the same
+    exchange; the reducer evaluates the correlated date predicate with
+    every row of an orderkey co-located and emits per-class partial
+    counts folded by a tiny second grouped exchange. No join barrier,
+    no broadcast of a fact-sized table.
+    """
+    lo, hi = pd.Timestamp(ship_lo), pd.Timestamp(ship_hi)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].to_numpy(),
+                "l_linestatus": b["l_linestatus"].to_numpy(object),
+                "l_shipdate": b["l_shipdate"].to_numpy(),
+                "o_orderdate": pd.Series([pd.NaT] * len(b)),
+                "o_orderpriority": pd.Series([None] * len(b), dtype=object),
+            }
+        )
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "l_linestatus": pd.Series([None] * len(b), dtype=object),
+                "l_shipdate": pd.Series([pd.NaT] * len(b)),
+                "o_orderdate": b["o_orderdate"].to_numpy(),
+                "o_orderpriority": b["o_orderpriority"].to_numpy(object),
+            }
+        )
+
+    both = li.map_batches(li_side, batch_format="pandas").union(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(o_side, batch_format="pandas")
+    )
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        li_rows = part[part["l_linestatus"].notna()]
+        o_rows = part[part["o_orderpriority"].notna()]
+        m = li_rows.merge(
+            o_rows[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+            .rename(columns={"o_orderdate": "od", "o_orderpriority": "pr"}),
+            on="o_orderkey",
+        )
+        m = m[m["l_shipdate"] > m["od"]]
+        high = m["pr"].isin(("1-URGENT", "2-HIGH")).to_numpy()
+        g = pd.DataFrame(
+            {"l_linestatus": m["l_linestatus"].to_numpy(object), "h": high}
+        ).groupby("l_linestatus", sort=False)["h"]
+        return pd.DataFrame(
+            {
+                "l_linestatus": g.sum().index.to_numpy(object),
+                "high_line_count": g.sum().to_numpy(np.int64),
+                "low_line_count": (g.count() - g.sum()).to_numpy(np.int64),
+            }
+        )
+
+    out = grouped_agg(
+        partitioned_map_groups(both, ["o_orderkey"], reduce_part),
+        ["l_linestatus"],
+        {
+            "high_line_count": ("high_line_count", "sum"),
+            "low_line_count": ("low_line_count", "sum"),
+        },
+    ).to_pandas()
+    out = out.sort_values("l_linestatus").reset_index(drop=True)
+    out["high_line_count"] = out["high_line_count"].astype(np.int64)
+    out["low_line_count"] = out["low_line_count"].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+_Q19_ARMS = (
+    ("Brand#1", 1, 15, 1.0, 11.0),
+    ("Brand#2", 1, 25, 10.0, 20.0),
+    ("Brand#3", 1, 35, 20.0, 30.0),
+)
+
+
+def q19_discounted_revenue(
+    sf_dir: str,
+    *,
+    arms: tuple = _Q19_ARMS,
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q19 — discounted revenue under an OR of three conjunctive
+    (brand, size-range, quantity-range) predicates over lineitem⋈part
+    (the corpus lacks ``p_container``/``l_shipmode``, so each arm is
+    the available brand/size/quantity conjunction).
+
+    part attrs join via broadcast under ``broadcast_limit`` rows (dims
+    `ray.put` once, read per actor) else a distributed hash join — the
+    q14/q17 threshold pattern; the arm disjunction is ONE vectorized
+    numpy mask per batch; revenue folds from per-batch partial sums
+    (one row per block, no shuffle).
+    """
+    from kire_ray.stages.joins import hash_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    if _nrows_parquet(f"{sf_dir}/part.parquet") <= broadcast_limit:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+        ).to_pandas()
+        brands = {a[0] for a in arms}
+        part = part[part["p_brand"].isin(brands)].rename(
+            columns={"p_partkey": "l_partkey"}
+        )
+        joined = broadcast_join(li, part, ["l_partkey"], how="inner")
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+            lambda b: b[b["p_brand"].isin({a[0] for a in arms})].rename(
+                columns={"p_partkey": "l_partkey"}
+            ),
+            batch_format="pandas",
+        )
+        joined = hash_join(li, part_ds, ["l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = np.zeros(len(b), dtype=bool)
+        for brand, size_lo, size_hi, qty_lo, qty_hi in arms:
+            keep |= (
+                (b["p_brand"].to_numpy(object) == brand)
+                & (b["p_size"].to_numpy() >= size_lo)
+                & (b["p_size"].to_numpy() <= size_hi)
+                & (b["l_quantity"].to_numpy() >= qty_lo)
+                & (b["l_quantity"].to_numpy() <= qty_hi)
+            )
+        rev = (
+            b["l_extendedprice"].to_numpy()[keep]
+            * (1.0 - b["l_discount"].to_numpy()[keep])
+        ).sum()
+        return pd.DataFrame({"s": [float(rev)]})
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {"revenue": round_half_up(np.array([parts["s"].sum()]), 6)}
+        )
+    )
+
+def q2_min_cost_supplier(
+    sf_dir: str,
+    *,
+    region: str = "AFRICA",
+    ptype: str = "LARGE",
+    max_size: int = 25,
+    top: int = 100,
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q2 shape — min-cost supplier per part: for each qualifying
+    part, the region's cheapest supplier among those that actually
+    supplied it (the corpus lacks ``partsupp``, so "supplied" = a
+    distinct (l_partkey, l_suppkey) pair in lineitem and the supply
+    cost is the supplier's ``s_acctbal``).
+
+    The correlated MIN-subquery distributes as ONE exchange on partkey:
+    supplier attrs (region-filtered via the nation/region dims,
+    broadcast under ``broadcast_limit`` supplier rows else a hash
+    join) attach per batch, then each part's rows co-locate once and
+    the reducer dedups pairs and keeps the min-cost ties locally. Final
+    order is a per-block top-k partial + a k-row driver merge (the q18
+    pattern); part attrs attach the same thresholded way.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(rkeys)]
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    nmap_ref = ray.put(nmap)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas"
+    )
+
+    if _nrows_parquet(f"{sf_dir}/supplier.parquet") <= broadcast_limit:
+        sup = pq.read_table(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        ).to_pandas()
+        sup = sup[sup["s_nationkey"].isin(nmap)].copy()
+        sup["n_name"] = sup["s_nationkey"].map(nmap)
+        eligible = broadcast_join(
+            li,
+            sup[["s_suppkey", "s_name", "s_acctbal", "n_name"]].rename(
+                columns={"s_suppkey": "l_suppkey"}
+            ),
+            ["l_suppkey"],
+            how="inner",
+        )
+    else:
+        def sup_side(b: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(nmap_ref)
+            b = b[b["s_nationkey"].isin(m)].copy()
+            b["n_name"] = b["s_nationkey"].map(m)
+            return b[["s_suppkey", "s_name", "s_acctbal", "n_name"]].rename(
+                columns={"s_suppkey": "l_suppkey"}
+            )
+
+        sup_ds = _read(
+            sf_dir, "supplier",
+            ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        ).map_batches(sup_side, batch_format="pandas")
+        eligible = hash_join(li, sup_ds, ["l_suppkey"])
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+        m = g.groupby("l_partkey", sort=False)["s_acctbal"].transform("min")
+        return g[g["s_acctbal"].to_numpy() == m.to_numpy()]
+
+    winners = partitioned_map_groups(eligible, ["l_partkey"], keep_min)
+
+    if _nrows_parquet(f"{sf_dir}/part.parquet") <= broadcast_limit:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_size"]
+        ).to_pandas()
+        part = part[
+            (part["p_type"] == ptype) & (part["p_size"] <= max_size)
+        ].rename(columns={"p_partkey": "l_partkey"})
+        qualified = broadcast_join(
+            winners, part[["l_partkey", "p_type"]], ["l_partkey"], how="inner"
+        )
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"]).map_batches(
+            lambda b: b[(b["p_type"] == ptype) & (b["p_size"] <= max_size)][
+                ["p_partkey", "p_type"]
+            ].rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas",
+        )
+        qualified = hash_join(winners, part_ds, ["l_partkey"])
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(
+            ["s_acctbal", "n_name", "s_name", "l_partkey"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        ).head(top)
+
+    out = topk(
+        qualified.map_batches(topk, batch_format="pandas").to_pandas()
+    ).reset_index(drop=True)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "s_acctbal": round_half_up(out["s_acctbal"].to_numpy(np.float64), 6),
+                "s_name": out["s_name"].to_numpy(object),
+                "n_name": out["n_name"].to_numpy(object),
+                "p_partkey": out["l_partkey"].to_numpy(np.int64),
+                "p_type": out["p_type"].to_numpy(object),
+            }
+        )
+    )
+
+
+def q11_important_stock(
+    sf_dir: str,
+    *,
+    regions: tuple = ("AFRICA", "AMERICA"),
+    frac: float = 0.001,
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q11 shape — important stock: per-part value
+    Σ(l_extendedprice·l_quantity) over suppliers in a region group,
+    keeping parts whose value exceeds ``frac`` of the total (the
+    corpus lacks ``partsupp``, so the value base is lineitem and the
+    nation filter is a region group).
+
+    The supplier semi-join is broadcast under ``broadcast_limit``
+    supplier rows else a distributed hash join; per-part value
+    pre-aggregates in every batch (combiner) before ONE grouped
+    exchange; the HAVING total folds from one partial row per block.
+    The qualifying set is ≤ 1/frac rows BY CONSTRUCTION (each exceeds
+    frac of the total), so the final sort is a bounded driver merge.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"].isin(regions), "r_regionkey"])
+    nkeys = set(nat.loc[nat["n_regionkey"].isin(rkeys), "n_nationkey"])
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    if _nrows_parquet(f"{sf_dir}/supplier.parquet") <= broadcast_limit:
+        sup = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        keys_ref = ray.put(
+            frozenset(sup.loc[sup["s_nationkey"].isin(nkeys), "s_suppkey"])
+        )
+
+        def prune(b: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(keys_ref)
+            return b[b["l_suppkey"].isin(ks)]
+
+        pruned = li.map_batches(prune, batch_format="pandas")
+    else:
+        sup_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda b: pd.DataFrame(
+                {"l_suppkey": b.loc[b["s_nationkey"].isin(nkeys), "s_suppkey"].to_numpy()}
+            ),
+            batch_format="pandas",
+        )
+        pruned = hash_join(li, sup_ds, ["l_suppkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["l_extendedprice"].to_numpy() * b["l_quantity"].to_numpy()
+        g = pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(), "v": v}).groupby(
+            "l_partkey", sort=False
+        )["v"].sum()
+        return pd.DataFrame(
+            {"l_partkey": g.index.to_numpy(), "value": g.to_numpy()}
+        )
+
+    val = grouped_agg(
+        pruned.map_batches(partial, batch_format="pandas"),
+        ["l_partkey"],
+        {"value": ("value", "sum")},
+    )
+
+    total = float(
+        val.map_batches(
+            lambda b: pd.DataFrame({"s": [float(b["value"].sum())]}),
+            batch_format="pandas",
+        ).to_pandas()["s"].sum()
+    )
+    thresh = total * frac
+
+    out = (
+        val.map_batches(
+            lambda b: b[b["value"].to_numpy() > thresh], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values(["value", "l_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "l_partkey": out["l_partkey"].to_numpy(np.int64),
+                "value": round_half_up(out["value"].to_numpy(np.float64), 6),
+            }
+        )
+    )
+
+def q16_supplier_cnt(
+    sf_dir: str,
+    *,
+    excl_brand: str = "Brand#1",
+    excl_type: str = "PROMO",
+    sizes: tuple = (1, 4, 9, 14, 19, 23, 36, 45),
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q16 shape — supplier count per part attribute combo:
+    distinct suppliers per (brand, type, size) over parts NOT of one
+    brand/type, for a size list, excluding "complaint" suppliers (the
+    corpus lacks ``partsupp``/``s_comment``, so supplied = a lineitem
+    pair and the complaint set is ``s_acctbal < 0``).
+
+    part attrs and the NOT-IN supplier set attach broadcast under
+    ``broadcast_limit`` rows else via hash join / anti join; the
+    COUNT DISTINCT runs as per-batch 4-tuple dedup (combiner) → ONE
+    exchange keyed on the group → local dedup + size. The output is
+    bounded by the attribute-combination cardinality (a constant), so
+    the final sort is driver-side.
+    """
+    from kire_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    size_set = set(int(s) for s in sizes)
+
+    small_part = _nrows_parquet(f"{sf_dir}/part.parquet") <= broadcast_limit
+    if small_part:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        ).to_pandas()
+        part = part[
+            (part["p_brand"] != excl_brand)
+            & (part["p_type"] != excl_type)
+            & (part["p_size"].isin(size_set))
+        ].rename(columns={"p_partkey": "l_partkey"})
+        joined = broadcast_join(li, part, ["l_partkey"], how="inner")
+    else:
+        part_ds = _read(
+            sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+        ).map_batches(
+            lambda b: b[
+                (b["p_brand"] != excl_brand)
+                & (b["p_type"] != excl_type)
+                & (b["p_size"].isin(size_set))
+            ].rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas",
+        )
+        joined = hash_join(li, part_ds, ["l_partkey"])
+
+    if _nrows_parquet(f"{sf_dir}/supplier.parquet") <= broadcast_limit:
+        sup = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+        ).to_pandas()
+        from kire_ray.stages.joins import anti_join_broadcast
+
+        joined = anti_join_broadcast(
+            joined,
+            frozenset(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"]),
+            "l_suppkey",
+        )
+    else:
+        from kire_ray.stages.joins import normalize_blocks
+
+        excl_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_suppkey": b.loc[b["s_acctbal"] < 0, "s_suppkey"].to_numpy(),
+                    "_excl": np.ones(int((b["s_acctbal"] < 0).sum()), dtype=np.int8),
+                }
+            ),
+            batch_format="pandas",
+        )
+        # two stacked hash joins: normalize between them (schema-less
+        # empty blocks from the first break the second; see
+        # joins.normalize_blocks) and short-circuit an empty NOT-IN set
+        joined, _ = normalize_blocks(joined)
+        excl_ds, n_excl = normalize_blocks(excl_ds)
+        if joined is not None and n_excl > 0:
+            joined = hash_join(
+                joined, excl_ds, ["l_suppkey"], join_type="left_outer"
+            ).map_batches(
+                lambda b: b[b["_excl"].isna()].drop(columns=["_excl"]),
+                batch_format="pandas",
+            )
+        if joined is None:
+            joined = ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "l_partkey": pd.Series([], dtype=np.int64),
+                        "l_suppkey": pd.Series([], dtype=np.int64),
+                        "p_brand": pd.Series([], dtype=object),
+                        "p_type": pd.Series([], dtype=object),
+                        "p_size": pd.Series([], dtype=np.int64),
+                    }
+                )
+            )
+
+    keys = ["p_brand", "p_type", "p_size", "l_suppkey"]
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(keys)
+        c = d.groupby(["p_brand", "p_type", "p_size"], sort=False).size()
+        idx = c.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "p_brand": idx["p_brand"].to_numpy(object),
+                "p_type": idx["p_type"].to_numpy(object),
+                "p_size": idx["p_size"].to_numpy(np.int64),
+                "supplier_cnt": c.to_numpy(np.int64),
+            }
+        )
+
+    grouped = partitioned_map_groups(
+        joined.map_batches(
+            lambda b: b.drop_duplicates(keys), batch_format="pandas"
+        ),
+        ["p_brand", "p_type", "p_size"],
+        cnt,
+    )
+    out = (
+        grouped.to_pandas()
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        )
+        .reset_index(drop=True)
+    )
+    out["p_size"] = out["p_size"].astype(np.int64)
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    return ray.data.from_pandas(out)
+
+
+def q20_excess_suppliers(
+    sf_dir: str,
+    *,
+    prefix: str = "large",
+    min_qty: float = 150.0,
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """TPC-H Q20 shape — suppliers with excess stock of one part
+    family: suppliers whose shipped quantity of any '``prefix``%'-named
+    part exceeds ``min_qty`` (the corpus lacks ``partsupp.availqty``,
+    so the half-of-availqty test becomes a fixed quantity threshold
+    over the same nested-IN chain: name-like parts → per
+    (supplier, part) quantity sums → qualifying supplier keys).
+
+    The name-like partkey set broadcasts under ``broadcast_limit``
+    part rows else joins hash-partitioned; (suppkey, partkey) sums
+    pre-aggregate per batch before ONE grouped exchange; the
+    qualifying supplier set is data-dependent-small, so names attach
+    via a k-row predicate-pushdown read (the q18 customer pattern).
+    """
+    from kire_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    if _nrows_parquet(f"{sf_dir}/part.parquet") <= broadcast_limit:
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+        ).to_pandas()
+        keys_ref = ray.put(
+            frozenset(
+                part.loc[
+                    part["p_name"].str.startswith(prefix), "p_partkey"
+                ]
+            )
+        )
+
+        def prune(b: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(keys_ref)
+            return b[b["l_partkey"].isin(ks)]
+
+        pruned = li.map_batches(prune, batch_format="pandas")
+    else:
+        part_ds = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "l_partkey": b.loc[
+                        b["p_name"].str.startswith(prefix), "p_partkey"
+                    ].to_numpy()
+                }
+            ),
+            batch_format="pandas",
+        )
+        pruned = hash_join(li, part_ds, ["l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_suppkey", "l_partkey"], sort=False)["l_quantity"].sum()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "l_suppkey": idx["l_suppkey"].to_numpy(),
+                "l_partkey": idx["l_partkey"].to_numpy(),
+                "q": g.to_numpy(np.float64),
+            }
+        )
+
+    sums = grouped_agg(
+        pruned.map_batches(partial, batch_format="pandas"),
+        ["l_suppkey", "l_partkey"],
+        {"q": ("q", "sum")},
+    )
+
+    qual = (
+        sums.map_batches(
+            lambda b: pd.DataFrame(
+                {"l_suppkey": b.loc[b["q"].to_numpy() > min_qty, "l_suppkey"].unique()}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["l_suppkey"]
+        .unique()
+    )
+
+    import pyarrow.dataset as pads
+
+    sup = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(
+            columns=["s_suppkey", "s_name", "s_nationkey"],
+            filter=pads.field("s_suppkey").isin([int(k) for k in qual]),
+        )
+        .to_pandas()
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    sup["n_name"] = sup["s_nationkey"].map(
+        dict(zip(nat["n_nationkey"], nat["n_name"]))
+    )
+    out = sup.sort_values("s_name").reset_index(drop=True)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "s_name": out["s_name"].to_numpy(object),
+                "n_name": out["n_name"].to_numpy(object),
+            }
+        )
+    )
+
+
+def q21_waiting_suppliers(sf_dir: str, *, top: int = 100) -> "ray.data.Dataset":
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for
+    finished (status 'F') multi-supplier orders where EXACTLY ONE
+    supplier's items were flagged, count that supplier's flagged items
+    (the corpus lacks commit/receipt dates, so "late" =
+    ``l_returnflag = 'R'``; the EXISTS/NOT-EXISTS self-joins become
+    the co-located supplier-set tests).
+
+    The double correlated EXISTS distributes as ONE tagged exchange on
+    orderkey: lineitem ships per-(orderkey, suppkey) flagged/total
+    partial counts (combiner), the F-orders ride the same exchange,
+    and the reducer evaluates the sole-late-supplier rule with every
+    row of an orderkey co-located — vectorized, no self-join barrier.
+    Supplier names attach via a k-row predicate-pushdown read.
+    """
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def li_side(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["l_returnflag"].to_numpy(object) == "R").astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].to_numpy(),
+                "l_suppkey": b["l_suppkey"].to_numpy(),
+                "n_late": late,
+            }
+        ).groupby(["o_orderkey", "l_suppkey"], sort=False)["n_late"].sum()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "o_orderkey": idx["o_orderkey"].to_numpy(),
+                "l_suppkey": idx["l_suppkey"].to_numpy(np.int64),
+                "n_late": g.to_numpy(np.int64),
+            }
+        )
+
+    def o_side(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderstatus"] == "F"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].to_numpy(),
+                "l_suppkey": np.full(len(b), -1, dtype=np.int64),
+                "n_late": np.zeros(len(b), dtype=np.int64),
+            }
+        )
+
+    both = li.map_batches(li_side, batch_format="pandas").union(
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).map_batches(
+            o_side, batch_format="pandas"
+        )
+    )
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        fkeys = part.loc[part["l_suppkey"] < 0, "o_orderkey"].unique()
+        li_rows = part[part["l_suppkey"] >= 0]
+        li_rows = li_rows[li_rows["o_orderkey"].isin(fkeys)]
+        agg = (
+            li_rows.groupby(["o_orderkey", "l_suppkey"], sort=False)["n_late"]
+            .sum()
+            .reset_index()
+        )
+        per_order = agg.groupby("o_orderkey", sort=False).agg(
+            nsupp=("l_suppkey", "size"),
+            nlate_sups=("n_late", lambda s: int((s.to_numpy() > 0).sum())),
+        )
+        qual = per_order[
+            (per_order["nsupp"] >= 2) & (per_order["nlate_sups"] == 1)
+        ].index
+        late = agg[(agg["n_late"] > 0) & agg["o_orderkey"].isin(qual)]
+        g = late.groupby("l_suppkey", sort=False)["n_late"].sum()
+        return pd.DataFrame(
+            {
+                "l_suppkey": g.index.to_numpy(np.int64),
+                "numwait": g.to_numpy(np.int64),
+            }
+        )
+
+    counts = grouped_agg(
+        partitioned_map_groups(both, ["o_orderkey"], reduce_part),
+        ["l_suppkey"],
+        {"numwait": ("numwait", "sum")},
+    ).to_pandas()
+
+    import pyarrow.dataset as pads
+
+    names = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(
+            columns=["s_suppkey", "s_name"],
+            filter=pads.field("s_suppkey").isin(
+                [int(k) for k in counts["l_suppkey"]]
+            ),
+        )
+        .to_pandas()
+    )
+    out = (
+        counts.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+        .sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(top)
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "s_name": out["s_name"].to_numpy(object),
+                "numwait": out["numwait"].to_numpy(np.int64),
+            }
+        )
+    )

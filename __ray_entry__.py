@@ -1049,6 +1049,42 @@ def _q_running_totals(sf_dir: str) -> Any:
     return running_totals(sf_dir)
 
 
+def _q_events_rolling_mean(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import events_rolling_mean
+
+    return events_rolling_mean(sf_dir)
+
+
+def _q_events_anomaly_zscore(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import events_anomaly_zscore
+
+    return events_anomaly_zscore(sf_dir)
+
+
+def _q_hopping_window_counts(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import hopping_window_counts
+
+    return hopping_window_counts(sf_dir)
+
+
+def _q_repetition_top_ngrams(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import top_ngram_fracs
+
+    return top_ngram_fracs(sf_dir)
+
+
+def _q_kmeans_clusters(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import kmeans_clusters
+
+    return kmeans_clusters(sf_dir)
+
+
+def _q_semdedup(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import semdedup
+
+    return semdedup(sf_dir)
+
+
 def _q_events_ntile(sf_dir: str) -> Any:
     from kire_ray.pipelines.temporal import events_ntile
 
@@ -2342,6 +2378,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_test": _q_events_ab_test,
         "embedding_gram": _q_embedding_gram,
         "running_totals": _q_running_totals,
+        "events_rolling_mean": _q_events_rolling_mean,
+        "events_anomaly_zscore": _q_events_anomaly_zscore,
+        "hopping_window_counts": _q_hopping_window_counts,
+        "repetition_top_ngrams": _q_repetition_top_ngrams,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup": _q_semdedup,
         "events_ntile": _q_events_ntile,
         "weighted_sample": _q_weighted_sample,
         "inverted_index": _q_inverted_index,
@@ -4262,6 +4304,90 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "events_rolling_mean": f"""
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   {sql_round(
+                       "avg(value) OVER (PARTITION BY user_id "
+                       "ORDER BY ts, event_id "
+                       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 6)}
+                       AS rolling_mean
+            FROM events
+        """,
+        "events_anomaly_zscore": f"""
+            WITH stz AS (
+                SELECT user_id, sum(value) AS s, sum(value * value) AS s2,
+                       count(*) AS n
+                FROM events GROUP BY 1),
+            momz AS (
+                SELECT user_id, n, s / n AS m,
+                       sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) AS sd
+                FROM stz)
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(e.user_id AS BIGINT) AS user_id,
+                   {sql_round('(e.value - m.m) / m.sd', 6)} AS z
+            FROM events e JOIN momz m USING (user_id)
+            WHERE m.n >= 5 AND m.sd > 0
+              AND abs((e.value - m.m) / m.sd) > 2.0
+        """,
+        "hopping_window_counts": f"""
+            WITH ehop AS (
+                SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) AS b, value
+                FROM events),
+            hwin AS (
+                SELECT unnest(generate_series(b - 1, b)) AS w, value
+                FROM ehop)
+            SELECT w * 1800 AS win_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   {sql_round('sum(value)', 6)} AS sum_value
+            FROM hwin GROUP BY 1
+        """,
+        "repetition_top_ngrams": f"""
+            WITH wtg AS (SELECT doc_id, string_split(text, ' ') AS l
+                         FROM documents),
+            nbase AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_words
+                      FROM wtg),
+            tg2 AS (SELECT doc_id, max(c) AS t FROM (
+                        SELECT doc_id, l[i] || ' ' || l[i+1] AS g,
+                               count(*) AS c
+                        FROM (SELECT doc_id, l,
+                                     unnest(generate_series(1, len(l)-1)) AS i
+                              FROM wtg)
+                        GROUP BY doc_id, g) GROUP BY 1),
+            tg3 AS (SELECT doc_id, max(c) AS t FROM (
+                        SELECT doc_id,
+                               l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS g,
+                               count(*) AS c
+                        FROM (SELECT doc_id, l,
+                                     unnest(generate_series(1, len(l)-2)) AS i
+                              FROM wtg)
+                        GROUP BY doc_id, g) GROUP BY 1),
+            tg4 AS (SELECT doc_id, max(c) AS t FROM (
+                        SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' ||
+                               l[i+2] || ' ' || l[i+3] AS g,
+                               count(*) AS c
+                        FROM (SELECT doc_id, l,
+                                     unnest(generate_series(1, len(l)-3)) AS i
+                              FROM wtg)
+                        GROUP BY doc_id, g) GROUP BY 1),
+            topfr AS (
+                SELECT nbase.doc_id, nbase.n_words,
+                       CAST(coalesce(tg2.t, 0) AS DOUBLE)
+                           / greatest(nbase.n_words - 1, 1) AS f2,
+                       CAST(coalesce(tg3.t, 0) AS DOUBLE)
+                           / greatest(nbase.n_words - 2, 1) AS f3,
+                       CAST(coalesce(tg4.t, 0) AS DOUBLE)
+                           / greatest(nbase.n_words - 3, 1) AS f4
+                FROM nbase
+                LEFT JOIN tg2 USING (doc_id)
+                LEFT JOIN tg3 USING (doc_id)
+                LEFT JOIN tg4 USING (doc_id))
+            SELECT doc_id, n_words,
+                   {sql_round('f2', 6)} AS top2_frac,
+                   {sql_round('f3', 6)} AS top3_frac,
+                   {sql_round('f4', 6)} AS top4_frac
+            FROM topfr
         """,
         "q13_order_count_distribution": """
             WITH oc13 AS (

@@ -965,3 +965,195 @@ def pca_project(
         return pd.DataFrame(out)
 
     return emb.map_batches(project, batch_format="pandas")
+
+
+def _kmeans_fit_distributed(
+    emb: "ray.data.Dataset", k: int, iters: int
+) -> np.ndarray:
+    """Distributed Lloyd fit shared by ``kmeans_clusters``/``semdedup``:
+    deterministic md5-bottom-k init, then ``iters`` rounds of
+    broadcast-assign + per-batch partial (sum, count) folded on the
+    driver (k × dim per block — never the vectors)."""
+    import hashlib
+
+    def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+                for v in b["vec_id"]
+            ),
+            dtype=np.int64,
+            count=len(b),
+        )
+        idx = np.argsort(h, kind="stable")[:k]
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy()[idx],
+                "h": h[idx],
+                "embedding": b["embedding"].to_numpy()[idx],
+            }
+        )
+
+    seeds = emb.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    seeds = seeds.sort_values(["h", "vec_id"], kind="mergesort").head(k)
+    C = _norm_rows(
+        np.stack([np.asarray(v, dtype=np.float64) for v in seeds["embedding"]])
+    )
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def update(b: pd.DataFrame) -> pd.DataFrame:
+            Cm = ray.get(ref)
+            M = _norm_rows(
+                np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            )
+            assign = (M @ Cm.T).argmax(axis=1)
+            sums = np.zeros_like(Cm)
+            np.add.at(sums, assign, M)
+            cnt = np.bincount(assign, minlength=len(Cm))
+            return pd.DataFrame(
+                {
+                    "cluster": np.arange(len(Cm), dtype=np.int64),
+                    "s": list(sums),
+                    "n": cnt.astype(np.int64),
+                }
+            )
+
+        parts = emb.map_batches(update, batch_format="pandas").to_pandas()
+        sums = np.stack([np.asarray(s, dtype=np.float64) for s in parts["s"]])
+        agg = np.zeros_like(C)
+        np.add.at(agg, parts["cluster"].to_numpy(), sums)
+        cnt = np.bincount(
+            parts["cluster"].to_numpy(),
+            weights=parts["n"].to_numpy(),
+            minlength=k,
+        )
+        nz = cnt > 0
+        C[nz] = _norm_rows(agg[nz] / cnt[nz, None])
+    return C
+
+
+def kmeans_clusters(
+    sf_dir: str, *, k: int = 8, iters: int = 5
+) -> "ray.data.Dataset":
+    """Fully DISTRIBUTED Lloyd k-means over the embedding table —
+    unlike ``ann_ivf``'s bounded driver-sample fit, every iteration
+    assigns EVERY vector and updates centroids from per-batch partial
+    sums, so the fit sees 100 TB of vectors while the driver only ever
+    folds a (k × dim) matrix per block.
+
+    Determinism: init = the k vectors with the smallest
+    ``md5(vec_id)`` (order-free bottom-k, the reservoir_sample idiom);
+    iteration count fixed; ties in argmin broken by lowest centroid
+    index (numpy argmin). Float-iterative like ``ann_ivf`` → rows-only
+    at the driver, value-verified against a sequential numpy oracle in
+    tests/test_kmeans.py.
+
+    Output: (vec_id, cluster, cosine) — cosine = similarity to the
+    assigned centroid (the SemDeDup §3 within-cluster signal).
+    """
+    from kire_ray.sources.parquet import sized_read
+
+    emb = sized_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    C = _kmeans_fit_distributed(emb, k, iters)
+    final_ref = ray.put(C)
+
+    def assign_final(b: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(final_ref)
+        M = _norm_rows(
+            np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        )
+        s = M @ Cm.T
+        a = s.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy(np.int64),
+                "cluster": a.astype(np.int64),
+                "cosine": s[np.arange(len(a)), a],
+            }
+        )
+
+    return emb.map_batches(assign_final, batch_format="pandas")
+
+
+def semdedup(
+    sf_dir: str, *, k: int = 8, iters: int = 5, tau: float = 0.45
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    then inside each cluster mark a vector duplicate iff some LOWER-id
+    vector in the SAME cluster has cosine ≥ ``tau`` (the paper\'s
+    keep-one-per-semantic-group rule with a deterministic min-id
+    survivor, matching exact_dedup\'s first-wins convention). The
+    default tau is tuned to the synthetic embedding table (whose
+    near-dup cosine ceiling is ~0.51; real SemDeDup corpora use ~0.99)
+    so the flagging path is observable end-to-end.
+
+    Distribution: the k-means stage is the shared distributed fit; the
+    assignment pass CARRIES the embedding into the exchange (an Arrow
+    hash join would reject the list column — known Ray 2.49 limit), so
+    the within-cluster pairwise step is ONE exchange on cluster id,
+    each reducer handling clusters whose pairwise block is
+    (cluster_size × dim) — the paper\'s own scaling argument (clusters
+    are ~n/k). Skewed clusters would need the IVF-bucketed sub-split
+    documented in knn_graph_mutual.
+
+    Output: (vec_id, cluster, is_dup) for every vector.
+    """
+    from kire_ray.sources.parquet import sized_read
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    emb = sized_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    C = _kmeans_fit_distributed(emb, k, iters)
+    ref = ray.put(C)
+
+    def assign_with_vec(b: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(ref)
+        M = _norm_rows(
+            np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        )
+        a = (M @ Cm.T).argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy(np.int64),
+                "cluster": a.astype(np.int64),
+                "embedding": b["embedding"].to_numpy(),
+            }
+        )
+
+    assigned = emb.map_batches(assign_with_vec, batch_format="pandas")
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, grp in g.groupby("cluster", sort=False):
+            grp = grp.sort_values("vec_id", kind="mergesort")
+            M = _norm_rows(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp["embedding"]]
+                )
+            )
+            S = M @ M.T
+            # strictly-lower-id comparisons only
+            dup = (np.tril(S, -1) >= tau).any(axis=1)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": grp["vec_id"].to_numpy(np.int64),
+                        "cluster": np.full(len(grp), cid, dtype=np.int64),
+                        "is_dup": dup,
+                    }
+                )
+            )
+        return (
+            pd.concat(out, ignore_index=True)
+            if out
+            else pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "cluster": pd.Series([], dtype=np.int64),
+                    "is_dup": pd.Series([], dtype=bool),
+                }
+            )
+        )
+
+    return partitioned_map_groups(assigned, ["cluster"], dedup_cluster)

@@ -616,3 +616,149 @@ def purchase_attribution(sf_dir: str, gap_s: int = 21600) -> "ray.data.Dataset":
 
     rows = ev.map_batches(to_us, batch_format="pandas")
     return partitioned_map_groups(rows, ["user_id"], attribute)
+
+
+def events_rolling_mean(sf_dir: str, *, window: int = 3) -> "ray.data.Dataset":
+    """Per-user rolling mean of the last ``window`` event values in
+    time order — the bounded sliding-window aggregate (``AVG() OVER
+    (… ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``) behind
+    trailing-average features; complements ``running_totals``'s
+    UNBOUNDED cumulative frame with the ROWS-bounded frame.
+
+    Same key-local ordered shape: ONE exchange on user_id, a
+    partition-wide mergesort by (user, ts, event_id), then a C-speed
+    ``groupby.rolling`` — no per-user loop. Total order (event_id
+    breaks ts ties) keeps the addend set deterministic.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "tus": b["ts"].astype("int64").to_numpy(),
+                "value": b["value"].to_numpy(),
+            }
+        )
+
+    def build(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "tus", "event_id"], kind="mergesort")
+        roll = (
+            p.groupby("user_id", sort=False)["value"]
+            .rolling(window, min_periods=1)
+            .mean()
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype(np.int64).to_numpy(),
+                "event_id": p["event_id"].astype(np.int64).to_numpy(),
+                "rolling_mean": round_half_up(roll.to_numpy(np.float64), 6),
+            }
+        )
+
+    rows = ev.map_batches(to_us, batch_format="pandas")
+    return partitioned_map_groups(rows, ["user_id"], build)
+
+
+def events_anomaly_zscore(
+    sf_dir: str, *, z_thresh: float = 2.0, min_events: int = 5
+) -> "ray.data.Dataset":
+    """Grouped anomaly detection: events whose value is more than
+    ``z_thresh`` population-σ from their user's mean — the per-entity
+    outlier flagging pass feature pipelines run before training (the
+    two-sided sibling of ``winsorize_events``'s capping).
+
+    Two-pass by necessity (z needs the FULL per-user moments): per-user
+    (Σ, Σx², n) pre-aggregate in every batch (combiner) → one tiny
+    grouped exchange → the user-moment table (user-bounded, ≪ events)
+    broadcasts back over a second streaming scan. Never ships raw
+    events to a reducer.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        g = pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "s": v, "s2": v * v, "n": 1}
+        ).groupby("user_id", sort=False).agg(
+            s=("s", "sum"), s2=("s2", "sum"), n=("n", "sum")
+        )
+        return g.reset_index()
+
+    stats = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"s": ("s", "sum"), "s2": ("s2", "sum"), "n": ("n", "sum")},
+    ).to_pandas()
+    stats = stats[stats["n"] >= min_events].copy()
+    m = stats["s"] / stats["n"]
+    var = stats["s2"] / stats["n"] - m * m
+    stats["m"] = m
+    stats["sd"] = np.sqrt(np.maximum(var, 0.0))
+    stats = stats[stats["sd"] > 0]
+    ref = ray.put(stats.set_index("user_id")[["m", "sd"]])
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        mm = st["m"].reindex(b["user_id"]).to_numpy()
+        sd = st["sd"].reindex(b["user_id"]).to_numpy()
+        z = (b["value"].to_numpy(np.float64) - mm) / sd
+        keep = np.abs(z) > z_thresh
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(np.int64)[keep],
+                "user_id": b["user_id"].to_numpy(np.int64)[keep],
+                "z": round_half_up(z[keep], 6),
+            }
+        )
+
+    return ev.map_batches(flag, batch_format="pandas")
+
+
+def hopping_window_counts(
+    sf_dir: str, *, hop_s: int = 1800, win_s: int = 3600
+) -> "ray.data.Dataset":
+    """Overlapping (hopping) window aggregate: event count + value sum
+    per ``win_s``-second window advancing every ``hop_s`` seconds —
+    the sliding-window rate counter streaming engines provide natively
+    and Ray Data lacks. Tumbling windows (``events_resampled``) are the
+    degenerate hop == win case.
+
+    Each event replicates to its win_s/hop_s covering windows with one
+    vectorized ``np.repeat`` (no per-row loop), partial (count, sum)
+    per window per batch (combiner), then ONE tiny grouped exchange —
+    the window-key cardinality is time-range/hop, not event-count.
+    """
+    assert win_s % hop_s == 0, "window must be a whole number of hops"
+    k = win_s // hop_s
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].astype("int64").to_numpy() // 1_000_000
+        base = t // hop_s
+        wins = (
+            np.repeat(base, k).reshape(-1, k) - np.arange(k, dtype=np.int64)
+        ).ravel()
+        v = np.repeat(b["value"].to_numpy(np.float64), k)
+        g = pd.DataFrame({"w": wins, "v": v}).groupby("w", sort=False)["v"]
+        return pd.DataFrame(
+            {
+                "win_start": g.size().index.to_numpy(np.int64) * hop_s,
+                "n": g.size().to_numpy(np.int64),
+                "sum_value": g.sum().to_numpy(np.float64),
+            }
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_value"] = round_half_up(out["sum_value"].to_numpy(np.float64), 6)
+        return out
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["win_start"],
+        {"n": ("n", "sum"), "sum_value": ("sum_value", "sum")},
+        post=post,
+    )

@@ -1427,3 +1427,66 @@ def rephrase_docs(
         batch_size=batch_size,
         concurrency=None if isinstance(concurrency, tuple) else concurrency,
     )
+
+
+def top_ngram_fracs(
+    sf_dir: str, *, ns: tuple = (2, 3, 4)
+) -> "ray.data.Dataset":
+    """Per-doc top-n-gram fraction for n ∈ ``ns`` — the second half of
+    Gopher's repetition-removal table (Rae et al. 2021 §A1.1: "fraction
+    of characters in the most common n-gram"; word-count base here
+    since the corpus is synthetic word soup). Complements
+    ``gopher_metrics``'s duplicate-n-gram *fractions* with the
+    most-frequent-n-gram *concentration* signal.
+
+    Purely batch-local (each doc's n-grams never leave its block): one
+    vectorized explode → shift → grouped max per batch, no shuffle.
+    Columns: doc_id, n_words, top{n}_frac…
+    """
+    from kire_ray.sources.parquet import sized_read
+
+    def metrics(b: pd.DataFrame) -> pd.DataFrame:
+        words = b["text"].str.split()
+        n_words = words.map(len).astype("int64")
+        ex = pd.DataFrame(
+            {
+                "_i": np.repeat(np.arange(len(b)), n_words.to_numpy()),
+                "w": np.concatenate(
+                    [np.asarray(w, dtype=object) for w in words]
+                )
+                if len(b)
+                else np.array([], dtype=object),
+            }
+        )
+        out = {"doc_id": b["doc_id"].to_numpy(), "n_words": n_words.to_numpy()}
+        g = ex.groupby("_i", sort=False)["w"]
+        gram = ex["w"].copy()
+        orders = sorted(ns)
+        # the running-gram extension below appends exactly one word per
+        # order, so the order list must be consecutive from 2
+        assert orders == list(range(2, 2 + len(orders))), orders
+        for n in orders:
+            # extend the running (n-1)-gram by the next word, one
+            # vectorized shift per order
+            if n > 1:
+                nxt = g.shift(-(n - 1))
+                gram = gram + " " + nxt
+            cnt = (
+                pd.DataFrame({"_i": ex["_i"], "g": gram})
+                .dropna(subset=["g"])
+                .groupby(["_i", "g"], sort=False)
+                .size()
+            )
+            top = (
+                cnt.groupby(level="_i", sort=False)
+                .max()
+                .reindex(range(len(b)), fill_value=0)
+                .to_numpy(np.float64)
+            )
+            base = np.maximum(n_words.to_numpy() - (n - 1), 1)
+            out[f"top{n}_frac"] = round_half_up(top / base, 6)
+        return pd.DataFrame(out)
+
+    return sized_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"]).map_batches(
+        metrics, batch_format="pandas"
+    )

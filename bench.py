@@ -194,6 +194,19 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "q8_market_share",
         "q9_product_type_profit",
         "q15_top_supplier",
+        "q12_shipmode_priority",
+        "q19_discounted_revenue",
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q16_supplier_cnt",
+        "q20_excess_suppliers",
+        "q21_waiting_suppliers",
+        "events_rolling_mean",
+        "events_anomaly_zscore",
+        "hopping_window_counts",
+        "repetition_top_ngrams",
+        "kmeans_clusters",
+        "semdedup",
         "lineitem_corr",
         "customer_status_setops",
         "user_event_sequences",

@@ -670,11 +670,15 @@ def events_anomaly_zscore(
     outlier flagging pass feature pipelines run before training (the
     two-sided sibling of ``winsorize_events``'s capping).
 
-    Two-pass by necessity (z needs the FULL per-user moments): per-user
-    (Σ, Σx², n) pre-aggregate in every batch (combiner) → one tiny
-    grouped exchange → the user-moment table (user-bounded, ≪ events)
-    broadcasts back over a second streaming scan. Never ships raw
-    events to a reducer.
+    Unlike the per-TYPE siblings (``relational.events_zscore`` /
+    ``events_anomalies``, whose stats key is constant-cardinality and
+    trivially collectible), the key here is the USER — a cardinality
+    that scales with the data — so the moment table is built by a real
+    grouped exchange with per-batch (Σ, Σx², n) combiners, and only the
+    σ>0, n≥``min_events`` survivors broadcast back over a second
+    streaming scan. Never ships raw events to a reducer; at 100 TB
+    swap the broadcast for a hash join when the survivor table outgrows
+    worker heap (the q5/q10 threshold pattern).
     """
     ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 

@@ -1073,6 +1073,12 @@ def _q_repetition_top_ngrams(sf_dir: str) -> Any:
     return top_ngram_fracs(sf_dir)
 
 
+def _q_dsir_weights(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sampling import dsir_weights
+
+    return dsir_weights(sf_dir)
+
+
 def _q_kmeans_clusters(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import kmeans_clusters
 
@@ -2383,6 +2389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_counts": _q_hopping_window_counts,
         "repetition_top_ngrams": _q_repetition_top_ngrams,
         "kmeans_clusters": _q_kmeans_clusters,
+        "dsir_weights": _q_dsir_weights,
         "semdedup": _q_semdedup,
         "events_ntile": _q_events_ntile,
         "weighted_sample": _q_weighted_sample,
@@ -4304,6 +4311,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "dsir_weights": f"""
+            WITH tokd AS (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+            hbd AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(w), 1, 13))::BIGINT % 1024 AS h
+                FROM tokd),
+            tgtd AS (SELECT h, count(*) AS c FROM hbd
+                     WHERE lang = 'en' GROUP BY 1),
+            rawd AS (SELECT h, count(*) AS c FROM hbd GROUP BY 1),
+            totd AS (SELECT (SELECT coalesce(sum(c), 0) FROM tgtd) AS tt,
+                            (SELECT sum(c) FROM rawd) AS rt),
+            wd AS (
+                SELECT hbd.doc_id,
+                       sum(ln((coalesce(t.c, 0) + 1.0) / (totd.tt + 1024.0))
+                           - ln((r.c + 1.0) / (totd.rt + 1024.0))) AS lw,
+                       count(*) AS n
+                FROM hbd
+                LEFT JOIN tgtd t USING (h)
+                JOIN rawd r USING (h)
+                CROSS JOIN totd
+                GROUP BY 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   {sql_round('lw', 6)} AS dsir_logw
+            FROM wd
         """,
         "events_rolling_mean": f"""
             SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -207,6 +207,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "repetition_top_ngrams",
         "kmeans_clusters",
         "semdedup",
+        "dsir_weights",
         "lineitem_corr",
         "customer_status_setops",
         "user_event_sequences",

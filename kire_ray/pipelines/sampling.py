@@ -324,3 +324,96 @@ def grouped_reservoir(
     return partitioned_map_groups(
         ds.map_batches(partial, batch_format="pandas"), [group_col], fold
     )
+
+
+def dsir_weights(
+    sf_dir: str,
+    *,
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> "ray.data.Dataset":
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): per-document log importance weight under two hashed-unigram
+    bag models, log p_target(doc) − log p_raw(doc), the score the paper
+    resamples raw web data by to match a target domain (here: the
+    ``target_lang`` slice vs the whole corpus).
+
+    Features are md5-hashed token buckets (``md5(w) mod n_buckets`` on
+    the 52-bit prefix — the engine's SQL-parity hash), so the driver
+    verifies the weights value-exactly in DuckDB. Distribution is the
+    sketch pattern: the two bucket-count tables are CONSTANT-size
+    (n_buckets), so pass 1 folds per-block partial count vectors on the
+    driver (no exchange), broadcasts both Laplace-smoothed log-prob
+    tables once, and pass 2 streams every doc through a vectorized
+    token→bucket→logprob lookup. Two streaming scans, zero shuffles.
+
+    Output: (doc_id, n_tokens, dsir_logw).
+    """
+    from hashlib import md5
+
+    from kire_ray.sources.parquet import sized_read
+
+    docs = sized_read(
+        f"{sf_dir}/documents.parquet", ["doc_id", "text", "lang"]
+    )
+
+    def _buckets(words: np.ndarray) -> np.ndarray:
+        # 13-hex-digit md5 prefix == digest[:7] big-endian >> 4
+        return np.fromiter(
+            (
+                (int.from_bytes(md5(w.encode("utf-8")).digest()[:7], "big") >> 4)
+                % n_buckets
+                for w in words
+            ),
+            dtype=np.int64,
+            count=len(words),
+        )
+
+    def _explode(b: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """(row_index, bucket) for every token, hashing each DISTINCT
+        word once per batch."""
+        words = b["text"].str.split()
+        n = words.map(len).to_numpy(np.int64)
+        flat = (
+            np.concatenate([np.asarray(w, dtype=object) for w in words])
+            if len(b)
+            else np.array([], dtype=object)
+        )
+        uniq, inv = np.unique(flat, return_inverse=True)
+        return np.repeat(np.arange(len(b)), n), _buckets(uniq)[inv]
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ri, hb = _explode(b)
+        is_tgt = (b["lang"].to_numpy(object) == target_lang)[ri]
+        return pd.DataFrame(
+            {
+                "tgt": [np.bincount(hb[is_tgt], minlength=n_buckets)],
+                "raw": [np.bincount(hb, minlength=n_buckets)],
+            }
+        )
+
+    parts = docs.map_batches(count_partial, batch_format="pandas").to_pandas()
+    tgt = np.sum(np.stack([np.asarray(v) for v in parts["tgt"]]), axis=0)
+    raw = np.sum(np.stack([np.asarray(v) for v in parts["raw"]]), axis=0)
+    log_tgt = np.log((tgt + alpha) / (tgt.sum() + alpha * n_buckets))
+    log_raw = np.log((raw + alpha) / (raw.sum() + alpha * n_buckets))
+    ref = ray.put(log_tgt - log_raw)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from kire_ray.functions.rounding import round_half_up
+
+        lw = ray.get(ref)
+        ri, hb = _explode(b)
+        s = np.zeros(len(b), dtype=np.float64)
+        np.add.at(s, ri, lw[hb])
+        n = np.bincount(ri, minlength=len(b)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "dsir_logw": round_half_up(s, 6),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pandas")

@@ -58,3 +58,18 @@ def test_top_ngram_fracs(ray_session):
     assert (df["top2_frac"] * (df["n_words"] - 1).clip(lower=1)).ge(
         df["top4_frac"] * (df["n_words"] - 3).clip(lower=1) - 1e-3
     ).all()  # 1e-3: fractions are 6dp-rounded, counts reconstruct ±n·5e-7
+
+
+def test_dsir_weights(ray_session):
+    from kire_ray.pipelines.sampling import dsir_weights
+
+    got = dsir_weights(SF)
+    _cmp(got, "dsir_weights", ["doc_id"])
+    df = got.to_pandas().merge(
+        pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "lang"]],
+        on="doc_id",
+    )
+    # the importance weight must actually rank the target domain first
+    en = df.loc[df["lang"] == "en", "dsir_logw"].mean()
+    rest = df.loc[df["lang"] != "en", "dsir_logw"].mean()
+    assert en > rest

@@ -4268,7 +4268,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
                    {sql_round('v', 6)} AS value
             FROM val11
-            WHERE v > (SELECT sum(v) * 0.001 FROM val11)
+            WHERE v > (SELECT sum(v) * (2.0 / (SELECT count(*) FROM part))
+                       FROM val11)
             ORDER BY v DESC, l_partkey
         """,
         "q16_supplier_cnt": """

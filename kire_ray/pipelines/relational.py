@@ -3790,9 +3790,18 @@ def q2_min_cost_supplier(
             kind="mergesort",
         ).head(top)
 
-    out = topk(
-        qualified.map_batches(topk, batch_format="pandas").to_pandas()
-    ).reset_index(drop=True)
+    out = qualified.map_batches(topk, batch_format="pandas").to_pandas()
+    if out.empty:  # all-filtered collect is schema-less
+        out = pd.DataFrame(
+            {
+                "s_acctbal": [],
+                "s_name": pd.Series([], dtype=object),
+                "n_name": pd.Series([], dtype=object),
+                "l_partkey": [],
+                "p_type": pd.Series([], dtype=object),
+            }
+        )
+    out = topk(out).reset_index(drop=True)
     return ray.data.from_pandas(
         pd.DataFrame(
             {
@@ -3810,7 +3819,7 @@ def q11_important_stock(
     sf_dir: str,
     *,
     regions: tuple = ("AFRICA", "AMERICA"),
-    frac: float = 0.001,
+    frac: float | None = None,
     broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """TPC-H Q11 shape — important stock: per-part value
@@ -3823,8 +3832,12 @@ def q11_important_stock(
     supplier rows else a distributed hash join; per-part value
     pre-aggregates in every batch (combiner) before ONE grouped
     exchange; the HAVING total folds from one partial row per block.
-    The qualifying set is ≤ 1/frac rows BY CONSTRUCTION (each exceeds
-    frac of the total), so the final sort is a bounded driver merge.
+    ``frac`` defaults to TPC-H's data-scaled rule (0.0001/SF there;
+    2/n_parts here) so the query stays selective-but-non-empty at
+    every SF. The qualifying set is ≤ 1/frac rows BY CONSTRUCTION
+    (each exceeds frac of the total) — n_parts/2 under the default —
+    so the final sort is driver-side today; swap it for Dataset.sort
+    at the scale where that bound outgrows the driver.
     """
     from kire_ray.stages.joins import hash_join
 
@@ -3832,6 +3845,9 @@ def q11_important_stock(
     reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     rkeys = set(reg.loc[reg["r_name"].isin(regions), "r_regionkey"])
     nkeys = set(nat.loc[nat["n_regionkey"].isin(rkeys), "n_nationkey"])
+
+    if frac is None:
+        frac = 2.0 / _nrows_parquet(f"{sf_dir}/part.parquet")
 
     li = _read(
         sf_dir, "lineitem",
@@ -3883,14 +3899,16 @@ def q11_important_stock(
     )
     thresh = total * frac
 
-    out = (
-        val.map_batches(
-            lambda b: b[b["value"].to_numpy() > thresh], batch_format="pandas"
-        )
-        .to_pandas()
-        .sort_values(["value", "l_partkey"], ascending=[False, True])
-        .reset_index(drop=True)
-    )
+    out = val.map_batches(
+        lambda b: b[b["value"].to_numpy() > thresh], batch_format="pandas"
+    ).to_pandas()
+    if out.empty:
+        # an all-filtered Dataset collects schema-less; at large SF the
+        # fixed frac legitimately qualifies nothing (TPC-H scales it 1/SF)
+        out = pd.DataFrame({"l_partkey": [], "value": []})
+    out = out.sort_values(
+        ["value", "l_partkey"], ascending=[False, True]
+    ).reset_index(drop=True)
     return ray.data.from_pandas(
         pd.DataFrame(
             {
@@ -4021,14 +4039,20 @@ def q16_supplier_cnt(
         ["p_brand", "p_type", "p_size"],
         cnt,
     )
-    out = (
-        grouped.to_pandas()
-        .sort_values(
-            ["supplier_cnt", "p_brand", "p_type", "p_size"],
-            ascending=[False, True, True, True],
+    out = grouped.to_pandas()
+    if out.empty:  # all-filtered collect is schema-less
+        out = pd.DataFrame(
+            {
+                "p_brand": pd.Series([], dtype=object),
+                "p_type": pd.Series([], dtype=object),
+                "p_size": [],
+                "supplier_cnt": [],
+            }
         )
-        .reset_index(drop=True)
-    )
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
     out["p_size"] = out["p_size"].astype(np.int64)
     out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
     return ray.data.from_pandas(out)
@@ -4222,6 +4246,8 @@ def q21_waiting_suppliers(sf_dir: str, *, top: int = 100) -> "ray.data.Dataset":
         ["l_suppkey"],
         {"numwait": ("numwait", "sum")},
     ).to_pandas()
+    if counts.empty:  # all-filtered collect is schema-less
+        counts = pd.DataFrame({"l_suppkey": [], "numwait": []})
 
     import pyarrow.dataset as pads
 

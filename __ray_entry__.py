@@ -4293,7 +4293,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN part ON p_partkey = l_partkey
                 WHERE p_name LIKE 'large%'
                 GROUP BY l_suppkey, l_partkey
-                HAVING sum(l_quantity) > 150.0)
+                HAVING sum(l_quantity) > 100.0)
             ORDER BY s_name
         """,
         "q21_waiting_suppliers": """

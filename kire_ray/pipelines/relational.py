@@ -3669,6 +3669,8 @@ def q19_discounted_revenue(
         joined = hash_join(li, part_ds, ["l_partkey"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if "p_brand" not in b.columns:  # schema-less empty join block
+            return pd.DataFrame({"s": [0.0]})
         keep = np.zeros(len(b), dtype=bool)
         for brand, size_lo, size_hi, qty_lo, qty_hi in arms:
             keep |= (
@@ -3784,6 +3786,8 @@ def q2_min_cost_supplier(
         qualified = hash_join(winners, part_ds, ["l_partkey"])
 
     def topk(b: pd.DataFrame) -> pd.DataFrame:
+        if "s_acctbal" not in b.columns:  # schema-less empty join block
+            return b
         return b.sort_values(
             ["s_acctbal", "n_name", "s_name", "l_partkey"],
             ascending=[False, True, True, True],
@@ -3891,16 +3895,21 @@ def q11_important_stock(
         {"value": ("value", "sum")},
     )
 
+    def total_part(b: pd.DataFrame) -> pd.DataFrame:
+        v = float(b["value"].sum()) if "value" in b.columns else 0.0
+        return pd.DataFrame({"s": [v]})
+
     total = float(
-        val.map_batches(
-            lambda b: pd.DataFrame({"s": [float(b["value"].sum())]}),
-            batch_format="pandas",
-        ).to_pandas()["s"].sum()
+        val.map_batches(total_part, batch_format="pandas")
+        .to_pandas()["s"].sum()
     )
     thresh = total * frac
 
     out = val.map_batches(
-        lambda b: b[b["value"].to_numpy() > thresh], batch_format="pandas"
+        lambda b: b[b["value"].to_numpy() > thresh]
+        if "value" in b.columns
+        else b,
+        batch_format="pandas",
     ).to_pandas()
     if out.empty:
         # an all-filtered Dataset collects schema-less; at large SF the
@@ -4001,7 +4010,9 @@ def q16_supplier_cnt(
             joined = hash_join(
                 joined, excl_ds, ["l_suppkey"], join_type="left_outer"
             ).map_batches(
-                lambda b: b[b["_excl"].isna()].drop(columns=["_excl"]),
+                lambda b: b[b["_excl"].isna()].drop(columns=["_excl"])
+                if "_excl" in b.columns
+                else b,
                 batch_format="pandas",
             )
         if joined is None:
@@ -4062,7 +4073,7 @@ def q20_excess_suppliers(
     sf_dir: str,
     *,
     prefix: str = "large",
-    min_qty: float = 150.0,
+    min_qty: float = 100.0,
     broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """TPC-H Q20 shape — suppliers with excess stock of one part
@@ -4129,15 +4140,18 @@ def q20_excess_suppliers(
         {"q": ("q", "sum")},
     )
 
-    qual = (
-        sums.map_batches(
-            lambda b: pd.DataFrame(
-                {"l_suppkey": b.loc[b["q"].to_numpy() > min_qty, "l_suppkey"].unique()}
-            ),
-            batch_format="pandas",
+    def qual_part(b: pd.DataFrame) -> pd.DataFrame:
+        if "q" not in b.columns:  # schema-less empty exchange block
+            return pd.DataFrame({"l_suppkey": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"l_suppkey": b.loc[b["q"].to_numpy() > min_qty, "l_suppkey"].unique()}
         )
-        .to_pandas()["l_suppkey"]
-        .unique()
+
+    qual_df = sums.map_batches(qual_part, batch_format="pandas").to_pandas()
+    qual = (
+        qual_df["l_suppkey"].unique()
+        if "l_suppkey" in qual_df.columns
+        else np.array([], dtype=np.int64)
     )
 
     import pyarrow.dataset as pads

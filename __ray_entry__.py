@@ -1073,6 +1073,12 @@ def _q_repetition_top_ngrams(sf_dir: str) -> Any:
     return top_ngram_fracs(sf_dir)
 
 
+def _q_ccnet_buckets(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import ccnet_buckets
+
+    return ccnet_buckets(sf_dir)
+
+
 def _q_dsir_weights(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import dsir_weights
 
@@ -2390,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_top_ngrams": _q_repetition_top_ngrams,
         "kmeans_clusters": _q_kmeans_clusters,
         "dsir_weights": _q_dsir_weights,
+        "ccnet_buckets": _q_ccnet_buckets,
         "semdedup": _q_semdedup,
         "events_ntile": _q_events_ntile,
         "weighted_sample": _q_weighted_sample,
@@ -4312,6 +4319,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "ccnet_buckets": f"""
+            WITH ccw AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS p
+                FROM documents),
+            ccuni AS (SELECT w, count(*) AS cu FROM ccw GROUP BY w),
+            ccv AS (SELECT count(*) * 1.0 AS v FROM ccuni),
+            ccbg AS (
+                SELECT doc_id, w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+                FROM ccw QUALIFY w2 IS NOT NULL),
+            ccbc AS (SELECT w1, w2, count(*) AS cb FROM ccbg GROUP BY 1, 2),
+            ccsc AS (
+                SELECT g.doc_id, ln((c.cb + 1.0) / (u.cu + v.v)) AS lp
+                FROM ccbg g
+                JOIN ccbc c ON c.w1 = g.w1 AND c.w2 = g.w2
+                JOIN ccuni u ON u.w = g.w1
+                CROSS JOIN ccv v),
+            ccagg AS (SELECT doc_id, sum(lp) / count(*) AS m
+                      FROM ccsc GROUP BY 1),
+            ccdoc AS (
+                SELECT d.doc_id, d.lang,
+                       floor(coalesce(a.m, 0.0) * 1000000 + 0.501) / 1000000
+                           AS mlp
+                FROM documents d LEFT JOIN ccagg a USING (doc_id)),
+            ccq AS (SELECT doc_id, lang, mlp,
+                           floor(mlp * 1000 + 0.501) / 1000 AS lp3
+                    FROM ccdoc),
+            cccnt AS (SELECT lang, lp3, count(*) AS c FROM ccq GROUP BY 1, 2),
+            cccum AS (
+                SELECT lang, lp3,
+                       sum(c) OVER (PARTITION BY lang
+                                    ORDER BY lp3 DESC) AS cum,
+                       sum(c) OVER (PARTITION BY lang) AS n
+                FROM cccnt),
+            ccth AS (
+                SELECT lang,
+                       max(CASE WHEN cum >= (n + 2) // 3 THEN lp3 END) AS t1,
+                       max(CASE WHEN cum >= (2 * n + 2) // 3 THEN lp3 END)
+                           AS t2
+                FROM cccum GROUP BY 1)
+            SELECT q.doc_id, q.lang,
+                   {sql_round('q.mlp', 6)} AS mean_logprob,
+                   CASE WHEN q.lp3 >= t.t1 THEN 'head'
+                        WHEN q.lp3 >= t.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ccq q JOIN ccth t USING (lang)
         """,
         "dsir_weights": f"""
             WITH tokd AS (

@@ -208,6 +208,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kmeans_clusters",
         "semdedup",
         "dsir_weights",
+        "ccnet_buckets",
         "lineitem_corr",
         "customer_status_setops",
         "user_event_sequences",

@@ -1490,3 +1490,100 @@ def top_ngram_fracs(
     return sized_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"]).map_batches(
         metrics, batch_format="pandas"
     )
+
+
+def ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, split the corpus into head / middle / tail terciles by
+    language-model score — the published pre-filtering step CCNet runs
+    before keeping only head+middle. The LM is the engine's own
+    add-1-smoothed bigram model (``bigram_logprob``; higher mean
+    log-prob == lower perplexity == head).
+
+    Bucketing is THRESHOLD-based on the 3dp-quantized score (ties go
+    to the upper bucket), which keeps the per-(lang, score) count
+    table CONSTANT-bounded (langs × score bins) — the
+    curriculum_schedule value-histogram trick — so thresholds fold on
+    the driver with no per-lang global sort; a rank-exact tercile
+    would need the length_batches counting-sort shape instead.
+    Distribution: the bigram scoring passes (vocab-bounded exchange +
+    streaming probe), one hash join to attach lang (broadcast under a
+    dimension-sized doc table), one bounded count exchange, then a
+    stateless bucket-assign scan.
+
+    Output: (doc_id, lang, mean_logprob, bucket).
+    """
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.sources.parquet import sized_read
+    from kire_ray.stages.joins import hash_join, normalize_blocks
+    from kire_ray.stages.shuffle import grouped_agg
+
+    docs = sized_read(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+    lp = bigram_logprob(docs)
+
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    if n_docs <= 1_000_000:
+        lang_map = _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        ).to_pandas()
+        from kire_ray.stages.joins import broadcast_join
+
+        scored = broadcast_join(lp, lang_map, ["doc_id"], how="inner")
+    else:
+        lang_ds = sized_read(f"{sf_dir}/documents.parquet", ["doc_id", "lang"])
+        scored, _ = normalize_blocks(hash_join(lp, lang_ds, ["doc_id"]))
+
+    def q3dp(v: np.ndarray) -> np.ndarray:
+        return np.floor(v * 1000.0 + 0.501) / 1000.0
+
+    def cnt_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"lang": b["lang"].to_numpy(object), "lp3": q3dp(b["mean_logprob"].to_numpy())}
+        ).groupby(["lang", "lp3"], sort=False).size()
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "lang": idx["lang"].to_numpy(object),
+                "lp3": idx["lp3"].to_numpy(np.float64),
+                "c": g.to_numpy(np.int64),
+            }
+        )
+
+    cnts = grouped_agg(
+        scored.map_batches(cnt_part, batch_format="pandas"),
+        ["lang", "lp3"],
+        {"c": ("c", "sum")},
+    ).to_pandas()
+
+    th = {}
+    for lang, grp in cnts.groupby("lang"):
+        grp = grp.sort_values("lp3", ascending=False)
+        cum = grp["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        lp3s = grp["lp3"].to_numpy()
+        t1 = lp3s[np.searchsorted(cum, k1, side="left")]
+        t2 = lp3s[np.searchsorted(cum, k2, side="left")]
+        th[lang] = (t1, t2)
+    ref = ray.put(th)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        lp3 = q3dp(b["mean_logprob"].to_numpy())
+        t1 = np.array([t[x][0] for x in b["lang"]])
+        t2 = np.array([t[x][1] for x in b["lang"]])
+        bucket = np.where(lp3 >= t1, "head", np.where(lp3 >= t2, "middle", "tail"))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "lang": b["lang"].to_numpy(object),
+                "mean_logprob": round_half_up(
+                    b["mean_logprob"].to_numpy(np.float64), 6
+                ),
+                "bucket": bucket.astype(object),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pandas")

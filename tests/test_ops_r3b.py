@@ -73,3 +73,22 @@ def test_dsir_weights(ray_session):
     en = df.loc[df["lang"] == "en", "dsir_logw"].mean()
     rest = df.loc[df["lang"] != "en", "dsir_logw"].mean()
     assert en > rest
+
+
+def test_ccnet_buckets(ray_session):
+    from kire_ray.pipelines.text_analysis import ccnet_buckets
+
+    got = ccnet_buckets(SF)
+    _cmp(got, "ccnet_buckets", ["doc_id"])
+    df = got.to_pandas()
+    # terciles are near-equal per language (threshold ties go upward)
+    for lang, grp in df.groupby("lang"):
+        vc = grp["bucket"].value_counts()
+        assert set(vc.index) == {"head", "middle", "tail"}
+        assert vc.max() - vc.min() <= max(3, len(grp) // 10)
+    # head really is the low-perplexity (high log-prob) end, per lang
+    for lang, grp in df.groupby("lang"):
+        assert (
+            grp.loc[grp["bucket"] == "head", "mean_logprob"].min()
+            >= grp.loc[grp["bucket"] == "tail", "mean_logprob"].max() - 1e-3
+        )  # 1e-3: buckets cut on the 3dp-quantized score

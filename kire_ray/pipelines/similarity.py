@@ -973,7 +973,12 @@ def _kmeans_fit_distributed(
     """Distributed Lloyd fit shared by ``kmeans_clusters``/``semdedup``:
     deterministic md5-bottom-k init, then ``iters`` rounds of
     broadcast-assign + per-batch partial (sum, count) folded on the
-    driver (k × dim per block — never the vectors)."""
+    driver (k × dim per block — never the vectors).
+
+    Each round streams the table from storage (iters+1 read passes);
+    at 100 TB, `.materialize()` the normalized vectors once before the
+    loop so rounds re-read from the object store instead of parquet —
+    the fold/broadcast structure is unchanged."""
     import hashlib
 
     def seed_partial(b: pd.DataFrame) -> pd.DataFrame:

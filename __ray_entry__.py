@@ -455,6 +455,30 @@ def _q_kg_pagerank(sf_dir: str) -> Any:
     return pagerank(edges)
 
 
+def _q_kg_hits(sf_dir: str) -> Any:
+    """HITS hubs & authorities over the corpus KG triple table (5
+    L1-normalized iterations — see pipelines/graph_algos.py).
+    Corpus-side oracle: the SQL unrolls the same 5 iterations over the
+    gold kg_triples parquet (_hits_sql)."""
+    from kire_ray.pipelines.graph_algos import hits
+
+    corpus = _corpus(sf_dir)
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"])
+    return hits(edges)
+
+
+def _q_kg_negative_samples(sf_dir: str) -> Any:
+    """TransE-protocol corrupted-tail negatives over the corpus KG
+    triples (md5-derived candidate index, accidental positives dropped
+    by one tagged exchange). Corpus-side oracle: md5 index + NOT
+    EXISTS reconstruction over the gold kg_triples parquet."""
+    from kire_ray.pipelines.graph_algos import negative_samples
+
+    corpus = _corpus(sf_dir)
+    edges = _cread(corpus, "kg_triples", ["h_qid", "prop", "t_qid"])
+    return negative_samples(edges)
+
+
 def _q_winsorize(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import winsorize
 
@@ -2464,6 +2488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_quantiles": _q_hist_quantiles,
         "winsorize_events": _q_winsorize,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_hits": _q_kg_hits,
+        "kg_negative_samples": _q_kg_negative_samples,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
@@ -2487,6 +2513,47 @@ def _sql_norm(col: str) -> str:
         "trim(regexp_replace(lower(replace(replace(replace("
         f"{col}, chr(10), ' '), '.', ''), '-', ' ')), ' +', ' ', 'g'))"
     )
+
+
+def _hits_sql(c01: str, iters: int = 5) -> str:
+    """Unrolled HITS oracle over the gold triple table — same shape as
+    the kg_pagerank oracle. MATERIALIZED on every iteration CTE: each
+    is referenced twice downstream and DuckDB would otherwise inline
+    (re-evaluate) the whole chain exponentially."""
+    from kire_ray.functions.rounding import sql_round
+
+    parts = [
+        f"""
+        WITH hedges AS (SELECT h_qid AS src, t_qid AS dst
+                        FROM read_parquet('{c01}/kg_triples.parquet')),
+        hnodes AS (SELECT DISTINCT q FROM (
+            SELECT src AS q FROM hedges UNION ALL SELECT dst FROM hedges)),
+        hnn AS (SELECT count(*) AS n FROM hnodes),
+        h0 AS (SELECT q, 1.0 / (SELECT n FROM hnn) AS r FROM hnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+        a{i}raw AS MATERIALIZED (
+            SELECT e.dst AS q, sum(p.r) AS c
+            FROM hedges e JOIN h{i-1} p ON p.q = e.src GROUP BY 1),
+        a{i} AS MATERIALIZED (
+            SELECT n.q, coalesce(r.c, 0.0) / (SELECT sum(c) FROM a{i}raw) AS r
+            FROM hnodes n LEFT JOIN a{i}raw r USING (q)),
+        h{i}raw AS MATERIALIZED (
+            SELECT e.src AS q, sum(p.r) AS c
+            FROM hedges e JOIN a{i} p ON p.q = e.dst GROUP BY 1),
+        h{i} AS MATERIALIZED (
+            SELECT n.q, coalesce(r.c, 0.0) / (SELECT sum(c) FROM h{i}raw) AS r
+            FROM hnodes n LEFT JOIN h{i}raw r USING (q))"""
+        )
+    parts.append(
+        f"""
+        SELECT a.q AS qid, {sql_round('a.r', 6)} AS auth,
+               {sql_round('h.r', 6)} AS hub
+        FROM a{iters} a JOIN h{iters} h USING (q)"""
+    )
+    return "".join(parts)
 
 
 def _kg_chain_sql(c01: str, max_ent: int = 42, docred: bool = False) -> str:
@@ -5668,6 +5735,32 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM wg) AS n_wedges,
                    (SELECT count(*) FROM wg JOIN ed USING (a, b))
                        AS n_triangles
+        """,
+        "kg_hits": _hits_sql(c01),
+        "kg_negative_samples": f"""
+            WITH nsed AS (SELECT h_qid, prop, t_qid
+                          FROM read_parquet('{c01}/kg_triples.parquet')),
+            nsn AS (SELECT q, row_number() OVER (ORDER BY q) - 1 AS idx
+                    FROM (SELECT DISTINCT q FROM (
+                        SELECT h_qid AS q FROM nsed
+                        UNION ALL SELECT t_qid FROM nsed))),
+            nscnt AS (SELECT count(*) AS n FROM nsn),
+            nscand AS (
+                SELECT e.h_qid, e.prop, e.t_qid, js.j,
+                       ('0x' || substr(md5(e.h_qid || '|' || e.prop || '|'
+                            || e.t_qid || '|' || js.j), 1, 13))::BIGINT
+                           % (SELECT n FROM nscnt) AS ci
+                FROM nsed e CROSS JOIN (SELECT unnest([1, 2]) AS j) js),
+            nsneg AS (
+                SELECT c.h_qid, c.prop, n.q AS t_neg,
+                       CAST(c.j AS BIGINT) AS j, c.t_qid
+                FROM nscand c JOIN nsn n ON n.idx = c.ci)
+            SELECT h_qid, prop, t_neg, j FROM nsneg
+            WHERE t_neg <> t_qid
+              AND NOT EXISTS (SELECT 1 FROM nsed e
+                              WHERE e.h_qid = nsneg.h_qid
+                                AND e.prop = nsneg.prop
+                                AND e.t_qid = nsneg.t_neg)
         """,
         "kg_pagerank": f"""
             WITH edges AS (

@@ -228,6 +228,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "user_funnel",
         "hll_window_users",
         "kg_bfs_levels",
+        "kg_hits",
+        "kg_negative_samples",
         "events_zscore",
         "events_regression",
         "event_hour_pmi",

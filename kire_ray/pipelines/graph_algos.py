@@ -611,3 +611,223 @@ def link_prediction(
         )
 
     return partitioned_map_groups(both, ["x", "y"], score, num_partitions=P)
+
+
+HITS_ITERS = 5
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "h_qid",
+    dst_col: str = "t_qid",
+    iters: int = HITS_ITERS,
+) -> "ray.data.Dataset":
+    """HITS hubs & authorities (Kleinberg 1999) with L1 (sum)
+    normalization — the companion centrality to ``pagerank`` that
+    scores nodes on BOTH roles of a directed edge (good sources vs
+    good targets; in a KG: prolific subjects vs canonical objects).
+
+    Same distributed contract as ``pagerank``: the node/score vectors
+    are driver-resident broadcasts (node-bounded — the documented
+    billion-node hash-join swap applies identically), and each of the
+    ``iters`` rounds is TWO streaming edge passes (auth ← hubs of
+    in-neighbors, then hub ← auths of out-neighbors), each a
+    block-local grouped partial folded on the driver. L1 rather than
+    the textbook L2 normalization keeps every intermediate a plain
+    sum/division, mirrored exactly in the unrolled SQL oracle
+    (kg_hits); the ranking is invariant to the norm choice.
+
+    Output: (qid, auth, hub), both rounded half-up at 6 decimals.
+    """
+    from kire_ray.stages.shuffle import iteration_blocks, partitioned_map_groups
+
+    ed = iteration_blocks(edges.select_columns([src_col, dst_col]))
+
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([b[src_col], b[dst_col]]).unique()
+        return pd.DataFrame({"q": u})
+
+    nodes = (
+        partitioned_map_groups(
+            ed.map_batches(node_partial, batch_format="pandas"),
+            ["q"],
+            lambda p: p.drop_duplicates(),
+        )
+        .to_pandas()["q"]
+        .to_numpy(dtype=object)
+    )
+    nodes = np.sort(nodes)
+    n = len(nodes)
+
+    hub = np.full(n, 1.0 / n, dtype=np.float64)
+    auth = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        ref = ray.put((nodes, hub))
+
+        def a_pass(b: pd.DataFrame) -> pd.DataFrame:
+            nd, h = ray.get(ref)
+            si = np.searchsorted(nd, b[src_col].to_numpy())
+            out = pd.DataFrame({"q": b[dst_col], "c": h[si]})
+            return out.groupby("q", sort=False).agg(c=("c", "sum")).reset_index()
+
+        at = (
+            ed.map_batches(a_pass, batch_format="pandas")
+            .to_pandas()
+            .groupby("q", sort=False)["c"]
+            .sum()
+        )
+        auth = np.zeros(n, dtype=np.float64)
+        auth[np.searchsorted(nodes, at.index.to_numpy())] = at.to_numpy(np.float64)
+        auth /= auth.sum()
+
+        ref2 = ray.put((nodes, auth))
+
+        def h_pass(b: pd.DataFrame) -> pd.DataFrame:
+            nd, a = ray.get(ref2)
+            di = np.searchsorted(nd, b[dst_col].to_numpy())
+            out = pd.DataFrame({"q": b[src_col], "c": a[di]})
+            return out.groupby("q", sort=False).agg(c=("c", "sum")).reset_index()
+
+        ht = (
+            ed.map_batches(h_pass, batch_format="pandas")
+            .to_pandas()
+            .groupby("q", sort=False)["c"]
+            .sum()
+        )
+        hub = np.zeros(n, dtype=np.float64)
+        hub[np.searchsorted(nodes, ht.index.to_numpy())] = ht.to_numpy(np.float64)
+        hub /= hub.sum()
+
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "qid": nodes,
+                "auth": round_half_up(pd.Series(auth), 6),
+                "hub": round_half_up(pd.Series(hub), 6),
+            }
+        )
+    )
+
+
+def negative_samples(
+    edges: "ray.data.Dataset",
+    *,
+    h_col: str = "h_qid",
+    r_col: str = "prop",
+    t_col: str = "t_qid",
+    k: int = 2,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """KG-embedding negative sampling (TransE / Bordes et al. 2013
+    corrupted-triple protocol, tail corruption): for every positive
+    triple, ``k`` deterministic candidate negatives — the corrupt tail
+    is the entity at index ``md5(h|r|t|j) mod n_entities`` in the
+    SORTED node universe (the engine's SQL-parity hash, so the sample
+    is reconstructible in DuckDB) — filtered so no accidental positive
+    (an existing (h, r, t') triple) and no self-replacement survives.
+
+    Distribution: the sorted node array broadcasts once (node-bounded,
+    same contract as pagerank); candidates generate vectorized per
+    batch; the accidental-positive filter is ONE tagged exchange on
+    (h, r, t) — real triples ride with candidates and the reducer
+    drops matches (the incremental_dedup shape), never a broadcast of
+    the fact-sized triple set.
+
+    Output: (h_qid, prop, t_neg, j).
+    """
+    from hashlib import md5
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([b[h_col], b[t_col]]).unique()
+        return pd.DataFrame({"q": u})
+
+    nodes = (
+        partitioned_map_groups(
+            edges.map_batches(node_partial, batch_format="pandas"),
+            ["q"],
+            lambda p: p.drop_duplicates(),
+        )
+        .to_pandas()["q"]
+        .to_numpy(dtype=object)
+    )
+    nodes = np.sort(nodes)
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def cand_side(b: pd.DataFrame) -> pd.DataFrame:
+        nd = ray.get(nodes_ref)
+        hs = b[h_col].to_numpy(object)
+        rs = b[r_col].to_numpy(object)
+        ts = b[t_col].to_numpy(object)
+        out_h, out_r, out_t, out_j = [], [], [], []
+        for j in range(1, k + 1):
+            ci = np.fromiter(
+                (
+                    (
+                        int.from_bytes(
+                            md5(f"{h}|{r}|{t}|{j}".encode("utf-8")).digest()[:7],
+                            "big",
+                        )
+                        >> 4
+                    )
+                    % n
+                    for h, r, t in zip(hs, rs, ts)
+                ),
+                dtype=np.int64,
+                count=len(b),
+            )
+            neg = nd[ci]
+            keep = neg != ts
+            out_h.append(hs[keep])
+            out_r.append(rs[keep])
+            out_t.append(neg[keep])
+            out_j.append(np.full(int(keep.sum()), j, dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "h_qid": np.concatenate(out_h),
+                "prop": np.concatenate(out_r),
+                "t_cand": np.concatenate(out_t),
+                "j": np.concatenate(out_j),
+            }
+        )
+
+    def real_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "h_qid": b[h_col].to_numpy(object),
+                "prop": b[r_col].to_numpy(object),
+                "t_cand": b[t_col].to_numpy(object),
+                "j": np.zeros(len(b), dtype=np.int64),  # 0 marks a real triple
+            }
+        )
+
+    both = edges.map_batches(cand_side, batch_format="pandas").union(
+        edges.map_batches(real_side, batch_format="pandas")
+    )
+
+    def drop_accidental(part: pd.DataFrame) -> pd.DataFrame:
+        real = part[part["j"] == 0]
+        cand = part[part["j"] > 0]
+        key = ["h_qid", "prop", "t_cand"]
+        keep = cand.merge(
+            real[key].drop_duplicates(), on=key, how="left", indicator=True
+        )
+        keep = keep[keep["_merge"] == "left_only"]
+        return pd.DataFrame(
+            {
+                "h_qid": keep["h_qid"].to_numpy(object),
+                "prop": keep["prop"].to_numpy(object),
+                "t_neg": keep["t_cand"].to_numpy(object),
+                "j": keep["j"].to_numpy(np.int64),
+            }
+        )
+
+    return partitioned_map_groups(
+        both,
+        ["h_qid", "prop", "t_cand"],
+        drop_accidental,
+        num_partitions=num_partitions,
+    )

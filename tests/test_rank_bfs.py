@@ -127,3 +127,73 @@ def test_link_prediction_small(ray_session):
     assert (r["s1"], r["s2"], r["cn"]) == ("b", "x", 2)
     assert abs(r["jaccard"] - 1.0) < 1e-6
     assert abs(r["adamic_adar"] - (1 / np.log(2) + 1 / np.log(3))) < 1e-6
+
+
+def test_hits_vs_numpy(ray_session):
+    """Distributed HITS == sequential numpy on the same edge table."""
+    import numpy as np
+    import pandas as pd
+
+    from kire_ray.pipelines.graph_algos import hits
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 300)
+    dst = (src + 1 + rng.integers(0, 38, 300)) % 40
+    ed = pd.DataFrame(
+        {"h_qid": [f"Q{i}" for i in src], "t_qid": [f"Q{i}" for i in dst]}
+    )
+    got = (
+        hits(ray.data.from_pandas(ed))
+        .to_pandas()
+        .sort_values("qid")
+        .reset_index(drop=True)
+    )
+
+    nodes = np.sort(pd.concat([ed["h_qid"], ed["t_qid"]]).unique())
+    n = len(nodes)
+    si = np.searchsorted(nodes, ed["h_qid"])
+    di = np.searchsorted(nodes, ed["t_qid"])
+    hub = np.full(n, 1.0 / n)
+    for _ in range(5):
+        auth = np.zeros(n)
+        np.add.at(auth, di, hub[si])
+        auth /= auth.sum()
+        hub = np.zeros(n)
+        np.add.at(hub, si, auth[di])
+        hub /= hub.sum()
+    np.testing.assert_allclose(got["auth"].to_numpy(), auth, atol=2e-6)
+    np.testing.assert_allclose(got["hub"].to_numpy(), hub, atol=2e-6)
+    assert abs(got["auth"].sum() - 1.0) < 1e-3 and abs(got["hub"].sum() - 1.0) < 1e-3
+
+
+def test_negative_samples_protocol(ray_session):
+    """No accidental positives, no self-replacement, deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from kire_ray.pipelines.graph_algos import negative_samples
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    ed = pd.DataFrame(
+        {
+            "h_qid": [f"Q{i}" for i in rng.integers(0, 30, 200)],
+            "prop": [f"P{i}" for i in rng.integers(0, 5, 200)],
+            "t_qid": [f"Q{i}" for i in rng.integers(0, 30, 200)],
+        }
+    ).drop_duplicates()
+    got = negative_samples(ray.data.from_pandas(ed)).to_pandas()
+    got2 = negative_samples(ray.data.from_pandas(ed)).to_pandas()
+    key = ["h_qid", "prop", "t_neg", "j"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True)[key],
+        got2.sort_values(key).reset_index(drop=True)[key],
+    )
+    real = set(map(tuple, ed[["h_qid", "prop", "t_qid"]].to_numpy()))
+    assert not any(
+        (h, p, t) in real
+        for h, p, t in got[["h_qid", "prop", "t_neg"]].to_numpy()
+    )
+    # ~2 negatives per positive minus the filtered collisions
+    assert len(ed) <= len(got) <= 2 * len(ed)

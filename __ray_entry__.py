@@ -717,6 +717,26 @@ def _q_csv_roundtrip(sf_dir: str) -> Any:
     return ray.data.read_csv(out)
 
 
+def _q_orc_roundtrip(sf_dir: str) -> Any:
+    """ORC interop surface (Ray 2.49 has no native ORC I/O; the engine
+    supplies the sharded sink + file-per-task source —
+    sources/orc.py): documents → content-named .orc shards under /tmp
+    → distributed column-pruned read back; oracle = the source table,
+    so write AND read are value-exact end to end."""
+    import hashlib as _h
+    import os as _os
+    import shutil as _sh
+
+    from kire_ray.sources.orc import read_orc, write_orc_sharded
+
+    docs = _sread(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = f"/tmp/kire_ray_orc/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if _os.path.isdir(out):
+        _sh.rmtree(out)  # content-named shards; a stale sf would linger
+    write_orc_sharded(docs.repartition(16), out)
+    return read_orc(out, columns=["doc_id", "lang", "n_chars"])
+
+
 def _q_parquet_hive_export(sf_dir: str) -> Any:
     """documents → hive-partitioned parquet by (lang, source) under
     /tmp; the returned counts are computed by READING THE FILES BACK,
@@ -2454,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_export": _q_jsonl_export,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
         "parquet_hive_export": _q_parquet_hive_export,
         "kg_comention": _q_kg_comention,
         "kg_link_prediction": _q_kg_link_prediction,
@@ -3199,6 +3220,9 @@ def oracle_sql() -> dict[str, str]:
             FROM best
         """,
         "csv_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "orc_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
         """,
         "jsonl_roundtrip": """

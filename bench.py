@@ -175,6 +175,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "jsonl_export",
         "jsonl_roundtrip",
         "csv_roundtrip",
+        "orc_roundtrip",
         "parquet_hive_export",
         "kg_comention",
         "kg_link_prediction",

@@ -80,3 +80,23 @@ def test_hive_export_overwrite_and_prune(ray_session, tmp_path):
     import os
 
     assert sorted(os.listdir(d)) == ["lang=de", "lang=en"]
+
+
+def test_orc_roundtrip_idempotent(ray_session, tmp_path):
+    """ORC shards are content-named: a re-run overwrites its own files
+    (no duplicate rows), and the read is column-pruned."""
+    import pandas as pd
+
+    import ray.data
+    from kire_ray.sources.orc import read_orc, write_orc_sharded
+
+    df = pd.DataFrame({"a": range(100), "b": [f"s{i}" for i in range(100)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = str(tmp_path / "orc")
+    m1 = write_orc_sharded(ds, out)
+    m2 = write_orc_sharded(ds, out)  # idempotent re-run
+    assert sorted(m1["path"]) == sorted(m2["path"])
+    back = read_orc(out).to_pandas().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+    only_a = read_orc(out, columns=["a"]).to_pandas()
+    assert list(only_a.columns) == ["a"] and len(only_a) == 100

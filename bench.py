@@ -527,6 +527,14 @@ if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child()
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)), flush=True)
+        print(
+            json.dumps(
+                run_scaling(
+                    SF_DIR,
+                    repeats=int(os.environ.get("RAY_GRAFT_SCALING_REPEATS", "2")),
+                )
+            ),
+            flush=True,
+        )
     else:
         _print_result(run_once(SF_DIR, NUM_CPUS))

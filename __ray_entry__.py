@@ -479,6 +479,31 @@ def _q_kg_negative_samples(sf_dir: str) -> Any:
     return negative_samples(edges)
 
 
+def _q_kg_link_eval(sf_dir: str) -> Any:
+    """Filtered link-prediction ranks (Bordes et al. 2013 tail
+    protocol) over the corpus KG triples under the md5 score basis —
+    one (h, r) exchange + node-bounded broadcast, see
+    pipelines/graph_algos.link_eval. Corpus-side oracle: the SQL
+    rebuilds candidate scores as raw 52-bit md5 integers and counts
+    strictly-greater unfiltered candidates per triple."""
+    from kire_ray.pipelines.graph_algos import link_eval
+
+    corpus = _corpus(sf_dir)
+    edges = _cread(corpus, "kg_triples", ["h_qid", "prop", "t_qid"])
+    return link_eval(edges)
+
+
+def _q_kg_link_eval_summary(sf_dir: str) -> Any:
+    """One-row MRR / Hits@{1,3,10} / mean-rank summary of
+    kg_link_eval; every aggregate integer (MRR via floor(1e12/rank)
+    partial sums) so the row is bit-exact in SQL."""
+    from kire_ray.pipelines.graph_algos import link_eval_summary
+
+    corpus = _corpus(sf_dir)
+    edges = _cread(corpus, "kg_triples", ["h_qid", "prop", "t_qid"])
+    return link_eval_summary(edges)
+
+
 def _q_kg_random_walks(sf_dir: str) -> Any:
     """Deterministic DeepWalk corpus over the gold triples (md5-chosen
     neighbor per step, one tagged exchange per step — see
@@ -735,6 +760,27 @@ def _q_orc_roundtrip(sf_dir: str) -> Any:
         _sh.rmtree(out)  # content-named shards; a stale sf would linger
     write_orc_sharded(docs.repartition(16), out)
     return read_orc(out, columns=["doc_id", "lang", "n_chars"])
+
+
+def _q_feather_roundtrip(sf_dir: str) -> Any:
+    """Feather V2 / Arrow IPC interop surface (Ray 2.49 has no native
+    feather I/O; the engine supplies the sharded sink + file-per-task
+    source — sources/feather.py): documents → content-named
+    uncompressed .feather shards under /tmp → distributed
+    column-pruned read back; oracle = the source table, so write AND
+    read are value-exact end to end."""
+    import hashlib as _h
+    import os as _os
+    import shutil as _sh
+
+    from kire_ray.sources.feather import read_feather, write_feather_sharded
+
+    docs = _sread(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = f"/tmp/kire_ray_feather/{_h.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if _os.path.isdir(out):
+        _sh.rmtree(out)  # content-named shards; a stale sf would linger
+    write_feather_sharded(docs.repartition(16), out)
+    return read_feather(out, columns=["doc_id", "lang", "n_chars"])
 
 
 def _q_parquet_hive_export(sf_dir: str) -> Any:
@@ -2475,6 +2521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "csv_roundtrip": _q_csv_roundtrip,
         "orc_roundtrip": _q_orc_roundtrip,
+        "feather_roundtrip": _q_feather_roundtrip,
         "parquet_hive_export": _q_parquet_hive_export,
         "kg_comention": _q_kg_comention,
         "kg_link_prediction": _q_kg_link_prediction,
@@ -2523,6 +2570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "kg_negative_samples": _q_kg_negative_samples,
+        "kg_link_eval": _q_kg_link_eval,
+        "kg_link_eval_summary": _q_kg_link_eval_summary,
         "kg_random_walks": _q_kg_random_walks,
         "kg_triangles": _q_kg_triangles,
         "kg_kcore": _q_kg_kcore,
@@ -3223,6 +3272,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
         """,
         "orc_roundtrip": """
+            SELECT doc_id, lang, n_chars FROM documents
+        """,
+        "feather_roundtrip": """
             SELECT doc_id, lang, n_chars FROM documents
         """,
         "jsonl_roundtrip": """
@@ -5836,6 +5888,73 @@ def oracle_sql() -> dict[str, str]:
                               WHERE e.h_qid = nsneg.h_qid
                                 AND e.prop = nsneg.prop
                                 AND e.t_qid = nsneg.t_neg)
+        """,
+        "kg_link_eval": f"""
+            WITH le AS (SELECT DISTINCT h_qid, prop, t_qid
+                        FROM read_parquet('{c01}/kg_triples.parquet')),
+            len0 AS (SELECT DISTINCT q FROM (
+                        SELECT h_qid AS q FROM le
+                        UNION ALL SELECT t_qid FROM le)),
+            lehr AS (SELECT DISTINCT h_qid, prop FROM le),
+            lesc AS (SELECT hr.h_qid, hr.prop, n.q,
+                            ('0x' || substr(md5(hr.h_qid || '|' || hr.prop
+                                || '|' || n.q), 1, 13))::BIGINT AS s
+                     FROM lehr hr CROSS JOIN len0 n),
+            lecand AS (SELECT sc.h_qid, sc.prop, sc.q, sc.s FROM lesc sc
+                       WHERE NOT EXISTS (SELECT 1 FROM le e
+                             WHERE e.h_qid = sc.h_qid AND e.prop = sc.prop
+                               AND e.t_qid = sc.q)),
+            lets AS (SELECT e.h_qid, e.prop, e.t_qid, sc.s AS st
+                     FROM le e JOIN lesc sc
+                       ON sc.h_qid = e.h_qid AND sc.prop = e.prop
+                      AND sc.q = e.t_qid)
+            SELECT t.h_qid, t.prop, t.t_qid,
+                   CAST(1 + count(c.q) AS BIGINT) AS t_rank,
+                   1.0 / (1 + count(c.q)) AS rr
+            FROM lets t LEFT JOIN lecand c
+              ON c.h_qid = t.h_qid AND c.prop = t.prop AND c.s > t.st
+            GROUP BY t.h_qid, t.prop, t.t_qid
+        """,
+        "kg_link_eval_summary": f"""
+            WITH le AS (SELECT DISTINCT h_qid, prop, t_qid
+                        FROM read_parquet('{c01}/kg_triples.parquet')),
+            len0 AS (SELECT DISTINCT q FROM (
+                        SELECT h_qid AS q FROM le
+                        UNION ALL SELECT t_qid FROM le)),
+            lehr AS (SELECT DISTINCT h_qid, prop FROM le),
+            lesc AS (SELECT hr.h_qid, hr.prop, n.q,
+                            ('0x' || substr(md5(hr.h_qid || '|' || hr.prop
+                                || '|' || n.q), 1, 13))::BIGINT AS s
+                     FROM lehr hr CROSS JOIN len0 n),
+            lecand AS (SELECT sc.h_qid, sc.prop, sc.q, sc.s FROM lesc sc
+                       WHERE NOT EXISTS (SELECT 1 FROM le e
+                             WHERE e.h_qid = sc.h_qid AND e.prop = sc.prop
+                               AND e.t_qid = sc.q)),
+            lets AS (SELECT e.h_qid, e.prop, e.t_qid, sc.s AS st
+                     FROM le e JOIN lesc sc
+                       ON sc.h_qid = e.h_qid AND sc.prop = e.prop
+                      AND sc.q = e.t_qid),
+            leranks AS (
+                SELECT t.h_qid, t.prop, t.t_qid,
+                       CAST(1 + count(c.q) AS BIGINT) AS t_rank
+                FROM lets t LEFT JOIN lecand c
+                  ON c.h_qid = t.h_qid AND c.prop = t.prop AND c.s > t.st
+                GROUP BY t.h_qid, t.prop, t.t_qid),
+            lesum AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN t_rank <= 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS hits1,
+                       CAST(sum(CASE WHEN t_rank <= 3 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS hits3,
+                       CAST(sum(CASE WHEN t_rank <= 10 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS hits10,
+                       CAST(sum(t_rank) AS BIGINT) AS sum_rank,
+                       CAST(sum(CAST(floor(1000000000000.0 / t_rank)
+                            AS BIGINT)) AS BIGINT) AS mrr_e12
+                FROM leranks)
+            SELECT n, hits1, hits3, hits10, sum_rank, mrr_e12,
+                   CAST(mrr_e12 AS DOUBLE) / n / 1000000000000.0 AS mrr
+            FROM lesum
         """,
         "kg_pagerank": f"""
             WITH edges AS (

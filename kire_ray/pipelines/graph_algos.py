@@ -833,6 +833,158 @@ def negative_samples(
     )
 
 
+def link_eval(
+    edges: "ray.data.Dataset",
+    *,
+    h_col: str = "h_qid",
+    r_col: str = "prop",
+    t_col: str = "t_qid",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """KG-embedding link-prediction evaluation, filtered protocol
+    (Bordes et al. 2013 §5, tail prediction): every triple's true tail
+    is ranked against the full entity universe under a deterministic
+    model score, with other TRUE tails of the same (h, r) removed from
+    the candidate list (the "filtered" setting).  The model score is
+    the engine's SQL-parity md5 basis — the integer value of the first
+    13 md5 hex digits of ``h|r|candidate`` (the same 52-bit quantity
+    ``score01_md5`` scales to [0,1); comparisons are identical on the
+    raw integers, so the oracle never needs the float division) —
+    making the whole eval reconstructible in DuckDB.
+
+    rank(h, r, t) = 1 + #{c in nodes : c is not a true tail of (h, r)
+    and score(h, r, c) > score(h, r, t)}.
+
+    Distribution: the sorted node universe broadcasts once
+    (node-bounded, the pagerank/negative_samples contract); triples
+    exchange ONCE on (h, r) so each reducer group holds exactly the
+    true-tail set it must filter; per group the candidate scores
+    compute vectorized and every true tail ranks via one searchsorted.
+    Full-universe ranking is the published protocol — at billion-node
+    scale the standard fallback is a deterministic md5-sampled
+    candidate subset, same pipeline shape.
+
+    Output: (h_qid, prop, t_qid, t_rank, rr) with rr = 1.0 / t_rank.
+    """
+    from hashlib import md5
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([b[h_col], b[t_col]]).unique()
+        return pd.DataFrame({"q": u})
+
+    nodes = (
+        partitioned_map_groups(
+            edges.map_batches(node_partial, batch_format="pandas"),
+            ["q"],
+            lambda p: p.drop_duplicates(),
+        )
+        .to_pandas()["q"]
+        .to_numpy(dtype=object)
+    )
+    nodes = np.sort(nodes)
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def rank_part(part: pd.DataFrame) -> pd.DataFrame:
+        if h_col not in part.columns or len(part) == 0:
+            return pd.DataFrame(
+                {
+                    "h_qid": pd.Series([], dtype=object),
+                    "prop": pd.Series([], dtype=object),
+                    "t_qid": pd.Series([], dtype=object),
+                    "t_rank": pd.Series([], dtype=np.int64),
+                    "rr": pd.Series([], dtype=np.float64),
+                }
+            )
+        nd = ray.get(nodes_ref)
+        node_b = [str(c).encode("utf-8") for c in nd]
+        out_h, out_r, out_t, out_rank = [], [], [], []
+        for (h, r), g in part.groupby([h_col, r_col], sort=False):
+            pre = f"{h}|{r}|".encode("utf-8")
+            # 52-bit md5 integer per candidate (int path == hex path,
+            # see functions/hashing.score01_md5)
+            sc = np.fromiter(
+                (
+                    int.from_bytes(md5(pre + cb).digest()[:7], "big") >> 4
+                    for cb in node_b
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            tails = pd.unique(g[t_col].to_numpy(object))
+            ti = np.searchsorted(nd, tails)
+            mask = np.ones(n, dtype=bool)
+            mask[ti] = False  # filtered setting: drop ALL true tails
+            cand = np.sort(sc[mask])
+            st = sc[ti]
+            rank = 1 + (cand.size - np.searchsorted(cand, st, side="right"))
+            out_h.append(np.full(len(tails), h, dtype=object))
+            out_r.append(np.full(len(tails), r, dtype=object))
+            out_t.append(tails)
+            out_rank.append(rank.astype(np.int64))
+        ranks = np.concatenate(out_rank)
+        return pd.DataFrame(
+            {
+                "h_qid": np.concatenate(out_h),
+                "prop": np.concatenate(out_r),
+                "t_qid": np.concatenate(out_t),
+                "t_rank": ranks,
+                "rr": 1.0 / ranks,
+            }
+        )
+
+    return partitioned_map_groups(
+        edges, [h_col, r_col], rank_part, num_partitions=num_partitions
+    )
+
+
+def link_eval_summary(
+    edges: "ray.data.Dataset",
+    **kwargs,
+) -> pd.DataFrame:
+    """One-row MRR / Hits@k summary over ``link_eval``'s per-triple
+    ranks.  Every aggregate is order-independent by construction so the
+    row is bit-exact against SQL: hits and rank sums are integers, and
+    MRR rides an integer sum of ``floor(1e12 / rank)`` per triple
+    (floor of an IEEE division is deterministic; an exact half — the
+    round() hazard — cannot occur under floor), divided out as one
+    double expression at the end.
+
+    Distribution: per-batch integer partials → constant-size driver
+    fold (the sketches contract)."""
+    ranks = link_eval(edges, **kwargs)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["t_rank"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [len(r)],
+                "hits1": [int((r <= 1).sum())],
+                "hits3": [int((r <= 3).sum())],
+                "hits10": [int((r <= 10).sum())],
+                "sum_rank": [int(r.sum())],
+                "mrr_e12": [int(np.floor(1e12 / r).astype(np.int64).sum())],
+            }
+        )
+
+    parts = ranks.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    mrr_e12 = int(parts["mrr_e12"].sum())
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype=np.int64),
+            "hits1": pd.Series([int(parts["hits1"].sum())], dtype=np.int64),
+            "hits3": pd.Series([int(parts["hits3"].sum())], dtype=np.int64),
+            "hits10": pd.Series([int(parts["hits10"].sum())], dtype=np.int64),
+            "sum_rank": pd.Series([int(parts["sum_rank"].sum())], dtype=np.int64),
+            "mrr_e12": pd.Series([mrr_e12], dtype=np.int64),
+            "mrr": pd.Series([float(mrr_e12) / n / 1e12], dtype=np.float64),
+        }
+    )
+
+
 def random_walks(
     edges: "ray.data.Dataset",
     *,

@@ -100,3 +100,23 @@ def test_orc_roundtrip_idempotent(ray_session, tmp_path):
     pd.testing.assert_frame_equal(back, df)
     only_a = read_orc(out, columns=["a"]).to_pandas()
     assert list(only_a.columns) == ["a"] and len(only_a) == 100
+
+
+def test_feather_roundtrip_idempotent(ray_session, tmp_path):
+    """Feather/IPC shards are content-named: a re-run overwrites its
+    own files (no duplicate rows), and the read is column-pruned."""
+    import pandas as pd
+
+    import ray.data
+    from kire_ray.sources.feather import read_feather, write_feather_sharded
+
+    df = pd.DataFrame({"a": range(100), "b": [f"s{i}" for i in range(100)]})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = str(tmp_path / "feather")
+    m1 = write_feather_sharded(ds, out)
+    m2 = write_feather_sharded(ds, out)  # idempotent re-run
+    assert sorted(m1["path"]) == sorted(m2["path"])
+    back = read_feather(out).to_pandas().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+    only_a = read_feather(out, columns=["a"]).to_pandas()
+    assert list(only_a.columns) == ["a"] and len(only_a) == 100

@@ -199,6 +199,70 @@ def test_negative_samples_protocol(ray_session):
     assert len(ed) <= len(got) <= 2 * len(ed)
 
 
+def test_link_eval_vs_bruteforce(ray_session):
+    """Filtered tail ranks must equal a sequential brute-force replay
+    of the Bordes et al. protocol under the md5 score basis, and the
+    summary row must agree with recomputing the aggregates from the
+    per-triple ranks."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from kire_ray.pipelines.graph_algos import link_eval, link_eval_summary
+
+    rng = np.random.default_rng(23)
+    ed = pd.DataFrame(
+        {
+            "h_qid": [f"Q{i}" for i in rng.integers(0, 25, 180)],
+            "prop": [f"P{i}" for i in rng.integers(0, 4, 180)],
+            "t_qid": [f"Q{i}" for i in rng.integers(0, 25, 180)],
+        }
+    ).drop_duplicates()
+    got = (
+        link_eval(ray.data.from_pandas(ed))
+        .to_pandas()
+        .sort_values(["h_qid", "prop", "t_qid"])
+        .reset_index(drop=True)
+    )
+
+    def s52(x: str) -> int:
+        return int(hashlib.md5(x.encode()).hexdigest()[:13], 16)
+
+    nodes = sorted(set(ed["h_qid"]) | set(ed["t_qid"]))
+    true = {}
+    for h, r, t in ed.itertuples(index=False):
+        true.setdefault((h, r), set()).add(t)
+    exp_rows = []
+    for h, r, t in ed.itertuples(index=False):
+        st = s52(f"{h}|{r}|{t}")
+        rank = 1 + sum(
+            1
+            for c in nodes
+            if c not in true[(h, r)] and s52(f"{h}|{r}|{c}") > st
+        )
+        exp_rows.append((h, r, t, rank, 1.0 / rank))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["h_qid", "prop", "t_qid", "t_rank", "rr"])
+        .sort_values(["h_qid", "prop", "t_qid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns], exp, check_dtype=False
+    )
+
+    summ = link_eval_summary(ray.data.from_pandas(ed))
+    r = exp["t_rank"].to_numpy(np.int64)
+    assert int(summ["n"].iloc[0]) == len(r)
+    assert int(summ["hits1"].iloc[0]) == int((r <= 1).sum())
+    assert int(summ["hits10"].iloc[0]) == int((r <= 10).sum())
+    assert int(summ["sum_rank"].iloc[0]) == int(r.sum())
+    assert int(summ["mrr_e12"].iloc[0]) == int(
+        np.floor(1e12 / r).astype(np.int64).sum()
+    )
+
+
 def test_walk_paths_equal(ray_session):
     """random_walks' broadcast-frontier and exchange-frontier paths
     must be bit-equal (the knn_graph_mutual auto-select pattern)."""

@@ -5895,7 +5895,11 @@ def oracle_sql() -> dict[str, str]:
             len0 AS (SELECT DISTINCT q FROM (
                         SELECT h_qid AS q FROM le
                         UNION ALL SELECT t_qid FROM le)),
-            lehr AS (SELECT DISTINCT h_qid, prop FROM le),
+            letest AS (SELECT * FROM le
+                       WHERE ('0x' || substr(md5(h_qid || '|' || prop
+                             || '|' || t_qid || '|eval'), 1, 13))::BIGINT
+                             % 10 = 0),
+            lehr AS (SELECT DISTINCT h_qid, prop FROM letest),
             lesc AS (SELECT hr.h_qid, hr.prop, n.q,
                             ('0x' || substr(md5(hr.h_qid || '|' || hr.prop
                                 || '|' || n.q), 1, 13))::BIGINT AS s
@@ -5905,7 +5909,7 @@ def oracle_sql() -> dict[str, str]:
                              WHERE e.h_qid = sc.h_qid AND e.prop = sc.prop
                                AND e.t_qid = sc.q)),
             lets AS (SELECT e.h_qid, e.prop, e.t_qid, sc.s AS st
-                     FROM le e JOIN lesc sc
+                     FROM letest e JOIN lesc sc
                        ON sc.h_qid = e.h_qid AND sc.prop = e.prop
                       AND sc.q = e.t_qid)
             SELECT t.h_qid, t.prop, t.t_qid,
@@ -5921,7 +5925,11 @@ def oracle_sql() -> dict[str, str]:
             len0 AS (SELECT DISTINCT q FROM (
                         SELECT h_qid AS q FROM le
                         UNION ALL SELECT t_qid FROM le)),
-            lehr AS (SELECT DISTINCT h_qid, prop FROM le),
+            letest AS (SELECT * FROM le
+                       WHERE ('0x' || substr(md5(h_qid || '|' || prop
+                             || '|' || t_qid || '|eval'), 1, 13))::BIGINT
+                             % 10 = 0),
+            lehr AS (SELECT DISTINCT h_qid, prop FROM letest),
             lesc AS (SELECT hr.h_qid, hr.prop, n.q,
                             ('0x' || substr(md5(hr.h_qid || '|' || hr.prop
                                 || '|' || n.q), 1, 13))::BIGINT AS s
@@ -5931,7 +5939,7 @@ def oracle_sql() -> dict[str, str]:
                              WHERE e.h_qid = sc.h_qid AND e.prop = sc.prop
                                AND e.t_qid = sc.q)),
             lets AS (SELECT e.h_qid, e.prop, e.t_qid, sc.s AS st
-                     FROM le e JOIN lesc sc
+                     FROM letest e JOIN lesc sc
                        ON sc.h_qid = e.h_qid AND sc.prop = e.prop
                       AND sc.q = e.t_qid),
             leranks AS (

@@ -839,6 +839,7 @@ def link_eval(
     h_col: str = "h_qid",
     r_col: str = "prop",
     t_col: str = "t_qid",
+    eval_mod: int = 10,
     num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """KG-embedding link-prediction evaluation, filtered protocol
@@ -855,14 +856,24 @@ def link_eval(
     rank(h, r, t) = 1 + #{c in nodes : c is not a true tail of (h, r)
     and score(h, r, c) > score(h, r, t)}.
 
+    Only triples in a deterministic 10% TEST SPLIT are ranked —
+    ``md5(h|r|t|eval) % eval_mod == 0``, the same seeded content-hash
+    split the engine uses for train/dev (pipelines/eval.py, O8): the
+    published protocol evaluates the held-out split, never the full
+    training graph, and ranking everything is O(|E|·|N|) hash work for
+    no extra signal.  The FILTER still uses ALL triples (the filtered
+    setting removes every known positive, train or test).
+
     Distribution: the sorted node universe broadcasts once
     (node-bounded, the pagerank/negative_samples contract); triples
     exchange ONCE on (h, r) so each reducer group holds exactly the
-    true-tail set it must filter; per group the candidate scores
-    compute vectorized and every true tail ranks via one searchsorted.
-    Full-universe ranking is the published protocol — at billion-node
-    scale the standard fallback is a deterministic md5-sampled
-    candidate subset, same pipeline shape.
+    true-tail set it must filter; per group with a test member the
+    candidate scores compute as one bulk digest pass
+    (``np.frombuffer`` over joined 8-byte digests — no per-candidate
+    Python int conversion) and every test tail ranks via one
+    searchsorted.  Full-universe candidate scoring is the published
+    protocol — at billion-node scale the standard fallback is a
+    deterministic md5-sampled candidate subset, same pipeline shape.
 
     Output: (h_qid, prop, t_qid, t_rank, rr) with rr = 1.0 / t_rank.
     """
@@ -903,27 +914,48 @@ def link_eval(
         out_h, out_r, out_t, out_rank = [], [], [], []
         for (h, r), g in part.groupby([h_col, r_col], sort=False):
             pre = f"{h}|{r}|".encode("utf-8")
-            # 52-bit md5 integer per candidate (int path == hex path,
-            # see functions/hashing.score01_md5)
-            sc = np.fromiter(
-                (
-                    int.from_bytes(md5(pre + cb).digest()[:7], "big") >> 4
-                    for cb in node_b
-                ),
-                dtype=np.int64,
-                count=n,
-            )
             tails = pd.unique(g[t_col].to_numpy(object))
-            ti = np.searchsorted(nd, tails)
+            # deterministic 10% test split (md5 % eval_mod == 0)
+            is_test = np.fromiter(
+                (
+                    (int.from_bytes(md5(pre + str(t).encode() + b"|eval").digest()[:7], "big") >> 4)
+                    % eval_mod
+                    == 0
+                    for t in tails
+                ),
+                dtype=bool,
+                count=len(tails),
+            )
+            if not is_test.any():
+                continue
+            test_tails = tails[is_test]
+            # 52-bit md5 integer per candidate, one bulk digest pass
+            # (int path == hex path, see functions/hashing.score01_md5)
+            dg = np.frombuffer(
+                b"".join([md5(pre + cb).digest()[:8] for cb in node_b]),
+                dtype=">u8",
+            )
+            sc = (dg >> 12).astype(np.int64)
+            ti_all = np.searchsorted(nd, tails)
             mask = np.ones(n, dtype=bool)
-            mask[ti] = False  # filtered setting: drop ALL true tails
+            mask[ti_all] = False  # filtered: drop ALL true tails
             cand = np.sort(sc[mask])
-            st = sc[ti]
+            st = sc[np.searchsorted(nd, test_tails)]
             rank = 1 + (cand.size - np.searchsorted(cand, st, side="right"))
-            out_h.append(np.full(len(tails), h, dtype=object))
-            out_r.append(np.full(len(tails), r, dtype=object))
-            out_t.append(tails)
+            out_h.append(np.full(len(test_tails), h, dtype=object))
+            out_r.append(np.full(len(test_tails), r, dtype=object))
+            out_t.append(test_tails)
             out_rank.append(rank.astype(np.int64))
+        if not out_rank:
+            return pd.DataFrame(
+                {
+                    "h_qid": pd.Series([], dtype=object),
+                    "prop": pd.Series([], dtype=object),
+                    "t_qid": pd.Series([], dtype=object),
+                    "t_rank": pd.Series([], dtype=np.int64),
+                    "rr": pd.Series([], dtype=np.float64),
+                }
+            )
         ranks = np.concatenate(out_rank)
         return pd.DataFrame(
             {

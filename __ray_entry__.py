@@ -621,6 +621,28 @@ def _q_hll_distinct_users(sf_dir: str) -> Any:
     return hll_distinct(ev, "user_id", group_col="event_type")
 
 
+def _q_tdigest_quantiles(sf_dir: str) -> Any:
+    """t-digest quantile sketch over events.value (Dunning & Ertl
+    2019) — the mergeable-quantile sketch next to HLL/CMS/KMV.
+    Float-iterative estimate (rows-only at the driver, like
+    ann_ivf/kmeans); pytest bounds its rank error vs the exact
+    quantiles (test_tdigest)."""
+    from kire_ray.pipelines.sketches import tdigest_quantiles
+
+    ev = _sread(sf_dir, "events", ["value"])
+    return tdigest_quantiles(ev, "value")
+
+
+def _q_frequent_itemsets(sf_dir: str) -> Any:
+    """Apriori 2-itemset association rules over lineitem baskets:
+    support / confidence / lift per co-ordered part pair (min pair
+    count 2). One basket exchange + tagged-count shuffle + two hash
+    joins — see pipelines/relational.frequent_itemsets."""
+    from kire_ray.pipelines.relational import frequent_itemsets
+
+    return frequent_itemsets(sf_dir)
+
+
 def _q_containment_dedup(sf_dir: str) -> Any:
     from kire_ray.pipelines.dedup import containment_dedup
 
@@ -2560,6 +2582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resampled": R.events_resampled,
         "user_funnel": R.user_funnel,
         "hll_distinct_users": _q_hll_distinct_users,
+        "tdigest_quantiles": _q_tdigest_quantiles,
+        "frequent_itemsets": _q_frequent_itemsets,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "join_size_estimate": _q_join_size_estimate,
@@ -5269,6 +5293,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN mx USING (event_type)
             JOIN my USING (hour)
             CROSS JOIN t
+        """,
+        "frequent_itemsets": """
+            WITH fis_dl AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                            FROM lineitem),
+            fis_n AS (SELECT count(DISTINCT ok) * 1.0 AS n FROM fis_dl),
+            fis_ic AS (SELECT pk, count(*) AS c FROM fis_dl GROUP BY 1),
+            fis_pr AS (SELECT a.pk AS part_a, b.pk AS part_b,
+                              count(*) AS pair_count
+                       FROM fis_dl a JOIN fis_dl b
+                         ON a.ok = b.ok AND a.pk < b.pk
+                       GROUP BY 1, 2
+                       HAVING count(*) >= 2)
+            SELECT CAST(pr.part_a AS BIGINT) AS part_a,
+                   CAST(pr.part_b AS BIGINT) AS part_b,
+                   CAST(pr.pair_count AS BIGINT) AS pair_count,
+                   CAST(ca.c AS BIGINT) AS c_a,
+                   CAST(cb.c AS BIGINT) AS c_b,
+                   floor(pr.pair_count / fis_n.n
+                         * 1000000 + 0.501) / 1000000 AS support,
+                   floor(pr.pair_count * 1.0 / ca.c
+                         * 1000000 + 0.501) / 1000000 AS conf_a_b,
+                   floor(pr.pair_count * 1.0 / cb.c
+                         * 1000000 + 0.501) / 1000000 AS conf_b_a,
+                   floor(pr.pair_count * fis_n.n / (ca.c * cb.c)
+                         * 1000000 + 0.501) / 1000000 AS lift
+            FROM fis_pr pr
+            JOIN fis_ic ca ON ca.pk = pr.part_a
+            JOIN fis_ic cb ON cb.pk = pr.part_b
+            CROSS JOIN fis_n
         """,
         "running_totals": """
             SELECT event_id, user_id,

@@ -107,7 +107,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kmv_set_ops",
         "bloom_filter_join",
         "hist_quantiles",
+        "tdigest_quantiles",
         "winsorize_events",
+        "frequent_itemsets",
         "kg_pagerank",
         "kg_triangles",
         "kg_kcore",

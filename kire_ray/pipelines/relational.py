@@ -4289,3 +4289,155 @@ def q21_waiting_suppliers(sf_dir: str, *, top: int = 100) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def frequent_itemsets(sf_dir: str, *, min_count: int = 2) -> "ray.data.Dataset":
+    """Market-basket association rules (Agrawal & Srikant Apriori,
+    2-itemsets): for every part pair co-ordered at least ``min_count``
+    times, the support / confidence / lift triple — the co-occurrence
+    screen a curation pipeline runs over (document, tag) or
+    (session, item) tables.  Basket = the distinct parts of one order.
+
+    Shape: block-local (orderkey, partkey) dedup combiner → ONE
+    exchange on orderkey co-locating each basket → per-partition
+    vectorized self-merge emits pair partials PLUS tagged item-count
+    (part_b = -1) and basket-count (part_a = -2) rows into the same
+    grouped_agg — one shuffle carries all three aggregates (the
+    join_size_estimate tagged-exchange pattern).  Rule metrics attach
+    the per-item counts via two hash joins (parts scale with SF like
+    customer/supplier — a broadcast dict here is the q5/q10 trap), with
+    a materialize between the stacked joins (Ray 2.49 deadlocks on
+    back-to-back Dataset.join) and normalize_blocks after the filters
+    (all-filtered exchange partitions yield schema-less blocks).
+    """
+    from kire_ray.stages.joins import hash_join, normalize_blocks
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    dl = li.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
+
+    def baskets(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        j = part.merge(part, on="l_orderkey")
+        j = j[j["l_partkey_x"] < j["l_partkey_y"]]
+        pairs = (
+            j.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+            .size()
+            .rename("pair_count")
+            .reset_index()
+        )
+        pairs.columns = ["part_a", "part_b", "pair_count"]
+        items = (
+            part.groupby("l_partkey", sort=False)
+            .size()
+            .rename("pair_count")
+            .reset_index()
+        )
+        items.columns = ["part_a", "pair_count"]
+        items["part_b"] = np.int64(-1)
+        tot = pd.DataFrame(
+            {
+                "part_a": [np.int64(-2)],
+                "part_b": [np.int64(-2)],
+                "pair_count": [np.int64(part["l_orderkey"].nunique())],
+            }
+        )
+        out = pd.concat(
+            [pairs, items[["part_a", "part_b", "pair_count"]], tot],
+            ignore_index=True,
+        )
+        out["part_a"] = out["part_a"].astype(np.int64)
+        out["part_b"] = out["part_b"].astype(np.int64)
+        out["pair_count"] = out["pair_count"].astype(np.int64)
+        return out
+
+    agg = grouped_agg(
+        partitioned_map_groups(dl, ["l_orderkey"], baskets),
+        ["part_a", "part_b"],
+        {"pair_count": ("pair_count", "sum")},
+    ).materialize()
+
+    # vectorized mask filters — a row-lambda Dataset.filter here costs
+    # ~50 s on a 120k-row table (Python per-row), the mask is ~0.1 s
+    def _mask(pred):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            return b[pred(b)]
+
+        return f
+
+    n_orders = float(
+        agg.map_batches(_mask(lambda b: b["part_a"] == -2), batch_format="pandas")
+        .to_pandas()["pair_count"]
+        .iloc[0]
+    )
+
+    def _typed_empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "part_a": pd.Series([], dtype=np.int64),
+                "part_b": pd.Series([], dtype=np.int64),
+                "pair_count": pd.Series([], dtype=np.int64),
+                "c_a": pd.Series([], dtype=np.int64),
+                "c_b": pd.Series([], dtype=np.int64),
+                "support": pd.Series([], dtype=np.float64),
+                "conf_a_b": pd.Series([], dtype=np.float64),
+                "conf_b_a": pd.Series([], dtype=np.float64),
+                "lift": pd.Series([], dtype=np.float64),
+            }
+        )
+
+    pairs, n_pairs = normalize_blocks(
+        agg.map_batches(
+            _mask(
+                lambda b: (b["part_a"] >= 0)
+                & (b["part_b"] >= 0)
+                & (b["pair_count"] >= min_count)
+            ),
+            batch_format="pandas",
+        )
+    )
+    if pairs is None:
+        return ray.data.from_pandas(_typed_empty())
+    items = agg.map_batches(_mask(lambda b: b["part_b"] == -1), batch_format="pandas")
+
+    def as_ca(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "part_a": b["part_a"].astype(np.int64),
+                "c_a": b["pair_count"].astype(np.int64),
+            }
+        )
+
+    def as_cb(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "part_b": b["part_a"].astype(np.int64),
+                "c_b": b["pair_count"].astype(np.int64),
+            }
+        )
+
+    ca, _ = normalize_blocks(items.map_batches(as_ca, batch_format="pandas"))
+    cb, _ = normalize_blocks(items.map_batches(as_cb, batch_format="pandas"))
+    joined = hash_join(pairs, ca, ["part_a"]).materialize()
+    joined = hash_join(joined, cb, ["part_b"])
+
+    def metrics(b: pd.DataFrame) -> pd.DataFrame:
+        if "pair_count" not in b.columns:  # schema-less empty block
+            return _typed_empty()
+        pc = b["pair_count"].to_numpy(np.float64)
+        c_a = b["c_a"].to_numpy(np.float64)
+        c_b = b["c_b"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "part_a": b["part_a"].astype(np.int64),
+                "part_b": b["part_b"].astype(np.int64),
+                "pair_count": b["pair_count"].astype(np.int64),
+                "c_a": b["c_a"].astype(np.int64),
+                "c_b": b["c_b"].astype(np.int64),
+                "support": round_half_up(pc / n_orders, 6),
+                "conf_a_b": round_half_up(pc / c_a, 6),
+                "conf_b_a": round_half_up(pc / c_b, 6),
+                "lift": round_half_up(pc * n_orders / (c_a * c_b), 6),
+            }
+        )
+
+    return joined.map_batches(metrics, batch_format="pandas")

@@ -646,3 +646,154 @@ def kmv_set_ops(
             }
         )
     )
+
+
+TD_DELTA = 200  # t-digest compression: ≤ ~TD_DELTA clusters per digest
+
+
+def _td_k1(q: np.ndarray, delta: float) -> np.ndarray:
+    """t-digest k1 scale function (Dunning & Ertl 2019): cluster sizes
+    shrink toward q→0/1, giving constant RELATIVE rank error at the
+    tails — the property quantile gates on heavy-tailed value columns
+    actually need."""
+    return (delta / (2.0 * np.pi)) * np.arcsin(2.0 * np.clip(q, 0.0, 1.0) - 1.0)
+
+
+def _td_merge(
+    means: np.ndarray, weights: np.ndarray, delta: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge (mean, weight) clusters into a fresh digest, fully
+    vectorized: sort by mean, take each cluster's mid-rank quantile,
+    bucket by floor(k1(q)) and weighted-average consecutive clusters
+    sharing a bucket (np.add.reduceat on the bucket boundaries).
+    Deterministic for a given input multiset — inputs are sorted first,
+    so the result is independent of partial arrival order."""
+    order = np.lexsort((weights, means))
+    m, w = means[order].astype(np.float64), weights[order].astype(np.float64)
+    W = w.sum()
+    if W <= 0 or len(m) == 0:
+        return m[:0], w[:0]
+    qmid = (np.cumsum(w) - w / 2.0) / W
+    ci = np.floor(_td_k1(qmid, delta)).astype(np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], ci[1:] != ci[:-1]]))
+    wm = np.add.reduceat(m * w, starts)
+    ws = np.add.reduceat(w, starts)
+    return wm / ws, ws
+
+
+def tdigest_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str = "value",
+    *,
+    qs: tuple[float, ...] = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+    delta: float = TD_DELTA,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Distributed t-digest quantile sketch (Dunning & Ertl 2019) —
+    the mergeable-quantile member of the sketch family (HLL = distinct,
+    CMS = frequency, KMV = set ops, t-digest = quantiles): estimates
+    any quantile from O(delta) state where the exact counterpart
+    (hist_quantiles / events_quantile_cont) must see every value.
+
+    Shape: per-block partial digest (vectorized bucket-and-reduceat
+    over the sorted batch, ≤ delta+2 rows out per block, plus tagged
+    lo/hi extreme rows) → ONE exchange on hash(mean) % P co-locating
+    cluster subsets → per-partition re-merge (≤ delta rows each) →
+    driver folds P digests and interpolates the quantiles.  Shuffle
+    volume is O(blocks × delta), never the data; digest merge is
+    order-independent by construction, so the tree depth is free.
+
+    Float-iterative estimate (like ann_ivf / kmeans): driver row is
+    rows-only; pytest bounds the rank error vs the exact quantiles.
+    """
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(b[value_col].to_numpy(np.float64))
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame(
+                {
+                    "mean": pd.Series([], dtype=np.float64),
+                    "weight": pd.Series([], dtype=np.float64),
+                    "tag": pd.Series([], dtype=object),
+                }
+            )
+        m, w = _td_merge(v, np.ones(len(v)), delta)
+        return pd.DataFrame(
+            {
+                "mean": np.concatenate([m, [v[0], v[-1]]]),
+                "weight": np.concatenate([w, [0.0, 0.0]]),
+                "tag": ["c"] * len(m) + ["lo", "hi"],
+            }
+        )
+
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        cl = part[part["tag"] == "c"]
+        m, w = _td_merge(
+            cl["mean"].to_numpy(np.float64), cl["weight"].to_numpy(np.float64), delta
+        )
+        lo = part.loc[part["tag"] == "lo", "mean"]
+        hi = part.loc[part["tag"] == "hi", "mean"]
+        ex_m, ex_w, ex_t = [], [], []
+        if len(lo):
+            ex_m.append(float(lo.min())); ex_w.append(0.0); ex_t.append("lo")
+        if len(hi):
+            ex_m.append(float(hi.max())); ex_w.append(0.0); ex_t.append("hi")
+        return pd.DataFrame(
+            {
+                "mean": np.concatenate([m, np.asarray(ex_m, np.float64)]),
+                "weight": np.concatenate([w, np.asarray(ex_w, np.float64)]),
+                "tag": ["c"] * len(m) + ex_t,
+            }
+        )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if "mean" not in b.columns:  # schema-less empty block
+            return pd.DataFrame(
+                {
+                    "mean": pd.Series([], dtype=np.float64),
+                    "weight": pd.Series([], dtype=np.float64),
+                    "tag": pd.Series([], dtype=object),
+                    "bucket": pd.Series([], dtype=np.int64),
+                }
+            )
+        b = b.copy()
+        from kire_ray.functions.hashing import hash64_fast
+
+        b["bucket"] = (
+            hash64_fast(b["mean"].astype(str).to_numpy()) % num_partitions
+        ).astype(np.int64)
+        return b
+
+    parts = ds.map_batches(partial, batch_format="pandas").map_batches(
+        add_bucket, batch_format="pandas"
+    )
+    merged = partitioned_map_groups(
+        parts,
+        ["bucket"],
+        lambda p: merge_part(p.drop(columns=["bucket"])),
+        num_partitions=num_partitions,
+    ).to_pandas()
+
+    fin = merge_part(merged)
+    cl = fin[fin["tag"] == "c"]
+    m = cl["mean"].to_numpy(np.float64)
+    w = cl["weight"].to_numpy(np.float64)
+    vmin = float(fin.loc[fin["tag"] == "lo", "mean"].iloc[0])
+    vmax = float(fin.loc[fin["tag"] == "hi", "mean"].iloc[0])
+    W = w.sum()
+    centers = np.cumsum(w) - w / 2.0
+    # interpolation knots: min → cluster centers → max
+    knots_x = np.concatenate([[0.0], centers, [W]])
+    knots_y = np.concatenate([[vmin], m, [vmax]])
+    est = np.interp(np.asarray(qs, np.float64) * W, knots_x, knots_y)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "q": np.asarray(qs, np.float64),
+                "est": round_half_up(est, 6),
+                "n_clusters": np.full(len(qs), len(m), dtype=np.int64),
+            }
+        )
+    )

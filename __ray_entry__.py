@@ -643,6 +643,36 @@ def _q_frequent_itemsets(sf_dir: str) -> Any:
     return frequent_itemsets(sf_dir)
 
 
+def _q_pareto_frontier(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import pareto_frontier
+
+    return pareto_frontier(sf_dir)
+
+
+def _q_orders_rollup(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
+def _q_user_retention_cohorts(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import user_retention_cohorts
+
+    return user_retention_cohorts(sf_dir)
+
+
+def _q_events_cume_dist(sf_dir: str) -> Any:
+    from kire_ray.pipelines.relational import events_cume_dist
+
+    return events_cume_dist(sf_dir)
+
+
+def _q_embedding_codes(sf_dir: str) -> Any:
+    from kire_ray.pipelines.similarity import embedding_codes
+
+    return embedding_codes(_sread(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 def _q_containment_dedup(sf_dir: str) -> Any:
     from kire_ray.pipelines.dedup import containment_dedup
 
@@ -2584,6 +2614,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "frequent_itemsets": _q_frequent_itemsets,
+        "pareto_frontier": _q_pareto_frontier,
+        "orders_rollup": _q_orders_rollup,
+        "user_retention_cohorts": _q_user_retention_cohorts,
+        "events_cume_dist": _q_events_cume_dist,
+        "embedding_codes": _q_embedding_codes,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "join_size_estimate": _q_join_size_estimate,
@@ -5322,6 +5357,57 @@ def oracle_sql() -> dict[str, str]:
             JOIN fis_ic ca ON ca.pk = pr.part_a
             JOIN fis_ic cb ON cb.pk = pr.part_b
             CROSS JOIN fis_n
+        """,
+        "pareto_frontier": """
+            SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
+                   CAST(p.p_size AS INT) AS p_size,
+                   p.p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size >= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size > p.p_size))
+        """,
+        "orders_rollup": f"""
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   {sql_round('sum(o_totalprice)', 2)} AS total_price
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "user_retention_cohorts": """
+            WITH urc_uw AS (SELECT user_id,
+                                   epoch_us(ts) // 1000000 // 604800 AS wk
+                            FROM events GROUP BY 1, 2),
+            urc_fu AS (SELECT user_id, min(wk) AS cw FROM urc_uw GROUP BY 1)
+            SELECT CAST(f.cw AS BIGINT) AS cohort_week,
+                   CAST(u.wk - f.cw AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM urc_uw u JOIN urc_fu f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "events_cume_dist": f"""
+            SELECT event_id, value,
+                   {sql_round('cume_dist() OVER (ORDER BY value)', 6)} AS cume
+            FROM events
+        """,
+        "embedding_codes": """
+            WITH ec_f AS (SELECT vec_id,
+                                 generate_subscripts(embedding, 1) AS dim,
+                                 CAST(unnest(embedding) AS DOUBLE) AS x
+                          FROM embeddings),
+            ec_s AS (SELECT dim,
+                            CASE WHEN max(abs(x)) > 0
+                                 THEN 127.0 / max(abs(x)) ELSE 0.0 END AS scale
+                     FROM ec_f GROUP BY dim)
+            SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
+                   CAST(f.dim AS BIGINT) AS dim,
+                   CAST(floor(f.x * s.scale + 0.501) AS BIGINT) AS code,
+                   s.scale
+            FROM ec_f f JOIN ec_s s USING (dim)
         """,
         "running_totals": """
             SELECT event_id, user_id,

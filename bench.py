@@ -108,6 +108,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "bloom_filter_join",
         "hist_quantiles",
         "tdigest_quantiles",
+        "pareto_frontier",
+        "orders_rollup",
+        "user_retention_cohorts",
+        "events_cume_dist",
+        "embedding_codes",
         "winsorize_events",
         "frequent_itemsets",
         "kg_pagerank",

@@ -4441,3 +4441,238 @@ def frequent_itemsets(sf_dir: str, *, min_count: int = 2) -> "ray.data.Dataset":
         )
 
     return joined.map_batches(metrics, batch_format="pandas")
+
+
+def _pareto_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 2-D Pareto filter: keep rows not dominated under
+    (minimize p_retailprice, maximize p_size). Dominance = other row
+    has price <= AND size >= with at least one strict; exact duplicates
+    dominate nothing and are all kept. Sort by (price asc, size desc),
+    then a row is dominated iff the running max size over strictly
+    cheaper price groups reaches its size, or a same-price row has a
+    strictly larger size (the price group's head, sorted desc)."""
+    if len(df) == 0 or "p_retailprice" not in df.columns:
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype=np.int64),
+                "p_size": pd.Series([], dtype=np.int32),
+                "p_retailprice": pd.Series([], dtype=np.float64),
+            }
+        )
+    d = df.sort_values(
+        ["p_retailprice", "p_size"], ascending=[True, False], kind="mergesort"
+    )
+    price = d["p_retailprice"].to_numpy(np.float64)
+    size = d["p_size"].to_numpy(np.int64)
+    new_grp = np.concatenate([[True], price[1:] != price[:-1]])
+    grp = np.cumsum(new_grp) - 1  # 0-based price-group index per row
+    heads = size[new_grp]  # per-group max size (desc within group)
+    prev_max = np.concatenate([[np.iinfo(np.int64).min], np.maximum.accumulate(heads)[:-1]])
+    dominated = (prev_max[grp] >= size) | (heads[grp] > size)
+    return d[~dominated]
+
+
+def pareto_frontier(sf_dir: str) -> "ray.data.Dataset":
+    """Skyline query (Börzsönyi et al. 2001) over part: the Pareto
+    frontier under (min p_retailprice, max p_size) — the multi-objective
+    screen a data-curation pipeline runs to shortlist candidates
+    (cheapest-at-each-quality / best-quality-at-each-cost).
+
+    Shape: block-local Pareto filter (sort + running-max, fully
+    vectorized) → single-partition merge of the local frontiers with
+    the same kernel. Local frontiers are tiny for any data with spread
+    (expected O(log n) per block for independent dims), so the merge
+    input is frontier-sized, never data-sized — the classic
+    local-prune/global-merge skyline plan."""
+    p = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+    local = p.map_batches(_pareto_kernel, batch_format="pandas")
+    return local.repartition(1).map_batches(_pareto_kernel, batch_format="pandas")
+
+
+def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): the OLAP
+    subtotal cube over orders — (status, priority), (status) and the
+    grand total in one result, NULL levels encoded as 'ALL'.
+
+    Shape: block-local combiner → ONE exchange to the finest grouping
+    (the only data-sized step); the coarser levels are re-aggregated
+    from the finest result, which is output-sized (distinct key combos,
+    here ≤ |status|×|priority|) — a rollup's coarse levels are always
+    derivable from its finest level, so no second pass over the data.
+    Sums fold unrounded and round once at the end (2 dp half-up)."""
+
+    o = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
+            .agg(n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum"))
+            .reset_index()
+        )
+
+    fin = grouped_agg(
+        o.map_batches(partial, batch_format="pandas"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("n_orders", "sum"), "total_price": ("total_price", "sum")},
+    ).to_pandas()
+
+    lvl1 = (
+        fin.groupby("o_orderstatus", sort=False)
+        .agg(n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
+        .reset_index()
+    )
+    lvl1["o_orderpriority"] = "ALL"
+    lvl2 = pd.DataFrame(
+        {
+            "o_orderstatus": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "n_orders": [fin["n_orders"].sum()],
+            "total_price": [fin["total_price"].sum()],
+        }
+    )
+    out = pd.concat([fin, lvl1, lvl2], ignore_index=True)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "o_orderstatus": out["o_orderstatus"],
+                "o_orderpriority": out["o_orderpriority"],
+                "n_orders": out["n_orders"].astype(np.int64),
+                "total_price": round_half_up(
+                    out["total_price"].to_numpy(np.float64), 2
+                ),
+            }
+        )
+    )
+
+
+def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
+    """Cohort retention triangle: users grouped by their first active
+    week (cohort), counted per week-offset they returned — the
+    engagement table every events warehouse materializes.
+
+    Shape: block-local (user, week) dedup projection → ONE exchange on
+    user_id (each user's weeks co-located; per-user min + offsets are
+    then partition-local and vectorized) → grouped-agg combine on
+    (cohort_week, week_offset). Both exchanges carry deduped
+    user-week rows, never raw events."""
+    WEEK = 604800
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        wk = (b["ts"].astype("int64") // 10**6 // WEEK).astype(np.int64)
+        return pd.DataFrame(
+            {"user_id": b["user_id"].astype(np.int64), "wk": wk}
+        ).drop_duplicates()
+
+    def per_user(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        cw = part.groupby("user_id", sort=False)["wk"].transform("min")
+        return (
+            pd.DataFrame(
+                {
+                    "cohort_week": cw.to_numpy(np.int64),
+                    "week_offset": (part["wk"] - cw).to_numpy(np.int64),
+                }
+            )
+            .groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+
+    def post(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype(
+            {"cohort_week": np.int64, "week_offset": np.int64, "n_users": np.int64}
+        )
+
+    return grouped_agg(
+        partitioned_map_groups(
+            ev.map_batches(proj, batch_format="pandas"), ["user_id"], per_user
+        ),
+        ["cohort_week", "week_offset"],
+        {"n_users": ("n_users", "sum")},
+        post=post,
+    )
+
+
+def events_cume_dist(sf_dir: str, *, n_buckets: int = 1024) -> "ray.data.Dataset":
+    """Distributed ``cume_dist() OVER (ORDER BY value)`` — a global
+    rank window function without a global sort: cume(v) = |{x ≤ v}|/n.
+
+    Shape: (1) block partials for global min/max (2 doubles/block);
+    (2) block-local per-bucket counts on a fixed value grid (≤B rows
+    per block) folded on the driver into bucket prefix offsets (B
+    rows — constant, like a sketch); (3) ONE exchange on bucket id:
+    the grid is monotone, so every value in a lower bucket is strictly
+    smaller, and within a bucket a sort + searchsorted(right) gives
+    the local ≤-count; offset + local count is the exact global rank.
+    Ties share a bucket by construction, so results are exact, not
+    approximate. Skew note: a near-constant column collapses into one
+    bucket (one hot partition) — the grid assumes value spread.
+    """
+    from kire_ray.stages.shuffle import partitioned_map_groups as pmg
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    mm = ev.map_batches(
+        lambda b: pd.DataFrame(
+            {"lo": [b["value"].min()], "hi": [b["value"].max()]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    span = (hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum(
+            ((v - lo) / span * n_buckets).astype(np.int64), n_buckets - 1
+        )
+
+    def bcounts(b: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(bucket_of(b["value"].to_numpy(np.float64)), return_counts=True)
+        return pd.DataFrame({"bucket": u, "c": c.astype(np.int64)})
+
+    bc = (
+        ev.map_batches(bcounts, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket")["c"]
+        .sum()
+    )
+    counts = np.zeros(n_buckets, np.int64)
+    counts[bc.index.to_numpy()] = bc.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n_total = float(counts.sum())
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = bucket_of(b["value"].to_numpy(np.float64))
+        return b
+
+    def per_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bk, g in part.groupby("bucket", sort=False):
+            v = g["value"].to_numpy(np.float64)
+            sv = np.sort(v)
+            le = np.searchsorted(sv, v, side="right") + offsets[int(bk)]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(np.int64),
+                        "value": v,
+                        "cume": round_half_up(le / n_total, 6),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "value": pd.Series([], dtype=np.float64),
+                    "cume": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return pmg(
+        ev.map_batches(add_bucket, batch_format="pandas"), ["bucket"], per_bucket
+    )

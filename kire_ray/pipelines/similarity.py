@@ -1162,3 +1162,52 @@ def semdedup(
         )
 
     return partitioned_map_groups(assigned, ["cluster"], dedup_cluster)
+
+
+def embedding_codes(
+    ds: "ray.data.Dataset",
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """The actual int8 cast behind ``embedding_quantize_scales``:
+    symmetric max-abs quantization code = floor(x * 127/max_abs_d +
+    0.501) per dimension — what an ANN store ships instead of floats
+    (4× smaller, SIMD-dot-friendly).
+
+    Shape: per-block per-dim max-abs partial (one numpy reduction) →
+    driver fold of the dimension-sized partials (D doubles per block,
+    constant like a sketch) → broadcast scale vector (closure, D
+    doubles) → one vectorized pass emitting the flat (vec_id, dim,
+    code, scale) table. No shuffle of the vectors themselves.
+
+    Output is flat so the driver oracle can replay it exactly with
+    unnest + generate_subscripts; dims are 1-based to match SQL."""
+    from kire_ray.functions.rounding import round_half_up  # noqa: F401
+
+    def dmax(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.abs(np.vstack(b[emb_col].to_numpy()).astype(np.float64)).max(axis=0)
+        return pd.DataFrame({"dim": np.arange(1, len(M) + 1, dtype=np.int64), "m": M})
+
+    mx = (
+        ds.map_batches(dmax, batch_format="pandas")
+        .to_pandas()
+        .groupby("dim", sort=True)["m"]
+        .max()
+        .to_numpy(np.float64)
+    )
+    scale = np.where(mx > 0, 127.0 / np.where(mx > 0, mx, 1.0), 0.0)
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        X = np.vstack(b[emb_col].to_numpy()).astype(np.float64)
+        n, D = X.shape
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(b[id_col].to_numpy(np.int64), D),
+                "dim": np.tile(np.arange(1, D + 1, dtype=np.int64), n),
+                "code": np.floor(X * scale + 0.501).astype(np.int64).ravel(),
+                "scale": np.tile(scale, n),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pandas")

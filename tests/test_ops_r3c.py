@@ -70,3 +70,74 @@ def test_tdigest_partitioning_invariance(ray_session):
     ra = np.searchsorted(vals, a["est"].to_numpy()) / n
     rb = np.searchsorted(vals, b["est"].to_numpy()) / n
     assert np.abs(ra - rb).max() <= 0.02
+
+
+def test_pareto_frontier_invariance(ray_session):
+    """Local-prune/global-merge must equal the single-block answer and
+    be insensitive to input partitioning."""
+    import ray
+    from kire_ray.pipelines.relational import _pareto_kernel, pareto_frontier
+
+    got = pareto_frontier(SF).to_pandas().sort_values("p_partkey").reset_index(drop=True)
+    whole = pd.read_parquet(f"{SF}/part.parquet")[
+        ["p_partkey", "p_size", "p_retailprice"]
+    ]
+    exp = (
+        _pareto_kernel(whole).sort_values("p_partkey").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every kept row undominated, every dropped row dominated
+    for _, r in exp.iterrows():
+        dom = whole[
+            (whole.p_retailprice <= r.p_retailprice)
+            & (whole.p_size >= r.p_size)
+            & (
+                (whole.p_retailprice < r.p_retailprice)
+                | (whole.p_size > r.p_size)
+            )
+        ]
+        assert len(dom) == 0
+
+
+def test_events_cume_dist_bucket_invariance(ray_session):
+    from kire_ray.pipelines.relational import events_cume_dist
+
+    a = (
+        events_cume_dist(SF, n_buckets=8)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        events_cume_dist(SF, n_buckets=4096)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # exact rank semantics on the collected values
+    v = a["value"].to_numpy()
+    sv = np.sort(v)
+    exact = np.searchsorted(sv, v, side="right") / len(v)
+    assert np.abs(a["cume"].to_numpy() - exact).max() < 2e-6
+
+
+def test_embedding_codes_roundtrip(ray_session):
+    import ray
+    from kire_ray.pipelines.similarity import embedding_codes
+
+    emb = ray.data.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = embedding_codes(emb).to_pandas()
+    X = np.vstack(pd.read_parquet(f"{SF}/embeddings.parquet")["embedding"])
+    n, d = X.shape
+    assert len(got) == n * d
+    assert got["code"].between(-127, 127).all()
+    # dequantized values within half a quantization step of the input
+    g = got.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    sc = g["scale"].to_numpy()
+    deq = np.where(sc > 0, g["code"].to_numpy() / np.where(sc > 0, sc, 1.0), 0.0)
+    step = np.where(sc > 0, 1.0 / np.where(sc > 0, sc, 1.0), 0.0)
+    xs = X.astype(np.float64).ravel()
+    assert (np.abs(deq - xs) <= step * 0.502 + 1e-12).all()

@@ -4291,7 +4291,9 @@ def q21_waiting_suppliers(sf_dir: str, *, top: int = 100) -> "ray.data.Dataset":
     )
 
 
-def frequent_itemsets(sf_dir: str, *, min_count: int = 2) -> "ray.data.Dataset":
+def frequent_itemsets(
+    sf_dir: str, *, min_count: int = 2, collect_limit: int = 500_000
+) -> "ray.data.Dataset":
     """Market-basket association rules (Agrawal & Srikant Apriori,
     2-itemsets): for every part pair co-ordered at least ``min_count``
     times, the support / confidence / lift triple — the co-occurrence
@@ -4312,8 +4314,10 @@ def frequent_itemsets(sf_dir: str, *, min_count: int = 2) -> "ray.data.Dataset":
     """
     from kire_ray.stages.joins import hash_join, normalize_blocks
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    dl = li.map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
+    # no pre-exchange dedup pass: (orderkey, partkey) is ~unique in
+    # lineitem (599,995/600,000 at sf0.1 — a whole extra pass saved
+    # nothing); baskets() dedups after co-location anyway
+    dl = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def baskets(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop_duplicates()
@@ -4350,10 +4354,17 @@ def frequent_itemsets(sf_dir: str, *, min_count: int = 2) -> "ray.data.Dataset":
         out["pair_count"] = out["pair_count"].astype(np.int64)
         return out
 
+    def keep(out: pd.DataFrame) -> pd.DataFrame:
+        # prune inside the reducer: rare pairs die here (1.2M -> ~k
+        # rows at sf0.1), so the three downstream passes and both
+        # joins run over survivors + tag rows only
+        return out[(out["part_a"] < 0) | (out["pair_count"] >= min_count)]
+
     agg = grouped_agg(
         partitioned_map_groups(dl, ["l_orderkey"], baskets),
         ["part_a", "part_b"],
         {"pair_count": ("pair_count", "sum")},
+        post=keep,
     ).materialize()
 
     # vectorized mask filters — a row-lambda Dataset.filter here costs
@@ -4398,6 +4409,39 @@ def frequent_itemsets(sf_dir: str, *, min_count: int = 2) -> "ray.data.Dataset":
     if pairs is None:
         return ray.data.from_pandas(_typed_empty())
     items = agg.map_batches(_mask(lambda b: b["part_b"] == -1), batch_format="pandas")
+
+    if n_pairs <= collect_limit:
+        # surviving pairs are OUTPUT-sized after the reducer prune —
+        # finish on the driver: semi-join the (parts-sized) item counts
+        # down to the pair members with a broadcast membership mask,
+        # then one pandas merge. Avoids 2 × 64-partition hash joins
+        # over a few-thousand-row table (scheduling-bound). The
+        # join path below stays for outputs past ``collect_limit``
+        # (forced in tests for path equality).
+        pdf = pairs.to_pandas()
+        members = np.unique(
+            np.concatenate([pdf["part_a"].to_numpy(), pdf["part_b"].to_numpy()])
+        )
+        idf = items.map_batches(
+            _mask(lambda b: np.isin(b["part_a"].to_numpy(), members)),
+            batch_format="pandas",
+        ).to_pandas()
+        cnt = idf.set_index("part_a")["pair_count"]
+        out = pdf.assign(
+            c_a=cnt.reindex(pdf["part_a"]).to_numpy(np.int64),
+            c_b=cnt.reindex(pdf["part_b"]).to_numpy(np.int64),
+        )
+        pc = out["pair_count"].to_numpy(np.float64)
+        c_a = out["c_a"].to_numpy(np.float64)
+        c_b = out["c_b"].to_numpy(np.float64)
+        return ray.data.from_pandas(
+            out.assign(
+                support=round_half_up(pc / n_orders, 6),
+                conf_a_b=round_half_up(pc / c_a, 6),
+                conf_b_a=round_half_up(pc / c_b, 6),
+                lift=round_half_up(pc * n_orders / (c_a * c_b), 6),
+            )
+        )
 
     def as_ca(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

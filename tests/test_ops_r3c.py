@@ -141,3 +141,19 @@ def test_embedding_codes_roundtrip(ray_session):
     step = np.where(sc > 0, 1.0 / np.where(sc > 0, sc, 1.0), 0.0)
     xs = X.astype(np.float64).ravel()
     assert (np.abs(deq - xs) <= step * 0.502 + 1e-12).all()
+
+
+def test_frequent_itemsets_path_equality(ray_session):
+    """Driver-side finish (output-sized collect) and the distributed
+    hash-join fallback must agree bit-for-bit."""
+    from kire_ray.pipelines.relational import frequent_itemsets
+
+    a = frequent_itemsets(SF).to_pandas()
+    b = frequent_itemsets(SF, collect_limit=0).to_pandas()
+    key = ["part_a", "part_b"]
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(key).reset_index(drop=True),
+        b[cols].sort_values(key).reset_index(drop=True),
+        check_dtype=False,
+    )

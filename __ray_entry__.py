@@ -667,6 +667,14 @@ def _q_events_cume_dist(sf_dir: str) -> Any:
     return events_cume_dist(sf_dir)
 
 
+def _q_preference_pairs(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sampling import preference_pairs
+
+    return preference_pairs(
+        _sread(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    )
+
+
 def _q_embedding_codes(sf_dir: str) -> Any:
     from kire_ray.pipelines.similarity import embedding_codes
 
@@ -2619,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": _q_user_retention_cohorts,
         "events_cume_dist": _q_events_cume_dist,
         "embedding_codes": _q_embedding_codes,
+        "preference_pairs": _q_preference_pairs,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "join_size_estimate": _q_join_size_estimate,
@@ -5393,6 +5402,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, value,
                    {sql_round('cume_dist() OVER (ORDER BY value)', 6)} AS cume
             FROM events
+        """,
+        "preference_pairs": """
+            WITH pp_r AS (
+                SELECT lang, source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang, source
+                           ORDER BY n_chars DESC, doc_id ASC) AS rc,
+                       row_number() OVER (PARTITION BY lang, source
+                           ORDER BY n_chars ASC, doc_id DESC) AS rr,
+                       count(*) OVER (PARTITION BY lang, source) AS n
+                FROM documents)
+            SELECT lang, source,
+                   CAST(max(CASE WHEN rc = 1 THEN doc_id END) AS BIGINT)
+                       AS chosen_id,
+                   CAST(max(CASE WHEN rc = 1 THEN n_chars END) AS BIGINT)
+                       AS chosen_len,
+                   CAST(max(CASE WHEN rr = 1 THEN doc_id END) AS BIGINT)
+                       AS rejected_id,
+                   CAST(max(CASE WHEN rr = 1 THEN n_chars END) AS BIGINT)
+                       AS rejected_len,
+                   CAST(max(CASE WHEN rc = 1 THEN n_chars END)
+                        - max(CASE WHEN rr = 1 THEN n_chars END) AS BIGINT)
+                       AS margin
+            FROM pp_r
+            WHERE n >= 2
+            GROUP BY lang, source
         """,
         "embedding_codes": """
             WITH ec_f AS (SELECT vec_id,

@@ -113,6 +113,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "user_retention_cohorts",
         "events_cume_dist",
         "embedding_codes",
+        "preference_pairs",
         "winsorize_events",
         "frequent_itemsets",
         "kg_pagerank",

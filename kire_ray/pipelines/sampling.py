@@ -417,3 +417,71 @@ def dsir_weights(
         )
 
     return docs.map_batches(score, batch_format="pandas")
+
+
+def preference_pairs(
+    docs: "ray.data.Dataset",
+    *,
+    group_cols: tuple[str, str] = ("lang", "source"),
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> "ray.data.Dataset":
+    """DPO/RLHF-style preference-pair mining: per group, pair the
+    highest-scored document (chosen) with the lowest-scored one
+    (rejected) — the extreme-pair construction preference-tuning
+    pipelines run over (prompt, candidate-response) tables. Ties break
+    deterministically AND asymmetrically (chosen: min id, rejected:
+    max id), so a group of equal scores still yields a distinct pair;
+    single-doc groups emit nothing.
+
+    Shape: block-local extreme-candidate partial (two sorts + head-1
+    per group, vectorized) → ONE exchange on the group key → the same
+    extreme combine per partition. Both extremes are associative max
+    operations under lexicographic orders, so partials compose exactly
+    like any other combiner; the exchange carries ≤ 2 candidate rows
+    per (group, block), never documents."""
+    g1, g2 = group_cols
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[g1, g2, id_col, score_col]]
+        ch = (
+            b.sort_values([score_col, id_col], ascending=[False, True])
+            .drop_duplicates([g1, g2])
+            .rename(columns={id_col: "ch_id", score_col: "ch_len"})
+        )
+        rj = (
+            b.sort_values([score_col, id_col], ascending=[True, False])
+            .drop_duplicates([g1, g2])
+            .rename(columns={id_col: "rj_id", score_col: "rj_len"})
+        )
+        n = b.groupby([g1, g2], sort=False).size().rename("n").reset_index()
+        out = ch.merge(rj, on=[g1, g2]).merge(n, on=[g1, g2])
+        for c in ("ch_id", "ch_len", "rj_id", "rj_len", "n"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        ch = p.sort_values(["ch_len", "ch_id"], ascending=[False, True])[
+            [g1, g2, "ch_id", "ch_len"]
+        ].drop_duplicates([g1, g2])
+        rj = p.sort_values(["rj_len", "rj_id"], ascending=[True, False])[
+            [g1, g2, "rj_id", "rj_len"]
+        ].drop_duplicates([g1, g2])
+        n = p.groupby([g1, g2], sort=False)["n"].sum().reset_index()
+        out = ch.merge(rj, on=[g1, g2]).merge(n, on=[g1, g2])
+        out = out[out["n"] >= 2]
+        return pd.DataFrame(
+            {
+                g1: out[g1],
+                g2: out[g2],
+                "chosen_id": out["ch_id"].astype(np.int64),
+                "chosen_len": out["ch_len"].astype(np.int64),
+                "rejected_id": out["rj_id"].astype(np.int64),
+                "rejected_len": out["rj_len"].astype(np.int64),
+                "margin": (out["ch_len"] - out["rj_len"]).astype(np.int64),
+            }
+        )
+
+    return partitioned_map_groups(
+        docs.map_batches(partial, batch_format="pandas"), [g1, g2], combine
+    )

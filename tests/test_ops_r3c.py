@@ -157,3 +157,36 @@ def test_frequent_itemsets_path_equality(ray_session):
         b[cols].sort_values(key).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_preference_pairs_partition_invariance(ray_session):
+    """Extreme-pair mining is an associative combine: 1-block and
+    many-block inputs must agree exactly, incl. the asymmetric
+    tie-breaks (all-equal scores still yield a distinct pair)."""
+    import ray
+    from kire_ray.pipelines.sampling import preference_pairs
+
+    tied = pd.DataFrame(
+        {
+            "doc_id": np.arange(10, dtype=np.int64),
+            "lang": ["xx"] * 10,
+            "source": ["s"] * 5 + ["t"] * 5,
+            "n_chars": np.int64(7),
+        }
+    )
+    key = ["lang", "source"]
+    a = (
+        preference_pairs(ray.data.from_pandas(tied))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        preference_pairs(ray.data.from_pandas(tied).repartition(7))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["chosen_id"] != a["rejected_id"]).all()
+    assert list(a["chosen_id"]) == [0, 5] and list(a["rejected_id"]) == [4, 9]

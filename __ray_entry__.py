@@ -667,6 +667,18 @@ def _q_events_cume_dist(sf_dir: str) -> Any:
     return events_cume_dist(sf_dir)
 
 
+def _q_tool_usage_stats(sf_dir: str) -> Any:
+    from kire_ray.pipelines.transcripts import tool_usage_stats
+
+    return tool_usage_stats(_corpus(sf_dir))
+
+
+def _q_role_transitions(sf_dir: str) -> Any:
+    from kire_ray.pipelines.transcripts import role_transitions
+
+    return role_transitions(_corpus(sf_dir))
+
+
 def _q_preference_pairs(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import preference_pairs
 
@@ -2628,6 +2640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cume_dist": _q_events_cume_dist,
         "embedding_codes": _q_embedding_codes,
         "preference_pairs": _q_preference_pairs,
+        "tool_usage_stats": _q_tool_usage_stats,
+        "role_transitions": _q_role_transitions,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "join_size_estimate": _q_join_size_estimate,
@@ -2888,6 +2902,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(turn_idx AS BIGINT) AS turn_idx,
                    text
             FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
+        """,
+        "tool_usage_stats": f"""
+            WITH tus_t AS (SELECT role, COALESCE(tool, 'none') AS tool, conv_id,
+                                  len(string_split(text, ' ')) AS nw
+                           FROM read_parquet('{c01}/transcripts.parquet/*.parquet'))
+            SELECT role, tool,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   {sql_round('sum(nw) * 1.0 / count(*)', 6)} AS avg_words
+            FROM tus_t
+            GROUP BY role, tool
+        """,
+        "role_transitions": f"""
+            WITH rt_l AS (SELECT conv_id, role,
+                                 lead(role) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS role_to
+                          FROM read_parquet('{c01}/transcripts.parquet/*.parquet'))
+            SELECT role AS role_from, role_to,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM rt_l
+            WHERE role_to IS NOT NULL
+            GROUP BY 1, 2
         """,
         "kg_mentions_flat": f"""
             SELECT doc_id,

@@ -114,6 +114,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_cume_dist",
         "embedding_codes",
         "preference_pairs",
+        "tool_usage_stats",
+        "role_transitions",
         "winsorize_events",
         "frequent_itemsets",
         "kg_pagerank",

@@ -190,3 +190,61 @@ def test_preference_pairs_partition_invariance(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert (a["chosen_id"] != a["rejected_id"]).all()
     assert list(a["chosen_id"]) == [0, 5] and list(a["rejected_id"]) == [4, 9]
+
+
+def test_transcript_analytics(ray_session):
+    """tool_usage_stats / role_transitions vs a pandas replay on the
+    sf0.001 corpus (the DuckDB oracles bind to sf0.01)."""
+    import glob
+
+    from kire_ray.pipelines.transcripts import role_transitions, tool_usage_stats
+    from kire_ray.sources.synth import corpus_for_sf_dir
+
+    corpus = corpus_for_sf_dir(SF)
+    tr = pd.concat(
+        [
+            pd.read_parquet(f)
+            for f in glob.glob(f"{corpus}/transcripts.parquet/*.parquet")
+        ],
+        ignore_index=True,
+    )
+
+    got = (
+        tool_usage_stats(corpus)
+        .to_pandas()
+        .sort_values(["role", "tool"])
+        .reset_index(drop=True)
+    )
+    t = tr.assign(tool=tr["tool"].fillna("none"), nw=tr["text"].str.count(" ") + 1)
+    exp = (
+        t.groupby(["role", "tool"])
+        .agg(
+            n_turns=("nw", "size"),
+            n_convs=("conv_id", "nunique"),
+            nw=("nw", "sum"),
+        )
+        .reset_index()
+    )
+    exp["avg_words"] = np.floor(exp["nw"] / exp["n_turns"] * 1e6 + 0.501) / 1e6
+    exp = exp.drop(columns=["nw"]).sort_values(["role", "tool"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got_rt = (
+        role_transitions(corpus)
+        .to_pandas()
+        .sort_values(["role_from", "role_to"])
+        .reset_index(drop=True)
+    )
+    s = tr.sort_values(["conv_id", "turn_idx"])
+    same = s["conv_id"].to_numpy()[1:] == s["conv_id"].to_numpy()[:-1]
+    r = s["role"].to_numpy()
+    exp_rt = (
+        pd.DataFrame({"role_from": r[:-1][same], "role_to": r[1:][same]})
+        .groupby(["role_from", "role_to"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values(["role_from", "role_to"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_rt, exp_rt, check_dtype=False)

@@ -433,6 +433,14 @@ def _q_kg_triangles(sf_dir: str) -> Any:
     return triangle_count(edges)
 
 
+def _q_kg_clustering_coef(sf_dir: str) -> Any:
+    from kire_ray.pipelines.graph_algos import clustering_coefficients
+
+    corpus = _corpus(sf_dir)
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"])
+    return clustering_coefficients(edges)
+
+
 def _q_kg_communities(sf_dir: str) -> Any:
     """Deterministic synchronous LPA over the corpus KG (5 rounds);
     corpus-side oracle unrolls the identical rounds in SQL."""
@@ -2656,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_eval_summary": _q_kg_link_eval_summary,
         "kg_random_walks": _q_kg_random_walks,
         "kg_triangles": _q_kg_triangles,
+        "kg_clustering_coef": _q_kg_clustering_coef,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
         "ann_lsh": _q_ann_lsh,
@@ -6070,6 +6079,35 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM wg) AS n_wedges,
                    (SELECT count(*) FROM wg JOIN ed USING (a, b))
                        AS n_triangles
+        """,
+        "kg_clustering_coef": f"""
+            WITH ccf_raw AS (
+                SELECT h_qid AS s, t_qid AS t
+                FROM read_parquet('{c01}/kg_triples.parquet')),
+            ccf_ed AS (
+                SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                FROM ccf_raw WHERE s <> t),
+            ccf_deg AS (
+                SELECT qid, count(*) AS deg
+                FROM (SELECT a AS qid FROM ccf_ed
+                      UNION ALL SELECT b FROM ccf_ed)
+                GROUP BY qid),
+            ccf_tr AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ccf_ed e1
+                JOIN ccf_ed e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN ccf_ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+            ccf_tc AS (
+                SELECT qid, count(*) AS tri
+                FROM (SELECT x AS qid FROM ccf_tr
+                      UNION ALL SELECT y FROM ccf_tr
+                      UNION ALL SELECT z FROM ccf_tr)
+                GROUP BY qid)
+            SELECT d.qid,
+                   CAST(d.deg AS BIGINT) AS degree,
+                   CAST(COALESCE(t.tri, 0) AS BIGINT) AS n_tri,
+                   {sql_round('CASE WHEN d.deg >= 2 THEN 2.0 * COALESCE(t.tri, 0) / (d.deg * (d.deg - 1.0)) ELSE 0.0 END', 6)} AS coef
+            FROM ccf_deg d LEFT JOIN ccf_tc t USING (qid)
         """,
         "kg_hits": _hits_sql(c01),
         "kg_random_walks": _walks_sql(c01),

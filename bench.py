@@ -116,6 +116,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "preference_pairs",
         "tool_usage_stats",
         "role_transitions",
+        "kg_clustering_coef",
         "winsorize_events",
         "frequent_itemsets",
         "kg_pagerank",

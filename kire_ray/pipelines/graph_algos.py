@@ -1336,3 +1336,129 @@ def _walks_broadcast(
         if wk.empty:
             break
     return ray.data.from_pandas(pd.concat(frames, ignore_index=True))
+
+
+def clustering_coefficients(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "h_qid",
+    dst_col: str = "t_qid",
+) -> "ray.data.Dataset":
+    """Per-node local clustering coefficient (Watts–Strogatz):
+    2·tri(u) / (deg(u)·(deg(u)−1)) over the undirected simple graph —
+    the node-level companion to ``triangle_count``'s global count.
+
+    Shape: same skeleton as ``triangle_count`` (canonical a<b edge
+    dedup exchange → wedge explode at the smallest vertex → closure
+    semi-join on (b, c)), except each wedge CARRIES its apex, so a
+    closed triangle credits all three vertices; per-node triangle
+    partials and degree partials then fold through ONE shared qid
+    exchange (tagged columns, the join_size_estimate pattern). All
+    counts are integers and the coefficient is one float division, so
+    the SQL oracle matches bit-exactly at 6 dp."""
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import (
+        grouped_agg,
+        iteration_blocks,
+        partitioned_map_groups,
+    )
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(dtype=object)
+        t = b[dst_col].to_numpy(dtype=object)
+        keep = s != t
+        s, t = s[keep], t[keep]
+        lo = np.where(s < t, s, t)
+        hi = np.where(s < t, t, s)
+        return pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+
+    ed = iteration_blocks(
+        partitioned_map_groups(
+            edges.map_batches(canon, batch_format="pandas"),
+            ["a", "b"],
+            lambda p: p.drop_duplicates(),
+        )
+    ).materialize()
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = np.concatenate(
+            [b["a"].to_numpy(dtype=object), b["b"].to_numpy(dtype=object)]
+        )
+        u, c = np.unique(q, return_counts=True)
+        return pd.DataFrame(
+            {"qid": u, "deg": c.astype(np.int64), "tri": np.int64(0)}
+        )
+
+    def wedges(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for a, grp in part.groupby("a", sort=False):
+            nb = np.sort(grp["b"].to_numpy(dtype=object))
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            out.append(pd.DataFrame({"apex": a, "a": nb[i], "b": nb[j]}))
+        if not out:
+            return pd.DataFrame({"apex": [], "a": [], "b": []}).astype(object)
+        return pd.concat(out, ignore_index=True)
+
+    wg = partitioned_map_groups(ed, ["a"], wedges)
+    both = wg.map_batches(
+        lambda b: b.assign(is_edge=False), batch_format="pandas"
+    ).union(
+        ed.map_batches(
+            lambda b: b.assign(apex="", is_edge=True), batch_format="pandas"
+        )
+    )
+
+    def close(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "qid": pd.Series([], dtype=object),
+                "deg": pd.Series([], dtype=np.int64),
+                "tri": pd.Series([], dtype=np.int64),
+            }
+        )
+        if "is_edge" not in part.columns:
+            return empty
+        e = part[part["is_edge"]][["a", "b"]].drop_duplicates()
+        w = part[~part["is_edge"]]
+        if e.empty or w.empty:
+            return empty
+        m = w.merge(e, on=["a", "b"], how="inner")
+        q = np.concatenate(
+            [
+                m["apex"].to_numpy(dtype=object),
+                m["a"].to_numpy(dtype=object),
+                m["b"].to_numpy(dtype=object),
+            ]
+        )
+        u, c = np.unique(q, return_counts=True)
+        return pd.DataFrame(
+            {"qid": u, "deg": np.int64(0), "tri": c.astype(np.int64)}
+        )
+
+    partials = ed.map_batches(deg_partial, batch_format="pandas").union(
+        partitioned_map_groups(both, ["a", "b"], close)
+    )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        deg = out["deg"].to_numpy(np.float64)
+        tri = out["tri"].to_numpy(np.float64)
+        coef = np.zeros(len(out))
+        m = deg >= 2
+        coef[m] = 2.0 * tri[m] / (deg[m] * (deg[m] - 1.0))
+        return pd.DataFrame(
+            {
+                "qid": out["qid"],
+                "degree": out["deg"].astype(np.int64),
+                "n_tri": out["tri"].astype(np.int64),
+                "coef": round_half_up(coef, 6),
+            }
+        )
+
+    return grouped_agg(
+        partials,
+        ["qid"],
+        {"deg": ("deg", "sum"), "tri": ("tri", "sum")},
+        post=post,
+    )

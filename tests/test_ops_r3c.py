@@ -248,3 +248,48 @@ def test_transcript_analytics(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_rt, exp_rt, check_dtype=False)
+
+
+def test_clustering_coefficients(ray_session):
+    """Per-node coefficients vs a direct numpy replay on a small graph,
+    and consistency with the global triangle count (Σ n_tri = 3·T)."""
+    import ray
+    from kire_ray.pipelines.graph_algos import (
+        clustering_coefficients,
+        triangle_count,
+    )
+
+    rng = np.random.RandomState(7)
+    e = pd.DataFrame(
+        {
+            "h_qid": [f"n{i}" for i in rng.randint(0, 40, 300)],
+            "t_qid": [f"n{i}" for i in rng.randint(0, 40, 300)],
+        }
+    )
+    ds = ray.data.from_pandas(e).repartition(6)
+    got = clustering_coefficients(ds).to_pandas().sort_values("qid")
+    tri_total = triangle_count(ds).to_pandas()["n_triangles"].iloc[0]
+    assert got["n_tri"].sum() == 3 * tri_total
+
+    # replay: adjacency sets
+    pairs = {
+        tuple(sorted((a, b)))
+        for a, b in zip(e["h_qid"], e["t_qid"])
+        if a != b
+    }
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for _, r in got.iterrows():
+        nb = adj[r["qid"]]
+        assert r["degree"] == len(nb)
+        t = sum(
+            1
+            for x in nb
+            for y in nb
+            if x < y and tuple(sorted((x, y))) in pairs
+        )
+        assert r["n_tri"] == t
+        exp = 2.0 * t / (len(nb) * (len(nb) - 1.0)) if len(nb) >= 2 else 0.0
+        assert abs(r["coef"] - np.floor(exp * 1e6 + 0.501) / 1e6) < 1e-12

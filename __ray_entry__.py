@@ -657,12 +657,6 @@ def _q_pareto_frontier(sf_dir: str) -> Any:
     return pareto_frontier(sf_dir)
 
 
-def _q_orders_rollup(sf_dir: str) -> Any:
-    from kire_ray.pipelines.relational import orders_rollup
-
-    return orders_rollup(sf_dir)
-
-
 def _q_user_retention_cohorts(sf_dir: str) -> Any:
     from kire_ray.pipelines.relational import user_retention_cohorts
 
@@ -2643,7 +2637,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_quantiles": _q_tdigest_quantiles,
         "frequent_itemsets": _q_frequent_itemsets,
         "pareto_frontier": _q_pareto_frontier,
-        "orders_rollup": _q_orders_rollup,
         "user_retention_cohorts": _q_user_retention_cohorts,
         "events_cume_dist": _q_events_cume_dist,
         "embedding_codes": _q_embedding_codes,
@@ -5423,14 +5416,6 @@ def oracle_sql() -> dict[str, str]:
                   AND q.p_size >= p.p_size
                   AND (q.p_retailprice < p.p_retailprice
                        OR q.p_size > p.p_size))
-        """,
-        "orders_rollup": f"""
-            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
-                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
-                   CAST(count(*) AS BIGINT) AS n_orders,
-                   {sql_round('sum(o_totalprice)', 2)} AS total_price
-            FROM orders
-            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "user_retention_cohorts": """
             WITH urc_uw AS (SELECT user_id,

@@ -109,7 +109,6 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "hist_quantiles",
         "tdigest_quantiles",
         "pareto_frontier",
-        "orders_rollup",
         "user_retention_cohorts",
         "events_cume_dist",
         "embedding_codes",

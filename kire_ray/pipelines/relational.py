@@ -4533,62 +4533,6 @@ def pareto_frontier(sf_dir: str) -> "ray.data.Dataset":
     return local.repartition(1).map_batches(_pareto_kernel, batch_format="pandas")
 
 
-def orders_rollup(sf_dir: str) -> "ray.data.Dataset":
-    """GROUP BY ROLLUP(o_orderstatus, o_orderpriority): the OLAP
-    subtotal cube over orders — (status, priority), (status) and the
-    grand total in one result, NULL levels encoded as 'ALL'.
-
-    Shape: block-local combiner → ONE exchange to the finest grouping
-    (the only data-sized step); the coarser levels are re-aggregated
-    from the finest result, which is output-sized (distinct key combos,
-    here ≤ |status|×|priority|) — a rollup's coarse levels are always
-    derivable from its finest level, so no second pass over the data.
-    Sums fold unrounded and round once at the end (2 dp half-up)."""
-
-    o = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
-
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return (
-            b.groupby(["o_orderstatus", "o_orderpriority"], sort=False)
-            .agg(n_orders=("o_totalprice", "size"), total_price=("o_totalprice", "sum"))
-            .reset_index()
-        )
-
-    fin = grouped_agg(
-        o.map_batches(partial, batch_format="pandas"),
-        ["o_orderstatus", "o_orderpriority"],
-        {"n_orders": ("n_orders", "sum"), "total_price": ("total_price", "sum")},
-    ).to_pandas()
-
-    lvl1 = (
-        fin.groupby("o_orderstatus", sort=False)
-        .agg(n_orders=("n_orders", "sum"), total_price=("total_price", "sum"))
-        .reset_index()
-    )
-    lvl1["o_orderpriority"] = "ALL"
-    lvl2 = pd.DataFrame(
-        {
-            "o_orderstatus": ["ALL"],
-            "o_orderpriority": ["ALL"],
-            "n_orders": [fin["n_orders"].sum()],
-            "total_price": [fin["total_price"].sum()],
-        }
-    )
-    out = pd.concat([fin, lvl1, lvl2], ignore_index=True)
-    return ray.data.from_pandas(
-        pd.DataFrame(
-            {
-                "o_orderstatus": out["o_orderstatus"],
-                "o_orderpriority": out["o_orderpriority"],
-                "n_orders": out["n_orders"].astype(np.int64),
-                "total_price": round_half_up(
-                    out["total_price"].to_numpy(np.float64), 2
-                ),
-            }
-        )
-    )
-
-
 def user_retention_cohorts(sf_dir: str) -> "ray.data.Dataset":
     """Cohort retention triangle: users grouped by their first active
     week (cohort), counted per week-offset they returned — the

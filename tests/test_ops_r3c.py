@@ -293,3 +293,22 @@ def test_clustering_coefficients(ray_session):
         assert r["n_tri"] == t
         exp = 2.0 * t / (len(nb) * (len(nb) - 1.0)) if len(nb) >= 2 else 0.0
         assert abs(r["coef"] - np.floor(exp * 1e6 + 0.501) / 1e6) < 1e-12
+
+
+def test_no_duplicate_registry_keys():
+    """queries() / oracle_sql() are literal dicts — a duplicate key
+    silently shadows an existing operator (bit us once: a second
+    orders_rollup). Parse the AST and reject duplicates outright."""
+    import ast
+
+    src = open("/root/repo/__ray_entry__.py").read()
+    for fn in ast.walk(ast.parse(src)):
+        if isinstance(fn, ast.FunctionDef) and fn.name in ("queries", "oracle_sql"):
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Dict):
+                    keys = [
+                        k.value for k in node.keys if isinstance(k, ast.Constant)
+                    ]
+                    if len(keys) > 20:
+                        dups = sorted({k for k in keys if keys.count(k) > 1})
+                        assert not dups, (fn.name, dups)

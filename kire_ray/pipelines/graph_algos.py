@@ -162,16 +162,24 @@ def triangle_count(
     n_edges = ed.count()
 
     def wedges(part: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for a, grp in part.groupby("a", sort=False):
-            nb = np.sort(grp["b"].to_numpy(dtype=object))
-            if len(nb) < 2:
+        # one frame per partition, not per apex: the loop only gathers
+        # index arrays (a per-group pd.DataFrame append measured as the
+        # hot spot on thousand-node graphs)
+        xs, ys = [], []
+        part = part.sort_values(["a", "b"], kind="mergesort")
+        b_all = part["b"].to_numpy(dtype=object)
+        for _, idx in part.groupby("a", sort=False).indices.items():
+            if len(idx) < 2:
                 continue
+            nb = b_all[idx]
             i, j = np.triu_indices(len(nb), k=1)
-            out.append(pd.DataFrame({"a": nb[i], "b": nb[j]}))
-        if not out:
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not xs:
             return pd.DataFrame({"a": [], "b": []}).astype(object)
-        return pd.concat(out, ignore_index=True)
+        return pd.DataFrame(
+            {"a": np.concatenate(xs), "b": np.concatenate(ys)}
+        )
 
     wg = partitioned_map_groups(ed, ["a"], wedges)
     n_wedges = wg.count()
@@ -1390,16 +1398,28 @@ def clustering_coefficients(
         )
 
     def wedges(part: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for a, grp in part.groupby("a", sort=False):
-            nb = np.sort(grp["b"].to_numpy(dtype=object))
-            if len(nb) < 2:
+        # array-gathering loop, one frame per partition (see
+        # triangle_count.wedges)
+        aps, xs, ys = [], [], []
+        part = part.sort_values(["a", "b"], kind="mergesort")
+        b_all = part["b"].to_numpy(dtype=object)
+        for a, idx in part.groupby("a", sort=False).indices.items():
+            if len(idx) < 2:
                 continue
+            nb = b_all[idx]
             i, j = np.triu_indices(len(nb), k=1)
-            out.append(pd.DataFrame({"apex": a, "a": nb[i], "b": nb[j]}))
-        if not out:
+            aps.append(np.full(len(i), a, dtype=object))
+            xs.append(nb[i])
+            ys.append(nb[j])
+        if not xs:
             return pd.DataFrame({"apex": [], "a": [], "b": []}).astype(object)
-        return pd.concat(out, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "apex": np.concatenate(aps),
+                "a": np.concatenate(xs),
+                "b": np.concatenate(ys),
+            }
+        )
 
     wg = partitioned_map_groups(ed, ["a"], wedges)
     both = wg.map_batches(

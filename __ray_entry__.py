@@ -441,6 +441,44 @@ def _q_kg_clustering_coef(sf_dir: str) -> Any:
     return clustering_coefficients(edges)
 
 
+def _q_kg_pred_stats(sf_dir: str) -> Any:
+    """PARIS-style per-predicate functionality / inverse functionality
+    profile of the corpus KG (pipelines/kg_profile.py) — the statistic
+    entity-alignment and canonicalization weight evidence by.
+    Corpus-side oracle: plain grouped COUNT DISTINCT."""
+    from kire_ray.pipelines.kg_profile import pred_stats
+
+    corpus = _corpus(sf_dir)
+    return pred_stats(_cread(corpus, "kg_triples", ["h_qid", "prop", "t_qid"]))
+
+
+def _q_kg_reachability(sf_dir: str) -> Any:
+    """Bounded-depth (≤4) multi-source transitive closure with
+    shortest-distance semantics over the P1 sub-relation — semi-naive
+    delta iteration, one tagged exchange per round
+    (pipelines/kg_profile.py). Corpus-side oracle: unrolled
+    Bellman-Ford rounds with a min-dist fold."""
+    from kire_ray.pipelines.kg_profile import reachability
+
+    corpus = _corpus(sf_dir)
+    edges = _cread(corpus, "kg_triples", ["h_qid", "prop", "t_qid"]).filter(
+        expr="prop == 'P1'"
+    )
+    return reachability(edges, max_depth=4)
+
+
+def _q_kg_hyperball(sf_dir: str) -> Any:
+    """HyperBall/ANF out-neighborhood function per node, radii 0–3:
+    per-node HLL register vectors iterated by register-max over
+    out-edges (pipelines/kg_profile.py; md5 register scheme shared with
+    hll_distinct). Corpus-side oracle: the SQL unrolls the register
+    max-joins and replays the estimate arithmetic bit-exactly."""
+    from kire_ray.pipelines.kg_profile import hyperball
+
+    corpus = _corpus(sf_dir)
+    return hyperball(_cread(corpus, "kg_triples", ["h_qid", "t_qid"]), radii=3)
+
+
 def _q_kg_communities(sf_dir: str) -> Any:
     """Deterministic synchronous LPA over the corpus KG (5 rounds);
     corpus-side oracle unrolls the identical rounds in SQL."""
@@ -2660,6 +2698,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering_coef": _q_kg_clustering_coef,
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
+        "kg_pred_stats": _q_kg_pred_stats,
+        "kg_reachability": _q_kg_reachability,
+        "kg_hyperball": _q_kg_hyperball,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         # multimodal plumbing (deterministic fake decode)
@@ -2721,6 +2762,95 @@ def _hits_sql(c01: str, iters: int = 5) -> str:
         FROM a{iters} a JOIN h{iters} h USING (q)"""
     )
     return "".join(parts)
+
+
+def _reach_sql(c01: str, prop: str = "P1", depth: int = 4) -> str:
+    """Unrolled bounded transitive-closure oracle with a min-dist fold
+    (Bellman-Ford rounds) — mirrors kg_profile.reachability's
+    semi-naive result exactly: every pair at its shortest distance."""
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT h_qid AS s, t_qid AS t
+            FROM read_parquet('{c01}/kg_triples.parquet')
+            WHERE prop = '{prop}' AND h_qid != t_qid),
+        r1 AS (SELECT s, t, 1 AS d FROM e)"""
+    ]
+    for i in range(2, depth + 1):
+        parts.append(
+            f""",
+        r{i} AS (SELECT s, t, min(d) AS d FROM (
+            SELECT * FROM r{i - 1}
+            UNION ALL
+            SELECT r.s, e.t, r.d + 1 FROM r{i - 1} r JOIN e ON e.s = r.t
+            WHERE e.t != r.s) GROUP BY s, t)"""
+        )
+    return (
+        "".join(parts)
+        + f"""
+        SELECT s AS src, t AS dst, CAST(d AS BIGINT) AS dist FROM r{depth}"""
+    )
+
+
+def _hyperball_sql(c01: str, radii: int = 3) -> str:
+    """Unrolled HyperBall oracle: the md5 60-bit register scheme of
+    hll_distinct_users' oracle, iterated as register max-joins over
+    out-edges, with the identical estimate arithmetic per radius."""
+    from kire_ray.functions.rounding import sql_round
+
+    mask = "((CAST(1 AS BIGINT) << 50) - 1)"
+    parts = [
+        f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT h_qid AS v, t_qid AS w
+            FROM read_parquet('{c01}/kg_triples.parquet')
+            WHERE h_qid != t_qid),
+        nodes AS (SELECT DISTINCT q
+                  FROM (SELECT v AS q FROM e UNION ALL SELECT w FROM e)),
+        hh AS (SELECT q, CAST(('0x' || substr(md5(q), 1, 15)) AS BIGINT) AS h
+               FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT q AS node, h >> 50 AS bucket,
+                   CASE WHEN (h & {mask}) = 0 THEN 51
+                        ELSE 51 - length(bin(h & {mask})) END AS rho
+            FROM hh)"""
+    ]
+    for i in range(1, radii + 1):
+        parts.append(
+            f""",
+        r{i} AS MATERIALIZED (
+            SELECT node, bucket, max(rho) AS rho FROM (
+                SELECT * FROM r{i - 1}
+                UNION ALL
+                SELECT e.v AS node, r.bucket, r.rho
+                FROM r{i - 1} r JOIN e ON e.w = r.node)
+            GROUP BY node, bucket)"""
+        )
+    sel = " UNION ALL ".join(
+        f"""
+            SELECT node, {i} AS radius,
+                   sum(power(2.0, -rho)) + (1024 - count(*)) AS s,
+                   1024 - count(*) AS v0
+            FROM r{i} GROUP BY node"""
+        for i in range(0, radii + 1)
+    )
+    branch = (
+        "CASE WHEN e_raw <= 2.5 * 1024.0 AND v0 > 0 "
+        "THEN 1024.0 * ln(1024.0 / v0) ELSE e_raw END"
+    )
+    return (
+        "".join(parts)
+        + f""",
+        agg AS ({sel}),
+        est AS (SELECT node, radius,
+                       (0.7213 / (1.0 + 1.079 / 1024.0))
+                           * 1024.0 * 1024.0 / s AS e_raw,
+                       v0
+                FROM agg)
+        SELECT node AS qid, CAST(radius AS BIGINT) AS radius,
+               {sql_round(branch, 6)} AS estimate
+        FROM est"""
+    )
 
 
 def _walks_sql(c01: str, walks_per_node: int = 2, walk_len: int = 3) -> str:
@@ -6095,6 +6225,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ccf_deg d LEFT JOIN ccf_tc t USING (qid)
         """,
         "kg_hits": _hits_sql(c01),
+        "kg_reachability": _reach_sql(c01),
+        "kg_hyperball": _hyperball_sql(c01),
+        "kg_pred_stats": f"""
+            SELECT prop,
+                   count(*) AS n_triples,
+                   count(DISTINCT h_qid) AS n_heads,
+                   count(DISTINCT t_qid) AS n_tails,
+                   floor(count(DISTINCT h_qid) * 1.0 / count(*)
+                         * 1000000 + 0.501) / 1000000 AS functionality,
+                   floor(count(DISTINCT t_qid) * 1.0 / count(*)
+                         * 1000000 + 0.501) / 1000000 AS inv_functionality
+            FROM read_parquet('{c01}/kg_triples.parquet')
+            GROUP BY prop
+        """,
         "kg_random_walks": _walks_sql(c01),
         "kg_negative_samples": f"""
             WITH nsed AS (SELECT h_qid, prop, t_qid

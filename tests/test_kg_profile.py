@@ -1,0 +1,146 @@
+"""kg_profile operators: PARIS predicate stats, bounded transitive
+closure, HyperBall neighborhood function — each vs a sequential oracle
+and at two partitionings (partition invariance)."""
+
+import collections
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+import ray.data
+
+from kire_ray.pipelines.kg_profile import hyperball, pred_stats, reachability
+
+
+def _edges_df() -> pd.DataFrame:
+    # chain a→b→c→d→e, a cycle x→y→z→x, a hub h→{a,x,c}, dup edges,
+    # and a self-loop (must be ignored)
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("x", "y"), ("y", "z"), ("z", "x"),
+        ("h", "a"), ("h", "x"), ("h", "c"),
+        ("a", "b"),               # duplicate
+        ("e", "e"),               # self-loop
+    ]
+    return pd.DataFrame(
+        {
+            "h_qid": [r[0] for r in rows],
+            "prop": "P1",
+            "t_qid": [r[1] for r in rows],
+        }
+    )
+
+
+def _ds(df: pd.DataFrame, blocks: int) -> "ray.data.Dataset":
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def _bfs_all_pairs(df: pd.DataFrame, max_depth: int) -> dict:
+    adj = collections.defaultdict(set)
+    for s, t in zip(df["h_qid"], df["t_qid"]):
+        if s != t:
+            adj[s].add(t)
+    dist = {}
+    nodes = set(df["h_qid"]) | set(df["t_qid"])
+    for s in nodes:
+        frontier, d = {s}, 0
+        seen = {s}
+        while frontier and d < max_depth:
+            d += 1
+            nxt = set()
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.add(v)
+                        if v != s:
+                            dist[(s, v)] = d
+            frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_reachability_matches_bfs(ray_session, blocks):
+    df = _edges_df()
+    got = reachability(_ds(df, blocks), max_depth=4).to_pandas()
+    want = _bfs_all_pairs(df, 4)
+    got_map = {(r.src, r.dst): r.dist for r in got.itertuples()}
+    assert got_map == want
+    assert len(got) == len(got_map)  # no duplicate pairs
+
+
+def test_pred_stats_exact(ray_session):
+    df = pd.concat(
+        [
+            _edges_df(),
+            pd.DataFrame(
+                {"h_qid": ["a", "a", "b"], "prop": "P2", "t_qid": ["b", "c", "c"]}
+            ),
+        ],
+        ignore_index=True,
+    )
+    for blocks in (1, 4):
+        got = (
+            pred_stats(_ds(df, blocks))
+            .to_pandas()
+            .sort_values("prop")
+            .reset_index(drop=True)
+        )
+        for _, row in got.iterrows():
+            sub = df[df["prop"] == row["prop"]]
+            assert row["n_triples"] == len(sub)
+            assert row["n_heads"] == sub["h_qid"].nunique()
+            assert row["n_tails"] == sub["t_qid"].nunique()
+            assert row["functionality"] == pytest.approx(
+                np.floor(sub["h_qid"].nunique() / len(sub) * 1e6 + 0.501) / 1e6
+            )
+
+
+def _hyperball_oracle(df: pd.DataFrame, radii: int) -> dict:
+    m = 1024
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    ed = df[df["h_qid"] != df["t_qid"]][["h_qid", "t_qid"]].drop_duplicates()
+    nodes = sorted(set(ed["h_qid"]) | set(ed["t_qid"]))
+    regs = {}
+    for q in nodes:
+        h = int(hashlib.md5(q.encode()).hexdigest()[:15], 16)
+        b, w = h >> 50, h & ((1 << 50) - 1)
+        regs[q] = {b: (51 - w.bit_length() if w else 51)}
+    outadj = collections.defaultdict(list)
+    for v, w in zip(ed["h_qid"], ed["t_qid"]):
+        outadj[v].append(w)
+
+    def est(r):
+        npres = len(r)
+        s = sum(2.0 ** -x for x in r.values()) + (m - npres)
+        v0 = m - npres
+        e = alpha * m * m / s
+        if e <= 2.5 * m and v0 > 0:
+            e = m * np.log(m / v0)
+        return np.floor(e * 1e6 + 0.501) / 1e6
+
+    expect, cur = {}, regs
+    for r in range(0, radii + 1):
+        for q in nodes:
+            expect[(q, r)] = est(cur[q])
+        nxt = {q: dict(cur[q]) for q in nodes}
+        for v in nodes:
+            for w in outadj.get(v, []):
+                for b, rho in cur[w].items():
+                    if nxt[v].get(b, 0) < rho:
+                        nxt[v][b] = rho
+        cur = nxt
+    return expect
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_hyperball_matches_sequential(ray_session, blocks):
+    df = _edges_df()
+    got = hyperball(_ds(df, blocks), radii=3).to_pandas()
+    want = _hyperball_oracle(df, 3)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.qid, r.radius)] == pytest.approx(r.estimate, abs=1e-9)

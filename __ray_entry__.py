@@ -719,6 +719,24 @@ def _q_role_transitions(sf_dir: str) -> Any:
     return role_transitions(_corpus(sf_dir))
 
 
+def _q_conv_stats(sf_dir: str) -> Any:
+    from kire_ray.pipelines.transcripts import conv_stats
+
+    return conv_stats(_corpus(sf_dir))
+
+
+def _q_turn_latency(sf_dir: str) -> Any:
+    from kire_ray.pipelines.transcripts import turn_latency
+
+    return turn_latency(_corpus(sf_dir))
+
+
+def _q_tool_chains(sf_dir: str) -> Any:
+    from kire_ray.pipelines.transcripts import tool_chains
+
+    return tool_chains(_corpus(sf_dir))
+
+
 def _q_preference_pairs(sf_dir: str) -> Any:
     from kire_ray.pipelines.sampling import preference_pairs
 
@@ -2681,6 +2699,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preference_pairs": _q_preference_pairs,
         "tool_usage_stats": _q_tool_usage_stats,
         "role_transitions": _q_role_transitions,
+        "conv_stats": _q_conv_stats,
+        "turn_latency": _q_turn_latency,
+        "tool_chains": _q_tool_chains,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "join_size_estimate": _q_join_size_estimate,
@@ -3056,6 +3077,42 @@ def oracle_sql() -> dict[str, str]:
             FROM rt_l
             WHERE role_to IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "conv_stats": f"""
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(count(tool) AS BIGINT) AS n_tool_turns,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+                   CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                        AS BIGINT) AS duration_s
+            FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
+            GROUP BY conv_id
+        """,
+        "turn_latency": f"""
+            WITH tl_g AS (SELECT role,
+                                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                                     PARTITION BY conv_id ORDER BY turn_idx)
+                                     AS gap_us
+                          FROM read_parquet('{c01}/transcripts.parquet/*.parquet'))
+            SELECT role,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   {sql_round('sum(gap_us) / count(*) / 1e6', 6)} AS mean_gap_s,
+                   {sql_round('quantile_cont(gap_us, 0.5) / 1e6', 6)} AS p50_gap_s,
+                   {sql_round('quantile_cont(gap_us, 0.95) / 1e6', 6)} AS p95_gap_s
+            FROM tl_g
+            WHERE gap_us IS NOT NULL
+            GROUP BY role
+        """,
+        "tool_chains": f"""
+            WITH tc_c AS (SELECT conv_id,
+                                 string_agg(tool, '>' ORDER BY turn_idx) AS chain
+                          FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
+                          WHERE tool IS NOT NULL
+                          GROUP BY conv_id)
+            SELECT chain, CAST(count(*) AS BIGINT) AS n_convs
+            FROM tc_c
+            GROUP BY chain
         """,
         "kg_mentions_flat": f"""
             SELECT doc_id,

@@ -94,6 +94,190 @@ def tool_usage_stats(corpus_dir: str) -> "ray.data.Dataset":
     )
 
 
+def conv_stats(corpus_dir: str) -> "ray.data.Dataset":
+    """Per-conversation profile: turn count, distinct roles, tool-call
+    turns, total words, and wall-clock span — the conversation-level
+    summary table an agent-transcript warehouse materializes once and
+    reuses for routing/sampling decisions.
+
+    Shape: block-local combiner to (conv_id, role) partials (sums fold;
+    the role set dedups by key; min/max ts fold) → ONE exchange on
+    conv_id → vectorized final combine. All outputs are exact integers
+    (duration = floor of the epoch-µs span / 1e6), so there is no fp
+    ordering risk anywhere."""
+    ds = _read_full(
+        corpus_dir, ["conv_id", "turn_idx", "role", "tool", "text", "ts"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        words = (b["text"].str.count(" ") + 1).astype(np.int64)
+        ts = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "role": b["role"],
+                "n_turns": np.int64(1),
+                "n_tool_turns": b["tool"].notna().to_numpy(np.int64),
+                "n_words": words,
+                "ts_min": ts,
+                "ts_max": ts,
+            }
+        )
+        return (
+            g.groupby(["conv_id", "role"], sort=False)
+            .agg(
+                n_turns=("n_turns", "sum"),
+                n_tool_turns=("n_tool_turns", "sum"),
+                n_words=("n_words", "sum"),
+                ts_min=("ts_min", "min"),
+                ts_max=("ts_max", "max"),
+            )
+            .reset_index()
+        )
+
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            p.groupby(["conv_id", "role"], sort=False)
+            .agg(
+                n_turns=("n_turns", "sum"),
+                n_tool_turns=("n_tool_turns", "sum"),
+                n_words=("n_words", "sum"),
+                ts_min=("ts_min", "min"),
+                ts_max=("ts_max", "max"),
+            )
+            .reset_index()
+        )
+        g = (
+            p.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("n_turns", "sum"),
+                n_roles=("role", "size"),
+                n_tool_turns=("n_tool_turns", "sum"),
+                n_words=("n_words", "sum"),
+                ts_min=("ts_min", "min"),
+                ts_max=("ts_max", "max"),
+            )
+            .reset_index()
+        )
+        g["duration_s"] = (g["ts_max"] - g["ts_min"]) // 1_000_000
+        out = g[
+            ["conv_id", "n_turns", "n_roles", "n_tool_turns", "n_words", "duration_s"]
+        ].copy()
+        for c in out.columns[1:]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return partitioned_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), ["conv_id"], combine
+    )
+
+
+def turn_latency(corpus_dir: str) -> "ray.data.Dataset":
+    """Per-role response latency: for every turn with a predecessor in
+    its conversation (stable turn_idx order), the gap in seconds to the
+    previous turn, attributed to the responding turn's role — then
+    count / mean / interpolated p50 / p95 per role. The agent-ops
+    latency dashboard over the north-rule input schema.
+
+    Shape: ONE exchange on conv_id → per-partition vectorized sort +
+    shift producing (role, gap_µs) histogram partials → one
+    role-cardinality exchange → in-reducer sorted expansion with the
+    ``events_quantile_cont`` interpolation (reducer memory bounded by
+    per-role distinct gap values). Gaps stay exact int64 µs until the
+    final divide-by-1e6 + 6dp round, mirroring the oracle exactly."""
+    ds = _read_full(corpus_dir, ["conv_id", "turn_idx", "role", "ts"])
+
+    def per_conv(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = p["conv_id"].to_numpy()
+        same = conv[1:] == conv[:-1]
+        ts = p["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "role": p["role"].to_numpy()[1:][same],
+                    "gap_us": (ts[1:] - ts[:-1])[same],
+                }
+            )
+            .groupby(["role", "gap_us"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def stats(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for role, g in part.groupby("role", sort=False):
+            g = g.groupby("gap_us", sort=True)["n"].sum().reset_index()
+            vals = g["gap_us"].to_numpy(np.int64)
+            cnt = g["n"].to_numpy(np.int64)
+            cum = cnt.cumsum()
+            n = int(cum[-1])
+            total = int((vals * cnt).sum())
+            qv = {}
+            for q in (0.5, 0.95):
+                pos = (n - 1) * q
+                lo = int(np.floor(pos))
+                frac = pos - lo
+                vlo = float(vals[int(np.searchsorted(cum, lo + 1, side="left"))])
+                if frac == 0.0:
+                    v = vlo
+                else:
+                    vhi = float(vals[int(np.searchsorted(cum, lo + 2, side="left"))])
+                    v = vlo + frac * (vhi - vlo)
+                qv[q] = v
+            rows.append((role, n, total / n / 1e6, qv[0.5] / 1e6, qv[0.95] / 1e6))
+        out = pd.DataFrame(
+            rows, columns=["role", "n_gaps", "mean_gap_s", "p50_gap_s", "p95_gap_s"]
+        )
+        for c in ("mean_gap_s", "p50_gap_s", "p95_gap_s"):
+            out[c] = round_half_up(out[c].to_numpy(np.float64), 6)
+        out["n_gaps"] = out["n_gaps"].astype(np.int64)
+        return out
+
+    return partitioned_map_groups(
+        partitioned_map_groups(ds, ["conv_id"], per_conv), ["role"], stats
+    )
+
+
+def tool_chains(corpus_dir: str) -> "ray.data.Dataset":
+    """Tool-call chains: the ordered sequence of tools invoked in each
+    conversation (tool turns only, stable turn order) collapsed to a
+    '>'-joined chain string, counted across conversations — the
+    workflow-mining view of an agent log (which tool pipelines actually
+    occur, and how often).
+
+    Shape: ONE exchange on conv_id → per-partition sort + filter +
+    per-conv join (chain strings are bounded by the per-conv turn cap)
+    → grouped-agg combine on the chain key. Conversations with no tool
+    turns don't emit a row, matching the oracle's WHERE."""
+    ds = _read_full(corpus_dir, ["conv_id", "turn_idx", "tool"])
+
+    def per_conv(p: pd.DataFrame) -> pd.DataFrame:
+        p = p[p["tool"].notna()].sort_values(
+            ["conv_id", "turn_idx"], kind="mergesort"
+        )
+        if p.empty:
+            return pd.DataFrame(
+                {"chain": pd.Series([], dtype=object),
+                 "n_convs": pd.Series([], dtype=np.int64)}
+            )
+        chains = p.groupby("conv_id", sort=False)["tool"].agg(">".join)
+        out = chains.value_counts().rename("n_convs").reset_index()
+        out.columns = ["chain", "n_convs"]
+        return out
+
+    def post(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype({"n_convs": np.int64})
+
+    return grouped_agg(
+        partitioned_map_groups(ds, ["conv_id"], per_conv),
+        ["chain"],
+        {"n_convs": ("n_convs", "sum")},
+        post=post,
+    )
+
+
 def role_transitions(corpus_dir: str) -> "ray.data.Dataset":
     """Dialogue-structure bigram: counts of (role → next role) under
     stable turn ordering — the Markov skeleton of the conversations

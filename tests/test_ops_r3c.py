@@ -312,3 +312,87 @@ def test_no_duplicate_registry_keys():
                     if len(keys) > 20:
                         dups = sorted({k for k in keys if keys.count(k) > 1})
                         assert not dups, (fn.name, dups)
+
+
+def test_conv_stats_turn_latency_tool_chains(ray_session):
+    """The conversation-profile trio vs pandas replays on the sf0.001
+    corpus (their DuckDB oracles bind to sf0.01)."""
+    import glob
+
+    from kire_ray.pipelines.transcripts import (
+        conv_stats,
+        tool_chains,
+        turn_latency,
+    )
+    from kire_ray.sources.synth import corpus_for_sf_dir
+
+    corpus = corpus_for_sf_dir(SF)
+    tr = pd.concat(
+        [
+            pd.read_parquet(f)
+            for f in glob.glob(f"{corpus}/transcripts.parquet/*.parquet")
+        ],
+        ignore_index=True,
+    )
+
+    # --- conv_stats ---
+    got = conv_stats(corpus).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    us = tr["ts"].astype("datetime64[us]").astype(np.int64)
+    t = tr.assign(nw=tr["text"].str.count(" ") + 1, us=us)
+    exp = (
+        t.groupby("conv_id")
+        .agg(
+            n_turns=("nw", "size"),
+            n_roles=("role", "nunique"),
+            n_tool_turns=("tool", "count"),
+            n_words=("nw", "sum"),
+            ts_min=("us", "min"),
+            ts_max=("us", "max"),
+        )
+        .reset_index()
+    )
+    exp["duration_s"] = (exp["ts_max"] - exp["ts_min"]) // 1_000_000
+    exp = exp.drop(columns=["ts_min", "ts_max"]).sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # --- turn_latency ---
+    got_tl = turn_latency(corpus).to_pandas().sort_values("role").reset_index(drop=True)
+    s = tr.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    same = s["conv_id"].to_numpy()[1:] == s["conv_id"].to_numpy()[:-1]
+    ts = s["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    gaps = pd.DataFrame(
+        {"role": s["role"].to_numpy()[1:][same], "gap_us": (ts[1:] - ts[:-1])[same]}
+    )
+    rows = []
+    for role, g in gaps.groupby("role"):
+        v = np.sort(g["gap_us"].to_numpy(np.float64))
+        r6 = lambda x: np.floor(x * 1e6 + 0.501) / 1e6
+        rows.append(
+            (
+                role,
+                len(v),
+                r6(v.sum() / len(v) / 1e6),
+                r6(np.quantile(v, 0.5) / 1e6),
+                r6(np.quantile(v, 0.95) / 1e6),
+            )
+        )
+    exp_tl = pd.DataFrame(
+        rows, columns=["role", "n_gaps", "mean_gap_s", "p50_gap_s", "p95_gap_s"]
+    ).sort_values("role").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_tl, exp_tl, check_dtype=False)
+
+    # --- tool_chains ---
+    got_tc = tool_chains(corpus).to_pandas().sort_values("chain").reset_index(drop=True)
+    tt = tr[tr["tool"].notna()].sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    exp_tc = (
+        tt.groupby("conv_id")["tool"]
+        .agg(">".join)
+        .value_counts()
+        .rename("n_convs")
+        .reset_index()
+    )
+    exp_tc.columns = ["chain", "n_convs"]
+    exp_tc = exp_tc.sort_values("chain").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_tc, exp_tc, check_dtype=False)
+    # every chain's conversations sum to the tool-turn conv count
+    assert got_tc["n_convs"].sum() == tt["conv_id"].nunique()

@@ -1380,6 +1380,24 @@ def _q_exact_dedup(sf_dir: str) -> Any:
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_bow_dedup(sf_dir: str) -> Any:
+    from kire_ray.pipelines.dedup import bow_dedup
+
+    return bow_dedup(_docs(sf_dir))
+
+
+def _q_zipf_fit(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import zipf_fit
+
+    return zipf_fit(_docs(sf_dir))
+
+
+def _q_key_skew_profile(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sketches import key_skew_profile
+
+    return key_skew_profile(sf_dir)
+
+
 def _q_minhash(sf_dir: str) -> Any:
     """MinHash+LSH near-dup (64 perms, 16 bands, word-3-gram shingles,
     exact Jaccard verify at 0.8). Carries an exact DuckDB oracle: the
@@ -2551,6 +2569,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": R.price_quantiles,
         # training-data suite
         "exact_dedup": _q_exact_dedup,
+        "bow_dedup": _q_bow_dedup,
+        "zipf_fit": _q_zipf_fit,
+        "key_skew_profile": _q_key_skew_profile,
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -3918,6 +3939,63 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "bow_dedup": """
+            WITH bd_b AS (SELECT doc_id,
+                                 md5(array_to_string(list_sort(list_distinct(
+                                     string_split(text, ' '))), ' ')) AS k,
+                                 len(list_distinct(string_split(text, ' '))) AS ndw
+                          FROM documents),
+            bd_g AS (SELECT k, min(doc_id) AS doc_id, count(*) AS n_docs,
+                            min(ndw) AS ndw
+                     FROM bd_b GROUP BY k)
+            SELECT doc_id, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(ndw AS BIGINT) AS n_distinct_words
+            FROM bd_g WHERE n_docs >= 2
+        """,
+        "zipf_fit": f"""
+            WITH zf_wf AS (SELECT w AS word, count(*) AS n
+                           FROM (SELECT unnest(string_split(text, ' ')) AS w
+                                 FROM documents)
+                           GROUP BY w),
+            zf_xy AS (SELECT log10(CAST(row_number() OVER
+                                 (ORDER BY n DESC, word) AS DOUBLE)) AS x,
+                             log10(CAST(n AS DOUBLE)) AS y
+                      FROM zf_wf),
+            zf_s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                            sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                            sum(x * x) AS sxx, sum(y * y) AS syy
+                     FROM zf_xy)
+            SELECT CAST((SELECT count(*) FROM zf_wf) AS BIGINT) AS n_types,
+                   CAST((SELECT sum(n) FROM zf_wf) AS BIGINT) AS n_tokens,
+                   {sql_round('(n*sxy - sx*sy) / (n*sxx - sx*sx)', 6)} AS slope,
+                   {sql_round('(sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n', 6)}
+                       AS intercept,
+                   {sql_round('((n*sxy - sx*sy) * (n*sxy - sx*sy)) / ((n*sxx - sx*sx) * (n*syy - sy*sy))', 6)}
+                       AS r2
+            FROM zf_s
+        """,
+        "key_skew_profile": f"""
+            WITH ks(source, n_rows, n_keys, max_n) AS (
+                {" UNION ALL ".join(
+                    f"SELECT '{t}.{c}', sum(n), count(*), max(n) FROM "
+                    f"(SELECT count(*) AS n FROM {t} GROUP BY {c})"
+                    for t, c in (
+                        ("events", "user_id"),
+                        ("events", "event_type"),
+                        ("orders", "o_custkey"),
+                        ("lineitem", "l_orderkey"),
+                        ("lineitem", "l_partkey"),
+                        ("documents", "source"),
+                    )
+                )}
+            )
+            SELECT source,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_keys AS BIGINT) AS n_keys,
+                   CAST(max_n AS BIGINT) AS max_n,
+                   {sql_round('max_n * 1.0 / n_rows', 6)} AS top_share
+            FROM ks
         """,
         "frame_sample": f"""
             SELECT media_id, CAST(f * 1000 AS BIGINT) AS frame_ms

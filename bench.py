@@ -115,6 +115,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "preference_pairs",
         "tool_usage_stats",
         "role_transitions",
+        "conv_stats",
+        "turn_latency",
+        "tool_chains",
         "kg_clustering_coef",
         "winsorize_events",
         "frequent_itemsets",
@@ -123,6 +126,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_kcore",
         "orders_status_quantiles",
         "exact_dedup",
+        "bow_dedup",
+        "zipf_fit",
+        "key_skew_profile",
         "duplicated_spans",
         "minhash_dedup",
         "ngram_jaccard_dedup",

@@ -1457,3 +1457,51 @@ def incremental_dedup(
         return pd.DataFrame({id_col: fresh["first_new"].astype(np.int64).to_numpy()})
 
     return partitioned_map_groups(both, ["h"], keep)
+
+
+def bow_dedup(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Word-order-invariant duplicate groups: two documents collide iff
+    their DISTINCT word sets are equal (bag-of-words dedup — catches
+    shuffled/reordered copies that exact hash dedup misses and full
+    MinHash doesn't need). Key = md5 of the sorted distinct words,
+    mirrored verbatim in SQL via
+    ``md5(array_to_string(list_sort(list_distinct(string_split(..))),' '))``.
+
+    Shape: the ``exact_dedup`` single content-hash exchange — per-block
+    (key → min id, count) combiner, one grouped exchange, groups of
+    size ≥ 2 survive. Returns (doc_id = representative min id, n_docs,
+    n_distinct_words)."""
+    import hashlib
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, ndw = [], []
+        for t in b[text_col]:
+            ws = sorted(set(t.split()))
+            keys.append(hashlib.md5(" ".join(ws).encode()).hexdigest())
+            ndw.append(len(ws))
+        g = (
+            pd.DataFrame({"k": keys, id_col: b[id_col], "ndw": ndw})
+            .groupby("k", sort=False)
+            .agg(doc_id=(id_col, "min"), n_docs=(id_col, "size"), ndw=("ndw", "min"))
+            .reset_index()
+        )
+        return g
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out = out[out["n_docs"] >= 2].drop(columns=["k"])
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "n_docs": out["n_docs"].astype(np.int64),
+                "n_distinct_words": out["ndw"].astype(np.int64),
+            }
+        )
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["k"],
+        {"doc_id": ("doc_id", "min"), "n_docs": ("n_docs", "sum"), "ndw": ("ndw", "min")},
+        post=post,
+    )

@@ -797,3 +797,82 @@ def tdigest_quantiles(
             }
         )
     )
+
+
+def key_skew_profile(
+    sf_dir: str,
+    specs: tuple[tuple[str, str], ...] = (
+        ("events", "user_id"),
+        ("events", "event_type"),
+        ("orders", "o_custkey"),
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("documents", "source"),
+    ),
+) -> "ray.data.Dataset":
+    """Key-distribution skew diagnosis — per candidate shuffle key:
+    row count, distinct keys, the hottest key's count and its share of
+    all rows. The planning pass a 100 TB pipeline runs BEFORE choosing
+    partition keys (this repo's own skew story — salting, max_turns
+    caps — starts from exactly these numbers).
+
+    Shape per source: block-local key-count combiner → one grouped
+    exchange on (source, key) → per-block fold to (n_keys, n_rows,
+    max_n) partials → a source-cardinality final combine. The exchange
+    carries one row per (key, block); keys are stringified only as
+    grouping labels (injective, never output). All outputs are exact
+    integers except the final one-division share."""
+    from kire_ray.pipelines.relational import _read
+    from kire_ray.stages.shuffle import grouped_agg
+
+    parts = []
+    for t, c in specs:
+        src = f"{t}.{c}"
+
+        def partial(b: pd.DataFrame, _c=c, _src=src) -> pd.DataFrame:
+            vc = b[_c].astype(str).value_counts()
+            return pd.DataFrame(
+                {
+                    "source": _src,
+                    "key": vc.index.to_numpy(),
+                    "n": vc.to_numpy(np.int64),
+                }
+            )
+
+        parts.append(
+            _read(sf_dir, t, [c]).map_batches(partial, batch_format="pandas")
+        )
+    counts = grouped_agg(
+        parts[0].union(*parts[1:]), ["source", "key"], {"n": ("n", "sum")}
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_rows": pd.Series([], dtype=np.int64),
+                    "n_keys": pd.Series([], dtype=np.int64),
+                    "max_n": pd.Series([], dtype=np.int64),
+                }
+            )
+        return (
+            b.groupby("source", sort=False)
+            .agg(n_rows=("n", "sum"), n_keys=("key", "size"), max_n=("n", "max"))
+            .reset_index()
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out = out.astype({"n_rows": np.int64, "n_keys": np.int64, "max_n": np.int64})
+        out["top_share"] = round_half_up(
+            out["max_n"].to_numpy(np.float64) / out["n_rows"].to_numpy(np.float64),
+            6,
+        )
+        return out
+
+    return grouped_agg(
+        counts.map_batches(fold, batch_format="pandas"),
+        ["source"],
+        {"n_rows": ("n_rows", "sum"), "n_keys": ("n_keys", "sum"), "max_n": ("max_n", "max")},
+        post=post,
+    )

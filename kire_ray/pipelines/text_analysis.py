@@ -1587,3 +1587,47 @@ def ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return scored.map_batches(assign, batch_format="pandas")
+
+
+def zipf_fit(ds: "ray.data.Dataset", *, text_col: str = "text") -> "pd.DataFrame":
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope /
+    intercept / R² of log10(frequency) against log10(rank) (rank by
+    frequency desc, word asc — deterministic ties). The macro corpus
+    statistic a curation pipeline tracks across snapshots: natural text
+    sits near slope −1; a drifting slope flags template spam or
+    boilerplate floods.
+
+    Shape: the ``word_frequencies`` combiner + one grouped exchange do
+    all the data-sized work; the fit itself runs on the vocab-bounded
+    frequency table (the declared tfidf/df bound) on the driver, in one
+    deterministic rank order. Returns ONE row; 6dp rounding absorbs the
+    oracle's summation-order jitter (the ``lineitem_corr`` contract).
+    """
+    from kire_ray.functions.rounding import round_half_up
+
+    wf = (
+        word_frequencies(ds, text_col=text_col)
+        .to_pandas()
+        .sort_values(["n", "word"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    f = wf["n"].to_numpy(np.float64)
+    n_types = len(f)
+    n_tokens = int(wf["n"].sum())
+    x = np.log10(np.arange(1, n_types + 1, dtype=np.float64))
+    y = np.log10(f)
+    n = float(n_types)
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return pd.DataFrame(
+        {
+            "n_types": np.array([n_types], dtype=np.int64),
+            "n_tokens": np.array([n_tokens], dtype=np.int64),
+            "slope": round_half_up(np.array([slope]), 6),
+            "intercept": round_half_up(np.array([intercept]), 6),
+            "r2": round_half_up(np.array([r2]), 6),
+        }
+    )

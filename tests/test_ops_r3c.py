@@ -396,3 +396,43 @@ def test_conv_stats_turn_latency_tool_chains(ray_session):
     pd.testing.assert_frame_equal(got_tc, exp_tc, check_dtype=False)
     # every chain's conversations sum to the tool-turn conv count
     assert got_tc["n_convs"].sum() == tt["conv_id"].nunique()
+
+
+def test_bow_zipf_skew_vs_oracle(ray_session):
+    """bow_dedup / zipf_fit / key_skew_profile vs their DuckDB oracles
+    at sf0.001 (view-bound, so any sf compares)."""
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.dedup import bow_dedup
+    from kire_ray.pipelines.sketches import key_skew_profile
+    from kire_ray.pipelines.text_analysis import zipf_fit
+
+    con = duckdb.connect()
+    for t in ["documents", "events", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    oracles = E.oracle_sql()
+
+    got = bow_dedup(E._docs(SF)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(oracles["bow_dedup"]).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    # bag-of-words groups must cover every exact-text duplicate group
+    n_exact_groups = con.execute(
+        "SELECT count(*) FROM (SELECT text FROM documents GROUP BY text HAVING count(*) >= 2)"
+    ).fetchone()[0]
+    assert got["n_docs"].sum() >= 2 * n_exact_groups or len(got) >= n_exact_groups
+
+    got_z = zipf_fit(E._docs(SF))
+    exp_z = con.execute(oracles["zipf_fit"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got_z.reset_index(drop=True), exp_z[got_z.columns.tolist()], check_dtype=False
+    )
+    assert got_z["slope"].iloc[0] < 0  # frequencies decrease with rank
+
+    got_k = key_skew_profile(SF).to_pandas().sort_values("source").reset_index(drop=True)
+    exp_k = con.execute(oracles["key_skew_profile"]).fetchdf().sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_k[exp_k.columns.tolist()], exp_k, check_dtype=False)
+    assert (got_k["max_n"] <= got_k["n_rows"]).all()
+    assert (got_k["n_keys"] <= got_k["n_rows"]).all()

@@ -441,6 +441,18 @@ def _q_kg_clustering_coef(sf_dir: str) -> Any:
     return clustering_coefficients(edges)
 
 
+def _q_kg_meta_paths(sf_dir: str) -> Any:
+    """PRA-style 2-hop meta-path mining over the corpus KG
+    (pipelines/kg_profile.py meta_paths): per relation composition
+    (r1, r2) — path instances, distinct endpoint pairs, and the
+    directly-linked (closed) share that ranks compositions as
+    link-prediction features. Corpus-side oracle: edge self-join."""
+    from kire_ray.pipelines.kg_profile import meta_paths
+
+    corpus = _corpus(sf_dir)
+    return meta_paths(_cread(corpus, "kg_triples", ["h_qid", "prop", "t_qid"]))
+
+
 def _q_kg_pred_stats(sf_dir: str) -> Any:
     """PARIS-style per-predicate functionality / inverse functionality
     profile of the corpus KG (pipelines/kg_profile.py) — the statistic
@@ -1384,6 +1396,18 @@ def _q_bow_dedup(sf_dir: str) -> Any:
     from kire_ray.pipelines.dedup import bow_dedup
 
     return bow_dedup(_docs(sf_dir))
+
+
+def _q_k_anonymity(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import k_anonymity
+
+    return k_anonymity(_sread(sf_dir, "documents", ["lang", "source", "n_chars"]))
+
+
+def _q_events_autocorr(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import events_autocorr
+
+    return events_autocorr(sf_dir)
 
 
 def _q_zipf_fit(sf_dir: str) -> Any:
@@ -2572,6 +2596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bow_dedup": _q_bow_dedup,
         "zipf_fit": _q_zipf_fit,
         "key_skew_profile": _q_key_skew_profile,
+        "k_anonymity": _q_k_anonymity,
+        "events_autocorr": _q_events_autocorr,
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -2741,6 +2767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_communities": _q_kg_communities,
         "kg_pred_stats": _q_kg_pred_stats,
+        "kg_meta_paths": _q_kg_meta_paths,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
         "ann_lsh": _q_ann_lsh,
@@ -3952,6 +3979,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_docs AS BIGINT) AS n_docs,
                    CAST(ndw AS BIGINT) AS n_distinct_words
             FROM bd_g WHERE n_docs >= 2
+        """,
+        "k_anonymity": """
+            WITH ka_g AS (SELECT lang, source, n_chars // 256 AS lb,
+                                 count(*) AS n
+                          FROM documents GROUP BY 1, 2, 3),
+            ka_k(k) AS (VALUES (2), (5), (10), (20))
+            SELECT CAST(k AS BIGINT) AS k,
+                   CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_groups_below,
+                   CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+                       AS n_rows_at_risk
+            FROM ka_k CROSS JOIN ka_g
+            GROUP BY k
+        """,
+        "events_autocorr": f"""
+            WITH ac_d AS (SELECT event_type,
+                                 epoch_us(ts) // 86400000000 AS day,
+                                 sum(value) AS v
+                          FROM events GROUP BY 1, 2),
+            ac_l(lag) AS (VALUES (1), (2), (3)),
+            ac_p AS (SELECT a.event_type, l.lag, a.v AS x, b.v AS y
+                     FROM ac_l l
+                     CROSS JOIN ac_d a
+                     JOIN ac_d b ON b.event_type = a.event_type
+                                AND b.day = a.day + l.lag),
+            ac_s AS (SELECT event_type, lag,
+                            CAST(count(*) AS DOUBLE) AS n,
+                            sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                            sum(x * x) AS sxx, sum(y * y) AS syy
+                     FROM ac_p GROUP BY 1, 2)
+            SELECT event_type, CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n,
+                   {sql_round('(n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))', 6)}
+                       AS corr
+            FROM ac_s
+            WHERE n >= 2 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
         """,
         "zipf_fit": f"""
             WITH zf_wf AS (SELECT w AS word, count(*) AS n
@@ -6362,6 +6425,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": _hits_sql(c01),
         "kg_reachability": _reach_sql(c01),
         "kg_hyperball": _hyperball_sql(c01),
+        "kg_meta_paths": f"""
+            WITH mp_e AS (SELECT DISTINCT h_qid AS h, prop AS r, t_qid AS t
+                          FROM read_parquet('{c01}/kg_triples.parquet')),
+            mp_p AS (SELECT e1.r AS r1, e2.r AS r2, e1.h AS a, e2.t AS c,
+                            count(*) AS np
+                     FROM mp_e e1 JOIN mp_e e2 ON e1.t = e2.h
+                     GROUP BY 1, 2, 3, 4),
+            mp_d AS (SELECT DISTINCT h, t FROM mp_e)
+            SELECT r1, r2,
+                   CAST(sum(np) AS BIGINT) AS n_paths,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_closed,
+                   {sql_round('sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*)', 6)}
+                       AS support
+            FROM mp_p p LEFT JOIN mp_d d ON d.h = p.a AND d.t = p.c
+            GROUP BY r1, r2
+        """,
         "kg_pred_stats": f"""
             SELECT prop,
                    count(*) AS n_triples,

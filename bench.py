@@ -129,6 +129,9 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "bow_dedup",
         "zipf_fit",
         "key_skew_profile",
+        "k_anonymity",
+        "events_autocorr",
+        "kg_meta_paths",
         "duplicated_spans",
         "minhash_dedup",
         "ngram_jaccard_dedup",

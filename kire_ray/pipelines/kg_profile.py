@@ -440,3 +440,125 @@ def hyperball(
     for p in outs[1:]:
         res = res.union(p)
     return res
+
+
+def meta_paths(
+    triples: "ray.data.Dataset",
+    *,
+    h_col: str = "h_qid",
+    prop_col: str = "prop",
+    t_col: str = "t_qid",
+) -> "ray.data.Dataset":
+    """PRA-style 2-hop meta-path mining (Lao & Cohen, "Relational
+    retrieval using a combination of path-constrained random walks",
+    Machine Learning 2010): for every relation composition (r1, r2),
+    the number of 2-hop path instances, the number of DISTINCT
+    endpoint pairs, and how many of those pairs are also directly
+    linked by any edge — support = n_closed / n_pairs, the signal that
+    ranks compositions as link-prediction features and candidate
+    inference rules (r1·r2 ⇒ r3).
+
+    Distributed shape (no driver collect): SHUFFLE #1 on the middle
+    node co-locates each node's in- and out-edges (tagged union) and a
+    per-partition merge emits (r1, r2, a, c) path groups; SHUFFLE #2 on
+    the endpoint pair (a, c) co-locates path rows with the direct-edge
+    tag, dedups pairs globally, and folds per-composition partials;
+    a final relation²-bounded exchange sums. Exchange volume is
+    bounded by the path count (the Σ in(b)·out(b) the operator
+    measures), never by a driver-sized structure."""
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    def tag_mid(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[[h_col, prop_col, t_col]].drop_duplicates()
+        return pd.concat(
+            [
+                pd.DataFrame(
+                    {"mid": e[t_col].to_numpy(), "kind": "in",
+                     "r": e[prop_col].to_numpy(), "o": e[h_col].to_numpy()}
+                ),
+                pd.DataFrame(
+                    {"mid": e[h_col].to_numpy(), "kind": "out",
+                     "r": e[prop_col].to_numpy(), "o": e[t_col].to_numpy()}
+                ),
+            ],
+            ignore_index=True,
+        )
+
+    def join_mid(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.drop_duplicates()  # fold cross-block duplicate edges
+        i = p[p["kind"] == "in"].rename(columns={"r": "r1", "o": "a"})
+        o = p[p["kind"] == "out"].rename(columns={"r": "r2", "o": "c"})
+        m = i.merge(o, on="mid")[["r1", "r2", "a", "c"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"r1": pd.Series([], dtype=object), "r2": pd.Series([], dtype=object),
+                 "a": pd.Series([], dtype=object), "c": pd.Series([], dtype=object),
+                 "n_paths": pd.Series([], dtype=np.int64)}
+            )
+        return (
+            m.groupby(["r1", "r2", "a", "c"], sort=False)
+            .size()
+            .rename("n_paths")
+            .reset_index()
+        )
+
+    paths = partitioned_map_groups(
+        triples.map_batches(tag_mid, batch_format="pandas"), ["mid"], join_mid
+    )
+
+    def tag_pair(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[[h_col, t_col]].drop_duplicates()
+        return pd.DataFrame(
+            {"r1": "", "r2": "",
+             "a": e[h_col].to_numpy(), "c": e[t_col].to_numpy(),
+             "n_paths": np.int64(0), "direct": np.int64(1)}
+        )
+
+    def add_tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["direct"] = np.int64(0)
+        return b
+
+    tagged = paths.map_batches(add_tag, batch_format="pandas").union(
+        triples.map_batches(tag_pair, batch_format="pandas")
+    )
+
+    def fold_pair(p: pd.DataFrame) -> pd.DataFrame:
+        direct = p[p["direct"] == 1][["a", "c"]].drop_duplicates()
+        direct = set(zip(direct["a"], direct["c"]))
+        pp = p[p["direct"] == 0]
+        if pp.empty:
+            return pd.DataFrame(
+                {"r1": pd.Series([], dtype=object), "r2": pd.Series([], dtype=object),
+                 "n_paths": pd.Series([], dtype=np.int64),
+                 "n_pairs": pd.Series([], dtype=np.int64),
+                 "n_closed": pd.Series([], dtype=np.int64)}
+            )
+        # (r1, r2, a, c) is globally unique here: shuffle #1 grouped it
+        pp = pp.groupby(["r1", "r2", "a", "c"], sort=False)["n_paths"].sum().reset_index()
+        closed = np.fromiter(
+            ((a, c) in direct for a, c in zip(pp["a"], pp["c"])),
+            dtype=np.int64, count=len(pp),
+        )
+        pp = pp.assign(n_pairs=np.int64(1), n_closed=closed)
+        return (
+            pp.groupby(["r1", "r2"], sort=False)
+            .agg(n_paths=("n_paths", "sum"), n_pairs=("n_pairs", "sum"),
+                 n_closed=("n_closed", "sum"))
+            .reset_index()
+        )
+
+    def post(out: pd.DataFrame) -> pd.DataFrame:
+        out = out.astype({"n_paths": np.int64, "n_pairs": np.int64, "n_closed": np.int64})
+        out["support"] = round_half_up(
+            out["n_closed"].to_numpy(np.float64) / out["n_pairs"].to_numpy(np.float64), 6
+        )
+        return out
+
+    return grouped_agg(
+        partitioned_map_groups(tagged, ["a", "c"], fold_pair),
+        ["r1", "r2"],
+        {"n_paths": ("n_paths", "sum"), "n_pairs": ("n_pairs", "sum"),
+         "n_closed": ("n_closed", "sum")},
+        post=post,
+    )

@@ -766,3 +766,68 @@ def hopping_window_counts(
         {"n": ("n", "sum"), "sum_value": ("sum_value", "sum")},
         post=post,
     )
+
+
+def events_autocorr(
+    sf_dir: str, lags: tuple[int, ...] = (1, 2, 3)
+) -> "ray.data.Dataset":
+    """Per-type autocorrelation of the daily value series at small
+    lags — the seasonality/trend screen a telemetry pipeline runs
+    before forecasting (near-1 at lag 1 = strong persistence; the
+    moment formula is ``events_regression``'s, applied to (day d,
+    day d+lag) pairs that BOTH exist, so calendar gaps drop out
+    exactly like the oracle's self-join).
+
+    Shape: block-local (type, day) sum combiner → one type-keyed
+    exchange co-locating each type's day series (days-bounded) →
+    in-reducer vectorized lag matching + closed-form correlation.
+    """
+    import numpy as np
+
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        return (
+            pd.DataFrame(
+                {"event_type": b["event_type"], "day": day,
+                 "v": b["value"].to_numpy(np.float64)}
+            )
+            .groupby(["event_type", "day"], sort=False)
+            .agg(v=("v", "sum"))
+            .reset_index()
+        )
+
+    def corr_part(p: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in p.groupby("event_type", sort=False):
+            s = g.groupby("day", sort=True)["v"].sum()
+            days = s.index.to_numpy(np.int64)
+            v = s.to_numpy(np.float64)
+            for lag in lags:
+                tgt = days + lag
+                idx = np.searchsorted(days, tgt)
+                idx_c = np.minimum(idx, len(days) - 1)
+                valid = days[idx_c] == tgt
+                x, y = v[valid], v[idx_c[valid]]
+                n = len(x)
+                if n < 2:
+                    continue
+                sx, sy = x.sum(), y.sum()
+                sxy, sxx, syy = (x * y).sum(), (x * x).sum(), (y * y).sum()
+                dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+                if dx <= 0 or dy <= 0:
+                    continue
+                rows.append((t, lag, n, (n * sxy - sx * sy) / np.sqrt(dx * dy)))
+        out = pd.DataFrame(rows, columns=["event_type", "lag", "n", "corr"])
+        out["lag"] = out["lag"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        out["corr"] = round_half_up(out["corr"].to_numpy(np.float64), 6)
+        return out
+
+    return partitioned_map_groups(
+        ev.map_batches(partial, batch_format="pandas"), ["event_type"], corr_part
+    )

@@ -1631,3 +1631,57 @@ def zipf_fit(ds: "ray.data.Dataset", *, text_col: str = "text") -> "pd.DataFrame
             "r2": round_half_up(np.array([r2]), 6),
         }
     )
+
+
+def k_anonymity(
+    ds: "ray.data.Dataset",
+    *,
+    qi: tuple[str, ...] = ("lang", "source"),
+    size_col: str = "n_chars",
+    bucket: int = 256,
+    ks: tuple[int, ...] = (2, 5, 10, 20),
+) -> "ray.data.Dataset":
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier tuple —
+    here (lang, source, ⌊n_chars/bucket⌋): for each threshold k, how
+    many QI equivalence classes have fewer than k members and how many
+    rows sit in them. The re-identification-risk report a privacy
+    review runs on a corpus before release; rows at risk feed
+    suppression/generalization.
+
+    Shape: block-local QI-count combiner → one grouped exchange on the
+    QI tuple → per-block threshold fold (constant ``len(ks)`` rows per
+    block) → a k-cardinality final combine. All outputs exact ints."""
+    from kire_ray.stages.shuffle import grouped_agg
+
+    qi = list(qi)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[qi].copy()
+        g["len_bucket"] = (b[size_col].to_numpy(np.int64) // bucket).astype(np.int64)
+        return g.groupby(qi + ["len_bucket"], sort=False).size().rename("n").reset_index()
+
+    groups = grouped_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        qi + ["len_bucket"],
+        {"n": ("n", "sum")},
+    )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64) if len(b) else np.array([], dtype=np.int64)
+        rows = []
+        for k in ks:
+            m = n < k
+            rows.append((k, int(m.sum()), int(n[m].sum())))
+        return pd.DataFrame(
+            rows, columns=["k", "n_groups_below", "n_rows_at_risk"]
+        ).astype(np.int64)
+
+    return grouped_agg(
+        groups.map_batches(fold, batch_format="pandas"),
+        ["k"],
+        {
+            "n_groups_below": ("n_groups_below", "sum"),
+            "n_rows_at_risk": ("n_rows_at_risk", "sum"),
+        },
+        post=lambda out: out.astype(np.int64),
+    )

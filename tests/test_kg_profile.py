@@ -144,3 +144,67 @@ def test_hyperball_matches_sequential(ray_session, blocks):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert want[(r.qid, r.radius)] == pytest.approx(r.estimate, abs=1e-9)
+
+
+def _meta_paths_oracle(df: pd.DataFrame) -> pd.DataFrame:
+    e = df.drop_duplicates(subset=["h_qid", "prop", "t_qid"])
+    edges = list(zip(e["h_qid"], e["prop"], e["t_qid"]))
+    direct = {(h, t) for h, _, t in edges}
+    agg: dict = {}
+    for h1, r1, t1 in edges:
+        for h2, r2, t2 in edges:
+            if t1 != h2:
+                continue
+            key = (r1, r2)
+            pairs = agg.setdefault(key, collections.Counter())
+            pairs[(h1, t2)] += 1
+    rows = []
+    for (r1, r2), pairs in agg.items():
+        n_pairs = len(pairs)
+        n_paths = sum(pairs.values())
+        n_closed = sum(1 for p in pairs if p in direct)
+        rows.append(
+            (r1, r2, n_paths, n_pairs, n_closed,
+             np.floor(n_closed / n_pairs * 1e6 + 0.501) / 1e6)
+        )
+    return (
+        pd.DataFrame(
+            rows,
+            columns=["r1", "r2", "n_paths", "n_pairs", "n_closed", "support"],
+        )
+        .sort_values(["r1", "r2"])
+        .reset_index(drop=True)
+    )
+
+
+def test_meta_paths_vs_oracle_and_partition_invariance(ray_session):
+    from kire_ray.pipelines.kg_profile import meta_paths
+
+    rows = [
+        ("a", "P1", "b"), ("b", "P2", "c"), ("a", "P3", "c"),  # closed P1·P2
+        ("c", "P1", "d"), ("d", "P2", "e"),                      # open P1·P2
+        ("a", "P1", "c"),                                        # P1·P1 via c
+        ("x", "P2", "y"), ("y", "P2", "x"),                      # 2-cycle P2·P2
+        ("a", "P1", "b"),                                        # duplicate edge
+    ]
+    df = pd.DataFrame(
+        {"h_qid": [r[0] for r in rows], "prop": [r[1] for r in rows],
+         "t_qid": [r[2] for r in rows]}
+    )
+    exp = _meta_paths_oracle(df)
+    outs = []
+    for blocks in (2, 7):
+        got = (
+            meta_paths(_ds(df, blocks))
+            .to_pandas()
+            .sort_values(["r1", "r2"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[exp.columns.tolist()], exp, check_dtype=False
+        )
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # spot semantics: P1·P2 has a→c closed and c→e open
+    row = exp[(exp["r1"] == "P1") & (exp["r2"] == "P2")].iloc[0]
+    assert row["n_pairs"] == 2 and row["n_closed"] == 1

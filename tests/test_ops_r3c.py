@@ -436,3 +436,33 @@ def test_bow_zipf_skew_vs_oracle(ray_session):
     pd.testing.assert_frame_equal(got_k[exp_k.columns.tolist()], exp_k, check_dtype=False)
     assert (got_k["max_n"] <= got_k["n_rows"]).all()
     assert (got_k["n_keys"] <= got_k["n_rows"]).all()
+
+
+def test_k_anonymity_autocorr_vs_oracle(ray_session):
+    """k_anonymity / events_autocorr vs their DuckDB oracles at
+    sf0.001 (view-bound)."""
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.temporal import events_autocorr
+    from kire_ray.pipelines.text_analysis import k_anonymity
+
+    con = duckdb.connect()
+    for t in ["documents", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    oracles = E.oracle_sql()
+
+    got = k_anonymity(
+        E._sread(SF, "documents", ["lang", "source", "n_chars"])
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = con.execute(oracles["k_anonymity"]).fetchdf().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    # risk is monotone in k
+    assert got["n_groups_below"].is_monotonic_increasing
+    assert got["n_rows_at_risk"].is_monotonic_increasing
+
+    got_a = events_autocorr(SF).to_pandas().sort_values(["event_type", "lag"]).reset_index(drop=True)
+    exp_a = con.execute(oracles["events_autocorr"]).fetchdf().sort_values(["event_type", "lag"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_a[exp_a.columns.tolist()], exp_a, check_dtype=False)
+    assert got_a["corr"].between(-1, 1).all()

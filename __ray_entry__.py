@@ -441,6 +441,20 @@ def _q_kg_clustering_coef(sf_dir: str) -> Any:
     return clustering_coefficients(edges)
 
 
+def _q_kg_edge_lifespan(sf_dir: str) -> Any:
+    """Temporal validity per constructed edge: supporting-conversation
+    count + earliest/latest supporting conversation start (epoch µs) —
+    the temporal-KG table next to kg_edges. Reuses the memoized
+    flagship triples; one tagged conv-id exchange joins conversation
+    start times, one edge-keyed exchange folds. SQL oracle: the full
+    _kg_chain_sql reconstruction joined to grouped transcript minima."""
+    from kire_ray.pipelines.kg_construct import read_transcripts
+    from kire_ray.pipelines.kg_profile import edge_lifespan
+
+    c = _flagship_triples(sf_dir)
+    return edge_lifespan(c["triples"], read_transcripts(c["corpus"]))
+
+
 def _q_kg_meta_paths(sf_dir: str) -> Any:
     """PRA-style 2-hop meta-path mining over the corpus KG
     (pipelines/kg_profile.py meta_paths): per relation composition
@@ -729,6 +743,12 @@ def _q_role_transitions(sf_dir: str) -> Any:
     from kire_ray.pipelines.transcripts import role_transitions
 
     return role_transitions(_corpus(sf_dir))
+
+
+def _q_conv_segments(sf_dir: str) -> Any:
+    from kire_ray.pipelines.transcripts import conv_segments
+
+    return conv_segments(_corpus(sf_dir))
 
 
 def _q_conv_stats(sf_dir: str) -> Any:
@@ -2749,6 +2769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _q_conv_stats,
         "turn_latency": _q_turn_latency,
         "tool_chains": _q_tool_chains,
+        "conv_segments": _q_conv_segments,
         "table_profile": _q_table_profile,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "join_size_estimate": _q_join_size_estimate,
@@ -2768,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_communities": _q_kg_communities,
         "kg_pred_stats": _q_kg_pred_stats,
         "kg_meta_paths": _q_kg_meta_paths,
+        "kg_edge_lifespan": _q_kg_edge_lifespan,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
         "ann_lsh": _q_ann_lsh,
@@ -3162,6 +3184,41 @@ def oracle_sql() -> dict[str, str]:
             FROM tc_c
             GROUP BY chain
         """,
+        "conv_segments": f"""
+            WITH cs_t AS (SELECT conv_id,
+                                 row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS pos,
+                                 text
+                          FROM read_parquet('{c01}/transcripts.parquet/*.parquet')),
+            cs_w AS (SELECT DISTINCT conv_id, pos, word
+                     FROM (SELECT conv_id, pos,
+                                  unnest(string_split(text, ' ')) AS word
+                           FROM cs_t)),
+            cs_d AS (SELECT conv_id, pos, count(*) AS nw
+                     FROM cs_w GROUP BY 1, 2),
+            cs_i AS (SELECT a.conv_id, a.pos, count(*) AS inter
+                     FROM cs_w a
+                     JOIN cs_w b ON b.conv_id = a.conv_id
+                                AND b.pos = a.pos + 1 AND b.word = a.word
+                     GROUP BY 1, 2),
+            cs_p AS (SELECT d1.conv_id,
+                            coalesce(i.inter, 0) AS inter,
+                            d1.nw + d2.nw - coalesce(i.inter, 0) AS uni
+                     FROM cs_d d1
+                     JOIN cs_d d2 ON d2.conv_id = d1.conv_id
+                                 AND d2.pos = d1.pos + 1
+                     LEFT JOIN cs_i i ON i.conv_id = d1.conv_id
+                                     AND i.pos = d1.pos),
+            cs_n AS (SELECT conv_id, count(*) AS n_turns
+                     FROM cs_t GROUP BY conv_id)
+            SELECT p.conv_id,
+                   CAST(n.n_turns AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN p.inter = 0 THEN 1 ELSE 0 END) + 1
+                        AS BIGINT) AS n_segments,
+                   {sql_round('avg(p.inter * 1.0 / p.uni)', 6)} AS mean_jacc
+            FROM cs_p p JOIN cs_n n ON n.conv_id = p.conv_id
+            GROUP BY p.conv_id, n.n_turns
+        """,
         "kg_mentions_flat": f"""
             SELECT doc_id,
                    CAST(turn_idx AS BIGINT) AS turn_idx,
@@ -3482,6 +3539,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                    min(doc_id) AS first_doc
             FROM triples GROUP BY 1, 2, 3
+        """,
+        "kg_edge_lifespan": _kg_chain_sql(c01)
+        + f"""
+            , els AS (SELECT DISTINCT doc_id, subj_qid, pred, obj_qid
+                      FROM triples),
+            elc AS (SELECT conv_id, min(epoch_us(ts)) AS tus
+                    FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
+                    GROUP BY conv_id)
+            SELECT subj_qid, pred, obj_qid,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(tus) AS BIGINT) AS first_us,
+                   CAST(max(tus) AS BIGINT) AS last_us
+            FROM els JOIN elc ON elc.conv_id = els.doc_id
+            GROUP BY 1, 2, 3
         """,
         "docred_triples": _kg_chain_sql(c01, docred=True)
         + """

@@ -132,6 +132,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "k_anonymity",
         "events_autocorr",
         "kg_meta_paths",
+        "kg_edge_lifespan",
+        "conv_segments",
         "duplicated_spans",
         "minhash_dedup",
         "ngram_jaccard_dedup",

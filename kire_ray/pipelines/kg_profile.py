@@ -562,3 +562,80 @@ def meta_paths(
          "n_closed": ("n_closed", "sum")},
         post=post,
     )
+
+
+def edge_lifespan(
+    triples: "ray.data.Dataset", transcripts: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Temporal validity of every constructed KG edge: for each
+    (subj, pred, obj), the number of supporting conversations and the
+    epoch-µs timestamps of the earliest and latest supporting
+    conversation's start — the edge-lifespan table a temporal-KG
+    publisher materializes next to the edges (when did this fact first
+    appear, is it still being asserted).
+
+    Shape: ONE tagged exchange on the conversation id co-locates the
+    per-doc distinct (s, p, o) rows with that conversation's start
+    time (a block-combined min); the per-partition join emits
+    per-edge partials and a final edge-keyed exchange folds
+    (sum, min, max). Nothing driver-sized anywhere."""
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    def t_part(b: pd.DataFrame) -> pd.DataFrame:
+        e = b[["doc_id", "subj_qid", "pred", "obj_qid"]].drop_duplicates()
+        return pd.DataFrame(
+            {"key": e["doc_id"].to_numpy(), "kind": np.int64(0),
+             "subj_qid": e["subj_qid"].to_numpy(), "pred": e["pred"].to_numpy(),
+             "obj_qid": e["obj_qid"].to_numpy(), "tus": np.int64(0)}
+        )
+
+    def c_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {"conv_id": b["conv_id"],
+                 "tus": b["ts"].to_numpy("datetime64[us]").astype(np.int64)}
+            )
+            .groupby("conv_id", sort=False)["tus"]
+            .min()
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"key": g["conv_id"].to_numpy(), "kind": np.int64(1),
+             "subj_qid": "", "pred": "", "obj_qid": "",
+             "tus": g["tus"].to_numpy(np.int64)}
+        )
+
+    tagged = triples.map_batches(t_part, batch_format="pandas").union(
+        transcripts.map_batches(c_part, batch_format="pandas")
+    )
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        starts = (
+            p[p["kind"] == 1].groupby("key", sort=False)["tus"].min()
+        )
+        e = p[p["kind"] == 0][["key", "subj_qid", "pred", "obj_qid"]].drop_duplicates()
+        if e.empty:
+            return pd.DataFrame(
+                {"subj_qid": pd.Series([], dtype=object),
+                 "pred": pd.Series([], dtype=object),
+                 "obj_qid": pd.Series([], dtype=object),
+                 "n_docs": pd.Series([], dtype=np.int64),
+                 "first_us": pd.Series([], dtype=np.int64),
+                 "last_us": pd.Series([], dtype=np.int64)}
+            )
+        e = e.assign(tus=starts.reindex(e["key"]).to_numpy(np.int64))
+        return (
+            e.groupby(["subj_qid", "pred", "obj_qid"], sort=False)
+            .agg(n_docs=("key", "size"), first_us=("tus", "min"), last_us=("tus", "max"))
+            .reset_index()
+        )
+
+    return grouped_agg(
+        partitioned_map_groups(tagged, ["key"], fold),
+        ["subj_qid", "pred", "obj_qid"],
+        {"n_docs": ("n_docs", "sum"), "first_us": ("first_us", "min"),
+         "last_us": ("last_us", "max")},
+        post=lambda out: out.astype(
+            {"n_docs": np.int64, "first_us": np.int64, "last_us": np.int64}
+        ),
+    )

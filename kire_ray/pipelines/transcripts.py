@@ -311,3 +311,44 @@ def role_transitions(corpus_dir: str) -> "ray.data.Dataset":
         {"n": ("n", "sum")},
         post=post,
     )
+
+
+def conv_segments(corpus_dir: str) -> "ray.data.Dataset":
+    """Lexical topic segmentation of each conversation (TextTiling's
+    skeleton, Hearst 1997): adjacent turns sharing ZERO distinct words
+    mark a segment boundary — an integer-exact cut, no fp threshold —
+    and the mean adjacent-turn Jaccard is emitted as the conversation's
+    cohesion score. Single-turn conversations have no adjacent pairs
+    and drop out (both sides of the oracle compare).
+
+    Shape: ONE exchange on conv_id → per-conversation vectorized sort +
+    per-turn distinct word sets (turn-bounded) → one row per
+    conversation: (conv_id, n_turns, n_segments, mean_jacc)."""
+    ds = _read_full(corpus_dir, ["conv_id", "turn_idx", "text"])
+
+    def per_conv(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        rows = []
+        for cid, g in p.groupby("conv_id", sort=False):
+            ws = [set(t.split()) for t in g["text"]]
+            if len(ws) < 2:
+                continue
+            inters = np.array(
+                [len(a & b) for a, b in zip(ws, ws[1:])], dtype=np.int64
+            )
+            unions = np.array(
+                [len(a | b) for a, b in zip(ws, ws[1:])], dtype=np.int64
+            )
+            jacc = inters / unions
+            rows.append(
+                (cid, len(ws), int((inters == 0).sum()) + 1, jacc.mean())
+            )
+        out = pd.DataFrame(
+            rows, columns=["conv_id", "n_turns", "n_segments", "mean_jacc"]
+        )
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["n_segments"] = out["n_segments"].astype(np.int64)
+        out["mean_jacc"] = round_half_up(out["mean_jacc"].to_numpy(np.float64), 6)
+        return out
+
+    return partitioned_map_groups(ds, ["conv_id"], per_conv)

@@ -208,3 +208,47 @@ def test_meta_paths_vs_oracle_and_partition_invariance(ray_session):
     # spot semantics: P1·P2 has a→c closed and c→e open
     row = exp[(exp["r1"] == "P1") & (exp["r2"] == "P2")].iloc[0]
     assert row["n_pairs"] == 2 and row["n_closed"] == 1
+
+
+def test_edge_lifespan_vs_oracle(ray_session):
+    from kire_ray.pipelines.kg_profile import edge_lifespan
+
+    triples = pd.DataFrame(
+        {
+            "doc_id": ["c1", "c1", "c2", "c3", "c3"],
+            "subj_qid": ["Q1", "Q1", "Q1", "Q2", "Q1"],
+            "pred": ["P1", "P1", "P1", "P2", "P1"],
+            "obj_qid": ["Q2", "Q2", "Q2", "Q3", "Q2"],
+            "score": 1.0,
+        }
+    )
+    tr = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2", "c3", "c4"],
+            "ts": pd.to_datetime(
+                ["2026-01-02 10:00:01", "2026-01-02 09:00:00",
+                 "2026-01-05 00:00:00", "2026-01-01 12:00:00",
+                 "2026-01-09 00:00:00"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    for blocks in (1, 4):
+        got = (
+            edge_lifespan(_ds(triples, blocks), _ds(tr, blocks))
+            .to_pandas()
+            .sort_values(["subj_qid", "pred", "obj_qid"])
+            .reset_index(drop=True)
+        )
+        us = lambda s: int(pd.Timestamp(s).value // 1000)
+        exp = pd.DataFrame(
+            {
+                "subj_qid": ["Q1", "Q2"],
+                "pred": ["P1", "P2"],
+                "obj_qid": ["Q2", "Q3"],
+                # Q1-P1-Q2 in c1 (dup rows fold), c2, c3
+                "n_docs": [3, 1],
+                "first_us": [us("2026-01-01 12:00:00"), us("2026-01-01 12:00:00")],
+                "last_us": [us("2026-01-05 00:00:00"), us("2026-01-01 12:00:00")],
+            }
+        )
+        pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)

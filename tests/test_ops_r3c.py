@@ -466,3 +466,32 @@ def test_k_anonymity_autocorr_vs_oracle(ray_session):
     exp_a = con.execute(oracles["events_autocorr"]).fetchdf().sort_values(["event_type", "lag"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_a[exp_a.columns.tolist()], exp_a, check_dtype=False)
     assert got_a["corr"].between(-1, 1).all()
+
+
+def test_conv_segments_replay(ray_session):
+    """conv_segments vs a pandas replay on the sf0.001 corpus."""
+    import glob
+
+    from kire_ray.pipelines.transcripts import conv_segments
+    from kire_ray.sources.synth import corpus_for_sf_dir
+
+    corpus = corpus_for_sf_dir(SF)
+    tr = pd.concat(
+        [pd.read_parquet(f) for f in glob.glob(f"{corpus}/transcripts.parquet/*.parquet")],
+        ignore_index=True,
+    ).sort_values(["conv_id", "turn_idx"])
+    rows = []
+    for cid, g in tr.groupby("conv_id"):
+        ws = [set(t.split()) for t in g["text"]]
+        if len(ws) < 2:
+            continue
+        inters = np.array([len(a & b) for a, b in zip(ws, ws[1:])], dtype=np.int64)
+        unions = np.array([len(a | b) for a, b in zip(ws, ws[1:])], dtype=np.int64)
+        rows.append(
+            (cid, len(ws), int((inters == 0).sum()) + 1,
+             np.floor((inters / unions).mean() * 1e6 + 0.501) / 1e6)
+        )
+    exp = pd.DataFrame(rows, columns=["conv_id", "n_turns", "n_segments", "mean_jacc"])
+    got = conv_segments(corpus).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
+    assert (got["n_segments"] <= got["n_turns"]).all()

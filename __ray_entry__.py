@@ -515,6 +515,26 @@ def _q_kg_communities(sf_dir: str) -> Any:
     return lpa_communities(edges)
 
 
+def _q_kg_degree_distribution(sf_dir: str) -> Any:
+    """In/out degree histogram over DISTINCT corpus-KG edges —
+    corpus-side oracle: grouped counts over the gold kg_triples."""
+    from kire_ray.pipelines.graph_algos import degree_distribution
+
+    corpus = _corpus(sf_dir)
+    return degree_distribution(_cread(corpus, "kg_triples", ["h_qid", "t_qid"]))
+
+
+def _q_kg_betweenness(sf_dir: str) -> Any:
+    """Sampled-pivot Brandes betweenness over the corpus KG (8
+    md5-deterministic pivots). Float accumulation order crosses
+    partitions → rows-only at the driver; the pytest oracle replays
+    sequential Brandes on the same pivots at 6dp."""
+    from kire_ray.pipelines.graph_algos import betweenness
+
+    corpus = _corpus(sf_dir)
+    return betweenness(_cread(corpus, "kg_triples", ["h_qid", "t_qid"]))
+
+
 def _q_kg_pagerank(sf_dir: str) -> Any:
     """PageRank over the corpus KG triple table (h→t multi-edges, 10
     damped power iterations, no dangling redistribution — see
@@ -2790,6 +2810,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_stats": _q_kg_pred_stats,
         "kg_meta_paths": _q_kg_meta_paths,
         "kg_edge_lifespan": _q_kg_edge_lifespan,
+        "kg_degree_distribution": _q_kg_degree_distribution,
+        "kg_betweenness": _q_kg_betweenness,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
         "ann_lsh": _q_ann_lsh,
@@ -6513,6 +6535,17 @@ def oracle_sql() -> dict[str, str]:
                        AS support
             FROM mp_p p LEFT JOIN mp_d d ON d.h = p.a AND d.t = p.c
             GROUP BY r1, r2
+        """,
+        "kg_degree_distribution": f"""
+            WITH dd_e AS (SELECT DISTINCT h_qid AS s, t_qid AS t
+                          FROM read_parquet('{c01}/kg_triples.parquet')),
+            dd_d AS (SELECT s AS q, 'out' AS kind, count(*) AS d
+                     FROM dd_e GROUP BY s
+                     UNION ALL
+                     SELECT t, 'in', count(*) FROM dd_e GROUP BY t)
+            SELECT kind, CAST(d AS BIGINT) AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM dd_d GROUP BY kind, d
         """,
         "kg_pred_stats": f"""
             SELECT prop,

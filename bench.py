@@ -133,6 +133,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_autocorr",
         "kg_meta_paths",
         "kg_edge_lifespan",
+        "kg_degree_distribution",
+        "kg_betweenness",
         "conv_segments",
         "duplicated_spans",
         "minhash_dedup",

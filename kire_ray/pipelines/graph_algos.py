@@ -1482,3 +1482,205 @@ def clustering_coefficients(
         {"deg": ("deg", "sum"), "tri": ("tri", "sum")},
         post=post,
     )
+
+
+def degree_distribution(
+    edges: "ray.data.Dataset", *, src_col: str = "h_qid", dst_col: str = "t_qid"
+) -> "ray.data.Dataset":
+    """Degree histogram of the KG over DISTINCT directed edges:
+    (kind ∈ {in, out}, degree, n_nodes) — the first chart a graph
+    publisher draws (hub detection, power-law sanity, join-skew
+    planning for the graph algorithms that follow).
+
+    Three bounded exchanges: global edge dedup on the (s, t) pair →
+    per-node degree fold (one row per (node, kind, block)) → a
+    degree-cardinality histogram exchange. The data-sized work is all
+    in combiners."""
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"s": b[src_col], "t": b[dst_col]})
+        return df.drop_duplicates()
+
+    distinct = partitioned_map_groups(
+        edges.map_batches(dedup, batch_format="pandas"),
+        ["s", "t"],
+        lambda p: p.drop_duplicates(),
+    )
+
+    def node_partials(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("s", sort=False).size().rename("d").reset_index()
+        inn = b.groupby("t", sort=False).size().rename("d").reset_index()
+        return pd.concat(
+            [
+                pd.DataFrame({"q": out["s"], "kind": "out", "d": out["d"].astype(np.int64)}),
+                pd.DataFrame({"q": inn["t"], "kind": "in", "d": inn["d"].astype(np.int64)}),
+            ],
+            ignore_index=True,
+        )
+
+    degrees = grouped_agg(
+        distinct.map_batches(node_partials, batch_format="pandas"),
+        ["q", "kind"],
+        {"d": ("d", "sum")},
+    )
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["kind", "d"], sort=False).size().rename("n_nodes").reset_index()
+        return g
+
+    return grouped_agg(
+        degrees.map_batches(hist, batch_format="pandas"),
+        ["kind", "d"],
+        {"n_nodes": ("n_nodes", "sum")},
+        post=lambda o: pd.DataFrame(
+            {"kind": o["kind"], "degree": o["d"].astype(np.int64),
+             "n_nodes": o["n_nodes"].astype(np.int64)}
+        ),
+    )
+
+
+def betweenness(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "h_qid",
+    dst_col: str = "t_qid",
+    n_pivots: int = 8,
+    max_depth: int = 16,
+) -> "ray.data.Dataset":
+    """Sampled-pivot betweenness centrality over the undirected KG
+    graph (Brandes, "A faster algorithm for betweenness centrality",
+    J. Math. Sociol. 2001; pivot sampling per Brandes & Pich 2007).
+    Pivots are the ``n_pivots`` smallest nodes by md5(qid) —
+    deterministic, so the sequential oracle replays the exact sample.
+
+    ALL pivots advance together: the forward phase runs ONE streaming
+    pass over the distributed adjacency per BFS level, joining the
+    broadcast (pivot, frontier-node, sigma) table and folding
+    per-(pivot, node) path-count partials; the backward phase runs one
+    pass per level with the broadcast (pivot, successor) map emitting
+    Σ (1+delta_w)/sigma_w partials, multiplied by sigma_v and filtered
+    to true predecessors (dist_v = dist_w − 1, a BFS-DAG property)
+    driver-side. Only (pivots × nodes)-bounded state crosses
+    iterations — the pagerank rank-vector contract; the edge table
+    itself never leaves the cluster. Float accumulation order differs
+    from a sequential run, so the driver row is rows-only and the
+    pytest oracle compares at 6dp.
+
+    Returns (qid, betweenness): Σ over pivots of the dependency
+    delta(qid), pivot's own row excluded from its term, 6dp."""
+    import hashlib
+
+    from kire_ray.stages.shuffle import iteration_blocks
+
+    ed = edges.select_columns([src_col, dst_col])
+
+    def undirected(b: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([b[src_col], b[dst_col]], ignore_index=True)
+        t = pd.concat([b[dst_col], b[src_col]], ignore_index=True)
+        df = pd.DataFrame({"s": s, "t": t})
+        return df[df["s"] != df["t"]].drop_duplicates()
+
+    adj = iteration_blocks(
+        ed.map_batches(undirected, batch_format="pandas")
+    ).materialize()
+
+    # node universe + pivots (node-bounded collect, pagerank contract)
+    uni = adj.map_batches(
+        lambda b: pd.DataFrame({"q": b["s"].unique()}), batch_format="pandas"
+    ).to_pandas()
+    nodes = sorted(pd.unique(uni["q"]))
+    if not nodes:
+        return ray.data.from_pandas(
+            pd.DataFrame({"qid": pd.Series([], dtype=object),
+                          "betweenness": pd.Series([], dtype=np.float64)})
+        )
+    pivots = sorted(nodes, key=lambda q: (hashlib.md5(q.encode()).hexdigest(), q))[
+        : int(n_pivots)
+    ]
+
+    dist: dict = {(p, p): 0 for p in pivots}
+    sigma: dict = {(p, p): 1.0 for p in pivots}
+    levels: list[pd.DataFrame] = [
+        pd.DataFrame({"p": pivots, "s": pivots, "sig": 1.0})
+    ]
+    # ---- forward: multi-pivot BFS with path counting ----
+    for lvl in range(1, max_depth + 1):
+        f_ref = ray.put(levels[-1])
+
+        def expand(b: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+            f = ray.get(_f)
+            m = b.merge(f, on="s")
+            if m.empty:
+                return pd.DataFrame(
+                    {"p": pd.Series([], dtype=object),
+                     "t": pd.Series([], dtype=object),
+                     "sig": pd.Series([], dtype=np.float64)}
+                )
+            return m.groupby(["p", "t"], sort=False)["sig"].sum().reset_index()
+
+        cand = adj.map_batches(expand, batch_format="pandas").to_pandas()
+        if cand.empty:
+            break
+        agg = cand.groupby(["p", "t"], sort=False)["sig"].sum().reset_index()
+        rows = []
+        for p, t, sg in zip(agg["p"], agg["t"], agg["sig"]):
+            if (p, t) in dist:
+                continue
+            dist[(p, t)] = lvl
+            sigma[(p, t)] = sg
+            rows.append((p, t, sg))
+        if not rows:
+            break
+        levels.append(pd.DataFrame(rows, columns=["p", "s", "sig"]))
+
+    # ---- backward: dependency accumulation, deepest level first ----
+    delta: dict = {k: 0.0 for k in dist}
+    for lvl in range(len(levels) - 1, 0, -1):
+        w = levels[lvl]
+        w_map = pd.DataFrame(
+            {
+                "p": w["p"],
+                "t": w["s"],
+                "wpart": (1.0 + np.array([delta[(p, q)] for p, q in zip(w["p"], w["s"])]))
+                / w["sig"].to_numpy(np.float64),
+            }
+        )
+        w_ref = ray.put(w_map)
+
+        def back(b: pd.DataFrame, _w=w_ref) -> pd.DataFrame:
+            wm = ray.get(_w)
+            m = b.merge(wm, on="t")  # edge (s → t) with t at level lvl
+            if m.empty:
+                return pd.DataFrame(
+                    {"p": pd.Series([], dtype=object),
+                     "v": pd.Series([], dtype=object),
+                     "c": pd.Series([], dtype=np.float64)}
+                )
+            return (
+                m.groupby(["p", "s"], sort=False)["wpart"]
+                .sum()
+                .rename("c")
+                .reset_index()
+                .rename(columns={"s": "v"})
+            )
+
+        contrib = adj.map_batches(back, batch_format="pandas").to_pandas()
+        if contrib.empty:
+            continue
+        agg = contrib.groupby(["p", "v"], sort=False)["c"].sum().reset_index()
+        for p, v, c in zip(agg["p"], agg["v"], agg["c"]):
+            if dist.get((p, v)) == lvl - 1:
+                delta[(p, v)] += sigma[(p, v)] * c
+
+    bc: dict = {q: 0.0 for q in nodes}
+    for (p, q), d in delta.items():
+        if q != p:
+            bc[q] += d
+    from kire_ray.functions.rounding import round_half_up
+
+    out = pd.DataFrame({"qid": list(bc.keys())})
+    out["betweenness"] = round_half_up(
+        np.array([bc[q] for q in out["qid"]], dtype=np.float64), 6
+    )
+    return ray.data.from_pandas(out.sort_values("qid").reset_index(drop=True))

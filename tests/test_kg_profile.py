@@ -252,3 +252,77 @@ def test_edge_lifespan_vs_oracle(ray_session):
             }
         )
         pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+def _brandes_oracle(df: pd.DataFrame, pivots: list) -> dict:
+    """Sequential Brandes (2001, alg. 1) restricted to the pivots,
+    undirected, self-loops dropped — the distributed op's contract."""
+    adj = collections.defaultdict(set)
+    for s, t in zip(df["h_qid"], df["t_qid"]):
+        if s != t:
+            adj[s].add(t)
+            adj[t].add(s)
+    nodes = set(df["h_qid"]) | set(df["t_qid"])
+    bc = {q: 0.0 for q in nodes}
+    for s in pivots:
+        stack, preds = [], collections.defaultdict(list)
+        sigma = collections.defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                stack.append(v)
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        nxt.append(w)
+                    if dist[w] == dist[v] + 1:
+                        sigma[w] += sigma[v]
+                        preds[w].append(v)
+            frontier = nxt
+        delta = collections.defaultdict(float)
+        for w in reversed(stack):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_vs_brandes(ray_session):
+    from kire_ray.pipelines.graph_algos import betweenness
+
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),   # path: c is central
+        ("b", "f"), ("f", "c"),                             # parallel 2-path b..c
+        ("x", "y"),                                         # separate component
+        ("e", "e"),                                         # self-loop (dropped)
+        ("a", "b"),                                         # duplicate edge
+    ]
+    df = pd.DataFrame(
+        {"h_qid": [r[0] for r in rows], "t_qid": [r[1] for r in rows]}
+    )
+    nodes = sorted(set(df["h_qid"]) | set(df["t_qid"]) - {"e"} | {"e"})
+    pivots = sorted(
+        nodes, key=lambda q: (hashlib.md5(q.encode()).hexdigest(), q)
+    )[:20]  # all nodes → exact betweenness
+    exp = _brandes_oracle(df, pivots)
+    outs = []
+    for blocks in (2, 7):
+        got = (
+            betweenness(_ds(df, blocks), n_pivots=20)
+            .to_pandas()
+            .sort_values("qid")
+            .reset_index(drop=True)
+        )
+        for q, b in zip(got["qid"], got["betweenness"]):
+            assert abs(b - np.floor(exp[q] * 1e6 + 0.501) / 1e6) < 2e-6, (q, b, exp[q])
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    g = dict(zip(outs[0]["qid"], outs[0]["betweenness"]))
+    # c bridges {a,b,f} to {d,e}: strictly the most central
+    assert g["c"] == max(g.values()) and g["c"] > 0
+    # isolated-component endpoints carry no betweenness
+    assert g["x"] == 0.0 and g["y"] == 0.0

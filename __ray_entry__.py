@@ -515,6 +515,25 @@ def _q_kg_communities(sf_dir: str) -> Any:
     return lpa_communities(edges)
 
 
+def _q_kg_schema_profile(sf_dir: str) -> Any:
+    """Relation type signatures over the corpus KG: per (pred,
+    head-type, tail-type) triple counts, types = lexicographically
+    smallest 'instance of' attr. Corpus-side oracle: two attr joins."""
+    from kire_ray.pipelines.kg_profile import schema_profile
+
+    corpus = _corpus(sf_dir)
+    return schema_profile(
+        _cread(corpus, "kg_triples", ["h_qid", "prop", "t_qid"]),
+        _cread(corpus, "kg_attrs", ["qid", "attr_key", "attr_val"]),
+    )
+
+
+def _q_events_dow_chisq(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import events_dow_chisq
+
+    return events_dow_chisq(sf_dir)
+
+
 def _q_kg_degree_distribution(sf_dir: str) -> Any:
     """In/out degree histogram over DISTINCT corpus-KG edges —
     corpus-side oracle: grouped counts over the gold kg_triples."""
@@ -2812,6 +2831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_lifespan": _q_kg_edge_lifespan,
         "kg_degree_distribution": _q_kg_degree_distribution,
         "kg_betweenness": _q_kg_betweenness,
+        "kg_schema_profile": _q_kg_schema_profile,
+        "events_dow_chisq": _q_events_dow_chisq,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
         "ann_lsh": _q_ann_lsh,
@@ -6535,6 +6556,39 @@ def oracle_sql() -> dict[str, str]:
                        AS support
             FROM mp_p p LEFT JOIN mp_d d ON d.h = p.a AND d.t = p.c
             GROUP BY r1, r2
+        """,
+        "kg_schema_profile": f"""
+            WITH sp_io AS (SELECT qid, min(attr_val) AS ty
+                           FROM read_parquet('{c01}/kg_attrs.parquet')
+                           WHERE attr_key = 'instance of'
+                           GROUP BY qid)
+            SELECT e.prop AS pred,
+                   coalesce(h.ty, '') AS h_type,
+                   coalesce(t.ty, '') AS t_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM read_parquet('{c01}/kg_triples.parquet') e
+            LEFT JOIN sp_io h ON h.qid = e.h_qid
+            LEFT JOIN sp_io t ON t.qid = e.t_qid
+            GROUP BY 1, 2, 3
+        """,
+        "events_dow_chisq": f"""
+            WITH dc AS (SELECT event_type,
+                               (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                               count(*) AS c
+                        FROM events GROUP BY 1, 2),
+            dct AS (SELECT event_type, sum(c) AS n FROM dc GROUP BY 1),
+            dcg AS (SELECT t.event_type, t.n, d.dow,
+                           coalesce(dc.c, 0) AS c
+                    FROM dct t
+                    CROSS JOIN (SELECT unnest(range(7)) AS dow) d
+                    LEFT JOIN dc ON dc.event_type = t.event_type
+                                AND dc.dow = d.dow)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   {sql_round('sum((c - n / 7.0) * (c - n / 7.0) / (n / 7.0))', 6)}
+                       AS chi2,
+                   CAST(6 AS BIGINT) AS dof
+            FROM dcg
+            GROUP BY event_type, n
         """,
         "kg_degree_distribution": f"""
             WITH dd_e AS (SELECT DISTINCT h_qid AS s, t_qid AS t

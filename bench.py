@@ -135,6 +135,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_edge_lifespan",
         "kg_degree_distribution",
         "kg_betweenness",
+        "kg_schema_profile",
+        "events_dow_chisq",
         "conv_segments",
         "duplicated_spans",
         "minhash_dedup",

@@ -639,3 +639,55 @@ def edge_lifespan(
             {"n_docs": np.int64, "first_us": np.int64, "last_us": np.int64}
         ),
     )
+
+
+def schema_profile(
+    triples: "ray.data.Dataset",
+    attrs: "ray.data.Dataset",
+    *,
+    h_col: str = "h_qid",
+    prop_col: str = "prop",
+    t_col: str = "t_qid",
+) -> "ray.data.Dataset":
+    """Relation type-signature mining (ontology induction's first
+    table): for every (pred, head instance-of, tail instance-of)
+    combination, the triple count — which type pairs each relation
+    actually connects. A qid's type is its lexicographically smallest
+    'instance of' attribute value ('' when untyped) so the choice is
+    deterministic on both compare sides.
+
+    Shape: the instance-of map is entity-bounded (a dimension table) —
+    broadcast once (``ray.put``), looked up vectorized per block; one
+    signature-cardinality grouped exchange folds the counts. The
+    triple table streams; nothing else moves."""
+    from kire_ray.stages.shuffle import grouped_agg
+
+    io = (
+        attrs.map_batches(
+            lambda b: b[b["attr_key"] == "instance of"][["qid", "attr_val"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("qid")["attr_val"]
+        .min()
+    )
+    io_ref = ray.put(io.to_dict())
+
+    def partial(b: pd.DataFrame, _r=io_ref) -> pd.DataFrame:
+        ty = ray.get(_r)
+        h_type = b[h_col].map(ty).fillna("")
+        t_type = b[t_col].map(ty).fillna("")
+        return (
+            pd.DataFrame({"pred": b[prop_col], "h_type": h_type, "t_type": t_type})
+            .groupby(["pred", "h_type", "t_type"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    return grouped_agg(
+        triples.map_batches(partial, batch_format="pandas"),
+        ["pred", "h_type", "t_type"],
+        {"n": ("n", "sum")},
+        post=lambda o: o.astype({"n": np.int64}),
+    )

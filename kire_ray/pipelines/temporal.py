@@ -831,3 +831,51 @@ def events_autocorr(
     return partitioned_map_groups(
         ev.map_batches(partial, batch_format="pandas"), ["event_type"], corr_part
     )
+
+
+def events_dow_chisq(sf_dir: str) -> "ray.data.Dataset":
+    """Chi-square goodness-of-fit of each event type's day-of-week
+    profile against uniformity — the seasonality screen (a large chi²
+    says the type has strong weekly structure worth modeling;
+    dof = 6). Zero-count weekdays enter the statistic with their full
+    expected mass, exactly like the oracle's 7-day grid.
+
+    Shape: block-local (type, dow) count combiner → one type-keyed
+    exchange → in-reducer 7-term fold. dow = (epoch_days + 4) % 7
+    (Monday = 0), mirrored in SQL."""
+    import numpy as np
+
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        dow = (day + 4) % 7
+        return (
+            pd.DataFrame({"event_type": b["event_type"], "dow": dow})
+            .groupby(["event_type", "dow"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    def chisq(p: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in p.groupby("event_type", sort=False):
+            c = np.zeros(7, dtype=np.float64)
+            gg = g.groupby("dow")["c"].sum()
+            c[gg.index.to_numpy(np.int64)] = gg.to_numpy(np.float64)
+            n = c.sum()
+            exp = n / 7.0
+            rows.append((t, int(n), float(((c - exp) ** 2 / exp).sum())))
+        out = pd.DataFrame(rows, columns=["event_type", "n", "chi2"])
+        out["n"] = out["n"].astype(np.int64)
+        out["chi2"] = round_half_up(out["chi2"].to_numpy(np.float64), 6)
+        out["dof"] = np.int64(6)
+        return out
+
+    return partitioned_map_groups(
+        ev.map_batches(partial, batch_format="pandas"), ["event_type"], chisq
+    )

@@ -326,3 +326,38 @@ def test_betweenness_vs_brandes(ray_session):
     assert g["c"] == max(g.values()) and g["c"] > 0
     # isolated-component endpoints carry no betweenness
     assert g["x"] == 0.0 and g["y"] == 0.0
+
+
+def test_schema_profile_vs_pandas(ray_session):
+    from kire_ray.pipelines.kg_profile import schema_profile
+
+    triples = pd.DataFrame(
+        {
+            "h_qid": ["Q1", "Q1", "Q2", "Q3"],
+            "prop": ["P1", "P1", "P2", "P1"],
+            "t_qid": ["Q2", "Q3", "Q3", "Q4"],
+        }
+    )
+    attrs = pd.DataFrame(
+        {
+            "qid": ["Q1", "Q1", "Q2", "Q3"],
+            "attr_key": ["instance of", "instance of", "label", "instance of"],
+            # Q1 has two types -> min picks 'city'
+            "attr_val": ["town", "city", "Q2label", "human"],
+        }
+    )
+    got = (
+        schema_profile(_ds(triples, 3), _ds(attrs, 2))
+        .to_pandas()
+        .sort_values(["pred", "h_type", "t_type"])
+        .reset_index(drop=True)
+    )
+    exp = pd.DataFrame(
+        {
+            "pred": ["P1", "P1", "P1", "P2"],
+            "h_type": ["city", "city", "human", ""],
+            "t_type": ["", "human", "", "human"],
+            "n": [1, 1, 1, 1],
+        }
+    ).sort_values(["pred", "h_type", "t_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)

@@ -1433,6 +1433,12 @@ def _q_lang_id(sf_dir: str) -> Any:
     return lang_id_trigrams(docs, profile_size=200)
 
 
+def _q_lang_confusion(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import lang_confusion
+
+    return lang_confusion(_sread(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
 def _q_pmi_bigrams(sf_dir: str) -> Any:
     from kire_ray.pipelines.text_analysis import pmi_bigrams
 
@@ -2707,6 +2713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "pmi_bigrams": _q_pmi_bigrams,
         "lang_id": _q_lang_id,
+        "lang_confusion": _q_lang_confusion,
         "label_centroids": _q_label_centroids,
         "containment_dedup": _q_containment_dedup,
         "top_words_per_lang": _q_top_words_per_lang,
@@ -3133,6 +3140,32 @@ triples AS (
     QUALIFY row_number() OVER (PARTITION BY doc_id, h_idx, t_idx
                                ORDER BY score DESC, pred ASC) <= 4
        AND score > th)
+"""
+
+
+_LANG_ID_SQL_BODY = """
+    WITH tri AS (
+        SELECT doc_id, lang, substring(text, i, 3) AS tri
+        FROM (SELECT doc_id, lang, text,
+                     unnest(generate_series(1, length(text) - 2)) AS i
+              FROM documents WHERE length(text) >= 3)),
+    prof AS (
+        SELECT lang, tri FROM (
+            SELECT lang, tri,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, tri) AS rn
+            FROM tri GROUP BY lang, tri)
+        WHERE rn <= 200),
+    dt AS (SELECT DISTINCT doc_id, tri FROM tri),
+    sc AS (
+        SELECT dt.doc_id, p.lang, count(*) AS n_hits
+        FROM dt JOIN prof p USING (tri)
+        GROUP BY 1, 2),
+    best AS (
+        SELECT doc_id, lang AS pred_lang, n_hits,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_hits DESC, lang) AS rn
+        FROM sc)
 """
 
 
@@ -6350,30 +6383,17 @@ def oracle_sql() -> dict[str, str]:
                    rank
             FROM r WHERE rank <= 20
         """,
-        "lang_id": """
-            WITH tri AS (
-                SELECT doc_id, lang, substring(text, i, 3) AS tri
-                FROM (SELECT doc_id, lang, text,
-                             unnest(generate_series(1, length(text) - 2)) AS i
-                      FROM documents WHERE length(text) >= 3)),
-            prof AS (
-                SELECT lang, tri FROM (
-                    SELECT lang, tri,
-                           row_number() OVER (PARTITION BY lang
-                                              ORDER BY count(*) DESC, tri) AS rn
-                    FROM tri GROUP BY lang, tri)
-                WHERE rn <= 200),
-            dt AS (SELECT DISTINCT doc_id, tri FROM tri),
-            sc AS (
-                SELECT dt.doc_id, p.lang, count(*) AS n_hits
-                FROM dt JOIN prof p USING (tri)
-                GROUP BY 1, 2),
-            best AS (
-                SELECT doc_id, lang AS pred_lang, n_hits,
-                       row_number() OVER (PARTITION BY doc_id
-                                          ORDER BY n_hits DESC, lang) AS rn
-                FROM sc)
+        "lang_id": _LANG_ID_SQL_BODY
+        + """
             SELECT doc_id, pred_lang, n_hits FROM best WHERE rn = 1
+        """,
+        "lang_confusion": _LANG_ID_SQL_BODY
+        + """
+            SELECT d.lang, b.pred_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM best b JOIN documents d USING (doc_id)
+            WHERE b.rn = 1
+            GROUP BY 1, 2
         """,
         "kg_communities": _lpa_oracle_sql(c01),
         "embedding_top_component": _powerit_oracle_sql(),

@@ -184,6 +184,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "bm25_search",
         "pmi_bigrams",
         "lang_id",
+        "lang_confusion",
         "label_centroids",
         "top_words_per_lang",
         "events_value_ranks",

@@ -1685,3 +1685,60 @@ def k_anonymity(
         },
         post=lambda out: out.astype(np.int64),
     )
+
+
+def lang_confusion(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Confusion matrix of the trigram language-ID stage against the
+    stored ``lang`` labels: (lang, pred_lang, n_docs) — the quality
+    audit a multilingual curation pipeline keeps next to the classifier
+    (which language pairs it confuses drives profile-size and
+    threshold choices). Zero-hit documents emit no prediction and drop
+    out, matching the oracle's inner join.
+
+    Shape: the ``lang_id_trigrams`` stages unchanged → ONE doc-keyed
+    tagged exchange joins predictions to labels → a (lang ×
+    pred_lang)-cardinality grouped count."""
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    preds = lang_id_trigrams(ds)
+
+    def tag_pred(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "kind": np.int64(0),
+             "val": b["pred_lang"]}
+        )
+
+    def tag_label(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"], "kind": np.int64(1), "val": b["lang"]}
+        )
+
+    tagged = preds.map_batches(tag_pred, batch_format="pandas").union(
+        ds.select_columns(["doc_id", "lang"]).map_batches(
+            tag_label, batch_format="pandas"
+        )
+    )
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        pr = p[p["kind"] == 0][["doc_id", "val"]].rename(columns={"val": "pred_lang"})
+        la = p[p["kind"] == 1][["doc_id", "val"]].rename(columns={"val": "lang"})
+        m = la.merge(pr, on="doc_id")
+        if m.empty:
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=object),
+                 "pred_lang": pd.Series([], dtype=object),
+                 "n_docs": pd.Series([], dtype=np.int64)}
+            )
+        return (
+            m.groupby(["lang", "pred_lang"], sort=False)
+            .size()
+            .rename("n_docs")
+            .reset_index()
+        )
+
+    return grouped_agg(
+        partitioned_map_groups(tagged, ["doc_id"], fold),
+        ["lang", "pred_lang"],
+        {"n_docs": ("n_docs", "sum")},
+        post=lambda o: o.astype({"n_docs": np.int64}),
+    )

@@ -495,3 +495,25 @@ def test_conv_segments_replay(ray_session):
     got = conv_segments(corpus).to_pandas().sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp.reset_index(drop=True), check_dtype=False)
     assert (got["n_segments"] <= got["n_turns"]).all()
+
+
+def test_lang_confusion_vs_oracle(ray_session):
+    """lang_confusion vs its DuckDB oracle at sf0.001 and the
+    diagonal-consistency invariant vs lang_id."""
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.text_analysis import lang_confusion
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    docs = E._sread(SF, "documents", ["doc_id", "text", "lang"])
+    got = lang_confusion(docs).to_pandas().sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+    exp = con.execute(E.oracle_sql()["lang_confusion"]).fetchdf().sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    # every classified doc lands in exactly one confusion cell
+    n_classified = con.execute(
+        E.oracle_sql()["lang_id"]
+    ).fetchdf().shape[0]
+    assert got["n_docs"].sum() == n_classified

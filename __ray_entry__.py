@@ -528,6 +528,12 @@ def _q_kg_schema_profile(sf_dir: str) -> Any:
     )
 
 
+def _q_user_rfm(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import user_rfm
+
+    return user_rfm(sf_dir)
+
+
 def _q_events_dow_chisq(sf_dir: str) -> Any:
     from kire_ray.pipelines.temporal import events_dow_chisq
 
@@ -2840,6 +2846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_betweenness": _q_kg_betweenness,
         "kg_schema_profile": _q_kg_schema_profile,
         "events_dow_chisq": _q_events_dow_chisq,
+        "user_rfm": _q_user_rfm,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
         "ann_lsh": _q_ann_lsh,
@@ -6590,6 +6597,38 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sp_io h ON h.qid = e.h_qid
             LEFT JOIN sp_io t ON t.qid = e.t_qid
             GROUP BY 1, 2, 3
+        """,
+        "user_rfm": f"""
+            WITH rfm_u AS (SELECT user_id,
+                                  CAST(count(*) AS BIGINT) AS f_events,
+                                  {sql_round('sum(value)', 6)} AS m_value,
+                                  max(epoch_us(ts) // 86400000000) AS last_day
+                           FROM events GROUP BY user_id),
+            rfm_r AS (SELECT user_id, f_events, m_value,
+                             (SELECT max(last_day) FROM rfm_u) - last_day
+                                 AS r_days
+                      FROM rfm_u),
+            rfm_q AS (SELECT quantile_cont(CAST(r_days AS DOUBLE), 0.25) AS r1,
+                             quantile_cont(CAST(r_days AS DOUBLE), 0.5)  AS r2,
+                             quantile_cont(CAST(r_days AS DOUBLE), 0.75) AS r3,
+                             quantile_cont(CAST(f_events AS DOUBLE), 0.25) AS f1,
+                             quantile_cont(CAST(f_events AS DOUBLE), 0.5)  AS f2,
+                             quantile_cont(CAST(f_events AS DOUBLE), 0.75) AS f3,
+                             quantile_cont(m_value, 0.25) AS m1,
+                             quantile_cont(m_value, 0.5)  AS m2,
+                             quantile_cont(m_value, 0.75) AS m3
+                      FROM rfm_r)
+            SELECT user_id,
+                   CAST(r_days AS BIGINT) AS r_days,
+                   f_events,
+                   m_value,
+                   CAST(1 + (r_days > q.r1)::INT + (r_days > q.r2)::INT
+                          + (r_days > q.r3)::INT AS BIGINT) AS r_code,
+                   CAST(1 + (f_events > q.f1)::INT + (f_events > q.f2)::INT
+                          + (f_events > q.f3)::INT AS BIGINT) AS f_code,
+                   CAST(1 + (m_value > q.m1)::INT + (m_value > q.m2)::INT
+                          + (m_value > q.m3)::INT AS BIGINT) AS m_code
+            FROM rfm_r, rfm_q q
         """,
         "events_dow_chisq": f"""
             WITH dc AS (SELECT event_type,

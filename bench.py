@@ -137,6 +137,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_betweenness",
         "kg_schema_profile",
         "events_dow_chisq",
+        "user_rfm",
         "conv_segments",
         "duplicated_spans",
         "minhash_dedup",

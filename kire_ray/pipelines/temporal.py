@@ -879,3 +879,120 @@ def events_dow_chisq(sf_dir: str) -> "ray.data.Dataset":
     return partitioned_map_groups(
         ev.map_batches(partial, batch_format="pandas"), ["event_type"], chisq
     )
+
+
+def user_rfm(sf_dir: str) -> "ray.data.Dataset":
+    """RFM segmentation (recency / frequency / monetary — the classic
+    user-value quartile coding): per user, days since last event
+    (relative to the corpus' latest event day), event count, and the
+    6dp-rounded value sum, each coded 1-4 by its interpolated global
+    quartiles (code = 1 + #thresholds strictly exceeded).
+
+    Scale shape: per-user aggregates fold in ONE user-keyed exchange;
+    the quartile thresholds come from (metric, value)-histogram
+    partials — never a global sort — reduced once and broadcast to a
+    final assignment pass (the ``events_quantile_cont`` machinery).
+    M is rounded BEFORE thresholding on both compare sides, so code
+    comparisons see identical inputs (the events_props_sum 6dp-sum
+    precedent)."""
+    import numpy as np
+
+    import ray as _ray
+
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import grouped_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        return (
+            pd.DataFrame(
+                {"user_id": b["user_id"], "last_day": day,
+                 "f": np.int64(1), "m": b["value"].to_numpy(np.float64)}
+            )
+            .groupby("user_id", sort=False)
+            .agg(last_day=("last_day", "max"), f=("f", "sum"), m=("m", "sum"))
+            .reset_index()
+        )
+
+    users = grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["user_id"],
+        {"last_day": ("last_day", "max"), "f": ("f", "sum"), "m": ("m", "sum")},
+        post=lambda o: o.assign(m=round_half_up(o["m"].to_numpy(np.float64), 6)),
+    ).materialize()
+
+    # corpus reference day (scalar collect of block maxima)
+    d0 = int(
+        users.map_batches(
+            lambda b: pd.DataFrame({"d": [b["last_day"].max()]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["d"]
+        .max()
+    )
+
+    # quartile thresholds from histogram partials (distinct-bounded)
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for k, col in (("r", d0 - b["last_day"]), ("f", b["f"]), ("m", b["m"])):
+            g = col.value_counts()
+            out.append(
+                pd.DataFrame({"metric": k, "v": g.index.to_numpy(np.float64),
+                              "n": g.to_numpy(np.int64)})
+            )
+        return pd.concat(out, ignore_index=True)
+
+    hp = (
+        users.map_batches(hist, batch_format="pandas")
+        .to_pandas()
+        .groupby(["metric", "v"], sort=True)["n"]
+        .sum()
+        .reset_index()
+    )
+    thr: dict[str, tuple] = {}
+    for k, g in hp.groupby("metric", sort=False):
+        vals = g["v"].to_numpy(np.float64)
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        qs = []
+        for q in (0.25, 0.5, 0.75):
+            pos = (n - 1) * q
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            vlo = vals[int(np.searchsorted(cum, lo + 1, side="left"))]
+            if frac == 0.0:
+                qs.append(float(vlo))
+            else:
+                vhi = vals[int(np.searchsorted(cum, lo + 2, side="left"))]
+                qs.append(float(vlo + frac * (vhi - vlo)))
+        thr[k] = tuple(qs)
+    thr_ref = _ray.put(thr)
+
+    def assign(b: pd.DataFrame, _t=thr_ref) -> pd.DataFrame:
+        t = _ray.get(_t)
+
+        def code(v: np.ndarray, k: str) -> np.ndarray:
+            q1, q2, q3 = t[k]
+            return (
+                1 + (v > q1).astype(np.int64) + (v > q2).astype(np.int64)
+                + (v > q3).astype(np.int64)
+            )
+
+        r = (d0 - b["last_day"].to_numpy(np.int64)).astype(np.float64)
+        f = b["f"].to_numpy(np.float64)
+        m = b["m"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "r_days": r.astype(np.int64),
+                "f_events": f.astype(np.int64),
+                "m_value": m,
+                "r_code": code(r, "r"),
+                "f_code": code(f, "f"),
+                "m_code": code(m, "m"),
+            }
+        )
+
+    return users.map_batches(assign, batch_format="pandas")

@@ -517,3 +517,19 @@ def test_lang_confusion_vs_oracle(ray_session):
         E.oracle_sql()["lang_id"]
     ).fetchdf().shape[0]
     assert got["n_docs"].sum() == n_classified
+
+
+def test_user_rfm_vs_oracle(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.temporal import user_rfm
+
+    exp = _duck().execute(E.oracle_sql()["user_rfm"]).fetchdf()
+    got = user_rfm(SF).to_pandas()
+    got = got[exp.columns.tolist()].sort_values("user_id").reset_index(drop=True)
+    exp = exp.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # quartile codes are 1..4 and each quartile is nonempty per metric
+    for c in ("r_code", "f_code", "m_code"):
+        assert set(got[c]) <= {1, 2, 3, 4}
+        assert got[c].nunique() >= 2

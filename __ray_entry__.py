@@ -1463,6 +1463,32 @@ def _q_exact_dedup(sf_dir: str) -> Any:
     return exact_dedup(_docs(sf_dir))
 
 
+def _q_ngram_novelty(sf_dir: str) -> Any:
+    """n-gram-level corpus freshness of the incoming shard vs history
+    (even doc_ids = history, odd = incoming — the incremental_dedup
+    split)."""
+    from kire_ray.pipelines.dedup import ngram_novelty
+
+    docs = _docs(sf_dir)
+    prior = docs.map_batches(
+        lambda b: b[b["doc_id"] % 2 == 0], batch_format="pandas"
+    )
+    new = docs.map_batches(
+        lambda b: b[b["doc_id"] % 2 == 1], batch_format="pandas"
+    )
+    return ngram_novelty(prior, new)
+
+
+def _q_pq_codes(sf_dir: str) -> Any:
+    """Product-quantization codes + reconstruction error over the
+    embedding table (Jégou et al. 2011). Float-iterative Lloyd per
+    subspace → rows-only at the driver; sequential numpy oracle in
+    tests/test_kmeans.py."""
+    from kire_ray.pipelines.similarity import pq_codes
+
+    return pq_codes(sf_dir)
+
+
 def _q_bow_dedup(sf_dir: str) -> Any:
     from kire_ray.pipelines.dedup import bow_dedup
 
@@ -2669,6 +2695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_profile": _q_key_skew_profile,
         "k_anonymity": _q_k_anonymity,
         "events_autocorr": _q_events_autocorr,
+        "ngram_novelty": _q_ngram_novelty,
+        "pq_codes": _q_pq_codes,
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -4133,6 +4161,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_docs AS BIGINT) AS n_docs,
                    CAST(ndw AS BIGINT) AS n_distinct_words
             FROM bd_g WHERE n_docs >= 2
+        """,
+        "ngram_novelty": f"""
+            WITH nv_w AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+                                 unnest(ws) AS w
+                          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                                FROM documents)),
+            nv_g AS (SELECT a.doc_id,
+                            a.w || ' ' || b.w || ' ' || c.w AS gram
+                     FROM nv_w a
+                     JOIN nv_w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                     JOIN nv_w c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            nv_p AS (SELECT DISTINCT gram FROM nv_g WHERE doc_id % 2 = 0),
+            nv_n AS (SELECT DISTINCT gram FROM nv_g WHERE doc_id % 2 = 1),
+            nv_x AS (SELECT count(*) AS nv FROM nv_n
+                     WHERE gram NOT IN (SELECT gram FROM nv_p))
+            SELECT CAST((SELECT count(*) FROM nv_p) AS BIGINT) AS n_prior_grams,
+                   CAST((SELECT count(*) FROM nv_n) AS BIGINT) AS n_new_grams,
+                   CAST((SELECT nv FROM nv_x) AS BIGINT) AS n_novel_grams,
+                   {sql_round('(SELECT nv FROM nv_x) * 1.0 / (SELECT count(*) FROM nv_n)', 6)}
+                       AS novelty_rate
         """,
         "k_anonymity": """
             WITH ka_g AS (SELECT lang, source, n_chars // 256 AS lb,

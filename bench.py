@@ -138,6 +138,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "kg_schema_profile",
         "events_dow_chisq",
         "user_rfm",
+        "ngram_novelty",
+        "pq_codes",
         "conv_segments",
         "duplicated_spans",
         "minhash_dedup",

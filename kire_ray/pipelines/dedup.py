@@ -1505,3 +1505,78 @@ def bow_dedup(
         {"doc_id": ("doc_id", "min"), "n_docs": ("n_docs", "sum"), "ndw": ("ndw", "min")},
         post=post,
     )
+
+
+def ngram_novelty(
+    prior: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    *,
+    n: int = 3,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Corpus freshness at the n-gram level: how many of the incoming
+    shard's DISTINCT word n-grams were never seen in the ingested
+    history — the novelty-rate signal next to ``incremental_dedup``'s
+    doc-level view (a batch can be 0% duplicate docs yet add almost no
+    new n-grams). Returns ONE row: (n_prior_grams, n_new_grams,
+    n_novel_grams, novelty_rate).
+
+    Shape: per-block distinct (side, gram) combiner → ONE grouped
+    exchange on the gram string → per-partition presence classify →
+    constant-size partial sums. Both corpora stream; at 100 TB the
+    history side is the persisted gram-hash column of earlier runs."""
+
+    def grams(side: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            seen: set = set()
+            for t in b[text_col]:
+                ws = t.split()
+                for i in range(len(ws) - n + 1):
+                    seen.add(" ".join(ws[i : i + n]))
+            return pd.DataFrame(
+                {"gram": sorted(seen), "side": np.int64(side)}
+            ).drop_duplicates()
+
+        return fn
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    tagged = prior.map_batches(grams(0), batch_format="pandas").union(
+        new.map_batches(grams(1), batch_format="pandas")
+    )
+
+    def classify(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.drop_duplicates().groupby("gram", sort=False)["side"]
+        has_prior = g.min() == 0
+        has_new = g.max() == 1
+        return pd.DataFrame(
+            {
+                "n_prior_grams": [int(has_prior.sum())],
+                "n_new_grams": [int(has_new.sum())],
+                "n_novel_grams": [int((has_new & ~has_prior).sum())],
+            }
+        )
+
+    parts = partitioned_map_groups(tagged, ["gram"], classify)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        from kire_ray.functions.rounding import round_half_up
+
+        tot = b.sum()
+        npr, nn, nv = (
+            int(tot["n_prior_grams"]),
+            int(tot["n_new_grams"]),
+            int(tot["n_novel_grams"]),
+        )
+        return pd.DataFrame(
+            {
+                "n_prior_grams": np.array([npr], dtype=np.int64),
+                "n_new_grams": np.array([nn], dtype=np.int64),
+                "n_novel_grams": np.array([nv], dtype=np.int64),
+                "novelty_rate": round_half_up(
+                    np.array([nv / nn if nn else 0.0]), 6
+                ),
+            }
+        )
+
+    return ray.data.from_pandas(finish(parts.to_pandas()))

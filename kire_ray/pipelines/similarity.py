@@ -1211,3 +1211,138 @@ def embedding_codes(
         )
 
     return ds.map_batches(quant, batch_format="pandas")
+
+
+def _pq_fit(
+    emb: "ray.data.Dataset", m: int, k: int, iters: int
+) -> np.ndarray:
+    """Distributed product-quantization codebook fit (Jégou, Douze,
+    Schmid, "Product quantization for nearest neighbor search", TPAMI
+    2011 §II): an L2 Lloyd fit per subspace, ALL subspaces advancing in
+    the same streaming pass — per batch one (m × k × d/m) partial
+    (sum, count) fold, never the vectors. Init = the subvectors of the
+    k vectors with the smallest md5(vec_id) (the kmeans_clusters
+    idiom). Returns C with shape (m, k, d//m)."""
+    import hashlib
+
+    def seed_partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
+                for v in b["vec_id"]
+            ),
+            dtype=np.int64,
+            count=len(b),
+        )
+        idx = np.argsort(h, kind="stable")[:k]
+        return pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].to_numpy()[idx],
+                "h": h[idx],
+                "embedding": b["embedding"].to_numpy()[idx],
+            }
+        )
+
+    seeds = emb.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    seeds = seeds.sort_values(["h", "vec_id"], kind="mergesort").head(k)
+    S = np.stack([np.asarray(v, dtype=np.float64) for v in seeds["embedding"]])
+    d = S.shape[1]
+    ds_ = d // m
+    C = np.stack([S[:, j * ds_ : (j + 1) * ds_].copy() for j in range(m)])
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def update(b: pd.DataFrame) -> pd.DataFrame:
+            Cm = ray.get(ref)  # (m, k, ds)
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            rows = []
+            for j in range(m):
+                X = M[:, j * ds_ : (j + 1) * ds_]
+                # L2 argmin via expanded dot products (ties → lowest code)
+                d2 = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * X @ Cm[j].T
+                    + (Cm[j] * Cm[j]).sum(axis=1)[None, :]
+                )
+                assign = d2.argmin(axis=1)
+                sums = np.zeros_like(Cm[j])
+                np.add.at(sums, assign, X)
+                cnt = np.bincount(assign, minlength=k)
+                for c in range(k):
+                    rows.append((j, c, sums[c], int(cnt[c])))
+            return pd.DataFrame(rows, columns=["j", "c", "s", "n"])
+
+        parts = emb.map_batches(update, batch_format="pandas").to_pandas()
+        for j in range(m):
+            pj = parts[parts["j"] == j]
+            agg = np.zeros((k, ds_))
+            np.add.at(
+                agg,
+                pj["c"].to_numpy(np.int64),
+                np.stack([np.asarray(s, dtype=np.float64) for s in pj["s"]]),
+            )
+            cnt = np.bincount(
+                pj["c"].to_numpy(np.int64), weights=pj["n"].to_numpy(), minlength=k
+            )
+            nz = cnt > 0
+            C[j][nz] = agg[nz] / cnt[nz, None]
+    return C
+
+
+def pq_codes(
+    sf_dir: str, *, m: int = 4, k: int = 16, iters: int = 3
+) -> "ray.data.Dataset":
+    """Product-quantization encoding of the embedding table: each
+    vector compressed to ``m`` sub-codes of ⌈log2 k⌉ bits (here 4×4 =
+    2 bytes per vector) — THE memory lever for billion-scale ANN
+    (IVFADC's second stage; the scalar cousin is ``embedding_codes``).
+    Emits the long code table (vec_id, subspace, code) plus each row's
+    6dp reconstruction error, the fidelity metric a PQ deployment
+    tracks.
+
+    Float-iterative (Lloyd per subspace) → rows-only at the driver;
+    value equality vs a sequential numpy oracle is proven in
+    tests/test_kmeans.py. All m subspaces fit in ONE streaming pass
+    per iteration (per-batch (m × k × d/m) partials)."""
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.sources.parquet import sized_read
+
+    emb = sized_read(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    C = _pq_fit(emb, m, k, iters)
+    ds_ = C.shape[2]
+    ref = ray.put(C)
+
+    def encode(b: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(ref)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        ids = b["vec_id"].to_numpy(np.int64)
+        out_id, out_j, out_code, out_err = [], [], [], []
+        err2 = np.zeros(len(M))
+        codes = np.empty((len(M), m), dtype=np.int64)
+        for j in range(m):
+            X = M[:, j * ds_ : (j + 1) * ds_]
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * X @ Cm[j].T
+                + (Cm[j] * Cm[j]).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+            r = X - Cm[j][codes[:, j]]
+            err2 += (r * r).sum(axis=1)
+        err = np.sqrt(err2)
+        for j in range(m):
+            out_id.append(ids)
+            out_j.append(np.full(len(M), j, dtype=np.int64))
+            out_code.append(codes[:, j])
+            out_err.append(err)
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_id),
+                "subspace": np.concatenate(out_j),
+                "code": np.concatenate(out_code),
+                "recon_err": round_half_up(np.concatenate(out_err), 6),
+            }
+        )
+
+    return emb.map_batches(encode, batch_format="pandas")

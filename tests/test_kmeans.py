@@ -93,3 +93,68 @@ def test_semdedup_matches_sequential(ray_session, oracle):
     # the synthetic corpus plants near-duplicate embeddings — the
     # operator must actually catch some
     assert got["is_dup"].sum() > 0
+
+
+def test_pq_codes_match_sequential(ray_session):
+    """pq_codes vs a sequential numpy replay of the same PQ fit
+    (same md5 init, same L2 Lloyd updates, same tie-breaks)."""
+    from kire_ray.pipelines.similarity import pq_codes
+
+    M_, ITERS_, KK = 4, 3, 16
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")[["vec_id", "embedding"]]
+    X = np.stack([np.asarray(v, np.float64) for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy(np.int64)
+    h = np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16) for v in ids]
+    )
+    order = np.lexsort((ids, h))
+    d = X.shape[1]
+    ds_ = d // M_
+    C = np.stack(
+        [X[order[:KK], j * ds_ : (j + 1) * ds_].copy() for j in range(M_)]
+    )
+    for _ in range(ITERS_):
+        for j in range(M_):
+            Xi = X[:, j * ds_ : (j + 1) * ds_]
+            d2 = (
+                (Xi * Xi).sum(axis=1)[:, None]
+                - 2.0 * Xi @ C[j].T
+                + (C[j] * C[j]).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            for c in range(KK):
+                m = Xi[a == c]
+                if len(m):
+                    C[j][c] = m.mean(axis=0)
+    exp_codes = np.empty((len(X), M_), dtype=np.int64)
+    err2 = np.zeros(len(X))
+    for j in range(M_):
+        Xi = X[:, j * ds_ : (j + 1) * ds_]
+        d2 = (
+            (Xi * Xi).sum(axis=1)[:, None]
+            - 2.0 * Xi @ C[j].T
+            + (C[j] * C[j]).sum(axis=1)[None, :]
+        )
+        exp_codes[:, j] = d2.argmin(axis=1)
+        r = Xi - C[j][exp_codes[:, j]]
+        err2 += (r * r).sum(axis=1)
+    exp_err = np.sqrt(err2)
+
+    got = (
+        pq_codes(SF, m=M_, k=KK, iters=ITERS_)
+        .to_pandas()
+        .sort_values(["vec_id", "subspace"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(X) * M_
+    by_id = {v: i for i, v in enumerate(ids)}
+    g_codes = got["code"].to_numpy(np.int64).reshape(-1, M_)
+    g_ids = got["vec_id"].to_numpy(np.int64)[::M_]
+    for gi, vid in enumerate(g_ids):
+        i = by_id[vid]
+        assert (g_codes[gi] == exp_codes[i]).all(), (vid, g_codes[gi], exp_codes[i])
+    err_by_vid = dict(zip(got["vec_id"][::M_], got["recon_err"][::M_]))
+    for vid, i in list(by_id.items())[:100]:
+        assert abs(err_by_vid[vid] - exp_err[i]) < 1e-5
+    # compression sanity: codes span the codebook
+    assert got["code"].max() < KK and got["code"].nunique() > 1

@@ -533,3 +533,20 @@ def test_user_rfm_vs_oracle(ray_session):
     for c in ("r_code", "f_code", "m_code"):
         assert set(got[c]) <= {1, 2, 3, 4}
         assert got[c].nunique() >= 2
+
+
+def test_ngram_novelty_vs_oracle(ray_session):
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(E.oracle_sql()["ngram_novelty"]).fetchdf()
+    got = E.queries()["ngram_novelty"](SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()].reset_index(drop=True), exp, check_dtype=False
+    )
+    r = got.iloc[0]
+    assert 0 < r["n_novel_grams"] <= r["n_new_grams"]
+    assert 0.0 < r["novelty_rate"] <= 1.0

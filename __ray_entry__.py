@@ -528,6 +528,12 @@ def _q_kg_schema_profile(sf_dir: str) -> Any:
     )
 
 
+def _q_events_window_quantiles(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import events_window_quantiles
+
+    return events_window_quantiles(sf_dir)
+
+
 def _q_user_rfm(sf_dir: str) -> Any:
     from kire_ray.pipelines.temporal import user_rfm
 
@@ -538,6 +544,17 @@ def _q_events_dow_chisq(sf_dir: str) -> Any:
     from kire_ray.pipelines.temporal import events_dow_chisq
 
     return events_dow_chisq(sf_dir)
+
+
+def _q_kg_ppr(sf_dir: str) -> Any:
+    """Personalized PageRank from the 4 md5-smallest seed nodes over
+    the corpus KG; corpus-side oracle unrolls the seeded power
+    iteration (the pagerank pattern with teleport restricted to the
+    seed set)."""
+    from kire_ray.pipelines.graph_algos import ppr
+
+    corpus = _corpus(sf_dir)
+    return ppr(_cread(corpus, "kg_triples", ["h_qid", "t_qid"]))
 
 
 def _q_kg_degree_distribution(sf_dir: str) -> Any:
@@ -2872,9 +2889,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_lifespan": _q_kg_edge_lifespan,
         "kg_degree_distribution": _q_kg_degree_distribution,
         "kg_betweenness": _q_kg_betweenness,
+        "kg_ppr": _q_kg_ppr,
         "kg_schema_profile": _q_kg_schema_profile,
         "events_dow_chisq": _q_events_dow_chisq,
         "user_rfm": _q_user_rfm,
+        "events_window_quantiles": _q_events_window_quantiles,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
         "ann_lsh": _q_ann_lsh,
@@ -2897,6 +2916,50 @@ def _sql_norm(col: str) -> str:
         "trim(regexp_replace(lower(replace(replace(replace("
         f"{col}, chr(10), ' '), '.', ''), '-', ' ')), ' +', ' ', 'g'))"
     )
+
+
+def _ppr_sql(c01: str, iters: int = 10, n_seeds: int = 4) -> str:
+    """Unrolled personalized-PageRank oracle: the kg_pagerank CTE chain
+    with teleport mass restricted to the md5-smallest seed set."""
+    head = f"""
+        WITH edges AS (
+            SELECT h_qid AS src, t_qid AS dst
+            FROM read_parquet('{c01}/kg_triples.parquet')),
+        nodes AS (
+            SELECT DISTINCT q FROM (
+                SELECT src AS q FROM edges
+                UNION ALL SELECT dst FROM edges)),
+        seeds AS (SELECT q FROM nodes ORDER BY md5(q), q LIMIT {n_seeds}),
+        ns AS (SELECT count(*) AS k FROM seeds),
+        outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        r0 AS (SELECT n.q,
+                      CASE WHEN s.q IS NOT NULL
+                           THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS r
+               FROM nodes n LEFT JOIN seeds s ON s.q = n.q)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+        r{i} AS (
+            SELECT n.q,
+                   (CASE WHEN s.q IS NOT NULL
+                         THEN 0.15 / (SELECT k FROM ns) ELSE 0.0 END)
+                       + 0.85 * coalesce(c.contrib, 0.0) AS r
+            FROM nodes n
+            LEFT JOIN seeds s ON s.q = n.q
+            LEFT JOIN (
+                SELECT e.dst AS q, sum(p.r / od.d) AS contrib
+                FROM edges e
+                JOIN r{i - 1} p ON p.q = e.src
+                JOIN outdeg od ON od.src = e.src
+                GROUP BY 1) c ON c.q = n.q)"""
+        )
+    tail = f"""
+        SELECT q AS qid,
+               floor(r * 1000000 + 0.501) / 1000000 AS rank
+        FROM r{iters}
+        WHERE floor(r * 1000000 + 0.501) / 1000000 > 0.0"""
+    return head + "".join(steps) + tail
 
 
 def _hits_sql(c01: str, iters: int = 5) -> str:
@@ -6646,6 +6709,21 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sp_io t ON t.qid = e.t_qid
             GROUP BY 1, 2, 3
         """,
+        "events_window_quantiles": f"""
+            WITH ewq AS (SELECT event_type,
+                                epoch_us(ts) // 86400000000 AS w,
+                                value
+                         FROM events)
+            SELECT event_type, CAST(w AS BIGINT) AS w,
+                   CAST(count(*) AS BIGINT) AS n,
+                   0.5 AS q, {sql_round('quantile_cont(value, 0.5)', 6)} AS value
+            FROM ewq GROUP BY event_type, w
+            UNION ALL
+            SELECT event_type, CAST(w AS BIGINT) AS w,
+                   CAST(count(*) AS BIGINT) AS n,
+                   0.95 AS q, {sql_round('quantile_cont(value, 0.95)', 6)} AS value
+            FROM ewq GROUP BY event_type, w
+        """,
         "user_rfm": f"""
             WITH rfm_u AS (SELECT user_id,
                                   CAST(count(*) AS BIGINT) AS f_events,
@@ -6720,6 +6798,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{c01}/kg_triples.parquet')
             GROUP BY prop
         """,
+        "kg_ppr": _ppr_sql(c01),
         "kg_random_walks": _walks_sql(c01),
         "kg_negative_samples": f"""
             WITH nsed AS (SELECT h_qid, prop, t_qid

@@ -140,6 +140,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "user_rfm",
         "ngram_novelty",
         "pq_codes",
+        "kg_ppr",
+        "events_window_quantiles",
         "conv_segments",
         "duplicated_spans",
         "minhash_dedup",

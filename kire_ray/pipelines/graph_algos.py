@@ -1684,3 +1684,91 @@ def betweenness(
         np.array([bc[q] for q in out["qid"]], dtype=np.float64), 6
     )
     return ray.data.from_pandas(out.sort_values("qid").reset_index(drop=True))
+
+
+def ppr(
+    edges: "ray.data.Dataset",
+    *,
+    src_col: str = "h_qid",
+    dst_col: str = "t_qid",
+    n_seeds: int = 4,
+    iters: int = PR_ITERS,
+) -> "ray.data.Dataset":
+    """Personalized PageRank (Page et al. 1999 §6; the seeded variant
+    behind GraphSAGE neighborhoods and related-entity recommendation):
+    identical power iteration to ``pagerank`` except the teleport mass
+    returns ONLY to the seed set — here the ``n_seeds`` nodes with the
+    smallest md5(qid), the engine's deterministic-sample idiom — so
+    rank concentrates around the seeds' neighborhoods.
+
+    Same distributed contract as ``pagerank``: per-iteration one
+    streaming edge pass with broadcast (nodes, ranks, degrees), driver
+    folds node-bounded contributions; dangling mass vanishes (no
+    redistribution), mirrored exactly in the unrolled SQL oracle."""
+    import hashlib
+
+    from kire_ray.stages.shuffle import grouped_agg, iteration_blocks, partitioned_map_groups
+
+    ed = iteration_blocks(edges.select_columns([src_col, dst_col]))
+
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = pd.concat([b[src_col], b[dst_col]]).unique()
+        return pd.DataFrame({"q": u})
+
+    nodes = (
+        partitioned_map_groups(
+            ed.map_batches(node_partial, batch_format="pandas"),
+            ["q"],
+            lambda p: p.drop_duplicates(),
+        )
+        .to_pandas()["q"]
+        .to_numpy(dtype=object)
+    )
+    nodes = np.sort(nodes)
+    n = len(nodes)
+    seeds = sorted(nodes, key=lambda q: (hashlib.md5(q.encode()).hexdigest(), q))[
+        : int(n_seeds)
+    ]
+    seed_idx = np.searchsorted(nodes, np.array(sorted(seeds), dtype=object))
+    teleport = np.zeros(n, dtype=np.float64)
+    teleport[seed_idx] = 0.15 / len(seeds)
+
+    deg_tab = grouped_agg(
+        ed.map_batches(
+            lambda b: b.groupby(src_col, sort=False).size().rename("d").reset_index(),
+            batch_format="pandas",
+        ),
+        [src_col],
+        {"d": ("d", "sum")},
+    ).to_pandas()
+    deg = np.zeros(n, dtype=np.float64)
+    deg[np.searchsorted(nodes, deg_tab[src_col].to_numpy())] = deg_tab["d"].to_numpy(
+        np.float64
+    )
+
+    ranks = teleport / 0.15  # start as the seed distribution (sums to 1)
+    for _ in range(iters):
+        ref = ray.put((nodes, ranks, deg))
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            nd, r, d = ray.get(ref)
+            si = np.searchsorted(nd, b[src_col].to_numpy())
+            w = r[si] / np.maximum(d[si], 1.0)
+            keep = r[si] != 0.0
+            out = pd.DataFrame({"q": b[dst_col].to_numpy()[keep], "c": w[keep]})
+            return out.groupby("q", sort=False).agg(c=("c", "sum")).reset_index()
+
+        ct = (
+            ed.map_batches(contrib, batch_format="pandas")
+            .to_pandas()
+            .groupby("q", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        new = teleport.copy()
+        di = np.searchsorted(nodes, ct["q"].to_numpy())
+        new[di] = new[di] + DAMPING * ct["c"].to_numpy(np.float64)
+        ranks = new
+
+    out = pd.DataFrame({"qid": nodes, "rank": round_half_up(pd.Series(ranks), 6)})
+    return ray.data.from_pandas(out[out["rank"] > 0.0].reset_index(drop=True))

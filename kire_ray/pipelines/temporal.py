@@ -996,3 +996,66 @@ def user_rfm(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return users.map_batches(assign, batch_format="pandas")
+
+
+def events_window_quantiles(
+    sf_dir: str, *, window_s: int = 86_400, quantiles=(0.5, 0.95)
+) -> "ray.data.Dataset":
+    """Windowed latency-style percentiles: interpolated p50/p95 of
+    event value per (event_type, tumbling window) — the SLO dashboard
+    query (``events_quantile_cont`` per time bucket instead of
+    globally).
+
+    Same single-exchange histogram shape: per-block (type, window,
+    value) count combiner → one exchange on (type, window) →
+    in-reducer sorted expansion + interpolation. Reducer memory is
+    bounded by per-(type, window) distinct values."""
+    import numpy as np
+
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    wus = window_s * 1_000_000
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // wus
+        return (
+            pd.DataFrame(
+                {"event_type": b["event_type"], "w": w, "value": b["value"]}
+            )
+            .groupby(["event_type", "w", "value"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (t, w), g in part.groupby(["event_type", "w"], sort=False):
+            g = g.groupby("value", sort=True)["n"].sum().reset_index()
+            vals = g["value"].to_numpy(np.float64)
+            cum = g["n"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            for q in quantiles:
+                pos = (n - 1) * q
+                lo = int(np.floor(pos))
+                frac = pos - lo
+                vlo = vals[int(np.searchsorted(cum, lo + 1, side="left"))]
+                if frac == 0.0:
+                    v = vlo
+                else:
+                    vhi = vals[int(np.searchsorted(cum, lo + 2, side="left"))]
+                    v = vlo + frac * (vhi - vlo)
+                rows.append((t, int(w), n, float(q), v))
+        out = pd.DataFrame(
+            rows, columns=["event_type", "w", "n", "q", "value"]
+        )
+        out["w"] = out["w"].astype(np.int64)
+        out["n"] = out["n"].astype(np.int64)
+        out["value"] = round_half_up(out["value"].to_numpy(np.float64), 6)
+        return out
+
+    return partitioned_map_groups(
+        ev.map_batches(hist, batch_format="pandas"), ["event_type", "w"], pick
+    )

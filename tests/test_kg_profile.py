@@ -361,3 +361,53 @@ def test_schema_profile_vs_pandas(ray_session):
         }
     ).sort_values(["pred", "h_type", "t_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+def test_ppr_vs_sequential(ray_session):
+    """Personalized PageRank vs a sequential numpy replay (same md5
+    seed choice, same no-dangling-redistribution contract) and
+    partition invariance."""
+    from kire_ray.pipelines.graph_algos import ppr
+
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+        ("x", "y"),  # component away from the seeds (maybe)
+    ]
+    df = pd.DataFrame(
+        {"h_qid": [r[0] for r in rows], "t_qid": [r[1] for r in rows]}
+    )
+    nodes = np.sort(np.array(sorted(set(df["h_qid"]) | set(df["t_qid"])), dtype=object))
+    n = len(nodes)
+    seeds = sorted(nodes, key=lambda q: (hashlib.md5(q.encode()).hexdigest(), q))[:2]
+    seed_idx = np.searchsorted(nodes, np.array(sorted(seeds), dtype=object))
+    teleport = np.zeros(n)
+    teleport[seed_idx] = 0.15 / len(seeds)
+    deg = np.zeros(n)
+    for s in df["h_qid"]:
+        deg[np.searchsorted(nodes, s)] += 1
+    r = teleport / 0.15
+    for _ in range(10):
+        new = teleport.copy()
+        for s, t in rows:
+            si, ti = np.searchsorted(nodes, s), np.searchsorted(nodes, t)
+            new[ti] += 0.85 * r[si] / deg[si]
+        r = new
+    exp = {q: np.floor(v * 1e6 + 0.501) / 1e6 for q, v in zip(nodes, r)}
+    exp = {q: v for q, v in exp.items() if v > 0.0}
+
+    outs = []
+    for blocks in (1, 4):
+        got = (
+            ppr(_ds(df, blocks), n_seeds=2)
+            .to_pandas()
+            .sort_values("qid")
+            .reset_index(drop=True)
+        )
+        assert set(got["qid"]) == set(exp)
+        for q, v in zip(got["qid"], got["rank"]):
+            assert abs(v - exp[q]) < 2e-6, (q, v, exp[q])
+        outs.append(got)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # seeds carry teleport mass
+    for s in seeds:
+        assert exp[s] >= 0.15 / len(seeds) - 1e-9

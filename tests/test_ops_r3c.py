@@ -550,3 +550,18 @@ def test_ngram_novelty_vs_oracle(ray_session):
     r = got.iloc[0]
     assert 0 < r["n_novel_grams"] <= r["n_new_grams"]
     assert 0.0 < r["novelty_rate"] <= 1.0
+
+
+def test_events_window_quantiles_vs_oracle(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.temporal import events_window_quantiles
+
+    exp = _duck().execute(E.oracle_sql()["events_window_quantiles"]).fetchdf()
+    got = events_window_quantiles(SF).to_pandas()
+    key = ["event_type", "w", "q"]
+    got = got[exp.columns.tolist()].sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    p = got.pivot_table(index=["event_type", "w"], columns="q", values="value")
+    assert (p[0.95] >= p[0.5]).all()

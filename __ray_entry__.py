@@ -1530,6 +1530,22 @@ def _q_zipf_fit(sf_dir: str) -> Any:
     return zipf_fit(_docs(sf_dir))
 
 
+def _q_weighted_reservoir(sf_dir: str) -> Any:
+    """Efraimidis–Spirakis weighted k-sample without replacement
+    (Exp(w) keys from md5 uniforms, associative bottom-k)."""
+    from kire_ray.pipelines.sampling import weighted_reservoir
+
+    return weighted_reservoir(
+        _sread(sf_dir, "documents", ["doc_id", "source", "n_chars"]), 50
+    )
+
+
+def _q_column_mi(sf_dir: str) -> Any:
+    from kire_ray.pipelines.sketches import column_mi
+
+    return column_mi(sf_dir)
+
+
 def _q_key_skew_profile(sf_dir: str) -> Any:
     from kire_ray.pipelines.sketches import key_skew_profile
 
@@ -2714,6 +2730,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": _q_events_autocorr,
         "ngram_novelty": _q_ngram_novelty,
         "pq_codes": _q_pq_codes,
+        "weighted_reservoir": _q_weighted_reservoir,
+        "column_mi": _q_column_mi,
         "minhash_dedup": _q_minhash,
         "simhash_dedup": _q_simhash,
         "ngram_jaccard_dedup": _q_ngram_jaccard,
@@ -4224,6 +4242,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_docs AS BIGINT) AS n_docs,
                    CAST(ndw AS BIGINT) AS n_distinct_words
             FROM bd_g WHERE n_docs >= 2
+        """,
+        "weighted_reservoir": """
+            WITH wr AS (SELECT doc_id, source, n_chars,
+                               -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                                    AS BIGINT) + 1) / 4503599627370497.0)
+                                   / n_chars AS key
+                        FROM documents)
+            SELECT doc_id, source, n_chars
+            FROM wr ORDER BY key, doc_id LIMIT 50
+        """,
+        "column_mi": f"""
+            WITH mi_d AS (SELECT 'documents.lang|source' AS pair,
+                                 lang AS x, source AS y, count(*) AS c
+                          FROM documents GROUP BY 1, 2, 3),
+            mi_e AS (SELECT 'events.event_type|dow' AS pair, event_type AS x,
+                            CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                                 AS VARCHAR) AS y,
+                            count(*) AS c
+                     FROM events GROUP BY 1, 2, 3),
+            mi_j AS (SELECT * FROM mi_d UNION ALL SELECT * FROM mi_e),
+            mi_n AS (SELECT pair, sum(c) AS n FROM mi_j GROUP BY pair),
+            mi_x AS (SELECT pair, x, sum(c) AS cx FROM mi_j GROUP BY 1, 2),
+            mi_y AS (SELECT pair, y, sum(c) AS cy FROM mi_j GROUP BY 1, 2),
+            mi_m AS (SELECT j.pair,
+                            sum(j.c * 1.0 / n.n
+                                * log2(j.c * 1.0 * n.n / (x.cx * 1.0 * y.cy)))
+                                AS mi
+                     FROM mi_j j
+                     JOIN mi_n n USING (pair)
+                     JOIN mi_x x ON x.pair = j.pair AND x.x = j.x
+                     JOIN mi_y y ON y.pair = j.pair AND y.y = j.y
+                     GROUP BY 1),
+            mi_hx AS (SELECT x.pair,
+                             -sum(cx * 1.0 / n.n * log2(cx * 1.0 / n.n)) AS hx
+                      FROM mi_x x JOIN mi_n n USING (pair) GROUP BY 1),
+            mi_hy AS (SELECT y.pair,
+                             -sum(cy * 1.0 / n.n * log2(cy * 1.0 / n.n)) AS hy
+                      FROM mi_y y JOIN mi_n n USING (pair) GROUP BY 1)
+            SELECT m.pair, CAST(n.n AS BIGINT) AS n,
+                   {sql_round('m.mi', 6)} AS mi_bits,
+                   {sql_round('hx.hx', 6)} AS h_x_bits,
+                   {sql_round('hy.hy', 6)} AS h_y_bits
+            FROM mi_m m
+            JOIN mi_n n USING (pair)
+            JOIN mi_hx hx USING (pair)
+            JOIN mi_hy hy USING (pair)
         """,
         "ngram_novelty": f"""
             WITH nv_w AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,

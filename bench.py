@@ -142,6 +142,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "pq_codes",
         "kg_ppr",
         "events_window_quantiles",
+        "weighted_reservoir",
+        "column_mi",
         "conv_segments",
         "duplicated_spans",
         "minhash_dedup",

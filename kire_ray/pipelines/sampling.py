@@ -485,3 +485,42 @@ def preference_pairs(
     return partitioned_map_groups(
         docs.map_batches(partial, batch_format="pandas"), [g1, g2], combine
     )
+
+
+def weighted_reservoir(
+    ds: "ray.data.Dataset",
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    keep_cols: tuple = ("doc_id", "source", "n_chars"),
+) -> "ray.data.Dataset":
+    """Weighted k-sample WITHOUT replacement (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006): each row
+    draws an Exp(w) key ``-ln(u)/w`` from its deterministic md5
+    uniform u ∈ (0,1], and the sample is the k SMALLEST keys — the
+    A-ExpJ selection, expressed bottom-k so it is associative: every
+    block reduces to its own k best, the driver merges O(blocks)
+    k-row partials, no shuffle, no global sort. The uniform uses
+    (h52 + 1)/(2^52 + 1) so u is never 0 and both compare sides feed
+    libm the identical double. Exact SQL oracle: ``ORDER BY
+    -ln(u)/w, id LIMIT k``."""
+    cols = list(keep_cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = np.array(
+            [int(x[:13], 16) for x in _md5_hex(b[id_col].to_numpy())],
+            dtype=np.int64,
+        )
+        u = (h.astype(np.float64) + 1.0) / 4503599627370497.0
+        w = b[weight_col].to_numpy(np.float64)
+        key = -np.log(u) / w
+        b = b[cols].assign(_key=key)
+        order = np.lexsort((b[id_col].to_numpy(), key))
+        return b.iloc[order[:k]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    order = np.lexsort((parts[id_col].to_numpy(), parts["_key"].to_numpy()))
+    return ray.data.from_pandas(
+        parts.iloc[order[:k]][cols].reset_index(drop=True)
+    )

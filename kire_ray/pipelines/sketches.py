@@ -876,3 +876,77 @@ def key_skew_profile(
         {"n_rows": ("n_rows", "sum"), "n_keys": ("n_keys", "sum"), "max_n": ("max_n", "max")},
         post=post,
     )
+
+
+def column_mi(sf_dir: str) -> "ray.data.Dataset":
+    """Mutual information between categorical column pairs — the
+    association screen feature pipelines run before encoding (near-zero
+    MI → drop a column; MI ≈ min(H) → redundant pair). Computed in
+    bits for (documents.lang × documents.source) and
+    (events.event_type × day-of-week).
+
+    Shape: block-local joint-count combiner → one cell-bounded grouped
+    exchange → the MI/entropy fold runs on the (|X|·|Y|)-sized cell
+    table (driver-side, sketch-sized by construction). 6dp rounding
+    absorbs the oracle's summation order."""
+    from kire_ray.pipelines.relational import _read
+    from kire_ray.stages.shuffle import grouped_agg
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            b.groupby(["lang", "source"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"pair": "documents.lang|source", "x": g["lang"], "y": g["source"],
+             "c": g["c"].astype(np.int64)}
+        )
+
+    def ev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        dow = ((day + 4) % 7).astype(str)
+        g = (
+            pd.DataFrame({"x": b["event_type"], "y": dow})
+            .groupby(["x", "y"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"pair": "events.event_type|dow", "x": g["x"], "y": g["y"],
+             "c": g["c"].astype(np.int64)}
+        )
+
+    docs = _read(sf_dir, "documents", ["lang", "source"]).map_batches(
+        doc_partial, batch_format="pandas"
+    )
+    evs = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        ev_partial, batch_format="pandas"
+    )
+    cells = grouped_agg(
+        docs.union(evs), ["pair", "x", "y"], {"c": ("c", "sum")}
+    ).to_pandas()
+
+    rows = []
+    for pair, g in cells.groupby("pair", sort=True):
+        g = g.sort_values(["x", "y"], kind="mergesort")
+        c = g["c"].to_numpy(np.float64)
+        n = c.sum()
+        cx = g.groupby("x", sort=True)["c"].sum()
+        cy = g.groupby("y", sort=True)["c"].sum()
+        px = (cx / n).to_numpy()
+        py = (cy / n).to_numpy()
+        pj = c / n
+        pxj = (cx.reindex(g["x"]) / n).to_numpy(np.float64)
+        pyj = (cy.reindex(g["y"]) / n).to_numpy(np.float64)
+        mi = float((pj * np.log2(pj / (pxj * pyj))).sum())
+        hx = float(-(px * np.log2(px)).sum())
+        hy = float(-(py * np.log2(py)).sum())
+        rows.append((pair, int(n), mi, hx, hy))
+    out = pd.DataFrame(rows, columns=["pair", "n", "mi_bits", "h_x_bits", "h_y_bits"])
+    out["n"] = out["n"].astype(np.int64)
+    for col in ("mi_bits", "h_x_bits", "h_y_bits"):
+        out[col] = round_half_up(out[col].to_numpy(np.float64), 6)
+    return ray.data.from_pandas(out)

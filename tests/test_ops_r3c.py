@@ -565,3 +565,33 @@ def test_events_window_quantiles_vs_oracle(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     p = got.pivot_table(index=["event_type", "w"], columns="q", values="value")
     assert (p[0.95] >= p[0.5]).all()
+
+
+def test_weighted_reservoir_and_column_mi(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.sampling import weighted_reservoir
+    from kire_ray.pipelines.sketches import column_mi
+
+    con = duckdb.connect()
+    for t in ["documents", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    oracles = E.oracle_sql()
+
+    got = weighted_reservoir(
+        E._sread(SF, "documents", ["doc_id", "source", "n_chars"]), 50
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(oracles["weighted_reservoir"]).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    # weighting bites: the sample's mean weight exceeds the corpus mean
+    corpus_mean = con.execute("SELECT avg(n_chars) FROM documents").fetchone()[0]
+    assert got["n_chars"].mean() > corpus_mean
+
+    got_mi = column_mi(SF).to_pandas().sort_values("pair").reset_index(drop=True)
+    exp_mi = con.execute(oracles["column_mi"]).fetchdf().sort_values("pair").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_mi[exp_mi.columns.tolist()], exp_mi, check_dtype=False)
+    # information inequalities: 0 <= MI <= min(H(X), H(Y))
+    assert (got_mi["mi_bits"] >= -1e-9).all()
+    assert (got_mi["mi_bits"] <= got_mi[["h_x_bits", "h_y_bits"]].min(axis=1) + 1e-6).all()

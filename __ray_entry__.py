@@ -528,6 +528,26 @@ def _q_kg_schema_profile(sf_dir: str) -> Any:
     )
 
 
+def _q_scd2_history(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import scd2_history
+
+    return scd2_history(sf_dir)
+
+
+def _q_kg_components(sf_dir: str) -> Any:
+    """Weakly-connected components of the corpus KG via the engine's
+    distributed min-label propagation (the dup_clusters machinery on
+    graph edges); corpus-side oracle: recursive-CTE closure."""
+    from kire_ray.stages.canonicalize import connected_components
+
+    corpus = _corpus(sf_dir)
+    edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"]).map_batches(
+        lambda b: pd.DataFrame({"src": b["h_qid"], "dst": b["t_qid"]}),
+        batch_format="pandas",
+    )
+    return connected_components(edges)
+
+
 def _q_events_window_quantiles(sf_dir: str) -> Any:
     from kire_ray.pipelines.temporal import events_window_quantiles
 
@@ -2912,6 +2932,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_chisq": _q_events_dow_chisq,
         "user_rfm": _q_user_rfm,
         "events_window_quantiles": _q_events_window_quantiles,
+        "scd2_history": _q_scd2_history,
+        "kg_components": _q_kg_components,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
         "ann_lsh": _q_ann_lsh,
@@ -6772,6 +6794,39 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN sp_io h ON h.qid = e.h_qid
             LEFT JOIN sp_io t ON t.qid = e.t_qid
             GROUP BY 1, 2, 3
+        """,
+        "scd2_history": """
+            WITH sc_s AS (SELECT user_id, event_type, event_id,
+                                 epoch_us(ts) AS tus,
+                                 lag(event_type) OVER (
+                                     PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev
+                          FROM events),
+            sc_r AS (SELECT user_id, event_type, tus, event_id
+                     FROM sc_s
+                     WHERE prev IS NULL OR prev <> event_type)
+            SELECT user_id, event_type AS state,
+                   CAST(tus AS BIGINT) AS valid_from_us,
+                   CAST(coalesce(lead(tus) OVER (
+                            PARTITION BY user_id
+                            ORDER BY tus, event_id), -1)
+                        AS BIGINT) AS valid_to_us
+            FROM sc_r
+        """,
+        "kg_components": f"""
+            WITH RECURSIVE kc_raw AS (
+                SELECT h_qid, t_qid
+                FROM read_parquet('{c01}/kg_triples.parquet')),
+            kc_e AS (
+                SELECT h_qid AS u, t_qid AS v FROM kc_raw
+                UNION
+                SELECT t_qid, h_qid FROM kc_raw),
+            kc_reach(u, v) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM kc_e)
+                UNION
+                SELECT e.u, r.v FROM kc_e e JOIN kc_reach r ON r.u = e.v)
+            SELECT u AS node, min(v) AS label
+            FROM kc_reach GROUP BY u
         """,
         "events_window_quantiles": f"""
             WITH ewq AS (SELECT event_type,

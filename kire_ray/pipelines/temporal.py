@@ -1059,3 +1059,46 @@ def events_window_quantiles(
     return partitioned_map_groups(
         ev.map_batches(hist, batch_format="pandas"), ["event_type", "w"], pick
     )
+
+
+def scd2_history(sf_dir: str) -> "ray.data.Dataset":
+    """Slowly-changing-dimension (type 2) state history: each user's
+    event_type stream collapsed to change runs with validity intervals
+    — (user_id, state, valid_from_us, valid_to_us), the current state
+    carrying valid_to_us = -1. The warehouse pattern that turns an
+    append-only event log into an as-of-queryable dimension.
+
+    Shape: ONE exchange on user_id → per-partition vectorized sort by
+    (ts, event_id) + run-boundary shift + lead. Deterministic under
+    equal timestamps via the event_id tiebreak, mirrored in the
+    oracle's window ORDER BY."""
+    import numpy as np
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def per_user(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = p["user_id"].to_numpy()
+        et = p["event_type"].to_numpy()
+        tus = p["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        new_user = np.ones(len(p), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        change = new_user.copy()
+        change[1:] |= et[1:] != et[:-1]
+        ru, rs, rf = u[change], et[change], tus[change]
+        run_user_same = np.zeros(change.sum(), dtype=bool)
+        run_user_same[:-1] = ru[:-1] == ru[1:]
+        vt = np.full(len(ru), -1, dtype=np.int64)
+        vt[:-1][run_user_same[:-1]] = rf[1:][run_user_same[:-1]]
+        return pd.DataFrame(
+            {
+                "user_id": ru,
+                "state": rs,
+                "valid_from_us": rf.astype(np.int64),
+                "valid_to_us": vt,
+            }
+        )
+
+    return partitioned_map_groups(ev, ["user_id"], per_user)

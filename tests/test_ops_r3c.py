@@ -595,3 +595,25 @@ def test_weighted_reservoir_and_column_mi(ray_session):
     # information inequalities: 0 <= MI <= min(H(X), H(Y))
     assert (got_mi["mi_bits"] >= -1e-9).all()
     assert (got_mi["mi_bits"] <= got_mi[["h_x_bits", "h_y_bits"]].min(axis=1) + 1e-6).all()
+
+
+def test_scd2_history_vs_oracle(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.temporal import scd2_history
+
+    exp = _duck().execute(E.oracle_sql()["scd2_history"]).fetchdf()
+    got = scd2_history(SF).to_pandas()
+    key = ["user_id", "valid_from_us"]
+    got = got[exp.columns.tolist()].sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # interval sanity: exactly one open (current) interval per user,
+    # closed intervals end after they start, runs alternate state
+    open_iv = got[got["valid_to_us"] == -1]
+    assert len(open_iv) == got["user_id"].nunique()
+    closed = got[got["valid_to_us"] != -1]
+    assert (closed["valid_to_us"] >= closed["valid_from_us"]).all()
+    nxt = got.groupby("user_id")["state"].shift(-1)
+    same = nxt.notna()
+    assert (got["state"][same] != nxt[same]).all()

@@ -534,6 +534,20 @@ def _q_scd2_history(sf_dir: str) -> Any:
     return scd2_history(sf_dir)
 
 
+def _q_late_events(sf_dir: str) -> Any:
+    """Watermark late-arrival audit via a distributed prefix-max over
+    the md5-derived arrival order."""
+    from kire_ray.pipelines.temporal import late_events
+
+    return late_events(sf_dir)
+
+
+def _q_window_dedup(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import window_dedup
+
+    return window_dedup(sf_dir)
+
+
 def _q_kg_components(sf_dir: str) -> Any:
     """Weakly-connected components of the corpus KG via the engine's
     distributed min-label propagation (the dup_clusters machinery on
@@ -2933,6 +2947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rfm": _q_user_rfm,
         "events_window_quantiles": _q_events_window_quantiles,
         "scd2_history": _q_scd2_history,
+        "late_events": _q_late_events,
+        "window_dedup": _q_window_dedup,
         "kg_components": _q_kg_components,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
@@ -6812,6 +6828,35 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY tus, event_id), -1)
                         AS BIGINT) AS valid_to_us
             FROM sc_r
+        """,
+        "late_events": """
+            WITH la_a AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+                       epoch_us(ts)
+                       + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                              1, 13)) AS BIGINT)
+                         % 14400000000 AS arr
+                FROM events),
+            la_w AS (
+                SELECT event_id, user_id, event_type, t,
+                       max(t) OVER (ORDER BY arr, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                FROM la_a)
+            SELECT event_id, user_id, event_type,
+                   CAST(wm - t AS BIGINT) AS lateness_us
+            FROM la_w WHERE wm - t > 3600000000
+        """,
+        "window_dedup": """
+            WITH wd AS (
+                SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY epoch_us(ts), event_id) AS p
+                FROM events)
+            SELECT event_id, user_id, event_type,
+                   CAST(coalesce(t - p, -1) AS BIGINT) AS prev_gap_us
+            FROM wd WHERE p IS NULL OR t - p > 86400000000
         """,
         "kg_components": f"""
             WITH RECURSIVE kc_raw AS (

@@ -144,6 +144,8 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "events_window_quantiles",
         "weighted_reservoir",
         "column_mi",
+        "late_events",
+        "window_dedup",
         "scd2_history",
         "kg_components",
         "conv_segments",

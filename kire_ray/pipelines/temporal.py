@@ -1102,3 +1102,175 @@ def scd2_history(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return partitioned_map_groups(ev, ["user_id"], per_user)
+
+
+def late_events(
+    sf_dir: str,
+    *,
+    max_delay_s: int = 14400,
+    allowed_s: int = 3600,
+    num_ranges: int | None = None,
+) -> "ray.data.Dataset":
+    """Watermark late-arrival audit — the out-of-order-stream health
+    check a windowed streaming job runs before trusting its windows:
+    an event is *late* if, at the moment it arrives, the watermark
+    (max event-time seen over all earlier arrivals) is already more
+    than ``allowed_s`` past the event's own event-time.
+
+    The stored table is perfectly time-ordered, so arrival order is a
+    deterministic md5-derived network delay per event
+    (``arr = t + md5_uniform(event_id) % max_delay``) — the engine's
+    standard content-hash derivation, mintable identically in SQL.
+
+    Distributed shape: a *distributed prefix MAX over a derived order*
+    (Ray Data has no native scan primitive) — range-partition on
+    arrival time; pass 1 reduces per-range event-time maxima (block
+    combiner + one range-cardinality exchange); the driver runs an
+    exclusive prefix-max over the tiny range table and broadcasts it;
+    pass 2 moves each event once to its arrival range and finishes
+    with a grouped cummax/shift inside the partition. Driver state is
+    O(n_ranges) regardless of stream length.
+
+    Returns late rows only: (event_id, user_id, event_type,
+    lateness_us = watermark − event-time, > allowed).
+    """
+    import hashlib
+
+    from kire_ray.stages.shuffle import (
+        cluster_cpus,
+        grouped_agg,
+        partitioned_map_groups,
+    )
+
+    max_delay_us = int(max_delay_s) * 1_000_000
+    allowed_us = int(allowed_s) * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def with_arrival(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        delay = np.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+                % max_delay_us
+                for i in b["event_id"].to_numpy()
+            ],
+            dtype=np.int64,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].to_numpy(),
+                "user_id": b["user_id"].to_numpy(),
+                "event_type": b["event_type"].to_numpy(),
+                "t": t,
+                "arr": t + delay,
+            }
+        )
+
+    arrived = ev.map_batches(with_arrival, batch_format="pandas")
+
+    lo, hi = [
+        int(x)
+        for x in arrived.map_batches(
+            lambda b: pd.DataFrame(
+                {"lo": [b["arr"].min()], "hi": [b["arr"].max()]}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .agg({"lo": "min", "hi": "max"})
+    ]
+    n_ranges = num_ranges or max(4 * cluster_cpus(), 64)
+    width = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def range_max(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"r": (b["arr"] - lo) // width, "m": b["t"]})
+        out = g.groupby("r", sort=False)["m"].max()
+        return pd.DataFrame({"r": out.index.to_numpy(), "m": out.to_numpy()})
+
+    ranges = (
+        grouped_agg(
+            arrived.map_batches(range_max, batch_format="pandas"),
+            ["r"],
+            {"m": ("m", "max")},
+        )
+        .to_pandas()
+        .sort_values("r")
+    )
+    SENTINEL = np.int64(-(2**62))
+    maxes = np.full(int(ranges["r"].max()) + 2 if len(ranges) else 1, SENTINEL)
+    maxes[ranges["r"].to_numpy(dtype=np.int64) + 1] = ranges["m"].to_numpy()
+    incoming = np.maximum.accumulate(maxes)  # exclusive prefix max per range
+    ref = ray.put(incoming)
+
+    def audit(p: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(ref)
+        p = p.sort_values(["_r", "arr", "event_id"], kind="mergesort")
+        g = p.groupby("_r", sort=False)["t"]
+        prev_local = (
+            g.cummax().groupby(p["_r"], sort=False).shift(1).fillna(SENTINEL)
+        )
+        wm = np.maximum(
+            prev_local.to_numpy(np.int64),
+            pre[p["_r"].to_numpy(np.int64)],
+        )
+        lateness = wm - p["t"].to_numpy(np.int64)
+        keep = lateness > allowed_us
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy()[keep],
+                "user_id": p["user_id"].to_numpy()[keep],
+                "event_type": p["event_type"].to_numpy()[keep],
+                "lateness_us": lateness[keep],
+            }
+        )
+
+    with_r = arrived.map_batches(
+        lambda b: b.assign(_r=(b["arr"] - lo) // width), batch_format="pandas"
+    )
+    return partitioned_map_groups(with_r, ["_r"], audit)
+
+
+def window_dedup(sf_dir: str, *, ttl_s: int = 86400) -> "ray.data.Dataset":
+    """Streaming TTL dedup: keep an event iff it is the first of its
+    (user_id, event_type) key or its gap from the key's *previous*
+    event exceeds ``ttl_s`` — lag semantics, i.e. the keyed state a
+    streaming dedup operator holds is exactly one timestamp per key.
+
+    One hash exchange on user_id (all of a key's rows colocate);
+    inside each partition a vectorized (key, ts, event_id) sort + a
+    C-speed grouped shift produce the gaps — no per-key loop.
+
+    Returns kept rows: (event_id, user_id, event_type, prev_gap_us)
+    with prev_gap_us = -1 for the first event of a key.
+    """
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    ttl_us = int(ttl_s) * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_key(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        t = p["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        prev = (
+            pd.Series(t)
+            .groupby(
+                [p["user_id"].to_numpy(), p["event_type"].to_numpy()],
+                sort=False,
+            )
+            .shift(1)
+        )
+        gap = t - prev.to_numpy(np.float64)
+        keep = np.isnan(gap) | (gap > ttl_us)
+        out_gap = np.where(np.isnan(gap), -1, gap).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": p["event_id"].to_numpy()[keep],
+                "user_id": p["user_id"].to_numpy()[keep],
+                "event_type": p["event_type"].to_numpy()[keep],
+                "prev_gap_us": out_gap[keep],
+            }
+        )
+
+    return partitioned_map_groups(ev, ["user_id"], per_key)

@@ -617,3 +617,62 @@ def test_scd2_history_vs_oracle(ray_session):
     nxt = got.groupby("user_id")["state"].shift(-1)
     same = nxt.notna()
     assert (got["state"][same] != nxt[same]).all()
+
+
+def test_late_events_and_window_dedup(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.temporal import late_events, window_dedup
+
+    con = _duck()
+    oracles = E.oracle_sql()
+
+    got = (
+        late_events(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(oracles["late_events"])
+        .fetchdf()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+    assert (got["lateness_us"] > 3_600_000_000).all() and len(got) > 0
+    # partition invariance: the distributed prefix-max must not depend
+    # on the arrival-range fan-out
+    got3 = (
+        late_events(SF, num_ranges=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got3[got.columns.tolist()], got)
+
+    kept = (
+        window_dedup(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp_w = (
+        con.execute(oracles["window_dedup"])
+        .fetchdf()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        kept[exp_w.columns.tolist()], exp_w, check_dtype=False
+    )
+    # every kept non-first gap exceeds the TTL; one first row per key
+    assert (
+        (kept["prev_gap_us"] == -1) | (kept["prev_gap_us"] > 86_400_000_000)
+    ).all()
+    n_keys = con.execute(
+        "SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)"
+    ).fetchone()[0]
+    assert int((kept["prev_gap_us"] == -1).sum()) == n_keys

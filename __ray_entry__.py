@@ -548,6 +548,32 @@ def _q_window_dedup(sf_dir: str) -> Any:
     return window_dedup(sf_dir)
 
 
+def _q_docsim_cosine(sf_dir: str) -> Any:
+    """TF-IDF cosine doc-similarity self-join over word-trigram terms
+    (df-gated posting lists, one term exchange, joined norms)."""
+    from kire_ray.pipelines.similarity import docsim_cosine
+
+    return docsim_cosine(_docs(sf_dir))
+
+
+def _q_knn_classify(sf_dir: str) -> Any:
+    """Leave-one-out k-NN label audit over exact int8-code dots."""
+    from kire_ray.pipelines.similarity import knn_classify
+
+    return knn_classify(
+        _sread(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    )
+
+
+def _q_sorted_neighborhood(sf_dir: str) -> Any:
+    """Sorted-neighborhood ER blocking scored with Jaro-Winkler:
+    ordered range partition with a boundary halo, exact global ranks
+    without a global sort."""
+    from kire_ray.pipelines.dedup import sorted_neighborhood_jw
+
+    return sorted_neighborhood_jw(_sread(sf_dir, "customer", ["c_name"]))
+
+
 def _q_kg_components(sf_dir: str) -> Any:
     """Weakly-connected components of the corpus KG via the engine's
     distributed min-label propagation (the dup_clusters machinery on
@@ -833,6 +859,13 @@ def _q_tool_usage_stats(sf_dir: str) -> Any:
     from kire_ray.pipelines.transcripts import tool_usage_stats
 
     return tool_usage_stats(_corpus(sf_dir))
+
+
+def _q_conv_flows(sf_dir: str) -> Any:
+    """Conversation-flow template mining over the transcript corpus."""
+    from kire_ray.pipelines.transcripts import conv_flows
+
+    return conv_flows(_corpus(sf_dir))
 
 
 def _q_role_transitions(sf_dir: str) -> Any:
@@ -2914,6 +2947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_codes": _q_embedding_codes,
         "preference_pairs": _q_preference_pairs,
         "tool_usage_stats": _q_tool_usage_stats,
+        "conv_flows": _q_conv_flows,
         "role_transitions": _q_role_transitions,
         "conv_stats": _q_conv_stats,
         "turn_latency": _q_turn_latency,
@@ -2949,6 +2983,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": _q_scd2_history,
         "late_events": _q_late_events,
         "window_dedup": _q_window_dedup,
+        "docsim_cosine": _q_docsim_cosine,
+        "knn_classify": _q_knn_classify,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "kg_components": _q_kg_components,
         "kg_reachability": _q_kg_reachability,
         "kg_hyperball": _q_kg_hyperball,
@@ -3366,6 +3403,19 @@ def oracle_sql() -> dict[str, str]:
                    {sql_round('sum(nw) * 1.0 / count(*)', 6)} AS avg_words
             FROM tus_t
             GROUP BY role, tool
+        """,
+        "conv_flows": f"""
+            WITH cfl AS (
+                SELECT conv_id,
+                       string_agg(role || ':' || COALESCE(tool, 'none'), '>'
+                                  ORDER BY turn_idx) AS flow
+                FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
+                GROUP BY conv_id)
+            SELECT flow,
+                   CAST(len(string_split(flow, '>')) AS BIGINT) AS n_turns,
+                   CAST(count(*) AS BIGINT) AS n_convs,
+                   min(conv_id) AS sample_conv
+            FROM cfl GROUP BY flow
         """,
         "role_transitions": f"""
             WITH rt_l AS (SELECT conv_id, role,
@@ -6857,6 +6907,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    CAST(coalesce(t - p, -1) AS BIGINT) AS prev_gap_us
             FROM wd WHERE p IS NULL OR t - p > 86400000000
+        """,
+        "docsim_cosine": f"""
+            WITH dsc_l AS (SELECT doc_id, string_split(text, ' ') AS l
+                           FROM documents),
+            dsc_w AS (SELECT doc_id, generate_subscripts(l, 1) AS i,
+                             unnest(l) AS w
+                      FROM dsc_l),
+            dsc_t AS (SELECT a.doc_id,
+                             a.w || ' ' || b.w || ' ' || c.w AS term
+                      FROM dsc_w a
+                      JOIN dsc_w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                      JOIN dsc_w c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            dsc_tf AS (SELECT doc_id, term, count(*) AS tf
+                       FROM dsc_t GROUP BY 1, 2),
+            dsc_df AS (SELECT term, count(*) AS df FROM dsc_tf GROUP BY 1),
+            dsc_n AS (SELECT count(*) AS n FROM documents),
+            dsc_wt AS (SELECT tf.doc_id, tf.term,
+                              tf.tf * ln(dsc_n.n * 1.0 / df.df) AS w
+                       FROM dsc_tf tf
+                       JOIN dsc_df df USING (term), dsc_n
+                       WHERE df.df BETWEEN 2 AND 20),
+            dsc_nm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm
+                       FROM dsc_wt GROUP BY 1),
+            dsc_dot AS (SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+                               count(*) AS n_shared_terms,
+                               sum(p1.w * p2.w) AS dot
+                        FROM dsc_wt p1
+                        JOIN dsc_wt p2 ON p2.term = p1.term
+                                      AND p1.doc_id < p2.doc_id
+                        GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(n_shared_terms AS BIGINT) AS n_shared_terms,
+                   {sql_round('d.dot / (na.nrm * nb.nrm)', 6)} AS cosine
+            FROM dsc_dot d
+            JOIN dsc_nm na ON na.doc_id = d.doc_a
+            JOIN dsc_nm nb ON nb.doc_id = d.doc_b
+            WHERE {sql_round('d.dot / (na.nrm * nb.nrm)', 6)} >= 0.4
+        """,
+        "knn_classify": """
+            WITH kc_f AS (SELECT vec_id,
+                                 generate_subscripts(embedding, 1) AS dim,
+                                 CAST(unnest(embedding) AS DOUBLE) AS x
+                          FROM embeddings),
+            kc_s AS (SELECT dim,
+                            CASE WHEN max(abs(x)) > 0
+                                 THEN 127.0 / max(abs(x)) ELSE 0.0 END AS scale
+                     FROM kc_f GROUP BY dim),
+            kc_c AS (SELECT f.vec_id, f.dim,
+                            CAST(floor(f.x * s.scale + 0.501) AS BIGINT)
+                                AS code
+                     FROM kc_f f JOIN kc_s s USING (dim)),
+            kc_dot AS (SELECT a.vec_id AS q, b.vec_id AS v,
+                              sum(a.code * b.code) AS dot
+                       FROM kc_c a
+                       JOIN kc_c b ON b.dim = a.dim
+                                  AND b.vec_id <> a.vec_id
+                       GROUP BY 1, 2),
+            kc_top AS (SELECT q, v
+                       FROM (SELECT q, v,
+                                    row_number() OVER (
+                                        PARTITION BY q
+                                        ORDER BY dot DESC, v) AS r
+                             FROM kc_dot)
+                       WHERE r <= 5),
+            kc_vote AS (SELECT t.q, e.label, count(*) AS c
+                        FROM kc_top t
+                        JOIN embeddings e ON e.vec_id = t.v
+                        GROUP BY 1, 2),
+            kc_pred AS (SELECT q, label
+                        FROM (SELECT q, label,
+                                     row_number() OVER (
+                                         PARTITION BY q
+                                         ORDER BY c DESC, label) AS r
+                              FROM kc_vote)
+                        WHERE r = 1)
+            SELECT p.q AS vec_id,
+                   CAST(e.label AS BIGINT) AS true_label,
+                   CAST(p.label AS BIGINT) AS pred_label,
+                   CAST(e.label = p.label AS BIGINT) AS correct
+            FROM kc_pred p JOIN embeddings e ON e.vec_id = p.q
+        """,
+        "sorted_neighborhood": f"""
+            WITH snj AS (SELECT DISTINCT c_name AS name FROM customer),
+            snr AS (SELECT name, row_number() OVER (ORDER BY name) AS rk
+                    FROM snj),
+            snp AS (SELECT a.name AS name_a, b.name AS name_b,
+                           jaro_winkler_similarity(a.name, b.name) AS jw
+                    FROM snr a
+                    JOIN snr b ON b.rk > a.rk AND b.rk <= a.rk + 5)
+            SELECT name_a, name_b, {sql_round('jw', 6)} AS jw
+            FROM snp WHERE {sql_round('jw', 6)} >= 0.96
         """,
         "kg_components": f"""
             WITH RECURSIVE kc_raw AS (

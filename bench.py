@@ -146,6 +146,10 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "column_mi",
         "late_events",
         "window_dedup",
+        "docsim_cosine",
+        "knn_classify",
+        "sorted_neighborhood",
+        "conv_flows",
         "scd2_history",
         "kg_components",
         "conv_segments",

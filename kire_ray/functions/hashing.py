@@ -93,8 +93,12 @@ def hash64_fast(values) -> np.ndarray:
     each character position contributes ``splitmix64(char * K[pos])``
     XOR-combined — a padding NUL contributes exactly 0 regardless of
     how many there are. Wide inputs (documents, not keys) would blow
-    up the fixed-width UTF-32 matrix, so arrays whose longest string
-    exceeds 256 chars fall back to the blake2b loop.
+    up the fixed-width UTF-32 matrix, so strings longer than 256 chars
+    hash via the blake2b loop — decided PER STRING, never per batch: a
+    key's hash must be a pure function of the key, and a batch-level
+    fallback would give the same short key different hashes depending
+    on which batch it shared with a long string (a real group-split
+    bug caught by conv_flows, whose flow keys span 40..1600 chars).
     """
     arr = np.asarray(values)
     if arr.dtype == object or arr.dtype.kind not in ("U", "S"):
@@ -103,7 +107,19 @@ def hash64_fast(values) -> np.ndarray:
         return np.empty(0, dtype=_U64)
     width = arr.dtype.itemsize // (4 if arr.dtype.kind == "U" else 1)
     if width > 256:
-        return hash64(arr)
+        if arr.dtype.kind == "U":
+            lens = np.char.str_len(arr)
+        else:
+            lens = np.char.str_len(arr.astype("U"))
+        long_mask = lens > 256
+        if long_mask.all():
+            return hash64(arr)
+        out = np.empty(len(arr), dtype=_U64)
+        out[long_mask] = hash64(arr[long_mask])
+        short = arr[~long_mask]
+        # re-narrow: fixed width of the short subset is ≤ 256
+        out[~long_mask] = hash64_fast(short.astype(short.dtype.kind + str(max(int(lens[~long_mask].max()), 1))))
+        return out
     if arr.dtype.kind == "U":
         u = np.ascontiguousarray(arr).view(np.uint32).reshape(len(arr), width)
     else:

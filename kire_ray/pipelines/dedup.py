@@ -1580,3 +1580,171 @@ def ngram_novelty(
         )
 
     return ray.data.from_pandas(finish(parts.to_pandas()))
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Jaro similarity (Jaro 1989) — matching window
+    max(|s1|,|s2|)//2 - 1, transpositions = half the matched-order
+    mismatches. Bit-parity with DuckDB's jaro_similarity verified in
+    tests (both follow the RapidFuzz/Winkler reference)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = i - window if i > window else 0
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Winkler's prefix boost (Winkler 1990): applied only above the
+    0.7 Jaro threshold, common prefix capped at 4 — the exact variant
+    DuckDB's ``jaro_winkler_similarity`` implements."""
+    j = _jaro(s1, s2)
+    if j > 0.7:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        j += l * 0.1 * (1.0 - j)
+    return j
+
+
+def sorted_neighborhood_jw(
+    ds: "ray.data.Dataset",
+    *,
+    col: str = "c_name",
+    window: int = 6,
+    threshold: float = 0.96,
+    prefix_len: int = 16,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo 1995) scored with Jaro–Winkler: every pair of distinct
+    values within ``window`` positions of each other in global sort
+    order, kept at similarity ≥ ``threshold``. Candidate count is
+    n·(window−1) — LINEAR in the corpus, the whole point of the
+    method vs the quadratic all-pairs join.
+
+    Distributed shape — an ordered range partition with a boundary
+    halo, and exact global ranks WITHOUT a global sort:
+    - bucket = value[:prefix_len] (prefix order ≡ sort order, so each
+      bucket is a contiguous rank range); ONE exchange on bucket
+      dedups and sorts locally;
+    - a bucket-bounded stats pass (count + last window−1 values per
+      bucket) feeds a driver prefix scan that assigns each bucket its
+      rank offset and its halo — the trailing window−1 values of the
+      preceding non-empty buckets, walked backwards so short buckets
+      borrow further; O(n_buckets · window) driver state;
+    - pass 2 re-reads each bucket, prepends its halo, and enumerates
+      window pairs vectorized; only pairs whose RIGHT element is a
+      real (non-halo) member are emitted, so boundary pairs appear
+      exactly once.
+
+    The per-pair Jaro–Winkler itself is per-string Python (string
+    dynamic programming has no Arrow kernel) over the linear candidate
+    set — the same bounded concession as the engine's md5 derivations.
+    """
+    from kire_ray.functions.rounding import round_half_up
+
+    W = window - 1
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"name": b[col], "bucket": b[col].str.slice(0, prefix_len)}
+        ).drop_duplicates()
+
+    def per_bucket_distinct(p: pd.DataFrame) -> pd.DataFrame:
+        out = p.drop_duplicates(subset=["name"]).sort_values("name")
+        return out[["bucket", "name"]]
+
+    distinct = partitioned_map_groups(
+        ds.map_batches(add_bucket, batch_format="pandas"),
+        ["bucket"],
+        per_bucket_distinct,
+    ).materialize()
+
+    def bucket_stats(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bk, g in b.groupby("bucket", sort=False):
+            names = g["name"].sort_values().to_numpy()
+            rows.append((bk, len(names), "\x1f".join(names[-W:])))
+        return pd.DataFrame(rows, columns=["bucket", "n", "tail"])
+
+    stats = (
+        # batch_size=None → whole blocks; a bucket never splits across
+        # pid blocks, so every stats row sees its complete bucket
+        distinct.map_batches(
+            bucket_stats, batch_format="pandas", batch_size=None
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    offsets: dict[str, int] = {}
+    halos: dict[str, tuple[list[str], list[int]]] = {}
+    run = 0
+    tails: list[tuple[str, int]] = []  # (name, rank) ascending
+    for _, row in stats.iterrows():
+        offsets[row["bucket"]] = run
+        halo = tails[-W:] if W else []
+        halos[row["bucket"]] = ([t[0] for t in halo], [t[1] for t in halo])
+        names = row["tail"].split("\x1f") if row["tail"] else []
+        first_rank = run + row["n"] - len(names)
+        tails.extend((nm, first_rank + i) for i, nm in enumerate(names))
+        tails = tails[-W:] if W else []
+        run += int(row["n"])
+    ref = ray.put((offsets, halos))
+
+    def pairs(p: pd.DataFrame) -> pd.DataFrame:
+        offs, hls = ray.get(ref)
+        out_a, out_b, raw = [], [], []
+        for bk, g in p.groupby("bucket", sort=False):
+            names = g["name"].sort_values().to_list()
+            hn, hr = hls[bk]
+            full = hn + names
+            ranks = hr + list(range(offs[bk], offs[bk] + len(names)))
+            h = len(hn)
+            for j in range(h, len(full)):
+                for i in range(j - 1, -1, -1):
+                    if ranks[j] - ranks[i] > W:
+                        break
+                    out_a.append(full[i])
+                    out_b.append(full[j])
+                    raw.append(_jaro_winkler(full[i], full[j]))
+        s = round_half_up(np.asarray(raw, dtype=np.float64), 6)
+        keep = s >= threshold
+        return pd.DataFrame(
+            {
+                "name_a": np.asarray(out_a, dtype=object)[keep],
+                "name_b": np.asarray(out_b, dtype=object)[keep],
+                "jw": s[keep],
+            }
+        )
+
+    return distinct.map_batches(
+        pairs, batch_format="pandas", batch_size=None
+    )

@@ -1346,3 +1346,250 @@ def pq_codes(
         )
 
     return emb.map_batches(encode, batch_format="pandas")
+
+
+def docsim_cosine(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_df: int = 2,
+    max_df: int = 20,
+    threshold: float = 0.4,
+) -> "ray.data.Dataset":
+    """TF-IDF cosine document-similarity self-join (the weighted
+    complement of ``ngram_jaccard_dedup``'s set semantics): every doc
+    pair whose cosine over word ``ngram`` TF-IDF vectors clears
+    ``threshold``, with the shared-term count as integer evidence.
+
+    The term space is *defined* as n-grams with min_df ≤ df ≤ max_df —
+    the df gate is the operator's spec, not an approximation: it is
+    the posting-list prune every sparse all-pairs engine applies
+    (Broder 1997 shingling; Bayardo et al. 2007 all-pairs), bounding
+    per-term pair fan-out at max_df² regardless of corpus size, and
+    df=1 terms can never pair anyway.
+
+    Distributed shape (no broadcast anywhere — every side scales):
+    - block-local tokenize → complete per-doc tf (a doc never splits);
+    - ONE term exchange: df = posting-group size, idf = ln(N/df); the
+      reducer emits pair dot-product partials (a, b, w_a·w_b, 1) AND
+      per-doc squared-norm partials (doc, −1, w², 0) into the SAME
+      grouped (a, b) exchange, so dots, shared-term counts and norms
+      all reduce in one pass;
+    - two bucketed hash joins attach √norm to each pair side
+      (doc-count-sized tables — joined, never broadcast).
+    """
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.stages.joins import hash_join
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    n_docs = int(ds.count())
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].str.split(" ").explode()
+        words = ex.to_numpy(object)
+        docs = b[id_col].reindex(ex.index).to_numpy()
+        if len(words) < ngram:
+            return pd.DataFrame({"doc": [], "term": [], "tf": []})
+        same = docs[: 1 - ngram] == docs[ngram - 1 :]
+        term = words[: 1 - ngram].copy()
+        for j in range(1, ngram):
+            term = term + " "
+            term = term + words[j : len(words) - ngram + 1 + j]
+        g = (
+            pd.DataFrame({"doc": docs[: 1 - ngram][same], "term": term[same]})
+            .groupby(["doc", "term"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        return g
+
+    def per_term(p: pd.DataFrame) -> pd.DataFrame:
+        sizes = p.groupby("term", sort=False)["doc"].transform("size")
+        p = p[(sizes >= min_df) & (sizes <= max_df)]
+        if not len(p):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64),
+                 "b": pd.Series([], dtype=np.int64),
+                 "v": pd.Series([], dtype=np.float64),
+                 "c": pd.Series([], dtype=np.int64)}
+            )
+        p = p.sort_values(["term", "doc"], kind="mergesort")
+        df = p.groupby("term", sort=False)["doc"].transform("size").to_numpy(
+            np.float64
+        )
+        w = p["tf"].to_numpy(np.float64) * np.log(n_docs / df)
+        doc = p["doc"].to_numpy(np.int64)
+        # squared-norm partials, pre-combined per doc
+        nrm = pd.DataFrame({"a": doc, "v": w * w}).groupby("a", sort=False)[
+            "v"
+        ].sum().reset_index()
+        nrm["b"] = np.int64(-1)
+        nrm["c"] = np.int64(0)
+        # pair partials: fully vectorized i<j enumeration per term group
+        starts = np.flatnonzero(
+            np.concatenate([[True], p["term"].to_numpy()[1:]
+                            != p["term"].to_numpy()[:-1]])
+        )
+        first = np.repeat(starts, np.diff(np.append(starts, len(p))))
+        within = np.arange(len(p)) - first  # 0..k-1 inside each group
+        rights = np.repeat(np.arange(len(p)), within)
+        offs = np.cumsum(within) - within
+        lefts = (
+            np.arange(int(within.sum()))
+            - np.repeat(offs, within)
+            + np.repeat(first, within)
+        )
+        pairs = pd.DataFrame(
+            {"a": doc[lefts], "b": doc[rights], "v": w[lefts] * w[rights]}
+        )
+        pairs = (
+            pairs.groupby(["a", "b"], sort=False)
+            .agg(v=("v", "sum"), c=("v", "size"))
+            .reset_index()
+        )
+        pairs["c"] = pairs["c"].astype(np.int64)
+        return pd.concat(
+            [pairs, nrm[["a", "b", "v", "c"]]], ignore_index=True
+        )
+
+    post = ds.map_batches(postings, batch_format="pandas")
+    reduced = grouped_agg(
+        partitioned_map_groups(post, ["term"], per_term),
+        ["a", "b"],
+        {"v": ("v", "sum"), "c": ("c", "sum")},
+    ).materialize()
+
+    norms = reduced.map_batches(
+        lambda b: pd.DataFrame(
+            {"d": b["a"][b["b"] == -1], "nrm": np.sqrt(b["v"][b["b"] == -1])}
+        ),
+        batch_format="pandas",
+    )
+    pairs = reduced.map_batches(
+        lambda b: b[b["b"] != -1], batch_format="pandas"
+    )
+
+    joined = hash_join(
+        hash_join(
+            pairs,
+            norms.map_batches(
+                lambda b: b.rename(columns={"d": "a", "nrm": "na"}),
+                batch_format="pandas",
+            ),
+            ["a"],
+        ),
+        norms.map_batches(
+            lambda b: b.rename(columns={"d": "b", "nrm": "nb"}),
+            batch_format="pandas",
+        ),
+        ["b"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cos = round_half_up(
+            b["v"].to_numpy(np.float64)
+            / (b["na"].to_numpy(np.float64) * b["nb"].to_numpy(np.float64)),
+            6,
+        )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": b["a"].to_numpy(np.int64)[keep],
+                "doc_b": b["b"].to_numpy(np.int64)[keep],
+                "n_shared_terms": b["c"].to_numpy(np.int64)[keep],
+                "cosine": cos[keep],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def knn_classify(
+    ds: "ray.data.Dataset",
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> "ray.data.Dataset":
+    """Leave-one-out k-NN majority-vote classification — the label-
+    quality audit a curation pipeline runs over an embedded corpus
+    (a vector whose neighbours disagree with its stored label is a
+    labeling error candidate; Northcutt et al., confident learning).
+
+    Similarity is the *integer* dot product of the engine's symmetric
+    max-abs int8 codes (``embedding_codes`` spec) — exact arithmetic,
+    so ranking and votes are bit-reproducible in SQL: neighbours are
+    the top-``k`` by (dot desc, vec_id asc) excluding self; the
+    predicted label is the majority with smallest-label tie-break.
+
+    Distributed shape mirrors ``ann_brute_force``: the dimension-sized
+    scale vector is a driver fold; the database codes+labels matrix is
+    ``ray.put`` ONCE and each streamed query batch runs one int64
+    matmul against it. At corpus scale the database side outgrows a
+    broadcast — swap candidate generation to ``ann_ivf``'s cells (the
+    ``knn_graph_mutual`` IVF path) and keep the vote identical.
+    """
+    def dmax(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.abs(np.vstack(b[emb_col].to_numpy()).astype(np.float64)).max(axis=0)
+        return pd.DataFrame(
+            {"dim": np.arange(1, len(M) + 1, dtype=np.int64), "m": M}
+        )
+
+    mx = (
+        ds.map_batches(dmax, batch_format="pandas")
+        .to_pandas()
+        .groupby("dim", sort=True)["m"]
+        .max()
+        .to_numpy(np.float64)
+    )
+    scale = np.where(mx > 0, 127.0 / np.where(mx > 0, mx, 1.0), 0.0)
+
+    def codes_of(b: pd.DataFrame) -> np.ndarray:
+        X = np.vstack(b[emb_col].to_numpy()).astype(np.float64)
+        return np.floor(X * scale + 0.501).astype(np.int64)
+
+    db = ds.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "vec_id": b[id_col].to_numpy(np.int64),
+                "label": b[label_col].to_numpy(np.int64),
+                "codes": list(codes_of(b)),
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    db = db.sort_values("vec_id")
+    db_ids = db["vec_id"].to_numpy(np.int64)
+    db_labels = db["label"].to_numpy(np.int64)
+    db_codes = np.vstack(db["codes"].to_numpy())
+    ref = ray.put((db_ids, db_labels, db_codes))
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        ids_, labels_, C = ray.get(ref)
+        Q = codes_of(b)
+        qid = b[id_col].to_numpy(np.int64)
+        dots = Q @ C.T  # int64 exact
+        dots[qid[:, None] == ids_[None, :]] = np.int64(-(2**62))  # no self
+        # top-k by (dot desc, vec_id asc): ids_ is ascending, stable
+        # mergesort on -dot preserves id order inside dot ties
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :k]
+        votes = labels_[order]  # (n, k)
+        n = len(qid)
+        counts = np.zeros((n, int(labels_.max()) + 1), dtype=np.int64)
+        np.add.at(counts, (np.repeat(np.arange(n), k), votes.ravel()), 1)
+        pred = counts.argmax(axis=1)  # argmax → smallest label on ties
+        true = b[label_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": qid,
+                "true_label": true,
+                "pred_label": pred.astype(np.int64),
+                "correct": (pred == true).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(classify, batch_format="pandas")

@@ -352,3 +352,59 @@ def conv_segments(corpus_dir: str) -> "ray.data.Dataset":
         return out
 
     return partitioned_map_groups(ds, ["conv_id"], per_conv)
+
+
+def conv_flows(corpus_dir: str) -> "ray.data.Dataset":
+    """Conversation-flow template mining: group conversations by their
+    full ordered (role:tool) sequence — the structural dedup an
+    agent-transcript curator runs to find over-represented scripted
+    flows before sampling (a flow with thousands of near-identical
+    instances is template noise, not diversity).
+
+    Shape: ONE conv_id exchange builds each conversation's flow string
+    from its (turn_idx)-sorted turns (the assembly contract: one conv
+    never splits); per-partition combiner collapses to (flow, count,
+    min_conv) partials; ONE flow exchange finishes. Exchange 2 carries
+    one row per (flow, partition) — template-bounded, never turns.
+
+    Returns (flow, n_turns, n_convs, sample_conv = lexicographically
+    smallest conv_id).
+    """
+    ds = _read_full(corpus_dir, ["conv_id", "turn_idx", "role", "tool"])
+
+    def per_conv(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        tok = p["role"].str.cat(p["tool"].fillna("none"), sep=":")
+        flows = (
+            pd.DataFrame({"conv_id": p["conv_id"].to_numpy(), "tok": tok})
+            .groupby("conv_id", sort=False)["tok"]
+            .agg(">".join)
+            .reset_index(name="flow")
+        )
+        return (
+            flows.groupby("flow", sort=False)
+            .agg(n_convs=("conv_id", "size"), sample_conv=("conv_id", "min"))
+            .reset_index()
+        )
+
+    from kire_ray.stages.shuffle import grouped_agg
+
+    partials = partitioned_map_groups(ds, ["conv_id"], per_conv)
+
+    def finish(out: pd.DataFrame) -> pd.DataFrame:
+        nt = (out["flow"].str.count(">") + 1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "flow": out["flow"],
+                "n_turns": nt,
+                "n_convs": out["n_convs"].astype(np.int64),
+                "sample_conv": out["sample_conv"],
+            }
+        )
+
+    return grouped_agg(
+        partials,
+        ["flow"],
+        {"n_convs": ("n_convs", "sum"), "sample_conv": ("sample_conv", "min")},
+        post=finish,
+    )

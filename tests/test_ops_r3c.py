@@ -676,3 +676,194 @@ def test_late_events_and_window_dedup(ray_session):
         "SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)"
     ).fetchone()[0]
     assert int((kept["prev_gap_us"] == -1).sum()) == n_keys
+
+
+def test_docsim_cosine_vs_oracle(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.similarity import docsim_cosine
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    got = (
+        docsim_cosine(E._docs(SF))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(E.oracle_sql()["docsim_cosine"])
+        .fetchdf()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+    assert len(got) > 0
+    assert (got["doc_a"] < got["doc_b"]).all()
+    assert got["cosine"].between(0.4, 1.0 + 1e-9).all()
+    # the planted exact duplicates surface as cosine == 1 pairs
+    assert (got["cosine"] == 1.0).any()
+
+
+def test_knn_classify_vs_oracle(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.similarity import knn_classify
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    got = (
+        knn_classify(E._sread(SF, "embeddings", ["vec_id", "embedding", "label"]))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(E.oracle_sql()["knn_classify"])
+        .fetchdf()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+    # one verdict per vector; stored labels are random w.r.t. the
+    # embedding geometry, so the audit reports ~chance agreement —
+    # exactly the signal it exists to surface
+    assert len(got) == 500
+    assert (got["correct"] == (got["true_label"] == got["pred_label"])).all()
+    assert got["correct"].mean() < 0.3
+
+    # the vote mechanism itself: on a label-clustered corpus the
+    # leave-one-out audit must recover every label
+    import ray as _ray
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16)) * 10.0
+    lab = np.repeat(np.arange(4), 25)
+    X = centers[lab] + rng.normal(size=(100, 16)) * 0.01
+    toy = pd.DataFrame(
+        {
+            "vec_id": np.arange(100, dtype=np.int64),
+            "embedding": [r.astype(np.float32) for r in X],
+            "label": lab.astype(np.int32),
+        }
+    )
+    res = knn_classify(_ray.data.from_pandas(toy)).to_pandas()
+    assert res["correct"].mean() == 1.0
+
+
+def test_sorted_neighborhood_jw(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.dedup import (
+        _jaro_winkler,
+        sorted_neighborhood_jw,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM read_parquet('{SF}/customer.parquet')"
+    )
+    # engine JW is bit-parity with DuckDB's (incl. the 0.7 boost gate)
+    for a, b in [
+        ("martha", "marhta"), ("DIXON", "DICKSONX"), ("ab", "ba"),
+        ("Customer#000000001", "Customer#000000010"), ("a", "b"),
+    ]:
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert abs(_jaro_winkler(a, b) - d) < 1e-12
+
+    cust = E._sread(SF, "customer", ["c_name"])
+    key = ["name_a", "name_b"]
+    got = (
+        sorted_neighborhood_jw(cust)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(E.oracle_sql()["sorted_neighborhood"])
+        .fetchdf()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[exp.columns.tolist()], exp, check_dtype=False
+    )
+    assert len(got) > 0 and (got["name_a"] < got["name_b"]).all()
+
+    # halo proof: shrinking the bucket prefix to 17 chars forces most
+    # windows ACROSS bucket boundaries; output must be bit-identical
+    got17 = (
+        sorted_neighborhood_jw(cust, prefix_len=17)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got17[got.columns.tolist()], got)
+
+
+def test_hash64_fast_batch_invariance():
+    """Regression: a key's hash must be a pure function of the key —
+    the old batch-level >256-char fallback gave the same short string
+    different hashes depending on batch composition (split groups in
+    any exchange keyed on mixed-length strings)."""
+    from kire_ray.functions.hashing import hash64, hash64_fast
+
+    short, mid, lng = "user:none>assistant:tool", "x" * 200, "y" * 1000
+    a = hash64_fast(np.array([short, mid], dtype=object))
+    b = hash64_fast(np.array([short, lng], dtype=object))
+    c = hash64_fast(np.array([mid, lng, short], dtype=object))
+    assert a[0] == b[0] == c[2]
+    assert a[1] == c[0]
+    # >256-char strings ride blake2b, same in any batch
+    assert b[1] == c[1] == hash64([lng])[0]
+
+
+def test_conv_flows(ray_session):
+    """Flow-template mining vs a pandas replay on the sf0.001 corpus
+    (the DuckDB oracle binds to sf0.01)."""
+    import glob
+
+    from kire_ray.pipelines.transcripts import conv_flows
+    from kire_ray.sources.synth import corpus_for_sf_dir
+
+    corpus = corpus_for_sf_dir(SF)
+    tr = pd.concat(
+        [
+            pd.read_parquet(f, columns=["conv_id", "turn_idx", "role", "tool"])
+            for f in glob.glob(f"{corpus}/transcripts.parquet/*.parquet")
+        ]
+    ).sort_values(["conv_id", "turn_idx"])
+    tok = tr["role"].str.cat(tr["tool"].fillna("none"), sep=":")
+    flows = (
+        pd.DataFrame({"conv_id": tr["conv_id"].to_numpy(), "tok": tok})
+        .groupby("conv_id", sort=False)["tok"]
+        .agg(">".join)
+    )
+    exp = (
+        flows.reset_index(name="flow")
+        .groupby("flow")
+        .agg(n_convs=("conv_id", "size"), sample_conv=("conv_id", "min"))
+        .reset_index()
+    )
+    exp["n_turns"] = (exp["flow"].str.count(">") + 1).astype(np.int64)
+
+    got = (
+        conv_flows(corpus)
+        .to_pandas()
+        .sort_values("flow")
+        .reset_index(drop=True)
+    )
+    exp = exp[got.columns.tolist()].sort_values("flow").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["n_convs"].sum() == flows.size
+    assert (got["n_convs"] > 1).any()

@@ -548,6 +548,40 @@ def _q_window_dedup(sf_dir: str) -> Any:
     return window_dedup(sf_dir)
 
 
+def _q_source_js(sf_dir: str) -> Any:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions."""
+    from kire_ray.pipelines.text_analysis import source_js_divergence
+
+    return source_js_divergence(_sread(sf_dir, "documents", ["source", "text"]))
+
+
+def _q_l_diversity(sf_dir: str) -> Any:
+    from kire_ray.pipelines.text_analysis import l_diversity
+
+    return l_diversity(sf_dir)
+
+
+def _q_theilsen_trend(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import theilsen_trend
+
+    return theilsen_trend(sf_dir)
+
+
+def _q_changepoint_cusum(sf_dir: str) -> Any:
+    from kire_ray.pipelines.temporal import changepoint_cusum
+
+    return changepoint_cusum(sf_dir)
+
+
+def _q_fk_integrity(sf_dir: str) -> Any:
+    """Referential-integrity audit: one shared tagged exchange for all
+    declared FK relations."""
+    from kire_ray.pipelines.relational import fk_integrity
+
+    return fk_integrity(sf_dir)
+
+
 def _q_docsim_cosine(sf_dir: str) -> Any:
     """TF-IDF cosine doc-similarity self-join over word-trigram terms
     (df-gated posting lists, one term exchange, joined norms)."""
@@ -2985,6 +3019,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedup": _q_window_dedup,
         "docsim_cosine": _q_docsim_cosine,
         "knn_classify": _q_knn_classify,
+        "source_js_divergence": _q_source_js,
+        "l_diversity": _q_l_diversity,
+        "theilsen_trend": _q_theilsen_trend,
+        "changepoint_cusum": _q_changepoint_cusum,
+        "fk_integrity": _q_fk_integrity,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "kg_components": _q_kg_components,
         "kg_reachability": _q_kg_reachability,
@@ -6987,6 +7026,149 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p.label AS BIGINT) AS pred_label,
                    CAST(e.label = p.label AS BIGINT) AS correct
             FROM kc_pred p JOIN embeddings e ON e.vec_id = p.q
+        """,
+        "source_js_divergence": f"""
+            WITH sjd_t AS (SELECT source AS s, unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+            sjd_c AS (SELECT s, w, count(*) AS c FROM sjd_t GROUP BY 1, 2),
+            sjd_n AS (SELECT s, sum(c) AS n FROM sjd_c GROUP BY 1),
+            sjd_p AS (SELECT a.s AS sa, b.s AS sb, a.n AS na, b.n AS nb
+                      FROM sjd_n a JOIN sjd_n b ON a.s < b.s),
+            sjd_w AS (SELECT DISTINCT w FROM sjd_c),
+            sjd_u AS (SELECT p.sa, p.sb, p.na, p.nb, w.w,
+                             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+                      FROM sjd_p p
+                      CROSS JOIN sjd_w w
+                      LEFT JOIN sjd_c ca ON ca.s = p.sa AND ca.w = w.w
+                      LEFT JOIN sjd_c cb ON cb.s = p.sb AND cb.w = w.w
+                      WHERE COALESCE(ca.c, 0) + COALESCE(cb.c, 0) > 0),
+            sjd_j AS (SELECT sa, sb, max(na) AS na, max(nb) AS nb,
+                             sum(CASE WHEN ca > 0 THEN
+                                   0.5 * (ca * 1.0 / na)
+                                       * log2((ca * 1.0 / na)
+                                              / ((ca * 1.0 / na + cb * 1.0 / nb) / 2))
+                                 ELSE 0 END
+                               + CASE WHEN cb > 0 THEN
+                                   0.5 * (cb * 1.0 / nb)
+                                       * log2((cb * 1.0 / nb)
+                                              / ((ca * 1.0 / na + cb * 1.0 / nb) / 2))
+                                 ELSE 0 END) AS js
+                      FROM sjd_u GROUP BY sa, sb)
+            SELECT sa AS source_a, sb AS source_b,
+                   CAST(na AS BIGINT) AS n_tokens_a,
+                   CAST(nb AS BIGINT) AS n_tokens_b,
+                   {sql_round('js', 6)} AS js_bits
+            FROM sjd_j
+        """,
+        "l_diversity": """
+            WITH ld_g AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS n_rows,
+                       count(DISTINCT user_id) AS l
+                FROM events GROUP BY 1, 2),
+            ld_k(l) AS (VALUES (2), (3), (5), (10))
+            SELECT CAST(k.l AS BIGINT) AS l,
+                   CAST(count(*) FILTER (g.l < k.l) AS BIGINT)
+                       AS n_groups_below,
+                   CAST(COALESCE(sum(g.n_rows) FILTER (g.l < k.l), 0)
+                        AS BIGINT) AS n_rows_at_risk
+            FROM ld_k k CROSS JOIN ld_g g
+            GROUP BY k.l
+        """,
+        "theilsen_trend": f"""
+            WITH tst_d AS (SELECT event_type,
+                                  CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                      AS day,
+                                  count(*) AS c
+                           FROM events GROUP BY 1, 2),
+            tst_p AS (SELECT a.event_type,
+                             (b.c - a.c) * 1.0 / (b.day - a.day) AS s
+                      FROM tst_d a
+                      JOIN tst_d b ON b.event_type = a.event_type
+                                  AND b.day > a.day),
+            tst_m AS (SELECT event_type, median(s) AS slope
+                      FROM tst_p GROUP BY 1),
+            tst_i AS (SELECT d.event_type,
+                             median(d.c - m.slope * d.day) AS ic,
+                             count(*) AS n_days
+                      FROM tst_d d JOIN tst_m m USING (event_type)
+                      GROUP BY 1)
+            SELECT i.event_type, CAST(i.n_days AS BIGINT) AS n_days,
+                   {sql_round('m.slope', 6)} AS slope,
+                   {sql_round('i.ic', 6)} AS intercept
+            FROM tst_i i JOIN tst_m m USING (event_type)
+            WHERE i.n_days >= 2
+        """,
+        "changepoint_cusum": f"""
+            WITH cp_d AS (SELECT event_type,
+                                 CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                                     AS day,
+                                 count(*) AS c
+                          FROM events GROUP BY 1, 2),
+            cp_m AS (SELECT event_type, avg(c) AS mu, count(*) AS n_days
+                     FROM cp_d GROUP BY 1),
+            cp_c AS (SELECT d.event_type, d.day, m.n_days,
+                            sum(d.c - m.mu) OVER (PARTITION BY d.event_type
+                                                  ORDER BY d.day) AS dev
+                     FROM cp_d d JOIN cp_m m USING (event_type)),
+            cp_r AS (SELECT event_type, day, n_days, abs(dev) AS mag,
+                            row_number() OVER (PARTITION BY event_type
+                                               ORDER BY abs(dev) DESC, day)
+                                AS rn
+                     FROM cp_c)
+            SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+                   day AS change_day, {sql_round('mag', 6)} AS cusum_max
+            FROM cp_r WHERE rn = 1
+        """,
+        "fk_integrity": """
+            WITH fk_u AS (
+                SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS rel,
+                       l_orderkey AS k,
+                       (SELECT count(*) FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey) > 0 AS ok
+                FROM lineitem l
+                UNION ALL
+                SELECT 'lineitem.l_partkey->part.p_partkey', l_partkey,
+                       (SELECT count(*) FROM part p
+                        WHERE p.p_partkey = l.l_partkey) > 0
+                FROM lineitem l
+                UNION ALL
+                SELECT 'lineitem.l_suppkey->supplier.s_suppkey', l_suppkey,
+                       (SELECT count(*) FROM supplier s
+                        WHERE s.s_suppkey = l.l_suppkey) > 0
+                FROM lineitem l
+                UNION ALL
+                SELECT 'orders.o_custkey->customer.c_custkey', o_custkey,
+                       (SELECT count(*) FROM customer c
+                        WHERE c.c_custkey = o.o_custkey) > 0
+                FROM orders o
+                UNION ALL
+                SELECT 'customer.c_nationkey->nation.n_nationkey', c_nationkey,
+                       (SELECT count(*) FROM nation n
+                        WHERE n.n_nationkey = c.c_nationkey) > 0
+                FROM customer c
+                UNION ALL
+                SELECT 'supplier.s_nationkey->nation.n_nationkey', s_nationkey,
+                       (SELECT count(*) FROM nation n
+                        WHERE n.n_nationkey = s.s_nationkey) > 0
+                FROM supplier s
+                UNION ALL
+                SELECT 'nation.n_regionkey->region.r_regionkey', n_regionkey,
+                       (SELECT count(*) FROM region r
+                        WHERE r.r_regionkey = n.n_regionkey) > 0
+                FROM nation n
+                UNION ALL
+                SELECT 'events.user_id->customer.c_custkey', user_id,
+                       (SELECT count(*) FROM customer c
+                        WHERE c.c_custkey = e.user_id) > 0
+                FROM events e)
+            SELECT rel,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+                   CAST(count(*) FILTER (NOT ok) AS BIGINT) AS n_orphan_rows,
+                   CAST(count(DISTINCT k) FILTER (NOT ok) AS BIGINT)
+                       AS n_orphan_keys
+            FROM fk_u GROUP BY rel
         """,
         "sorted_neighborhood": f"""
             WITH snj AS (SELECT DISTINCT c_name AS name FROM customer),

@@ -150,6 +150,11 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "knn_classify",
         "sorted_neighborhood",
         "conv_flows",
+        "source_js_divergence",
+        "l_diversity",
+        "theilsen_trend",
+        "changepoint_cusum",
+        "fk_integrity",
         "scd2_history",
         "kg_components",
         "conv_segments",

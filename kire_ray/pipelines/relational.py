@@ -4664,3 +4664,115 @@ def events_cume_dist(sf_dir: str, *, n_buckets: int = 1024) -> "ray.data.Dataset
     return pmg(
         ev.map_batches(add_bucket, batch_format="pandas"), ["bucket"], per_bucket
     )
+
+
+FK_RELATIONS: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # deliberately unconstrained pairing — the audit must also REPORT
+    # violations, not just confirm clean schemas
+    ("events", "user_id", "customer", "c_custkey"),
+)
+
+
+def fk_integrity(sf_dir: str) -> "ray.data.Dataset":
+    """Referential-integrity audit over every declared FK relation —
+    the data-quality gate a warehouse load runs before publishing:
+    per relation, child row/key counts and how many rows/keys have no
+    matching parent (orphans).
+
+    Shape: ONE shared tagged exchange for ALL relations — child sides
+    ship block-combined (relation, key, n) partials, parent sides ship
+    distinct (relation, key) markers, the reducer counts keys lacking
+    a parent marker. Shuffle volume is O(distinct keys per block),
+    never child rows; adding a relation adds rows to the same
+    exchange, not a new one."""
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    sides = []
+    for child, ckey, parent, pkey in FK_RELATIONS:
+        rel = f"{child}.{ckey}->{parent}.{pkey}"
+
+        def child_partial(b: pd.DataFrame, rel=rel, ckey=ckey) -> pd.DataFrame:
+            g = (
+                pd.DataFrame({"key": b[ckey].to_numpy(np.int64)})
+                .groupby("key", sort=False)
+                .size()
+                .rename("n")
+                .reset_index()
+            )
+            g.insert(0, "rel", rel)
+            g["is_parent"] = np.int64(0)
+            return g
+
+        def parent_partial(b: pd.DataFrame, rel=rel, pkey=pkey) -> pd.DataFrame:
+            keys = np.unique(b[pkey].to_numpy(np.int64))
+            return pd.DataFrame(
+                {
+                    "rel": rel,
+                    "key": keys,
+                    "n": np.int64(0),
+                    "is_parent": np.int64(1),
+                }
+            )
+
+        sides.append(
+            _read(sf_dir, child, [ckey]).map_batches(
+                child_partial, batch_format="pandas"
+            )
+        )
+        sides.append(
+            _read(sf_dir, parent, [pkey]).map_batches(
+                parent_partial, batch_format="pandas"
+            )
+        )
+
+    tagged = sides[0]
+    for s in sides[1:]:
+        tagged = tagged.union(s)
+
+    def per_key(p: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            p.groupby(["rel", "key"], sort=False)
+            .agg(n=("n", "sum"), has_parent=("is_parent", "max"))
+            .reset_index()
+        )
+        child = g[g["n"] > 0]
+        orphan = child["has_parent"].to_numpy() == 0
+        out = (
+            pd.DataFrame(
+                {
+                    "rel": child["rel"],
+                    "n_rows": child["n"].to_numpy(np.int64),
+                    "n_keys": np.int64(1),
+                    "n_orphan_rows": np.where(orphan, child["n"], 0).astype(np.int64),
+                    "n_orphan_keys": orphan.astype(np.int64),
+                }
+            )
+            .groupby("rel", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return out
+
+    def finish(out: pd.DataFrame) -> pd.DataFrame:
+        for c in ["n_rows", "n_keys", "n_orphan_rows", "n_orphan_keys"]:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return grouped_agg(
+        partitioned_map_groups(tagged, ["rel", "key"], per_key),
+        ["rel"],
+        {
+            "n_rows": ("n_rows", "sum"),
+            "n_keys": ("n_keys", "sum"),
+            "n_orphan_rows": ("n_orphan_rows", "sum"),
+            "n_orphan_keys": ("n_orphan_keys", "sum"),
+        },
+        post=finish,
+    )

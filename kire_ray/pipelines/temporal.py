@@ -1274,3 +1274,117 @@ def window_dedup(sf_dir: str, *, ttl_s: int = 86400) -> "ray.data.Dataset":
         )
 
     return partitioned_map_groups(ev, ["user_id"], per_key)
+
+
+def theilsen_trend(sf_dir: str) -> "ray.data.Dataset":
+    """Theil–Sen robust trend per event_type over the daily count
+    series: slope = median over all day pairs i<j of
+    (c_j − c_i)/(d_j − d_i), intercept = median(c − slope·d) — the
+    outlier-resistant complement to ``events_regression``'s OLS (one
+    anomalous day moves OLS, not the pairwise median).
+
+    Shape: daily counts via a block combiner + one (type, day)
+    exchange; then ONE type-keyed exchange where each type's
+    day-bounded series (≪ row count — days, not events) enumerates
+    its O(days²) slope pairs vectorized and takes medians. The events
+    themselves never move twice."""
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def daily(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        )
+        return (
+            pd.DataFrame({"event_type": b["event_type"], "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    counts = grouped_agg(
+        ev.map_batches(daily, batch_format="pandas"),
+        ["event_type", "day"],
+        {"c": ("c", "sum")},
+    )
+
+    def per_type(p: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in p.groupby("event_type", sort=False):
+            g = g.sort_values("day")
+            d = g["day"].to_numpy(np.float64)
+            c = g["c"].to_numpy(np.float64)
+            if len(d) < 2:
+                continue
+            i, j = np.triu_indices(len(d), k=1)
+            slope = float(np.median((c[j] - c[i]) / (d[j] - d[i])))
+            intercept = float(np.median(c - slope * d))
+            rows.append((t, len(d), slope, intercept))
+        out = pd.DataFrame(
+            rows, columns=["event_type", "n_days", "slope", "intercept"]
+        )
+        out["n_days"] = out["n_days"].astype(np.int64)
+        out["slope"] = round_half_up(out["slope"].to_numpy(np.float64), 6)
+        out["intercept"] = round_half_up(
+            out["intercept"].to_numpy(np.float64), 6
+        )
+        return out
+
+    return partitioned_map_groups(counts, ["event_type"], per_type)
+
+
+def changepoint_cusum(sf_dir: str) -> "ray.data.Dataset":
+    """CUSUM changepoint detection per event_type over the daily count
+    series (Page 1954): the change day is the argmax of
+    |Σ_{d≤t}(c_d − mean)| — where the cumulative deviation from the
+    series mean peaks, i.e. the most likely level-shift boundary.
+    Deterministic tie-break: earliest day.
+
+    Shape: identical to ``theilsen_trend`` — block combiner + one
+    (type, day) exchange, then ONE type-keyed exchange whose series
+    are day-bounded; the cumsum/argmax fold is O(days) per type."""
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def daily(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        )
+        return (
+            pd.DataFrame({"event_type": b["event_type"], "day": day})
+            .groupby(["event_type", "day"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    counts = grouped_agg(
+        ev.map_batches(daily, batch_format="pandas"),
+        ["event_type", "day"],
+        {"c": ("c", "sum")},
+    )
+
+    def per_type(p: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in p.groupby("event_type", sort=False):
+            g = g.sort_values("day")
+            d = g["day"].to_numpy(np.int64)
+            c = g["c"].to_numpy(np.float64)
+            dev = np.cumsum(c - c.mean())
+            mag = np.abs(dev)
+            best = int(mag.argmax())  # argmax → earliest day on ties
+            rows.append((t, len(d), int(d[best]), float(mag[best])))
+        out = pd.DataFrame(
+            rows, columns=["event_type", "n_days", "change_day", "cusum_max"]
+        )
+        out["n_days"] = out["n_days"].astype(np.int64)
+        out["change_day"] = out["change_day"].astype(np.int64)
+        out["cusum_max"] = round_half_up(
+            out["cusum_max"].to_numpy(np.float64), 6
+        )
+        return out
+
+    return partitioned_map_groups(counts, ["event_type"], per_type)

@@ -1742,3 +1742,161 @@ def lang_confusion(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         {"n_docs": ("n_docs", "sum")},
         post=lambda o: o.astype({"n_docs": np.int64}),
     )
+
+
+def source_js_divergence(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> "ray.data.Dataset":
+    """Pairwise Jensen–Shannon divergence (bits) between per-source
+    unigram distributions — the distribution-drift screen a corpus
+    curator runs before mixing sources (JS ≈ 0 → redundant source;
+    high JS → genuinely different text population). Symmetric and
+    bounded [0, 1] bit, unlike raw KL.
+
+    Shape: block-local (source, word) count combiner → ONE grouped
+    exchange on (source, word) materializes the count table; source
+    token totals fold from it (source-cardinality driver state,
+    broadcast); ONE word-keyed exchange computes every word's
+    contribution to every source pair vectorized (a word's rows all
+    colocate, so p, q and the mixture m are complete per word); a
+    final pair-keyed reduce sums the (|S|²/2)-bounded partials. The
+    corpus text never moves — only count rows."""
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    def wc(b: pd.DataFrame) -> pd.DataFrame:
+        ex = b[text_col].str.split(" ").explode()
+        return (
+            pd.DataFrame(
+                {"s": b[group_col].reindex(ex.index).to_numpy(), "w": ex.to_numpy()}
+            )
+            .groupby(["s", "w"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(wc, batch_format="pandas"),
+        ["s", "w"],
+        {"c": ("c", "sum")},
+    ).materialize()
+
+    totals = (
+        counts.map_batches(
+            lambda b: b.groupby("s", sort=False)["c"].sum().reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .groupby("s", sort=True)["c"]
+        .sum()
+    )
+    src = totals.index.to_numpy(object)
+    tot = totals.to_numpy(np.float64)
+    ref = ray.put((src, tot))
+
+    def per_word(p: pd.DataFrame) -> pd.DataFrame:
+        srcs, tots = ray.get(ref)
+        idx = {s: i for i, s in enumerate(srcs)}
+        M = np.zeros((p["w"].nunique(), len(srcs)), dtype=np.float64)
+        wi = pd.factorize(p["w"])[0]
+        M[wi, [idx[s] for s in p["s"]]] = p["c"].to_numpy(np.float64)
+        P = M / tots  # words x sources, per-source probability mass
+        rows = []
+        for i in range(len(srcs)):
+            pi = P[:, i]
+            for j in range(i + 1, len(srcs)):
+                qj = P[:, j]
+                m = 0.5 * (pi + qj)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t1 = np.where(pi > 0, pi * np.log2(np.where(pi > 0, pi, 1) / np.where(m > 0, m, 1)), 0.0)
+                    t2 = np.where(qj > 0, qj * np.log2(np.where(qj > 0, qj, 1) / np.where(m > 0, m, 1)), 0.0)
+                rows.append((srcs[i], srcs[j], 0.5 * (t1.sum() + t2.sum())))
+        return pd.DataFrame(rows, columns=["source_a", "source_b", "js"])
+
+    def finish(out: pd.DataFrame) -> pd.DataFrame:
+        srcs, tots = ray.get(ref)
+        n = dict(zip(srcs, tots.astype(np.int64)))
+        return pd.DataFrame(
+            {
+                "source_a": out["source_a"],
+                "source_b": out["source_b"],
+                "n_tokens_a": out["source_a"].map(n).astype(np.int64),
+                "n_tokens_b": out["source_b"].map(n).astype(np.int64),
+                "js_bits": round_half_up(out["js"].to_numpy(np.float64), 6),
+            }
+        )
+
+    partials = partitioned_map_groups(counts, ["w"], per_word)
+    return grouped_agg(
+        partials,
+        ["source_a", "source_b"],
+        {"js": ("js", "sum")},
+        post=finish,
+    )
+
+
+def l_diversity(
+    sf_dir: str,
+    *,
+    ls: tuple[int, ...] = (2, 3, 5, 10),
+) -> "ray.data.Dataset":
+    """l-diversity audit (Machanavajjhala et al. 2007) — the companion
+    to the k-anonymity report: a QI equivalence class whose SENSITIVE
+    attribute takes fewer than l distinct values leaks it even when
+    the class is large. QI = (event_type, day), sensitive = user_id.
+
+    Shape: block-local distinct-(QI, user) combiner carrying partial
+    row counts → ONE exchange on the QI tuple (distinct users and
+    class sizes finish exactly) → constant-size threshold fold →
+    l-cardinality final combine. All outputs exact ints."""
+    from kire_ray.pipelines.relational import _read
+    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["ts"].to_numpy("datetime64[us]").astype(np.int64) // 86_400_000_000
+        )
+        return (
+            pd.DataFrame(
+                {"event_type": b["event_type"], "day": day, "user_id": b["user_id"]}
+            )
+            .groupby(["event_type", "day", "user_id"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def per_class(p: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            p.groupby(["event_type", "day", "user_id"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .groupby(["event_type", "day"], sort=False)
+            .agg(n_rows=("n", "sum"), l=("user_id", "size"))
+            .reset_index()
+        )
+        rows = []
+        for l in ls:
+            m = g["l"].to_numpy() < l
+            rows.append((l, int(m.sum()), int(g["n_rows"].to_numpy()[m].sum())))
+        return pd.DataFrame(
+            rows, columns=["l", "n_groups_below", "n_rows_at_risk"]
+        ).astype(np.int64)
+
+    return grouped_agg(
+        partitioned_map_groups(
+            ev.map_batches(partial, batch_format="pandas"),
+            ["event_type", "day"],
+            per_class,
+        ),
+        ["l"],
+        {
+            "n_groups_below": ("n_groups_below", "sum"),
+            "n_rows_at_risk": ("n_rows_at_risk", "sum"),
+        },
+    )

@@ -867,3 +867,144 @@ def test_conv_flows(ray_session):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert got["n_convs"].sum() == flows.size
     assert (got["n_convs"] > 1).any()
+
+
+def test_source_js_l_diversity_theilsen(ray_session):
+    import ray as _ray
+
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.temporal import theilsen_trend
+    from kire_ray.pipelines.text_analysis import l_diversity, source_js_divergence
+
+    con = duckdb.connect()
+    for t in ["documents", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    oracles = E.oracle_sql()
+
+    key = ["source_a", "source_b"]
+    got = (
+        source_js_divergence(E._sread(SF, "documents", ["source", "text"]))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(oracles["source_js_divergence"])
+        .fetchdf()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    # JS in bits is bounded [0, 1]; pairs are canonical a < b
+    assert got["js_bits"].between(-1e-9, 1.0 + 1e-9).all()
+    assert (got["source_a"] < got["source_b"]).all()
+
+    got_l = l_diversity(SF).to_pandas().sort_values("l").reset_index(drop=True)
+    exp_l = (
+        con.execute(oracles["l_diversity"])
+        .fetchdf()
+        .sort_values("l")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_l[exp_l.columns.tolist()], exp_l, check_dtype=False)
+    # risk is monotone in the threshold
+    assert (np.diff(got_l["n_groups_below"].to_numpy()) >= 0).all()
+    assert (np.diff(got_l["n_rows_at_risk"].to_numpy()) >= 0).all()
+
+    got_t = (
+        theilsen_trend(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    exp_t = (
+        con.execute(oracles["theilsen_trend"])
+        .fetchdf()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_t[exp_t.columns.tolist()], exp_t, check_dtype=False)
+    # robustness: a perfectly linear series with one wild outlier day
+    # still yields the exact true slope (the OLS fit would not)
+    ts0 = np.datetime64("2025-01-01T00:00:00", "us")
+    days = np.arange(21)
+    counts = 10 + 3 * days
+    counts[10] = 500  # outlier
+    rows = []
+    eid = 0
+    for d, c in zip(days, counts):
+        for _ in range(int(c)):
+            rows.append((eid, ts0 + np.timedelta64(int(d), "D").astype("timedelta64[us]"), "lin"))
+            eid += 1
+    toy = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        toy.to_parquet(f"{td}/events.parquet")
+        res = theilsen_trend(td).to_pandas()
+    assert float(res["slope"].iloc[0]) == 3.0
+
+
+def test_changepoint_and_fk_integrity(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.relational import fk_integrity
+    from kire_ray.pipelines.temporal import changepoint_cusum
+
+    con = duckdb.connect()
+    for t in [
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+        "part", "events",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    oracles = E.oracle_sql()
+
+    got = (
+        changepoint_cusum(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    exp = (
+        con.execute(oracles["changepoint_cusum"])
+        .fetchdf()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    # a planted level shift is found at its exact boundary
+    ts0 = np.datetime64("2025-03-01T00:00:00", "us")
+    rows = []
+    eid = 0
+    for d in range(30):
+        for _ in range(10 if d < 15 else 60):
+            rows.append(
+                (eid, ts0 + np.timedelta64(d, "D").astype("timedelta64[us]"), "shift")
+            )
+            eid += 1
+    import tempfile
+
+    toy = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+    with tempfile.TemporaryDirectory() as td:
+        toy.to_parquet(f"{td}/events.parquet")
+        res = changepoint_cusum(td).to_pandas()
+    day0 = int(ts0.astype("datetime64[D]").astype(int))
+    assert int(res["change_day"].iloc[0]) == day0 + 14
+
+    got_fk = (
+        fk_integrity(SF).to_pandas().sort_values("rel").reset_index(drop=True)
+    )
+    exp_fk = (
+        con.execute(oracles["fk_integrity"])
+        .fetchdf()
+        .sort_values("rel")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_fk[exp_fk.columns.tolist()], exp_fk, check_dtype=False)
+    # the TPC-H relations are clean; the unconstrained events->customer
+    # pairing must be the only place orphans can appear
+    clean = got_fk[got_fk["rel"] != "events.user_id->customer.c_custkey"]
+    assert (clean["n_orphan_rows"] == 0).all()
+    assert (got_fk["n_orphan_keys"] <= got_fk["n_keys"]).all()

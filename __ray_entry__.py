@@ -574,6 +574,14 @@ def _q_changepoint_cusum(sf_dir: str) -> Any:
     return changepoint_cusum(sf_dir)
 
 
+def _q_dp_histogram(sf_dir: str) -> Any:
+    """Seeded-Laplace DP histogram release (reproducible md5 uniforms;
+    production swaps in a CSPRNG draw)."""
+    from kire_ray.pipelines.sketches import dp_histogram
+
+    return dp_histogram(sf_dir)
+
+
 def _q_fk_integrity(sf_dir: str) -> Any:
     """Referential-integrity audit: one shared tagged exchange for all
     declared FK relations."""
@@ -3024,6 +3032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_trend": _q_theilsen_trend,
         "changepoint_cusum": _q_changepoint_cusum,
         "fk_integrity": _q_fk_integrity,
+        "dp_histogram": _q_dp_histogram,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "kg_components": _q_kg_components,
         "kg_reachability": _q_kg_reachability,
@@ -7119,6 +7128,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
                    day AS change_day, {sql_round('mag', 6)} AS cusum_max
             FROM cp_r WHERE rn = 1
+        """,
+        "dp_histogram": f"""
+            WITH dph_c AS (SELECT event_type, count(*) AS n
+                           FROM events GROUP BY 1),
+            dph_u AS (SELECT event_type, n,
+                             CAST(('0x' || substr(md5('dp|' || event_type),
+                                                  1, 13)) AS BIGINT)
+                                 / 4503599627370496.0 AS u
+                      FROM dph_c)
+            SELECT event_type,
+                   {sql_round(
+                       "n + (-2.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))",
+                       6,
+                   )} AS noisy_count,
+                   0.5 AS epsilon
+            FROM dph_u
         """,
         "fk_integrity": """
             WITH fk_u AS (

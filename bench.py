@@ -155,6 +155,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "theilsen_trend",
         "changepoint_cusum",
         "fk_integrity",
+        "dp_histogram",
         "scd2_history",
         "kg_components",
         "conv_segments",

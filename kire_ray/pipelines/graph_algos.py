@@ -1205,9 +1205,16 @@ def random_walks(
         both = walkers.map_batches(w_side, batch_format="pandas").union(
             adj.map_batches(a_side, batch_format="pandas")
         )
-        walkers = partitioned_map_groups(
-            both, ["node"], advance, num_partitions=num_partitions
-        ).materialize()
+        walkers = (
+            partitioned_map_groups(
+                both, ["node"], advance, num_partitions=num_partitions
+            )
+            # cap blocks per step: map_groups emits one block per
+            # (pid, input-block) pair, and the union compounds it —
+            # same geometric growth fixed in connected_components
+            .repartition(num_partitions)
+            .materialize()
+        )
 
         out_frames.append(
             walkers.map_batches(

@@ -4691,44 +4691,54 @@ def fk_integrity(sf_dir: str) -> "ray.data.Dataset":
     distinct (relation, key) markers, the reducer counts keys lacking
     a parent marker. Shuffle volume is O(distinct keys per block),
     never child rows; adding a relation adds rows to the same
-    exchange, not a new one."""
+    exchange, not a new one. Each TABLE is read exactly once — a table
+    serving several relations (lineitem childs three, nation parents
+    two) emits all of its partials from the one scan."""
     from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
-    sides = []
+    roles: dict[str, list[tuple[str, str, int]]] = {}
     for child, ckey, parent, pkey in FK_RELATIONS:
         rel = f"{child}.{ckey}->{parent}.{pkey}"
+        roles.setdefault(child, []).append((rel, ckey, 0))
+        roles.setdefault(parent, []).append((rel, pkey, 1))
 
-        def child_partial(b: pd.DataFrame, rel=rel, ckey=ckey) -> pd.DataFrame:
-            g = (
-                pd.DataFrame({"key": b[ckey].to_numpy(np.int64)})
-                .groupby("key", sort=False)
-                .size()
-                .rename("n")
-                .reset_index()
-            )
-            g.insert(0, "rel", rel)
-            g["is_parent"] = np.int64(0)
-            return g
+    sides = []
+    for table, specs in roles.items():
+        cols = sorted({c for _, c, _ in specs})
 
-        def parent_partial(b: pd.DataFrame, rel=rel, pkey=pkey) -> pd.DataFrame:
-            keys = np.unique(b[pkey].to_numpy(np.int64))
-            return pd.DataFrame(
-                {
-                    "rel": rel,
-                    "key": keys,
-                    "n": np.int64(0),
-                    "is_parent": np.int64(1),
-                }
-            )
+        def table_partial(
+            b: pd.DataFrame, specs=tuple(specs)
+        ) -> pd.DataFrame:
+            outs = []
+            for rel, col, is_parent in specs:
+                if is_parent:
+                    keys = np.unique(b[col].to_numpy(np.int64))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "rel": rel,
+                                "key": keys,
+                                "n": np.int64(0),
+                                "is_parent": np.int64(1),
+                            }
+                        )
+                    )
+                else:
+                    g = (
+                        pd.DataFrame({"key": b[col].to_numpy(np.int64)})
+                        .groupby("key", sort=False)
+                        .size()
+                        .rename("n")
+                        .reset_index()
+                    )
+                    g.insert(0, "rel", rel)
+                    g["is_parent"] = np.int64(0)
+                    outs.append(g)
+            return pd.concat(outs, ignore_index=True)
 
         sides.append(
-            _read(sf_dir, child, [ckey]).map_batches(
-                child_partial, batch_format="pandas"
-            )
-        )
-        sides.append(
-            _read(sf_dir, parent, [pkey]).map_batches(
-                parent_partial, batch_format="pandas"
+            _read(sf_dir, table, cols).map_batches(
+                table_partial, batch_format="pandas"
             )
         )
 

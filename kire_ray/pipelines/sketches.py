@@ -950,3 +950,64 @@ def column_mi(sf_dir: str) -> "ray.data.Dataset":
     for col in ("mi_bits", "h_x_bits", "h_y_bits"):
         out[col] = round_half_up(out[col].to_numpy(np.float64), 6)
     return ray.data.from_pandas(out)
+
+
+def dp_histogram(
+    sf_dir: str,
+    *,
+    epsilon: float = 0.5,
+) -> "ray.data.Dataset":
+    """Differentially-private histogram release (Dwork et al. 2006)
+    of event counts per type: Laplace(1/ε) noise on each exact count
+    (sensitivity 1 for a count query), released WITHOUT the true
+    counts — the third leg of the privacy family next to
+    ``k_anonymity`` and ``l_diversity``.
+
+    The Laplace draw is inverse-CDF over the engine's md5 uniform
+    (``score01_md5``), so the release is reproducible and
+    driver-verifiable in SQL — a DETERMINISTIC-SEED stand-in: real DP
+    requires a fresh CSPRNG draw per release (a fixed seed leaks the
+    exact count to anyone who knows it), so production swaps the
+    uniform source and keeps everything else.
+
+    Shape: block count combiner → one type exchange → noise applied
+    vectorized on the type-bounded result. Exact-int plumbing until
+    the final add."""
+    from kire_ray.functions.hashing import score01_md5
+    from kire_ray.functions.rounding import round_half_up
+    from kire_ray.pipelines.relational import _read
+    from kire_ray.stages.shuffle import grouped_agg
+
+    b_scale = 1.0 / float(epsilon)
+    ev = _read(sf_dir, "events", ["event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("event_type", sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    def release(out: pd.DataFrame) -> pd.DataFrame:
+        u = np.array(
+            [score01_md5("dp|" + t) for t in out["event_type"]],
+            dtype=np.float64,
+        )
+        lap = -b_scale * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))
+        return pd.DataFrame(
+            {
+                "event_type": out["event_type"],
+                "noisy_count": round_half_up(
+                    out["n"].to_numpy(np.float64) + lap, 6
+                ),
+                "epsilon": np.float64(epsilon),
+            }
+        )
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("n", "sum")},
+        post=release,
+    )

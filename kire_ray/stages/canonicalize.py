@@ -115,7 +115,11 @@ def connected_components(
         # graphs still fan out to the cluster default.
         from kire_ray.stages.shuffle import default_partitions
 
-        num_partitions = max(1, min(default_partitions(), sym.count() // 100_000 + 1))
+        # ~25k rows per partition: small graphs stay on a handful of
+        # tasks, but a mid-size graph still parallelizes its per-round
+        # sort (100k rows/partition measured 25.8s for 8 rounds on a
+        # 64k-edge KG — the two per-round exchanges ran near-serial)
+        num_partitions = max(1, min(default_partitions(), sym.count() // 25_000 + 1))
         sym = sym.repartition(num_partitions).materialize()
     labels = grouped_agg(
         sym, ["node"], {"n": ("peer", "size")}, num_partitions=num_partitions
@@ -139,21 +143,34 @@ def connected_components(
         out = ed["key"].map(lbl)
         return pd.DataFrame({"node": ed["node"], "label": out.fillna(ed["key"])})
 
+    # edge message rows are round-invariant — build them ONCE; the old
+    # per-round rebuild re-ran the map over every edge each iteration
+    sym_edges = sym.map_batches(edge_rows, batch_format="pandas").materialize()
+
     prev_fp = None
     converged = False
     for _ in range(max_iters):
-        tagged = sym.map_batches(edge_rows, batch_format="pandas").union(
+        tagged = sym_edges.union(
             labels.map_batches(label_rows, batch_format="pandas")
         )
         msgs = partitioned_map_groups(
             tagged, ["key"], join_part, num_partitions=num_partitions
         )
-        labels = grouped_agg(
-            labels.union(msgs),
-            ["node"],
-            {"label": ("label", "min")},
-            num_partitions=num_partitions,
-        ).materialize()
+        # repartition BEFORE materialize: map_groups emits one block
+        # per (pid, input-block) pair, so without the cap the label
+        # table's block count grows ~2× per round (measured 18→378
+        # blocks over 5 rounds on a 64k-edge KG, round time 1.8→25 s —
+        # pure per-block overhead on a constant 10k-row table)
+        labels = (
+            grouped_agg(
+                labels.union(msgs),
+                ["node"],
+                {"label": ("label", "min")},
+                num_partitions=num_partitions,
+            )
+            .repartition(num_partitions)
+            .materialize()
+        )
         fp = _label_fingerprint(labels)
         if fp == prev_fp:
             converged = True

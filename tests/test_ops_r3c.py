@@ -1008,3 +1008,54 @@ def test_changepoint_and_fk_integrity(ray_session):
     clean = got_fk[got_fk["rel"] != "events.user_id->customer.c_custkey"]
     assert (clean["n_orphan_rows"] == 0).all()
     assert (got_fk["n_orphan_keys"] <= got_fk["n_keys"]).all()
+
+
+def test_dp_histogram(ray_session):
+    import __ray_entry__ as E
+
+    from kire_ray.pipelines.sketches import dp_histogram
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    got = (
+        dp_histogram(SF).to_pandas().sort_values("event_type").reset_index(drop=True)
+    )
+    exp = (
+        con.execute(E.oracle_sql()["dp_histogram"])
+        .fetchdf()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+    # noise is Laplace(2): release stays within a generous tail bound
+    # of the exact counts but is NOT exactly the counts
+    true = con.execute(
+        "SELECT event_type, count(*) n FROM events GROUP BY 1"
+    ).fetchdf().set_index("event_type")["n"]
+    diff = got.set_index("event_type")["noisy_count"] - true
+    assert (diff.abs() > 1e-9).any()
+    assert (diff.abs() < 2.0 * 40).all()  # P(|Lap(2)| > 80) ~ 4e-18
+
+
+def test_connected_components_long_chain(ray_session):
+    """A path graph forces ~diameter/2 propagation rounds — the regime
+    where the round loop's block growth used to compound (18→378
+    blocks in 5 rounds before the per-round repartition cap)."""
+    import ray as _ray
+
+    from kire_ray.stages.canonicalize import connected_components
+
+    n = 24
+    chain = pd.DataFrame(
+        {"src": [f"n{i:03d}" for i in range(n - 1)],
+         "dst": [f"n{i + 1:03d}" for i in range(n - 1)]}
+    )
+    extra = pd.DataFrame({"src": ["z1", "z2"], "dst": ["z2", "z3"]})
+    edges = _ray.data.from_pandas(pd.concat([chain, extra])).repartition(5)
+    out = connected_components(edges, max_iters=30).to_pandas()
+    assert len(out) == n + 3
+    lab = out.set_index("node")["label"]
+    assert (lab[[f"n{i:03d}" for i in range(n)]] == "n000").all()
+    assert (lab[["z1", "z2", "z3"]] == "z1").all()

@@ -1205,6 +1205,8 @@ def random_walks(
         both = walkers.map_batches(w_side, batch_format="pandas").union(
             adj.map_batches(a_side, batch_format="pandas")
         )
+        from kire_ray.stages.shuffle import default_partitions
+
         walkers = (
             partitioned_map_groups(
                 both, ["node"], advance, num_partitions=num_partitions
@@ -1212,7 +1214,7 @@ def random_walks(
             # cap blocks per step: map_groups emits one block per
             # (pid, input-block) pair, and the union compounds it —
             # same geometric growth fixed in connected_components
-            .repartition(num_partitions)
+            .repartition(num_partitions or default_partitions())
             .materialize()
         )
 

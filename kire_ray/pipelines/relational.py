@@ -36,6 +36,35 @@ def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
     return sized_read(f"{sf_dir}/{table}.parquet", columns)
 
 
+def _dim_join(
+    ds: "ray.data.Dataset",
+    sf_dir: str,
+    table: str,
+    columns: list[str],
+    *,
+    key_map: dict[str, str],
+    how: str = "inner",
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Size-thresholded dimension join (the q14 pattern as a helper):
+    under ``broadcast_limit`` rows the dimension table is pandas +
+    ``ray.put`` (no shuffle); above it both sides hash-join as
+    Datasets.  ``key_map`` renames the dimension's key column(s) to the
+    fact side's names — part/customer grow with SF (20M/15M rows at
+    SF100), so every SF-scaled lookup must route through this switch."""
+    from kire_ray.stages.joins import hash_join
+
+    path = f"{sf_dir}/{table}.parquet"
+    on = [key_map.get(c, c) for c in columns if c in key_map]
+    if _nrows_parquet(path) <= broadcast_limit:
+        dim = pq.read_table(path, columns=columns).to_pandas().rename(columns=key_map)
+        return broadcast_join(ds, dim, on=on, how=how)
+    dim_ds = _read(sf_dir, table, columns).map_batches(
+        lambda b, _m=key_map: b.rename(columns=_m), batch_format="pandas"
+    )
+    return hash_join(ds, dim_ds, on=on, join_type=how)
+
+
 def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     """TPC-H Q1 shape: grouped sums over lineitem with a block-local
     combiner (one partial row per key per batch crosses the shuffle)."""
@@ -78,11 +107,11 @@ def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
-    """Join lineitem⋈part (broadcast dim) → grouped revenue → top-k."""
-    part_df = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
-    ).to_pandas()
+def top_parts_by_revenue(
+    sf_dir: str, k: int = 10, *, broadcast_limit: int = 1_000_000
+) -> "ray.data.Dataset":
+    """Join lineitem⋈part (size-thresholded dim lookup) → grouped
+    revenue → top-k."""
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -99,8 +128,13 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         {"revenue": ("revenue", "sum")},
         post=lambda out: out.assign(revenue=round_half_up(out["revenue"], 2)),
     )
-    joined = broadcast_join(
-        agg, part_df.rename(columns={"p_partkey": "l_partkey"}), on=["l_partkey"], how="inner"
+    joined = _dim_join(
+        agg,
+        sf_dir,
+        "part",
+        ["p_partkey", "p_name", "p_brand"],
+        key_map={"p_partkey": "l_partkey"},
+        broadcast_limit=broadcast_limit,
     )
     # global top-k: dataset sort is fine at k rows output; demonstrate
     # sort+limit composition
@@ -114,9 +148,11 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     )
 
 
-def customer_order_totals(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
-    """orders ⋈ customer (hash join, both sides as Datasets) → per-customer
-    totals → top-k by spend."""
+def customer_order_totals(
+    sf_dir: str, k: int = 20, *, broadcast_limit: int = 1_000_000
+) -> "ray.data.Dataset":
+    """orders → per-customer totals ⋈ customer (size-thresholded dim
+    lookup) → top-k by spend."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -132,11 +168,13 @@ def customer_order_totals(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
         {"total_spend": ("total_spend", "sum"), "n_orders": ("n_orders", "sum")},
         post=lambda out: out.assign(total_spend=round_half_up(out["total_spend"], 2)),
     )
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
-    ).to_pandas()
-    joined = broadcast_join(
-        agg, cust.rename(columns={"c_custkey": "o_custkey"}), on=["o_custkey"], how="inner"
+    joined = _dim_join(
+        agg,
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_name", "c_mktsegment"],
+        key_map={"c_custkey": "o_custkey"},
+        broadcast_limit=broadcast_limit,
     )
     return (
         joined.sort(["total_spend", "o_custkey"], descending=[True, False])
@@ -342,23 +380,47 @@ def region_nation_union(sf_dir: str) -> "ray.data.Dataset":
     return r.union(n)
 
 
-def customers_without_orders(sf_dir: str, min_price: float = 300000.0) -> "ray.data.Dataset":
-    """Broadcast anti-join (J6 shape: train-fact Ign filter,
-    evaluation.py:147-158): customers with no high-value order. The key
-    set is dimension-sized (distinct custkeys), shipped once via
-    ray.put."""
-    import pyarrow.compute as pc
+def customers_without_orders(
+    sf_dir: str,
+    min_price: float = 300000.0,
+    *,
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Anti-join (J6 shape: train-fact Ign filter,
+    evaluation.py:147-158): customers with no high-value order. The
+    qualifying-custkey set is built DISTRIBUTED — vectorized filter +
+    per-batch unique + distinct exchange; the orders fact table never
+    lands on the driver. Under ``broadcast_limit`` distinct keys the
+    (already customer-bounded) set ships once via ``ray.put``; above it
+    the anti-join runs as a distributed left-outer hash join + null
+    filter, so neither side is ever driver-materialized."""
+    from kire_ray.stages.joins import anti_join_broadcast, hash_join
 
-    from kire_ray.stages.joins import anti_join_broadcast
-
-    o = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    keys = set(
-        o.filter(pc.greater(o.column("o_totalprice"), min_price))
-        .column("o_custkey")
-        .to_pylist()
+    qual = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"c_custkey": b.loc[b["o_totalprice"] > min_price, "o_custkey"].unique()}
+            ),
+            batch_format="pandas",
+        )
+        .groupby("c_custkey")
+        .count()
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return anti_join_broadcast(cust, keys, on="c_custkey")
+    if _nrows_parquet(f"{sf_dir}/customer.parquet") <= broadcast_limit:
+        keys = set(qual.to_pandas()["c_custkey"])
+        return anti_join_broadcast(cust, keys, on="c_custkey")
+    marker = qual.map_batches(
+        lambda b: pd.DataFrame(
+            {"c_custkey": b["c_custkey"].to_numpy(), "_hit": np.ones(len(b), np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    return hash_join(cust, marker, on=["c_custkey"], join_type="left_outer").map_batches(
+        lambda b: b.loc[b["_hit"].isna(), ["c_custkey", "c_name"]],
+        batch_format="pandas",
+    )
 
 
 def price_bucket_histogram(sf_dir: str) -> "ray.data.Dataset":
@@ -383,17 +445,21 @@ def price_bucket_histogram(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def top_orders_per_segment(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+def top_orders_per_segment(
+    sf_dir: str, k: int = 3, *, broadcast_limit: int = 1_000_000
+) -> "ray.data.Dataset":
     """Windowed rank per group (row_number over partition): top-k orders
     by price within each market segment. Grouped top-k never global-
     sorts — per-batch partial top-k shrinks the exchange to k rows per
     (segment, block), then the partition reduce ranks."""
-    cust = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    joined = broadcast_join(
-        orders, cust.rename(columns={"c_custkey": "o_custkey"}), on=["o_custkey"], how="inner"
+    joined = _dim_join(
+        orders,
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_mktsegment"],
+        key_map={"c_custkey": "o_custkey"},
+        broadcast_limit=broadcast_limit,
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -500,16 +566,20 @@ def lineitem_monthly_revenue(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def part_brand_stats(sf_dir: str) -> "ray.data.Dataset":
+def part_brand_stats(
+    sf_dir: str, *, broadcast_limit: int = 1_000_000
+) -> "ray.data.Dataset":
     """Min/max/avg/count per group (the aggregate kinds beyond
     sum/count): per-brand lineitem price stats. avg composes from
     (sum, count) partials — never an average of averages."""
-    part_df = pq.read_table(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    ).to_pandas()
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
-    joined = broadcast_join(
-        li, part_df.rename(columns={"p_partkey": "l_partkey"}), on=["l_partkey"], how="inner"
+    joined = _dim_join(
+        li,
+        sf_dir,
+        "part",
+        ["p_partkey", "p_brand"],
+        key_map={"p_partkey": "l_partkey"},
+        broadcast_limit=broadcast_limit,
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:

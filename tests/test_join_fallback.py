@@ -87,3 +87,51 @@ def test_q10_lookup_bounded(ray_session, monkeypatch):
     assert list(out.columns) == ["c_custkey", "c_name", "n_name", "revenue"]
     # deterministic order: revenue desc, custkey asc
     assert (out["revenue"].to_numpy()[:-1] >= out["revenue"].to_numpy()[1:]).all()
+
+
+@pytest.mark.parametrize(
+    "fn,n_hash_joins",
+    [
+        (R.top_parts_by_revenue, 1),
+        (R.customer_order_totals, 1),
+        (R.top_orders_per_segment, 1),
+        (R.part_brand_stats, 1),
+    ],
+)
+def test_round1_dim_joins_paths_equal(ray_session, count_joins, fn, n_hash_joins):
+    """The four round-1 queries retrofitted with the size-thresholded
+    broadcast→hash-join switch (_dim_join): forced-fallback plan must be
+    bit-equal to the broadcast plan and actually take the join path."""
+    want = _df(fn(SF))
+    n_broadcast = len(count_joins)
+    got = _df(fn(SF, broadcast_limit=0))
+    n_joined = len(count_joins) - n_broadcast
+    pd.testing.assert_frame_equal(got, want)
+    assert n_broadcast == 0 and n_joined == n_hash_joins
+
+
+def test_customers_without_orders_paths_equal(ray_session, count_joins):
+    """Anti-join: distributed distinct key-set + broadcast under the
+    limit; left-outer hash join + null filter above it — bit-equal."""
+    want = _df(R.customers_without_orders(SF))
+    n_broadcast = len(count_joins)
+    got = _df(R.customers_without_orders(SF, broadcast_limit=0))
+    n_joined = len(count_joins) - n_broadcast
+    pd.testing.assert_frame_equal(got, want)
+    assert n_broadcast == 0 and n_joined == 1
+
+
+def test_customers_without_orders_no_driver_fact_read(ray_session, monkeypatch):
+    """The orders fact table must never be driver-materialized: the
+    key-set build goes through a distributed distinct exchange."""
+    import pyarrow.parquet as _pq
+
+    orig = _pq.read_table
+
+    def spying(path, *a, **k):
+        assert "orders" not in str(path), "driver read of the orders fact table"
+        return orig(path, *a, **k)
+
+    monkeypatch.setattr(R.pq, "read_table", spying)
+    out = R.customers_without_orders(SF).to_pandas()
+    assert len(out) > 0

@@ -2458,25 +2458,42 @@ def _q_theta_tuning(sf_dir: str) -> Any:
     within-tie order of equal scores (same (s,r,o) triple in several
     docs) is canonical — the stable descending argsort inside
     tune_theta then matches the SQL oracle's ORDER BY exactly."""
+    import ray as _ray
+
     from kire_ray.functions.rounding import round_half_up
-    from kire_ray.pipelines.eval import tune_theta
+    from kire_ray.pipelines.eval import tune_theta_distributed
 
     corpus = _corpus(sf_dir)
-    preds = (
-        _flagship_graph(sf_dir)["triples"]
-        .to_pandas()
-        .sort_values(["doc_id", "h_idx", "t_idx", "pred"], kind="stable")
-        .reset_index(drop=True)
-    )
     gold = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
     gold_set = {(g.doc_id, g.h_idx, g.t_idx, g.r) for g in gold.itertuples()}
-    is_corr = np.array(
-        [
-            (p.doc_id, p.h_idx, p.t_idx, p.pred) in gold_set
-            for p in preds.itertuples()
-        ]
+    gold_ref = _ray.put(
+        frozenset(f"{d}\x1f{h}\x1f{t}\x1f{r}" for d, h, t, r in gold_set)
     )
-    m = tune_theta(preds["score"].to_numpy(), is_corr, n_gold=len(gold_set))
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        gk = _ray.get(gold_ref)
+        b = b.copy()
+        # vectorized membership: tuple-key join via a canonical string
+        key = (
+            b["doc_id"].astype(str)
+            + "\x1f"
+            + b["h_idx"].astype(str)
+            + "\x1f"
+            + b["t_idx"].astype(str)
+            + "\x1f"
+            + b["pred"].astype(str)
+        )
+        b["is_correct"] = key.isin(gk)
+        return b
+
+    preds = _flagship_graph(sf_dir)["triples"].map_batches(
+        mark, batch_format="pandas"
+    )
+    m = tune_theta_distributed(
+        preds,
+        n_gold=len(gold_set),
+        tiebreak_cols=("doc_id", "h_idx", "t_idx", "pred"),
+    )
     return pd.DataFrame(
         [{k: round_half_up(v, 6) for k, v in m.items()}]
     )

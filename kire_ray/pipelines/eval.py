@@ -127,6 +127,171 @@ def tune_theta(scores: np.ndarray, is_correct: np.ndarray, n_gold: int) -> dict:
     }
 
 
+def tune_theta_distributed(
+    preds: "object",
+    *,
+    n_gold: int,
+    score_col: str = "score",
+    correct_col: str = "is_correct",
+    tiebreak_cols: tuple = (),
+    n_buckets: int = 1024,
+) -> dict:
+    """``tune_theta`` without a global sort or a driver collect — the
+    events_cume_dist grid-bucket prefix scan applied to the cumulative
+    P/R curve (A6 at 100-TB pair-score scale).
+
+    Shape: (1) block partials for score min/max (2 doubles/block);
+    (2) block-local per-bucket (count, tp) partials on a fixed
+    DESCENDING score grid, folded on the driver into per-bucket prefix
+    offsets (B rows — constant, like a sketch); (3) ONE exchange on
+    bucket id: every score in a lower-numbered bucket is strictly
+    higher, so offset + local sort position is the exact global rank.
+    Each bucket emits its local-best F1 point plus its trapz partial
+    and boundary (prec, rec) points; the driver folds ≤B summary rows.
+    Ties (equal scores) share a bucket by construction and break by
+    ``tiebreak_cols`` ascending — pass the same canonical key the
+    driver-side path pre-sorts on, and the two paths are bit-equal on
+    theta/best_f1/precision/recall (integer-count arithmetic) and
+    equal to ~1e-15 on auc (per-bucket trapz reassociation).
+    """
+    from kire_ray.stages.shuffle import partitioned_map_groups as pmg
+
+    B = n_buckets
+    mm = preds.map_batches(
+        lambda b: pd.DataFrame(
+            {"lo": [b[score_col].min()], "hi": [b[score_col].max()]}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    span = (hi - lo) or 1.0
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.minimum(((hi - v) / span * B).astype(np.int64), B - 1)
+
+    def bcounts(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "bucket": bucket_of(b[score_col].to_numpy(np.float64)),
+                    "n": np.ones(len(b), np.int64),
+                    "tp": b[correct_col].to_numpy().astype(np.int64),
+                }
+            )
+            .groupby("bucket", sort=False)
+            .sum()
+            .reset_index()
+        )
+
+    bc = (
+        preds.map_batches(bcounts, batch_format="pandas")
+        .to_pandas()
+        .groupby("bucket")
+        .sum()
+    )
+    n_arr = np.zeros(B, np.int64)
+    tp_arr = np.zeros(B, np.int64)
+    n_arr[bc.index.to_numpy()] = bc["n"].to_numpy()
+    tp_arr[bc.index.to_numpy()] = bc["tp"].to_numpy()
+    k_off = np.concatenate([[0], np.cumsum(n_arr)[:-1]])
+    tp_off = np.concatenate([[0], np.cumsum(tp_arr)[:-1]])
+    gold_den = max(n_gold, 1)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = bucket_of(b[score_col].to_numpy(np.float64))
+        return b
+
+    def per_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bk, g in part.groupby("bucket", sort=False):
+            g = g.sort_values(
+                [score_col, *tiebreak_cols],
+                ascending=[False] + [True] * len(tiebreak_cols),
+                kind="mergesort",
+            )
+            corr = g[correct_col].to_numpy().astype(np.float64)
+            cum_tp = np.cumsum(corr) + float(tp_off[int(bk)])
+            k = (
+                np.arange(1, len(g) + 1, dtype=np.float64)
+                + float(k_off[int(bk)])
+            )
+            prec = cum_tp / k
+            rec = cum_tp / gold_den
+            f1 = np.where(prec + rec > 0, 2 * prec * rec / (prec + rec), 0.0)
+            best = int(np.argmax(f1))
+            # internal trapz pairs; the driver stitches the boundary
+            # pair between consecutive non-empty buckets
+            auc_part = (
+                float(np.trapz(prec, rec)) if len(g) > 1 else 0.0
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "bucket": [int(bk)],
+                        "best_f1": [float(f1[best])],
+                        "best_pos": [int(k[best])],
+                        "theta": [float(g[score_col].to_numpy()[best])],
+                        "precision": [float(prec[best])],
+                        "recall": [float(rec[best])],
+                        "auc_part": [auc_part],
+                        "first_prec": [float(prec[0])],
+                        "first_rec": [float(rec[0])],
+                        "last_prec": [float(prec[-1])],
+                        "last_rec": [float(rec[-1])],
+                    }
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame(
+                {
+                    c: pd.Series([], dtype=d)
+                    for c, d in [
+                        ("bucket", np.int64),
+                        ("best_f1", np.float64),
+                        ("best_pos", np.int64),
+                        ("theta", np.float64),
+                        ("precision", np.float64),
+                        ("recall", np.float64),
+                        ("auc_part", np.float64),
+                        ("first_prec", np.float64),
+                        ("first_rec", np.float64),
+                        ("last_prec", np.float64),
+                        ("last_rec", np.float64),
+                    ]
+                }
+            )
+        )
+
+    summ = (
+        pmg(
+            preds.map_batches(add_bucket, batch_format="pandas"),
+            ["bucket"],
+            per_bucket,
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # global best: highest f1, first global position on ties (argmax)
+    order = np.lexsort((summ["best_pos"].to_numpy(), -summ["best_f1"].to_numpy()))
+    top = summ.iloc[order[0]]
+    auc = float(summ["auc_part"].sum())
+    # boundary trapz terms between consecutive non-empty buckets
+    fp, fr = summ["first_prec"].to_numpy(), summ["first_rec"].to_numpy()
+    lp, lr = summ["last_prec"].to_numpy(), summ["last_rec"].to_numpy()
+    auc += float(np.sum((fr[1:] - lr[:-1]) * (fp[1:] + lp[:-1]) / 2.0))
+    return {
+        "theta": float(top["theta"]),
+        "best_f1": float(top["best_f1"]),
+        "precision": float(top["precision"]),
+        "recall": float(top["recall"]),
+        "auc": auc,
+    }
+
+
 def triple_prf(pred: pd.DataFrame, gold: pd.DataFrame) -> dict:
     """(subj_qid, pred, obj_qid) set-level P/R/F1 — the BASELINE.json
     P/R ≥ 0.95 gate."""

@@ -111,3 +111,35 @@ def test_to_official_and_result_json(tmp_path):
     p = write_result_json(preds, str(tmp_path / "result.json"))
     rows = json.load(open(p))
     assert rows == off.to_dict("records")
+
+
+def test_tune_theta_distributed_equals_numpy(ray_session):
+    """The grid-bucket distributed theta tuner must agree with the
+    driver-side numpy path on a large synthetic score table with
+    planted score ties (the hard case: tie order must follow the
+    canonical tiebreak key, and the best-F1 pick must match argmax)."""
+    import ray.data
+
+    from kire_ray.pipelines.eval import tune_theta_distributed
+
+    rng = np.random.RandomState(7)
+    n = 200_000
+    # quantized scores force heavy ties across block boundaries
+    scores = np.round(rng.rand(n), 3)
+    correct = (rng.rand(n) < np.clip(scores, 0, 1) * 0.6).astype(np.int64)
+    df = pd.DataFrame(
+        {"score": scores, "is_correct": correct, "k": np.arange(n, dtype=np.int64)}
+    )
+    # canonical driver-side order: sort by tiebreak key first, then
+    # stable argsort(-score) — same convention as _q_theta_tuning
+    base = df.sort_values("k", kind="stable").reset_index(drop=True)
+    n_gold = 50_000
+    want = tune_theta(base["score"].to_numpy(), base["is_correct"].to_numpy(), n_gold)
+
+    ds = ray.data.from_pandas(df).repartition(16)
+    got = tune_theta_distributed(
+        ds, n_gold=n_gold, tiebreak_cols=("k",), n_buckets=64
+    )
+    for key in ("theta", "best_f1", "precision", "recall"):
+        assert got[key] == want[key], key
+    assert abs(got["auc"] - want["auc"]) < 1e-12

@@ -1059,3 +1059,23 @@ def test_connected_components_long_chain(ray_session):
     lab = out.set_index("node")["label"]
     assert (lab[[f"n{i:03d}" for i in range(n)]] == "n000").all()
     assert (lab[["z1", "z2", "z3"]] == "z1").all()
+
+
+def test_connected_components_pointer_doubling_rounds(ray_session):
+    """Pointer jumping must make round count logarithmic in diameter:
+    a 200-node path graph (diameter 199) must converge in far fewer
+    rounds than the diameter bound — plain min-label propagation would
+    need ~200 rounds and blow past max_iters."""
+    import ray as _ray
+
+    from kire_ray.stages.canonicalize import connected_components
+
+    n = 200
+    chain = pd.DataFrame(
+        {"src": [f"n{i:04d}" for i in range(n - 1)],
+         "dst": [f"n{i + 1:04d}" for i in range(n - 1)]}
+    )
+    edges = _ray.data.from_pandas(chain).repartition(5)
+    out = connected_components(edges, max_iters=30).to_pandas()
+    assert (out.set_index("node")["label"] == "n0000").all()
+    assert connected_components.last_rounds <= 12

@@ -45,14 +45,19 @@ def _dim_join(
     key_map: dict[str, str],
     how: str = "inner",
     broadcast_limit: int = 1_000_000,
+    salt_hot: bool = False,
 ) -> "ray.data.Dataset":
     """Size-thresholded dimension join (the q14 pattern as a helper):
     under ``broadcast_limit`` rows the dimension table is pandas +
     ``ray.put`` (no shuffle); above it both sides hash-join as
     Datasets.  ``key_map`` renames the dimension's key column(s) to the
     fact side's names — part/customer grow with SF (20M/15M rows at
-    SF100), so every SF-scaled lookup must route through this switch."""
-    from kire_ray.stages.joins import hash_join
+    SF100), so every SF-scaled lookup must route through this switch.
+    ``salt_hot=True`` adds a bounded heavy-hitter scan of the fact side
+    on the hash path and salts any key holding >5% of fact rows
+    (``salted_hash_join``) — for raw-fact joins where one entity can
+    dominate (a hot customer, a hot conv_id)."""
+    from kire_ray.stages.joins import detect_hot_keys, hash_join, salted_hash_join
 
     path = f"{sf_dir}/{table}.parquet"
     on = [key_map.get(c, c) for c in columns if c in key_map]
@@ -62,6 +67,10 @@ def _dim_join(
     dim_ds = _read(sf_dir, table, columns).map_batches(
         lambda b, _m=key_map: b.rename(columns=_m), batch_format="pandas"
     )
+    if salt_hot and len(on) == 1:
+        hot = detect_hot_keys(ds, on[0])
+        if hot:
+            return salted_hash_join(ds, dim_ds, on, hot_keys=hot, join_type=how)
     return hash_join(ds, dim_ds, on=on, join_type=how)
 
 
@@ -453,6 +462,8 @@ def top_orders_per_segment(
     sorts — per-batch partial top-k shrinks the exchange to k rows per
     (segment, block), then the partition reduce ranks."""
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    # raw-fact join (no pre-aggregation shrinks o_custkey first), so a
+    # hot customer would hot-spot one reducer — salt on the hash path
     joined = _dim_join(
         orders,
         sf_dir,
@@ -460,6 +471,7 @@ def top_orders_per_segment(
         ["c_custkey", "c_mktsegment"],
         key_map={"c_custkey": "o_custkey"},
         broadcast_limit=broadcast_limit,
+        salt_hot=True,
     )
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:

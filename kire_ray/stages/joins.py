@@ -12,8 +12,13 @@ At 100 TB those become:
   membership filter (the reference's set lookups, e.g. train-fact Ign
   filter).
 - ``hash_join`` — both sides large: ``Dataset.join`` (hash-partitioned
-  shuffle join, Ray 2.49). Skewed keys should be salted *before*
-  calling (``salt_column``).
+  shuffle join, Ray 2.49).
+- ``salted_hash_join`` — hash join with skew mitigation: hot keys
+  (found by ``detect_hot_keys``' bounded per-block top-k scan, or
+  supplied by the caller) fan out over ``n_salts`` reducers via
+  ``salt_column`` on the probe side + build-side replication. Wired
+  into the ``_dim_join`` hash path (``relational.py``) behind
+  ``salt_hot=True``.
 - ``salt_column`` — append ``key_salted = key + '#' + hash(row) % k``
   for hot keys, so one giant key fans out over k reducers; the small
   side is replicated k× for those keys by the caller.
@@ -111,6 +116,83 @@ def salt_column(
         return batch
 
     return ds.map_batches(salt, batch_format="pandas")
+
+
+def detect_hot_keys(
+    ds: "ray.data.Dataset", key: str, *, top: int = 16, frac: float = 0.05
+) -> frozenset:
+    """Heavy-hitter scan for join-skew mitigation: per-block top-``top``
+    value counts (bounded partials — ≤top+1 rows per block) folded on
+    the driver; keys holding more than ``frac`` of total rows are hot.
+    Per-block top-k undercounts evenly-spread keys, but a key with a
+    ≥frac global share lands in nearly every block's top-k, so true
+    hot keys are found; the result feeds ``salted_hash_join``."""
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[key].astype(str).value_counts().head(top)
+        return pd.DataFrame(
+            {
+                "k": list(vc.index) + ["\x00total"],
+                "c": list(vc.to_numpy(np.int64)) + [np.int64(len(b))],
+            }
+        )
+
+    agg = (
+        ds.map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby("k")["c"]
+        .sum()
+    )
+    total = int(agg.pop("\x00total"))
+    if total == 0:
+        return frozenset()
+    return frozenset(agg.index[agg.to_numpy() > frac * total])
+
+
+def salted_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    *,
+    hot_keys,
+    n_salts: int = 8,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Skew-mitigated hash join (single key): the left (fact/probe)
+    side spreads hot keys over ``n_salts`` salted sub-keys
+    (``salt_column``), the right (build) side replicates its hot-key
+    rows n_salts× so every salted probe row still finds its match —
+    the reference's analogue is the batch-size-conditional escape
+    hatches (kg_data_loader.py:76-95); here one giant join key fans
+    out over n_salts reducers instead of hot-spotting one. Cold keys
+    keep salt 0 on both sides: one replica, no overhead."""
+    assert len(on) == 1, "salted_hash_join handles a single join key"
+    key = on[0]
+    sk = f"{key}_salted"
+    left_s = salt_column(left, key, hot_keys, n_salts)
+    hot_ref = ray.put(frozenset(str(k) for k in hot_keys))
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(hot_ref)
+        k = b[key].astype(str)
+        is_hot = k.isin(hot).to_numpy()
+        cold = b[~is_hot].copy()
+        cold[sk] = k[~is_hot] + "#0"
+        outs = [cold]
+        h = b[is_hot]
+        hk = k[is_hot]
+        for j in range(n_salts):
+            rep = h.copy()
+            rep[sk] = hk + f"#{j}"
+            outs.append(rep)
+        return pd.concat(outs, ignore_index=True).drop(columns=[key])
+
+    right_s = right.map_batches(replicate, batch_format="pandas")
+    out = hash_join(
+        left_s, right_s, on=[sk], join_type=join_type, num_partitions=num_partitions
+    )
+    return out.map_batches(lambda b: b.drop(columns=[sk]), batch_format="pandas")
 
 
 BLOOM_M = 1 << 16   # bits (8 KiB bitmap)

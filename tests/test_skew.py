@@ -121,3 +121,52 @@ def test_assemble_capped_end_to_end(ray_session):
         assert list(doc["turn_texts"]) == [
             f"c{c} t{i}" for i in range(doc["n_turns"])
         ]
+
+
+def test_salted_hash_join_planted_hot_key(ray_session):
+    """A key holding 80% of fact rows must (a) be found by the bounded
+    heavy-hitter scan, (b) fan out over n_salts salted sub-keys so no
+    reducer sees the whole hot key, and (c) produce exactly the plain
+    hash-join result."""
+    import ray as _ray
+
+    from kire_ray.stages.joins import (
+        detect_hot_keys,
+        hash_join,
+        salt_column,
+        salted_hash_join,
+    )
+
+    n = 20_000
+    keys = np.where(np.arange(n) % 5 < 4, "HOT", "k" + pd.Series(np.arange(n) % 97).astype(str))
+    fact = pd.DataFrame({"k": keys.astype(object), "v": np.arange(n, dtype=np.int64)})
+    dim = pd.DataFrame(
+        {"k": ["HOT"] + [f"k{i}" for i in range(97)],
+         "name": [f"name{i}" for i in range(98)]}
+    )
+    fact_ds = _ray.data.from_pandas(fact).repartition(8)
+    dim_ds = _ray.data.from_pandas(dim).repartition(2)
+
+    hot = detect_hot_keys(fact_ds, "k")
+    assert hot == frozenset({"HOT"})
+
+    # bounded reducer input: the hot key spreads over all 8 salts and
+    # the biggest salted group is ~1/8 of the hot rows
+    salted = salt_column(fact_ds, "k", hot, n_salts=8).to_pandas()
+    hot_groups = salted[salted["k"] == "HOT"]["k_salted"].value_counts()
+    assert len(hot_groups) == 8
+    assert hot_groups.max() < 0.8 * n * 0.25  # ≤2× the 1/8 ideal share
+
+    want = (
+        hash_join(fact_ds, dim_ds, on=["k"])
+        .to_pandas()
+        .sort_values(["v"])
+        .reset_index(drop=True)[["k", "v", "name"]]
+    )
+    got = (
+        salted_hash_join(fact_ds, dim_ds, ["k"], hot_keys=hot)
+        .to_pandas()
+        .sort_values(["v"])
+        .reset_index(drop=True)[["k", "v", "name"]]
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -12,9 +12,16 @@ Usage::
     python tools/check_contract.py [sf_dir] [only_query,only_query,...]
     python tools/check_contract.py /root/testdata/sf0.01
     python tools/check_contract.py /root/testdata/sf0.01 --sql-only
+    python tools/check_contract.py /root/testdata/sf0.01 --sample 50 --seed 3
+
+``--sample N [--seed S]`` mirrors the round driver's sampling: a
+seeded uniform pick of N query names (oracle and rows-only pooled,
+sorted for determinism) — run it with a few seeds before a snapshot so
+any future driver pick is pre-verified.
 
 Exit code 1 on any failure.
 """
+import random
 import sys
 import time
 
@@ -28,8 +35,14 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 rest = sys.argv[2:]
 sql_only = "--sql-only" in rest
 only = None
-for a in rest:
-    if not a.startswith("--"):
+sample_n = None
+seed = 0
+for i, a in enumerate(rest):
+    if a == "--sample":
+        sample_n = int(rest[i + 1])
+    elif a == "--seed":
+        seed = int(rest[i + 1])
+    elif not a.startswith("--") and (i == 0 or rest[i - 1] not in ("--sample", "--seed")):
         only = a.split(",")
 
 if not ray.is_initialized():
@@ -48,6 +61,10 @@ for t in (
 
 qs = E.queries()
 oracles = E.oracle_sql()
+if sample_n is not None:
+    pool = sorted(qs)
+    only = random.Random(seed).sample(pool, min(sample_n, len(pool)))
+    print(f"sampled {len(only)} of {len(pool)} queries (seed={seed})")
 fails = []
 
 for name, sql in oracles.items():

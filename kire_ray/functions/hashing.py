@@ -107,10 +107,10 @@ def hash64_fast(values) -> np.ndarray:
         return np.empty(0, dtype=_U64)
     width = arr.dtype.itemsize // (4 if arr.dtype.kind == "U" else 1)
     if width > 256:
-        if arr.dtype.kind == "U":
-            lens = np.char.str_len(arr)
-        else:
-            lens = np.char.str_len(arr.astype("U"))
+        # np.char.str_len handles 'S' directly (byte lengths) — an
+        # astype('U') here would raise on non-ASCII bytes and measure
+        # chars against a byte-width threshold
+        lens = np.char.str_len(arr)
         long_mask = lens > 256
         if long_mask.all():
             return hash64(arr)

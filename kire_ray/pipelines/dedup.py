@@ -1691,7 +1691,9 @@ def sorted_neighborhood_jw(
         rows = []
         for bk, g in b.groupby("bucket", sort=False):
             names = g["name"].sort_values().to_numpy()
-            rows.append((bk, len(names), "\x1f".join(names[-W:])))
+            # W == 0 (window=1: no pairs possible) must emit an empty
+            # tail — names[-0:] would ship the ENTIRE bucket to driver
+            rows.append((bk, len(names), "\x1f".join(names[-W:] if W else [])))
         return pd.DataFrame(rows, columns=["bucket", "n", "tail"])
 
     stats = (

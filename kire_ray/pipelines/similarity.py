@@ -1392,13 +1392,15 @@ def docsim_cosine(
         docs = b[id_col].reindex(ex.index).to_numpy()
         if len(words) < ngram:
             return pd.DataFrame({"doc": [], "term": [], "tf": []})
-        same = docs[: 1 - ngram] == docs[ngram - 1 :]
-        term = words[: 1 - ngram].copy()
+        # explicit end index so ngram=1 works ([:1-ngram] would be [:0])
+        end = len(words) - ngram + 1
+        same = docs[:end] == docs[ngram - 1 :]
+        term = words[:end].copy()
         for j in range(1, ngram):
             term = term + " "
-            term = term + words[j : len(words) - ngram + 1 + j]
+            term = term + words[j : end + j]
         g = (
-            pd.DataFrame({"doc": docs[: 1 - ngram][same], "term": term[same]})
+            pd.DataFrame({"doc": docs[:end][same], "term": term[same]})
             .groupby(["doc", "term"], sort=False)
             .size()
             .rename("tf")

@@ -956,6 +956,8 @@ def dp_histogram(
     sf_dir: str,
     *,
     epsilon: float = 0.5,
+    noise_salt: str | None = None,
+    uniform_source=None,
 ) -> "ray.data.Dataset":
     """Differentially-private histogram release (Dwork et al. 2006)
     of event counts per type: Laplace(1/ε) noise on each exact count
@@ -963,12 +965,16 @@ def dp_histogram(
     counts — the third leg of the privacy family next to
     ``k_anonymity`` and ``l_diversity``.
 
-    The Laplace draw is inverse-CDF over the engine's md5 uniform
-    (``score01_md5``), so the release is reproducible and
-    driver-verifiable in SQL — a DETERMINISTIC-SEED stand-in: real DP
-    requires a fresh CSPRNG draw per release (a fixed seed leaks the
-    exact count to anyone who knows it), so production swaps the
-    uniform source and keeps everything else.
+    The default draw is inverse-CDF over the engine's md5 uniform
+    (``score01_md5``) keyed only on the public event_type, so the
+    release is reproducible and driver-verifiable in SQL — a
+    DETERMINISTIC-SEED stand-in with ZERO actual privacy: anyone who
+    knows the scheme recovers the exact counts. A real deployment
+    MUST pass either ``noise_salt`` (a secret string mixed into the
+    md5 basis — same code path, secret key) or ``uniform_source`` (a
+    callable ``key -> float in [0,1)``, e.g. backed by
+    ``secrets.SystemRandom().random``) — everything else (combiner,
+    exchange, rounding) is unchanged.
 
     Shape: block count combiner → one type exchange → noise applied
     vectorized on the type-bounded result. Exact-int plumbing until
@@ -979,6 +985,8 @@ def dp_histogram(
     from kire_ray.stages.shuffle import grouped_agg
 
     b_scale = 1.0 / float(epsilon)
+    salt = "" if noise_salt is None else noise_salt + "|"
+    draw = uniform_source or (lambda key: score01_md5(key))
     ev = _read(sf_dir, "events", ["event_type"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -991,7 +999,7 @@ def dp_histogram(
 
     def release(out: pd.DataFrame) -> pd.DataFrame:
         u = np.array(
-            [score01_md5("dp|" + t) for t in out["event_type"]],
+            [draw("dp|" + salt + t) for t in out["event_type"]],
             dtype=np.float64,
         )
         lap = -b_scale * np.sign(u - 0.5) * np.log(1.0 - 2.0 * np.abs(u - 0.5))

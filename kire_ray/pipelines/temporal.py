@@ -1166,7 +1166,10 @@ def late_events(
             }
         )
 
-    arrived = ev.map_batches(with_arrival, batch_format="pandas")
+    # materialize once: three downstream passes (lo/hi, range-max,
+    # final audit) would otherwise re-run the per-row md5 delay loop
+    # and the events scan each time
+    arrived = ev.map_batches(with_arrival, batch_format="pandas").materialize()
 
     lo, hi = [
         int(x)

@@ -1079,3 +1079,66 @@ def test_connected_components_pointer_doubling_rounds(ray_session):
     out = connected_components(edges, max_iters=30).to_pandas()
     assert (out.set_index("node")["label"] == "n0000").all()
     assert connected_components.last_rounds <= 12
+
+
+def test_docsim_cosine_unigram(ray_session):
+    """ngram=1 must produce unigram postings (the old [:1-ngram] slice
+    silently emptied them)."""
+    import ray as _ray
+
+    from kire_ray.pipelines.similarity import docsim_cosine
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [
+                "apple banana cherry",
+                "apple banana date",
+                "xylophone zebra quux",
+            ],
+        }
+    )
+    out = docsim_cosine(
+        _ray.data.from_pandas(docs), ngram=1, min_df=2, max_df=10, threshold=0.1
+    ).to_pandas()
+    # docs 1 and 2 share two of three unigrams → one surviving pair
+    assert len(out) == 1
+    pair = {int(out.iloc[0]["doc_a"]), int(out.iloc[0]["doc_b"])}
+    assert pair == {1, 2}
+
+
+def test_sorted_neighborhood_window1(ray_session):
+    """window=1 (W=0) is degenerate — no pairs possible; it must
+    return empty without shipping whole buckets into driver tails."""
+    import ray as _ray
+
+    from kire_ray.pipelines.dedup import sorted_neighborhood_jw
+
+    ds = _ray.data.from_pandas(
+        pd.DataFrame({"c_name": [f"name{i:03d}" for i in range(50)]})
+    )
+    out = sorted_neighborhood_jw(ds, window=1, threshold=0.0).to_pandas()
+    assert len(out) == 0
+
+
+def test_dp_histogram_secret_salt(ray_session):
+    """The DP release must accept a secret salt / uniform source: the
+    default deterministic release and a salted one differ in noise but
+    share schema; a custom uniform_source is honored."""
+    from kire_ray.pipelines.sketches import dp_histogram
+
+    sf = "/root/testdata/sf0.001"
+    base = dp_histogram(sf).to_pandas().set_index("event_type")
+    salted = (
+        dp_histogram(sf, noise_salt="s3cret").to_pandas().set_index("event_type")
+    )
+    assert (base["noisy_count"] != salted["noisy_count"]).any()
+    fixed = dp_histogram(sf, uniform_source=lambda k: 0.25).to_pandas()
+    # u=0.25 → lap = -b*sign(-.25)*ln(.5) = +2*ln2 for eps=0.5
+    import math
+
+    lap = 2.0 * math.log(2.0)
+    joined = fixed.set_index("event_type").join(
+        base["noisy_count"].rename("b"), how="inner"
+    )
+    assert len(joined) == len(base)

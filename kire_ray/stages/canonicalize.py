@@ -105,26 +105,36 @@ def connected_components(
             }
         )
 
-    sym = edges.map_batches(both_dirs, batch_format="pandas").materialize()
     if num_partitions is None:
         # scale the per-round exchange width to the graph: each round
         # pays fixed cost per partition (task + tiny block), so a
         # 500-node dedup graph over the default 2×CPU partitions spends
-        # every round on scheduling, not propagation. ~100k rows per
+        # every round on scheduling, not propagation. ~25k rows per
         # partition keeps small graphs on a handful of tasks while big
-        # graphs still fan out to the cluster default.
+        # graphs still fan out to the cluster default (100k
+        # rows/partition measured 25.8s for 8 rounds on a 64k-edge KG —
+        # the two per-round exchanges ran near-serial). Row count from
+        # the EDGE table (2 sym rows per edge) so the sym map needn't
+        # execute twice.
         from kire_ray.stages.shuffle import default_partitions
 
-        # ~25k rows per partition: small graphs stay on a handful of
-        # tasks, but a mid-size graph still parallelizes its per-round
-        # sort (100k rows/partition measured 25.8s for 8 rounds on a
-        # 64k-edge KG — the two per-round exchanges ran near-serial)
-        num_partitions = max(1, min(default_partitions(), sym.count() // 25_000 + 1))
-        sym = sym.repartition(num_partitions).materialize()
+        num_partitions = max(
+            1, min(default_partitions(), 2 * edges.count() // 25_000 + 1)
+        )
+    sym = (
+        edges.map_batches(both_dirs, batch_format="pandas")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    # label init folds propagation round 1: the same exchange that
+    # enumerates nodes also takes min(node, min neighbor) — one full
+    # round saved on every call (measured 5 → 4 rounds on the sf0.1 KG)
     labels = grouped_agg(
-        sym, ["node"], {"n": ("peer", "size")}, num_partitions=num_partitions
+        sym, ["node"], {"peer_min": ("peer", "min")}, num_partitions=num_partitions
     ).map_batches(
-        lambda b: pd.DataFrame({"node": b["node"], "label": b["node"]}),
+        lambda b: pd.DataFrame(
+            {"node": b["node"], "label": np.minimum(b["node"], b["peer_min"])}
+        ),
         batch_format="pandas",
     ).materialize()
 

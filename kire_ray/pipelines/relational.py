@@ -623,32 +623,38 @@ def part_brand_stats(
     )
 
 
-def suppliers_with_lineitems(sf_dir: str) -> "ray.data.Dataset":
-    """Broadcast semi-join (J3 shape at the relational surface):
-    suppliers appearing in lineitem. The key set is the fact side's
-    distinct supplier keys — pre-aggregated per batch before collection
-    so the driver never sees raw rows."""
-    import numpy as np
-
-    from kire_ray.stages.joins import semi_join_broadcast
+def suppliers_with_lineitems(
+    sf_dir: str, *, broadcast_limit: int = 1_000_000
+) -> "ray.data.Dataset":
+    """Semi-join (J3 shape at the relational surface): suppliers
+    appearing in lineitem. The qualifying-key set goes through a
+    distributed distinct exchange (per-batch unique combiner first, so
+    the exchange is supplier-bounded); under ``broadcast_limit`` the
+    distinct set ships once via ``ray.put``, above it the semi-join is
+    a distributed inner hash join on the distinct keys — supplier
+    scales with SF (1M rows at SF100), so the driver set is
+    size-gated like every other lookup."""
+    from kire_ray.stages.joins import hash_join, semi_join_broadcast
 
     li = _read(sf_dir, "lineitem", ["l_suppkey"])
 
     def distinct(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"l_suppkey": b["l_suppkey"].unique()})
 
-    keys = set(
-        np.concatenate(
-            [
-                b["l_suppkey"].to_numpy()
-                for b in li.map_batches(distinct, batch_format="pandas").iter_batches(
-                    batch_format="pandas"
-                )
-            ]
-        ).tolist()
+    qual = (
+        li.map_batches(distinct, batch_format="pandas")
+        .groupby("l_suppkey")
+        .count()
     )
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
-    return semi_join_broadcast(sup, keys, on="s_suppkey")
+    if _nrows_parquet(f"{sf_dir}/supplier.parquet") <= broadcast_limit:
+        keys = set(qual.to_pandas()["l_suppkey"])
+        return semi_join_broadcast(sup, keys, on="s_suppkey")
+    key_ds = qual.map_batches(
+        lambda b: pd.DataFrame({"s_suppkey": b["l_suppkey"].to_numpy()}),
+        batch_format="pandas",
+    )
+    return hash_join(sup, key_ds, on=["s_suppkey"])
 
 
 def price_quantiles(sf_dir: str, quantiles=(0.25, 0.5, 0.75, 0.9)) -> pd.DataFrame:

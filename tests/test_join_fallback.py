@@ -135,3 +135,14 @@ def test_customers_without_orders_no_driver_fact_read(ray_session, monkeypatch):
     monkeypatch.setattr(R.pq, "read_table", spying)
     out = R.customers_without_orders(SF).to_pandas()
     assert len(out) > 0
+
+
+def test_suppliers_with_lineitems_paths_equal(ray_session, count_joins):
+    """Semi-join: distributed distinct + broadcast under the limit;
+    hash semi-join above it — bit-equal."""
+    want = _df(R.suppliers_with_lineitems(SF))
+    n_broadcast = len(count_joins)
+    got = _df(R.suppliers_with_lineitems(SF, broadcast_limit=0))
+    n_joined = len(count_joins) - n_broadcast
+    pd.testing.assert_frame_equal(got, want)
+    assert n_broadcast == 0 and n_joined == 1

@@ -582,6 +582,17 @@ def _q_dp_histogram(sf_dir: str) -> Any:
     return dp_histogram(sf_dir)
 
 
+def _q_train_label_pick(sf_dir: str) -> Any:
+    """O9 — deterministic multi-label relation pick (the trainer's
+    rt = randint(len(labels)) re-expressed as md5(doc|h|t)[:2] % n over
+    the r-sorted label list; GLRE+KIRE/data/dataset.py:85-86)."""
+    from kire_ray.pipelines.sampling import train_label_pick
+    from kire_ray.sources.parquet import sized_read
+
+    gold = sized_read(f"{_corpus(sf_dir)}/gold_labels.parquet")
+    return train_label_pick(gold)
+
+
 def _q_fk_integrity(sf_dir: str) -> Any:
     """Referential-integrity audit: one shared tagged exchange for all
     declared FK relations."""
@@ -3050,6 +3061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changepoint_cusum": _q_changepoint_cusum,
         "fk_integrity": _q_fk_integrity,
         "dp_histogram": _q_dp_histogram,
+        "train_label_pick": _q_train_label_pick,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "kg_components": _q_kg_components,
         "kg_reachability": _q_kg_reachability,
@@ -3457,6 +3469,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(turn_idx AS BIGINT) AS turn_idx,
                    text
             FROM read_parquet('{c01}/transcripts.parquet/*.parquet')
+        """,
+        "train_label_pick": f"""
+            WITH tlp AS (
+                SELECT doc_id, h_idx, t_idx, r,
+                       row_number() OVER (
+                           PARTITION BY doc_id, h_idx, t_idx ORDER BY r
+                       ) - 1 AS rn,
+                       count(*) OVER (
+                           PARTITION BY doc_id, h_idx, t_idx
+                       ) AS n
+                FROM read_parquet('{c01}/gold_labels.parquet'))
+            SELECT doc_id, CAST(h_idx AS BIGINT) AS h_idx,
+                   CAST(t_idx AS BIGINT) AS t_idx, r AS picked_r,
+                   CAST(n AS BIGINT) AS n_labels
+            FROM tlp
+            WHERE rn = ((strpos('0123456789abcdef', substr(md5(doc_id || '|' || CAST(h_idx AS VARCHAR) || '|' || CAST(t_idx AS VARCHAR)), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substr(md5(doc_id || '|' || CAST(h_idx AS VARCHAR) || '|' || CAST(t_idx AS VARCHAR)), 2, 1)) - 1) % n
         """,
         "tool_usage_stats": f"""
             WITH tus_t AS (SELECT role, COALESCE(tool, 'none') AS tool, conv_id,

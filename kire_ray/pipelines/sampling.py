@@ -524,3 +524,68 @@ def weighted_reservoir(
     return ray.data.from_pandas(
         parts.iloc[order[:k]][cols].reset_index(drop=True)
     )
+
+
+def train_label_pick(
+    gold: "ray.data.Dataset",
+    *,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """O9 — multi-label relation pick for training example construction
+    (GLRE+KIRE/data/dataset.py:85-86 ``rt = np.random.randint(len(ii))``,
+    B4+KIRE/config/Config.py:399-401): when a (doc, head, tail) pair
+    carries several gold relation labels, the trainer keeps ONE as the
+    single-label target. Re-expressed deterministically like every
+    sampling op in the engine: the pick index is the first two hex
+    chars of md5("doc|h|t") mod n over the r-sorted label list, so the
+    corpus-scale pick is reconstructible exactly in SQL.
+
+    Shape: ONE exchange on doc_id (a pair never splits across docs);
+    in-partition vectorized rank/size + one md5 per PAIR (group first
+    rows only, np.repeat back over the sorted groups). Output:
+    (doc_id, h_idx, t_idx, picked_r, n_labels).
+    """
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["doc_id", "h_idx", "t_idx", "r"], kind="mergesort"
+        )
+        g = part.groupby(["doc_id", "h_idx", "t_idx"], sort=False)
+        n = g["r"].transform("size").to_numpy(np.int64)
+        rn = g.cumcount().to_numpy(np.int64)
+        firsts = rn == 0
+        key = (
+            part["doc_id"].astype(str)
+            + "|"
+            + part["h_idx"].astype(str)
+            + "|"
+            + part["t_idx"].astype(str)
+        ).to_numpy(object)[firsts]
+        n_first = n[firsts]
+        idx_first = (
+            np.fromiter(
+                (
+                    int(hashlib.md5(k.encode("utf-8")).hexdigest()[:2], 16)
+                    for k in key
+                ),
+                dtype=np.int64,
+                count=len(key),
+            )
+            % n_first
+        )
+        keep = rn == np.repeat(idx_first, n_first)
+        out = part[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(object),
+                "h_idx": out["h_idx"].to_numpy(np.int64),
+                "t_idx": out["t_idx"].to_numpy(np.int64),
+                "picked_r": out["r"].to_numpy(object),
+                "n_labels": n[keep],
+            }
+        )
+
+    return partitioned_map_groups(
+        gold, ["doc_id"], pick, num_partitions=num_partitions
+    )

@@ -1142,3 +1142,39 @@ def test_dp_histogram_secret_salt(ray_session):
         base["noisy_count"].rename("b"), how="inner"
     )
     assert len(joined) == len(base)
+
+
+def test_train_label_pick_deterministic(ray_session):
+    """O9: the pick must be within the pair's label set, one row per
+    pair, and batch-layout independent."""
+    import ray as _ray
+
+    from kire_ray.pipelines.sampling import train_label_pick
+
+    gold = pd.DataFrame(
+        {
+            "doc_id": ["d1"] * 3 + ["d2"] * 2 + ["d3"],
+            "h_idx": np.array([0, 0, 0, 1, 1, 2], dtype=np.int32),
+            "t_idx": np.array([1, 1, 1, 2, 2, 3], dtype=np.int32),
+            "r": ["P1", "P2", "P3", "P5", "P4", "P9"],
+        }
+    )
+    out1 = (
+        train_label_pick(_ray.data.from_pandas(gold))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out2 = (
+        train_label_pick(_ray.data.from_pandas(gold).repartition(4))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out1, out2)
+    assert len(out1) == 3
+    assert list(out1["n_labels"]) == [3, 2, 1]
+    assert out1.loc[out1["doc_id"] == "d3", "picked_r"].iloc[0] == "P9"
+    sets = {"d1": {"P1", "P2", "P3"}, "d2": {"P4", "P5"}, "d3": {"P9"}}
+    for _, row in out1.iterrows():
+        assert row["picked_r"] in sets[row["doc_id"]]

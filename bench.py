@@ -156,6 +156,7 @@ def _bench_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         "changepoint_cusum",
         "fk_integrity",
         "dp_histogram",
+        "train_label_pick",
         "scd2_history",
         "kg_components",
         "conv_segments",

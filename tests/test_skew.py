@@ -170,3 +170,48 @@ def test_salted_hash_join_planted_hot_key(ray_session):
         .reset_index(drop=True)[["k", "v", "name"]]
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_salted_hash_join_left_outer(ray_session):
+    """left_outer through the salted path: unmatched left rows (hot or
+    cold) survive exactly once with null right columns."""
+    import ray as _ray
+
+    from kire_ray.stages.joins import hash_join, salted_hash_join
+
+    fact = pd.DataFrame(
+        {
+            "k": ["HOT"] * 40 + ["cold1", "cold2", "nomatch"] * 2,
+            "v": np.arange(46, dtype=np.int64),
+        }
+    )
+    dim = pd.DataFrame({"k": ["HOT", "cold1", "cold2"], "name": ["h", "c1", "c2"]})
+    fds = _ray.data.from_pandas(fact).repartition(4)
+    dds = _ray.data.from_pandas(dim)
+
+    want = (
+        hash_join(fds, dds, on=["k"], join_type="left_outer")
+        .to_pandas()
+        .sort_values(["v"])
+        .reset_index(drop=True)[["k", "v", "name"]]
+    )
+    got = (
+        salted_hash_join(
+            fds, dds, ["k"], hot_keys={"HOT"}, n_salts=4, join_type="left_outer"
+        )
+        .to_pandas()
+        .sort_values(["v"])
+        .reset_index(drop=True)[["k", "v", "name"]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash64_fast_bytes_batch_independent():
+    """'S'-dtype arrays must hash identically regardless of the fixed
+    width they arrive with (mixed-length fallback path, non-ASCII)."""
+    from kire_ray.functions.hashing import hash64_fast
+
+    vals = [b"\xff" * 300, b"abc", b"\xe9\xe9"]
+    wide = np.array(vals, dtype="S400")
+    narrow = np.array(vals, dtype="S300")
+    assert (hash64_fast(wide) == hash64_fast(narrow)).all()

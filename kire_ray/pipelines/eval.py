@@ -163,6 +163,8 @@ def tune_theta_distributed(
         ),
         batch_format="pandas",
     ).to_pandas()
+    if mm.empty or mm["lo"].isna().all():
+        raise ValueError("tune_theta_distributed: empty prediction table")
     lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
     span = (hi - lo) or 1.0
 

@@ -67,11 +67,15 @@ def _dim_join(
     dim_ds = _read(sf_dir, table, columns).map_batches(
         lambda b, _m=key_map: b.rename(columns=_m), batch_format="pandas"
     )
+    # pandas merge names → Dataset.join names
+    jt = {"left": "left_outer", "right": "right_outer", "outer": "full_outer"}.get(
+        how, how
+    )
     if salt_hot and len(on) == 1:
         hot = detect_hot_keys(ds, on[0])
         if hot:
-            return salted_hash_join(ds, dim_ds, on, hot_keys=hot, join_type=how)
-    return hash_join(ds, dim_ds, on=on, join_type=how)
+            return salted_hash_join(ds, dim_ds, on, hot_keys=hot, join_type=jt)
+    return hash_join(ds, dim_ds, on=on, join_type=jt)
 
 
 def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":

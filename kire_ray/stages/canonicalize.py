@@ -55,26 +55,6 @@ def canon_map_from_pairs(pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {x: find(x) for x in list(parent)}
 
 
-def _label_fingerprint(labels: "ray.data.Dataset") -> int:
-    """Order-insensitive fingerprint of a (node, label) table — one
-    partial per block, a handful of rows to the driver. Replaces
-    collecting the whole label map for the convergence check.
-    XOR of per-row 64-bit hashes (rows are unique per node, so nothing
-    self-cancels) rather than a modular sum — additive fingerprints
-    admit easy collisions between label permutations."""
-    from kire_ray.functions.hashing import hash64_fast
-
-    def part(b: pd.DataFrame) -> pd.DataFrame:
-        h = hash64_fast((b["node"] + "\x1f" + b["label"]).to_numpy())
-        return pd.DataFrame({"s": [int(np.bitwise_xor.reduce(h))]}) if len(h) else pd.DataFrame({"s": [0]})
-
-    rows = labels.map_batches(part, batch_format="pandas").take_all()
-    fp = 0
-    for r in rows:
-        fp ^= int(r["s"])
-    return fp
-
-
 def connected_components(
     edges: "ray.data.Dataset",
     max_iters: int = 25,
@@ -89,11 +69,12 @@ def connected_components(
     Fully distributed: per round, current labels flow along edges via a
     *hash co-partition* of edges and labels on the peer key (a tagged
     union through one grouped exchange — no driver-side label map, no
-    broadcast that grows with the graph), then ``min`` per node. The
-    convergence check compares an order-insensitive fingerprint (one
-    scalar per block), so driver traffic is O(blocks) per round.
-    Rounds ≤ graph diameter; ``max_iters`` bounds pathological chains
-    (equivalence cliques in KG/dedup workloads are shallow).
+    broadcast that grows with the graph), then ``min`` per node with a
+    per-node changed flag computed INSIDE the reduce — convergence is
+    the round whose change count is zero (one scalar per block to the
+    driver; no extra fingerprint confirm round). Pointer-jump request
+    rows ride the same exchange, so rounds are O(log diameter);
+    ``max_iters`` bounds pathological chains.
     """
     from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
@@ -168,7 +149,30 @@ def connected_components(
         # diameter-bound ~200; 24-node path 7 rounds).
         return pd.DataFrame({"key": b["label"], "node": b["node"], "label": ""})
 
-    prev_fp = None
+    def old_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": b["node"], "label": b["label"], "is_old": np.int8(1)}
+        )
+
+    def upd(part: pd.DataFrame) -> pd.DataFrame:
+        # min per node over {old label} ∪ messages, PLUS a per-node
+        # changed flag — convergence is detected inside the reduce:
+        # drops the separate per-round fingerprint pass over labels,
+        # and an already-converged input (post-init cliques) stops at
+        # round 1 where fingerprint-equality needed a second round
+        # (fp has no previous value to match on round 1)
+        g = part.groupby("node", sort=False)["label"]
+        new = g.min()
+        old = part.loc[part["is_old"] == 1].set_index("node")["label"]
+        chg = (new != old.reindex(new.index)).astype(np.int8)
+        return pd.DataFrame(
+            {
+                "node": new.index.to_numpy(object),
+                "label": new.to_numpy(object),
+                "chg": chg.to_numpy(np.int8),
+            }
+        )
+
     converged = False
     rounds = 0
     for _ in range(max_iters):
@@ -179,6 +183,8 @@ def connected_components(
         )
         msgs = partitioned_map_groups(
             tagged, ["key"], join_part, num_partitions=num_partitions
+        ).map_batches(
+            lambda b: b.assign(is_old=np.int8(0)), batch_format="pandas"
         )
         # repartition BEFORE materialize: map_groups emits one block
         # per (pid, input-block) pair, so without the cap the label
@@ -186,20 +192,25 @@ def connected_components(
         # blocks over 5 rounds on a 64k-edge KG, round time 1.8→25 s —
         # pure per-block overhead on a constant 10k-row table)
         labels = (
-            grouped_agg(
-                labels.union(msgs),
+            partitioned_map_groups(
+                labels.map_batches(old_rows, batch_format="pandas").union(msgs),
                 ["node"],
-                {"label": ("label", "min")},
+                upd,
                 num_partitions=num_partitions,
             )
             .repartition(num_partitions)
             .materialize()
         )
-        fp = _label_fingerprint(labels)
-        if fp == prev_fp:
+        n_changed = sum(
+            r["c"]
+            for r in labels.map_batches(
+                lambda b: pd.DataFrame({"c": [int(b["chg"].sum())]}),
+                batch_format="pandas",
+            ).take_all()
+        )
+        if n_changed == 0:
             converged = True
             break
-        prev_fp = fp
     if not converged:
         # exhausting max_iters would silently return unconverged labels
         raise RuntimeError(
@@ -207,7 +218,9 @@ def connected_components(
             "(graph diameter exceeds max_iters — raise it for long chains)"
         )
     connected_components.last_rounds = rounds  # observability for tests/stats
-    return labels
+    return labels.map_batches(
+        lambda b: b[["node", "label"]], batch_format="pandas"
+    )
 
 
 def eq_pairs_from_kg(kg_triples_path: str, eq_prop: str = "P_eq") -> list[tuple[str, str]]:

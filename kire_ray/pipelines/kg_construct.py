@@ -104,7 +104,15 @@ def read_transcripts(corpus_dir: str, *, num_blocks: int | None = None) -> "ray.
     """Column-pruned transcript read. A small corpus arrives as one
     parquet file → one block → a serial combiner stage; override the
     block count so every stage parallelises (at real scale the input is
-    many shards and this is a no-op)."""
+    many shards and this is a no-op).
+
+    Block count stays CPU-derived (2 blocks/CPU, the round-3 retune).
+    Measured alternative (Aug 2026, 64× corpus at 8 CPUs): sizing
+    blocks by DATA (~150k rows/block → 64 blocks at every width) ran
+    143.1 s vs 127.1 s for 16 CPU-derived blocks — per-task overhead
+    beats any batch-size effect at narrow widths, so blocks-per-CPU is
+    the right policy even though it gives different widths different
+    batch sizes."""
     if num_blocks is None:
         num_blocks = max(8, 2 * _cluster_cpus())
     return ray.data.read_parquet(

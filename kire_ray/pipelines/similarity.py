@@ -1357,6 +1357,7 @@ def docsim_cosine(
     min_df: int = 2,
     max_df: int = 20,
     threshold: float = 0.4,
+    broadcast_limit: int = 200_000,
 ) -> "ray.data.Dataset":
     """TF-IDF cosine document-similarity self-join (the weighted
     complement of ``ngram_jaccard_dedup``'s set semantics): every doc
@@ -1370,7 +1371,10 @@ def docsim_cosine(
     per-term pair fan-out at max_df² regardless of corpus size, and
     df=1 terms can never pair anyway.
 
-    Distributed shape (no broadcast anywhere — every side scales):
+    Distributed shape (every side scales; the one lookup that is
+    doc-bounded — the √norm table — broadcasts under
+    ``broadcast_limit`` docs and hash-joins above it, both paths
+    bit-equal):
     - block-local tokenize → complete per-doc tf (a doc never splits);
     - ONE term exchange: df = posting-group size, idf = ln(N/df); the
       reducer emits pair dot-product partials (a, b, w_a·w_b, 1) AND
@@ -1474,21 +1478,42 @@ def docsim_cosine(
         lambda b: b[b["b"] != -1], batch_format="pandas"
     )
 
-    joined = hash_join(
-        hash_join(
-            pairs,
+    if n_docs <= broadcast_limit:
+        # doc-bounded norm table under the engine's standard broadcast
+        # threshold (mutual_knn's 200k contract): ship the norm map
+        # once via ray.put and attach both sides inside one map — the
+        # two 16-partition hash joins cost ~2.3 s of pure exchange
+        # overhead on a pair table that is typically tiny
+        import ray as _ray
+
+        nref = _ray.put(
+            norms.to_pandas().set_index("d")["nrm"].to_dict()
+        )
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            nm = _ray.get(nref)
+            b = b.copy()
+            b["na"] = b["a"].map(nm)
+            b["nb"] = b["b"].map(nm)
+            return b
+
+        joined = pairs.map_batches(attach, batch_format="pandas")
+    else:
+        joined = hash_join(
+            hash_join(
+                pairs,
+                norms.map_batches(
+                    lambda b: b.rename(columns={"d": "a", "nrm": "na"}),
+                    batch_format="pandas",
+                ),
+                ["a"],
+            ),
             norms.map_batches(
-                lambda b: b.rename(columns={"d": "a", "nrm": "na"}),
+                lambda b: b.rename(columns={"d": "b", "nrm": "nb"}),
                 batch_format="pandas",
             ),
-            ["a"],
-        ),
-        norms.map_batches(
-            lambda b: b.rename(columns={"d": "b", "nrm": "nb"}),
-            batch_format="pandas",
-        ),
-        ["b"],
-    )
+            ["b"],
+        )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         cos = round_half_up(

@@ -146,3 +146,33 @@ def test_suppliers_with_lineitems_paths_equal(ray_session, count_joins):
     n_joined = len(count_joins) - n_broadcast
     pd.testing.assert_frame_equal(got, want)
     assert n_broadcast == 0 and n_joined == 1
+
+
+def test_docsim_norm_paths_equal(ray_session):
+    """docsim_cosine's norm attach: broadcast map under the limit,
+    bucketed hash joins above — bit-equal outputs."""
+    import numpy as np
+
+    from kire_ray.pipelines.similarity import docsim_cosine
+
+    import ray as _ray
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(vocab, 12)) for _ in range(40)
+            ],
+        }
+    )
+    ds = _ray.data.from_pandas(docs).repartition(4)
+    a = docsim_cosine(ds, ngram=2, min_df=2, max_df=30, threshold=0.05).to_pandas()
+    b = docsim_cosine(
+        ds, ngram=2, min_df=2, max_df=30, threshold=0.05, broadcast_limit=0
+    ).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -173,3 +173,64 @@ def test_kmv_estimate_accuracy(ray_session):
         (got["est_union"], len(a | b)),
     ]:
         assert abs(est - exact) / exact < tol, (est, exact)
+
+
+@st.composite
+def random_graphs(draw):
+    n = draw(st.integers(2, 16))
+    m = draw(st.integers(1, 24))
+    edges = [
+        (f"n{draw(st.integers(0, n - 1)):02d}", f"n{draw(st.integers(0, n - 1)):02d}")
+        for _ in range(m)
+    ]
+    return [(a, b) for a, b in edges if a != b] or [("n00", "n01")]
+
+
+@given(random_graphs())
+@settings(max_examples=15, deadline=None)
+def test_connected_components_matches_union_find(ray_session, pairs):
+    """Distributed CC ≡ driver-side union-find on arbitrary graphs —
+    same components, same lexicographic-min representatives."""
+    from kire_ray.stages.canonicalize import (
+        canon_map_from_pairs,
+        connected_components,
+    )
+
+    edges = pd.DataFrame(pairs, columns=["src", "dst"]).drop_duplicates()
+    got = (
+        connected_components(ray.data.from_pandas(edges), num_partitions=3)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    cm = canon_map_from_pairs(pairs)
+    nodes = set(edges["src"]) | set(edges["dst"])
+    want = {v: cm.get(v, v) for v in nodes}
+    assert got == want
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 4))
+@settings(max_examples=10, deadline=None)
+def test_tune_theta_distributed_matches_numpy(ray_session, seed, dup):
+    """Distributed theta tuning ≡ numpy path on random score tables
+    with random tie structure (scores quantized to force ties)."""
+    from kire_ray.pipelines.eval import tune_theta, tune_theta_distributed
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(10, 400)
+    scores = np.round(rng.rand(n), dup)  # coarser rounding → more ties
+    corr = (rng.rand(n) < 0.5).astype(np.int64)
+    df = pd.DataFrame(
+        {"score": scores, "is_correct": corr, "k": np.arange(n, dtype=np.int64)}
+    )
+    n_gold = max(1, int(corr.sum()))
+    want = tune_theta(df["score"].to_numpy(), df["is_correct"].to_numpy(), n_gold)
+    got = tune_theta_distributed(
+        ray.data.from_pandas(df).repartition(3),
+        n_gold=n_gold,
+        tiebreak_cols=("k",),
+        n_buckets=16,
+    )
+    for key in ("theta", "best_f1", "precision", "recall"):
+        assert got[key] == want[key], (key, seed)
+    assert abs(got["auc"] - want["auc"]) < 1e-10

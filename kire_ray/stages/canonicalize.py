@@ -59,12 +59,23 @@ def connected_components(
     edges: "ray.data.Dataset",
     max_iters: int = 25,
     num_partitions: int | None = None,
+    collect_limit: int = 500_000,
 ) -> "ray.data.Dataset":
-    """Distributed connected components by min-label propagation.
+    """Connected components: size-thresholded two-path union-find.
 
     ``edges``: Dataset with string columns ``src``, ``dst`` (undirected
     interpretation). Returns Dataset ``(node, label)`` where ``label`` is
     the component's lexicographically-smallest node id.
+
+    Under ``collect_limit`` edge rows the DISTINCT pair set (KG- or
+    dup-dimension-bounded: distinct QID pairs ≪ corpus rows, SURVEY
+    §7.3) is collected after a block-local dedup and union-found on
+    the driver — the same explicit small-side policy as every
+    broadcast_limit switch in the engine, worth ~8 exchange rounds of
+    fixed cost. Above it (or with ``collect_limit=0``, how the pytest
+    forced-fallback tests pin the path) the distributed min-label
+    propagation below runs; both paths are bit-equal
+    (test_cc_paths_equal).
 
     Fully distributed: per round, current labels flow along edges via a
     *hash co-partition* of edges and labels on the peer key (a tagged
@@ -77,6 +88,28 @@ def connected_components(
     ``max_iters`` bounds pathological chains.
     """
     from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+
+    if collect_limit and edges.count() <= collect_limit:
+        pairs_df = (
+            edges.map_batches(
+                lambda b: b[["src", "dst"]].drop_duplicates(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+            .drop_duplicates()
+        )
+        cm = canon_map_from_pairs(list(zip(pairs_df["src"], pairs_df["dst"])))
+        nodes = pd.unique(
+            np.concatenate(
+                [pairs_df["src"].to_numpy(object), pairs_df["dst"].to_numpy(object)]
+            )
+        )
+        connected_components.last_rounds = 0
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"node": nodes, "label": [cm.get(n, n) for n in nodes]}
+            )
+        )
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -413,7 +413,7 @@ def test_connected_components_chain_and_islands(ray_session):
     pair = [("z9", "z1")]
     edges = pd.DataFrame(chain + tri + pair, columns=["src", "dst"])
     out = (
-        connected_components(ray.data.from_pandas(edges), num_partitions=4)
+        connected_components(ray.data.from_pandas(edges), num_partitions=4, collect_limit=0)
         .to_pandas()
         .set_index("node")["label"]
     )

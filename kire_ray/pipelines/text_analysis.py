@@ -915,6 +915,7 @@ def lang_id_trigrams(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     profile_size: int = 200,
+    carry_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """Character-trigram language identification (Cavnar–Trenkle style,
     simplified to profile-overlap so the DuckDB oracle reproduces it
@@ -933,7 +934,9 @@ def lang_id_trigrams(
     Classify pass: per-batch distinct (doc, trigram) → searchsorted
     membership per language → bincount argmax. No corpus-sized shuffle.
 
-    Returns (doc_id, pred_lang, n_hits).
+    Returns (doc_id, pred_lang, n_hits) [+ ``carry_cols`` passed
+    through from the input rows — the columns-travel-with-rows hook
+    that lets lang_confusion avoid a doc-keyed join entirely].
     """
     from kire_ray.stages.shuffle import grouped_agg
 
@@ -997,13 +1000,14 @@ def lang_id_trigrams(
         best = scores.argmax(axis=1)  # ties → first = lang asc
         n_hits = scores[np.arange(len(b)), best]
         keep = n_hits > 0
-        return pd.DataFrame(
-            {
-                id_col: b[id_col].to_numpy()[keep],
-                "pred_lang": lgs[best[keep]],
-                "n_hits": n_hits[keep],
-            }
-        )
+        out = {
+            id_col: b[id_col].to_numpy()[keep],
+            "pred_lang": lgs[best[keep]],
+            "n_hits": n_hits[keep],
+        }
+        for c in carry_cols:
+            out[c] = b[c].to_numpy()[keep]
+        return pd.DataFrame(out)
 
     return ds.map_batches(classify, batch_format="pandas")
 
@@ -1695,49 +1699,27 @@ def lang_confusion(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     threshold choices). Zero-hit documents emit no prediction and drop
     out, matching the oracle's inner join.
 
-    Shape: the ``lang_id_trigrams`` stages unchanged → ONE doc-keyed
-    tagged exchange joins predictions to labels → a (lang ×
-    pred_lang)-cardinality grouped count."""
-    from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
+    Shape: the label rides the classified rows (``carry_cols`` —
+    columns travel with rows, the same principle as T5), so there is
+    NO doc-keyed join at all: block-local (lang, pred_lang) count
+    partials off the one classify scan → a (lang ×
+    pred_lang)-cardinality grouped count. The old doc-keyed tagged
+    exchange moved every prediction + every label through a
+    corpus-sized shuffle to rejoin what one scan already had."""
+    from kire_ray.stages.shuffle import grouped_agg
 
-    preds = lang_id_trigrams(ds)
+    preds = lang_id_trigrams(ds, carry_cols=("lang",))
 
-    def tag_pred(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": b["doc_id"], "kind": np.int64(0),
-             "val": b["pred_lang"]}
-        )
-
-    def tag_label(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": b["doc_id"], "kind": np.int64(1), "val": b["lang"]}
-        )
-
-    tagged = preds.map_batches(tag_pred, batch_format="pandas").union(
-        ds.select_columns(["doc_id", "lang"]).map_batches(
-            tag_label, batch_format="pandas"
-        )
-    )
-
-    def fold(p: pd.DataFrame) -> pd.DataFrame:
-        pr = p[p["kind"] == 0][["doc_id", "val"]].rename(columns={"val": "pred_lang"})
-        la = p[p["kind"] == 1][["doc_id", "val"]].rename(columns={"val": "lang"})
-        m = la.merge(pr, on="doc_id")
-        if m.empty:
-            return pd.DataFrame(
-                {"lang": pd.Series([], dtype=object),
-                 "pred_lang": pd.Series([], dtype=object),
-                 "n_docs": pd.Series([], dtype=np.int64)}
-            )
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
         return (
-            m.groupby(["lang", "pred_lang"], sort=False)
+            b.groupby(["lang", "pred_lang"], sort=False)
             .size()
             .rename("n_docs")
             .reset_index()
         )
 
     return grouped_agg(
-        partitioned_map_groups(tagged, ["doc_id"], fold),
+        preds.map_batches(partial, batch_format="pandas"),
         ["lang", "pred_lang"],
         {"n_docs": ("n_docs", "sum")},
         post=lambda o: o.astype({"n_docs": np.int64}),

@@ -625,34 +625,46 @@ def edge_lifespan(
         if len(starts_df) <= broadcast_limit:
             sref = ray.put(starts_df.to_dict())
 
-            def attach_fold(b: pd.DataFrame) -> pd.DataFrame:
+            def attach(b: pd.DataFrame) -> pd.DataFrame:
+                # block-local dedup is only a COMBINER here: two entity
+                # clusters sharing a QID make the same (doc, s, p, o)
+                # appear twice in one doc's scorer output, and dynamic
+                # block splitting can put the copies in different
+                # blocks — so n_docs must NOT be counted per block
+                # (ADVICE r4: it double-counted). The global per-doc
+                # dedup happens in the edge-keyed fold below, where all
+                # rows of one (s, p, o) are co-located.
                 sm = ray.get(sref)
                 e = b[["doc_id", "subj_qid", "pred", "obj_qid"]].drop_duplicates()
                 if e.empty:
                     return pd.DataFrame(
-                        {"subj_qid": pd.Series([], dtype=object),
+                        {"doc_id": pd.Series([], dtype=object),
+                         "subj_qid": pd.Series([], dtype=object),
                          "pred": pd.Series([], dtype=object),
                          "obj_qid": pd.Series([], dtype=object),
-                         "n_docs": pd.Series([], dtype=np.int64),
-                         "first_us": pd.Series([], dtype=np.int64),
-                         "last_us": pd.Series([], dtype=np.int64)}
+                         "tus": pd.Series([], dtype=np.int64)}
                     )
-                e = e.assign(tus=e["doc_id"].map(sm).astype(np.int64))
+                return e.assign(tus=e["doc_id"].map(sm).astype(np.int64))
+
+            def fold_edges(part: pd.DataFrame) -> pd.DataFrame:
+                e = part.drop_duplicates(
+                    ["doc_id", "subj_qid", "pred", "obj_qid"]
+                )
                 return (
                     e.groupby(["subj_qid", "pred", "obj_qid"], sort=False)
                     .agg(n_docs=("doc_id", "size"), first_us=("tus", "min"),
                          last_us=("tus", "max"))
                     .reset_index()
+                    .astype({"n_docs": np.int64, "first_us": np.int64,
+                             "last_us": np.int64})
                 )
 
-            return grouped_agg(
-                triples.map_batches(attach_fold, batch_format="pandas"),
+            # still ONE exchange (edge-keyed) — the conv-id exchange the
+            # fast path exists to eliminate stays eliminated
+            return partitioned_map_groups(
+                triples.map_batches(attach, batch_format="pandas"),
                 ["subj_qid", "pred", "obj_qid"],
-                {"n_docs": ("n_docs", "sum"), "first_us": ("first_us", "min"),
-                 "last_us": ("last_us", "max")},
-                post=lambda out: out.astype(
-                    {"n_docs": np.int64, "first_us": np.int64, "last_us": np.int64}
-                ),
+                fold_edges,
             )
 
     tagged = triples.map_batches(t_part, batch_format="pandas").union(

@@ -137,12 +137,13 @@ def detect_hot_keys(
             }
         )
 
-    agg = (
-        ds.map_batches(part, batch_format="pandas")
-        .to_pandas()
-        .groupby("k")["c"]
-        .sum()
-    )
+    partials = ds.map_batches(part, batch_format="pandas").to_pandas()
+    if partials.empty or "k" not in partials.columns:
+        # zero blocks → no partial rows (and possibly no columns) at all
+        return frozenset()
+    agg = partials.groupby("k")["c"].sum()
+    if "\x00total" not in agg.index:
+        return frozenset()
     total = int(agg.pop("\x00total"))
     if total == 0:
         return frozenset()
@@ -166,8 +167,19 @@ def salted_hash_join(
     the reference's analogue is the batch-size-conditional escape
     hatches (kg_data_loader.py:76-95); here one giant join key fans
     out over n_salts reducers instead of hot-spotting one. Cold keys
-    keep salt 0 on both sides: one replica, no overhead."""
+    keep salt 0 on both sides: one replica, no overhead.
+
+    Only ``inner`` / ``left_outer`` are sound: the build side is
+    replicated n_salts× for hot keys, so any join type that emits
+    UNMATCHED build rows (right_outer / full_outer) would emit each
+    unmatched hot build row n_salts times — guarded, not silently
+    wrong."""
     assert len(on) == 1, "salted_hash_join handles a single join key"
+    assert join_type in ("inner", "left_outer"), (
+        "salted_hash_join replicates the build side for hot keys; "
+        f"join_type={join_type!r} would duplicate unmatched build rows "
+        "— use hash_join or dedup unmatched rows first"
+    )
     key = on[0]
     sk = f"{key}_salted"
     left_s = salt_column(left, key, hot_keys, n_salts)

@@ -103,3 +103,33 @@ def test_bloom_semi_join_no_false_negatives(ray_session):
     # outside the build set should slip through at this size
     fp = [k for k in passed if k not in truth]
     assert len(fp) <= 2
+
+
+def test_detect_hot_keys_empty_input(ray_session):
+    """ADVICE r4: zero-batch/empty fact side returns frozenset(), not
+    KeyError on the sentinel pop."""
+    from kire_ray.stages.joins import detect_hot_keys
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series([], dtype=object)})
+    )
+    assert detect_hot_keys(empty, "k") == frozenset()
+    # filter-to-empty also yields no partial rows per block
+    filtered = ray.data.from_pandas(_facts(100)).filter(lambda r: False)
+    assert detect_hot_keys(filtered, "k") == frozenset()
+
+
+def test_salted_join_rejects_outer_types(ray_session):
+    """ADVICE r4: right/full outer would emit unmatched hot build rows
+    n_salts times — the guard refuses instead of answering wrong."""
+    import pytest
+
+    from kire_ray.stages.joins import salted_hash_join
+
+    left = ray.data.from_pandas(_facts(50))
+    right = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(5), "name": list("abcde")})
+    )
+    for jt in ("right_outer", "full_outer"):
+        with pytest.raises(AssertionError):
+            salted_hash_join(left, right, ["k"], hot_keys={"1"}, join_type=jt)

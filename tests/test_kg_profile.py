@@ -449,3 +449,43 @@ def test_edge_lifespan_paths_equal(ray_session):
     # c1's start must be the MIN ts of the conversation (1s, not 5s)
     q1 = fast[fast["subj_qid"] == "Q1"].iloc[0]
     assert q1["n_docs"] == 2 or len(fast) == 2
+
+
+def test_edge_lifespan_fast_path_dup_across_blocks(ray_session):
+    """ADVICE r4: a duplicate (doc, s, p, o) row split across BLOCKS
+    must not double-count n_docs on the broadcast fast path — the
+    global per-doc dedup lives in the edge-keyed fold, not per block."""
+    import ray as _ray
+
+    from kire_ray.pipelines.kg_profile import edge_lifespan
+
+    # the duplicate (c1, Q1, P1, Q9) row is FORCED into two different
+    # blocks (one input frame per block)
+    b1 = pd.DataFrame(
+        {"doc_id": ["c1", "c2"], "subj_qid": ["Q1", "Q1"],
+         "pred": ["P1", "P1"], "obj_qid": ["Q9", "Q9"]}
+    )
+    b2 = pd.DataFrame(
+        {"doc_id": ["c1"], "subj_qid": ["Q1"], "pred": ["P1"], "obj_qid": ["Q9"]}
+    )
+    tr = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2"],
+            "ts": pd.to_datetime([1_000_000, 2_000_000], unit="us"),
+        }
+    )
+    eds = _ray.data.from_pandas([b1, b2])
+    tds = _ray.data.from_pandas(tr)
+
+    def norm(ds):
+        out = ds.to_pandas()
+        cols = sorted(out.columns)
+        return out[cols].sort_values(cols).reset_index(drop=True)
+
+    fast = norm(edge_lifespan(eds, tds, broadcast_limit=1000))
+    slow = norm(edge_lifespan(eds, tds, broadcast_limit=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    assert len(fast) == 1
+    assert int(fast["n_docs"].iloc[0]) == 2  # c1 counted once, not twice
+    assert int(fast["first_us"].iloc[0]) == 1_000_000
+    assert int(fast["last_us"].iloc[0]) == 2_000_000

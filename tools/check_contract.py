@@ -62,7 +62,9 @@ for t in (
 qs = E.queries()
 oracles = E.oracle_sql()
 if sample_n is not None:
-    pool = sorted(qs)
+    # an explicit query list narrows the sampling pool instead of being
+    # silently discarded (ADVICE r4)
+    pool = sorted(only) if only else sorted(qs)
     only = random.Random(seed).sample(pool, min(sample_n, len(pool)))
     print(f"sampled {len(only)} of {len(pool)} queries (seed={seed})")
 fails = []

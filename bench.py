@@ -513,6 +513,7 @@ def _scaling_child() -> None:
     _ray.get([_warm_worker.remote() for _ in range(2 * NUM_CPUS)])
 
     from kire_ray.pipelines.kg_construct import (
+        FLAGSHIP_COLS,
         KGContext,
         extract_triples,
         linked_documents,
@@ -524,10 +525,14 @@ def _scaling_child() -> None:
     ctx = KGContext.from_corpus(corpus)
     # warm the data paths (actor/task-pool code, broadcast dims)
     extract_triples(
-        linked_documents(read_transcripts(corpus).limit(5000), ctx), ctx
+        linked_documents(
+            read_transcripts(corpus, columns=FLAGSHIP_COLS).limit(5000), ctx
+        ), ctx
     ).count()
     t0 = time.time()
-    n = extract_triples(linked_documents(read_transcripts(corpus), ctx), ctx).count()
+    n = extract_triples(
+        linked_documents(read_transcripts(corpus, columns=FLAGSHIP_COLS), ctx), ctx
+    ).count()
     dt = time.time() - t0
     print(
         json.dumps(

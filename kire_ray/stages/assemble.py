@@ -65,11 +65,19 @@ def _combine_segments(batch: pd.DataFrame, max_turns: int | None = None) -> pd.D
     turns are each within their block's first N), so a pathological
     hot conv_id ships at most ``max_turns × touched_blocks`` turns
     through the assembly exchange instead of all of them (the skew
-    bound SURVEY.md §4 promises; measured in tests/test_skew.py)."""
+    bound SURVEY.md §4 promises; measured in tests/test_skew.py).
+
+    Column-adaptive: ``role`` / ``tool`` / ``ts`` are carried only when
+    present in the input — a column-pruned read (flagship: conv_id,
+    turn_idx, text) never pays their exchange bytes (VERDICT r4 #4)."""
+    has_role = "role" in batch.columns
+    has_tool = "tool" in batch.columns
+    has_ts = "ts" in batch.columns
     if batch.empty:
-        return pd.DataFrame(
-            {k: [] for k in ("conv_id", "turn_idxs", "texts", "roles", "tools", "ts_min", "ts_max")}
-        )
+        cols = ["conv_id", "turn_idxs", "texts"]
+        cols += ["roles"] * has_role + ["tools"] * has_tool
+        cols += ["ts_min", "ts_max"] if has_ts else []
+        return pd.DataFrame({k: [] for k in cols})
     batch = batch.sort_values(["conv_id", "turn_idx"], kind="stable")
     conv = batch["conv_id"].to_numpy()
     starts = _group_starts(conv)
@@ -92,19 +100,21 @@ def _combine_segments(batch: pd.DataFrame, max_turns: int | None = None) -> pd.D
         a = batch[col].to_numpy()
         return [a[s:e].tolist() for s, e in zip(starts, ends)]
 
-    ts_raw = batch["ts"].to_numpy()
-    ts = ts_raw.view("int64")
-    return pd.DataFrame(
-        {
-            "conv_id": conv[starts],
-            "turn_idxs": split("turn_idx"),
-            "texts": split("text"),
-            "roles": split("role"),
-            "tools": split("tool"),
-            "ts_min": np.minimum.reduceat(ts, starts).view(ts_raw.dtype),
-            "ts_max": np.maximum.reduceat(ts, starts).view(ts_raw.dtype),
-        }
-    )
+    out = {
+        "conv_id": conv[starts],
+        "turn_idxs": split("turn_idx"),
+        "texts": split("text"),
+    }
+    if has_role:
+        out["roles"] = split("role")
+    if has_tool:
+        out["tools"] = split("tool")
+    if has_ts:
+        ts_raw = batch["ts"].to_numpy()
+        ts = ts_raw.view("int64")
+        out["ts_min"] = np.minimum.reduceat(ts, starts).view(ts_raw.dtype)
+        out["ts_max"] = np.maximum.reduceat(ts, starts).view(ts_raw.dtype)
+    return pd.DataFrame(out)
 
 
 def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.DataFrame:
@@ -114,18 +124,23 @@ def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.Dat
     ``max_turns`` keeps only the first N turns of a conversation — the
     skew bound for pathological conv_ids (the reference truncates at
     max_length=512/1800 the same way, kg_data_loader.py:12-16)."""
+    has_role = "roles" in part.columns
+    has_tool = "tools" in part.columns
+    has_ts = "ts_min" in part.columns
     if part.empty:
-        return pd.DataFrame(
-            {
-                "doc_id": pd.Series([], dtype=object),
-                "n_turns": pd.Series([], dtype=np.int32),
-                "turn_texts": pd.Series([], dtype=object),
-                "roles": pd.Series([], dtype=object),
-                "tools": pd.Series([], dtype=object),
-                "ts_first": pd.Series([], dtype="datetime64[us]"),
-                "ts_last": pd.Series([], dtype="datetime64[us]"),
-            }
-        )
+        empty = {
+            "doc_id": pd.Series([], dtype=object),
+            "n_turns": pd.Series([], dtype=np.int32),
+            "turn_texts": pd.Series([], dtype=object),
+        }
+        if has_role:
+            empty["roles"] = pd.Series([], dtype=object)
+        if has_tool:
+            empty["tools"] = pd.Series([], dtype=object)
+        if has_ts:
+            empty["ts_first"] = pd.Series([], dtype="datetime64[us]")
+            empty["ts_last"] = pd.Series([], dtype="datetime64[us]")
+        return pd.DataFrame(empty)
     part = part.sort_values("conv_id", kind="stable").reset_index(drop=True)
     conv = part["conv_id"].to_numpy()
     seg_starts = _group_starts(conv)
@@ -143,8 +158,16 @@ def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.Dat
     gid = np.repeat(gid_seg, lens)
     idxs = np.concatenate([np.asarray(x, dtype=np.int64) for x in part["turn_idxs"]])
     texts = np.concatenate([np.asarray(x, dtype=object) for x in part["texts"]])
-    roles = np.concatenate([np.asarray(x, dtype=object) for x in part["roles"]])
-    tools = np.concatenate([np.asarray(x, dtype=object) for x in part["tools"]])
+    roles = (
+        np.concatenate([np.asarray(x, dtype=object) for x in part["roles"]])
+        if has_role
+        else None
+    )
+    tools = (
+        np.concatenate([np.asarray(x, dtype=object) for x in part["tools"]])
+        if has_tool
+        else None
+    )
     order = np.lexsort((np.arange(len(gid)), idxs, gid))
     g_sorted = gid[order]
     starts = _group_starts(g_sorted)
@@ -157,21 +180,28 @@ def _merge_partition(part: pd.DataFrame, max_turns: int | None = None) -> pd.Dat
         starts = _group_starts(g_sorted)
         counts = np.diff(np.append(starts, len(g_sorted)))
     ends = starts + counts
-    texts_s, roles_s, tools_s = texts[order], roles[order], tools[order]
-    ts_min = part["ts_min"].to_numpy()
-    ts_max = part["ts_max"].to_numpy()
-    df = pd.DataFrame(
-        {
-            "doc_id": conv[seg_starts],
-            "n_turns": counts.astype(np.int32),
-            "turn_texts": [texts_s[s:e].tolist() for s, e in zip(starts, ends)],
-            "roles": [roles_s[s:e].tolist() for s, e in zip(starts, ends)],
-            "tools": [tools_s[s:e].tolist() for s, e in zip(starts, ends)],
-            "ts_first": np.minimum.reduceat(ts_min.view("int64"), seg_starts).view(ts_min.dtype),
-            "ts_last": np.maximum.reduceat(ts_max.view("int64"), seg_starts).view(ts_max.dtype),
-        }
-    )
-    return df
+    texts_s = texts[order]
+    out = {
+        "doc_id": conv[seg_starts],
+        "n_turns": counts.astype(np.int32),
+        "turn_texts": [texts_s[s:e].tolist() for s, e in zip(starts, ends)],
+    }
+    if has_role:
+        roles_s = roles[order]
+        out["roles"] = [roles_s[s:e].tolist() for s, e in zip(starts, ends)]
+    if has_tool:
+        tools_s = tools[order]
+        out["tools"] = [tools_s[s:e].tolist() for s, e in zip(starts, ends)]
+    if has_ts:
+        ts_min = part["ts_min"].to_numpy()
+        ts_max = part["ts_max"].to_numpy()
+        out["ts_first"] = np.minimum.reduceat(
+            ts_min.view("int64"), seg_starts
+        ).view(ts_min.dtype)
+        out["ts_last"] = np.maximum.reduceat(
+            ts_max.view("int64"), seg_starts
+        ).view(ts_max.dtype)
+    return pd.DataFrame(out)
 
 
 def assemble_documents(

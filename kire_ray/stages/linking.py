@@ -245,9 +245,15 @@ class MentionLinker:
         if len(self.norm_memo) > 500_000:  # bound actor memory on open vocab
             self.norm_memo.clear()
         docs_turns = batch.column("turn_texts").to_pylist()
-        ents_col, ments_col = [], []
+        ents_col, ments_col, nw_col = [], [], []
         for turns in docs_turns:
             turn_tokens = [t.split() for t in turns]
+            # word count rides along so downstream stages (embedder's
+            # long-doc gate) never rescan the text; SAME formula as the
+            # embedder/oracle word grid (count(" ")+1, scorer.py
+            # doc_mention_vecs) so the gate is bit-identical even on
+            # inputs where split() would disagree (double spaces)
+            nw_col.append(sum((t.count(" ") + 1) if t else 0 for t in turns))
             raw = detect_mentions(
                 turn_tokens, self.trie, self.max_len, self.first_tokens, self.norm_memo
             )
@@ -264,9 +270,13 @@ class MentionLinker:
                     for m in tagged
                 ]
             )
-        return batch.append_column(
-            "entities", pa.array(ents_col, type=pa.list_(ENTITY_T))
-        ).append_column("mentions", pa.array(ments_col, type=pa.list_(MENTION_T)))
+        return (
+            batch.append_column(
+                "entities", pa.array(ents_col, type=pa.list_(ENTITY_T))
+            )
+            .append_column("mentions", pa.array(ments_col, type=pa.list_(MENTION_T)))
+            .append_column("n_words", pa.array(nw_col, type=pa.int32()))
+        )
 
 
 def load_alias_broadcast(alias_parquet: str, lexicon_parquet: str | None = None):

@@ -114,6 +114,7 @@ def merge_nodes(
     *,
     extra_keys: tuple[str, ...] = (),
     coalesce: bool = True,
+    num_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Per-doc entity rows → one node row per canonical qid.
 
@@ -165,4 +166,4 @@ def merge_nodes(
     src = (
         doc_entities.repartition(default_partitions()) if coalesce else doc_entities
     )
-    return partitioned_map_groups(src, keys, merge_part)
+    return partitioned_map_groups(src, keys, merge_part, num_partitions=num_partitions)

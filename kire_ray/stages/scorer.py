@@ -360,15 +360,26 @@ class EntityEmbedder:
         turns_col = batch.column("turn_texts").to_pylist()
         ents_col = batch.column("entities").to_pylist()
         ments_col = batch.column("mentions").to_pylist()
+        # linker-provided word counts skip the per-char text rescan in
+        # the long-doc gate (same number by construction: transcripts
+        # are space-tokenized, FIXTURES.md §1)
+        nw_col = (
+            batch.column("n_words").to_pylist()
+            if "n_words" in batch.schema.names
+            else [
+                sum((t.count(" ") + 1) if t else 0 for t in turns)
+                for turns in turns_col
+            ]
+        )
         out_doc, out_idx, out_qid, out_label, out_nm, out_vec = [], [], [], [], [], []
         fused = self._fused
         # _mention_vec memoizes raw-surface → token_vec (pure, so
         # numerically neutral; collapses the normalize+hash per mention
         # to one dict hit — surfaces repeat heavily across the corpus)
-        for doc_id, turns, ents, ments in zip(
-            doc_ids, turns_col, ents_col, ments_col
+        for doc_id, turns, ents, ments, n_words in zip(
+            doc_ids, turns_col, ents_col, ments_col, nw_col
         ):
-            long_doc = sum((t.count(" ") + 1) if t else 0 for t in turns) > self.max_len
+            long_doc = n_words > self.max_len
             by_ent: dict | None = None
             by_surf: dict[int, tuple] | None = None
             if not long_doc:

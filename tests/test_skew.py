@@ -64,7 +64,8 @@ def test_combiner_caps_hot_conv_exchange(ray_session):
         lambda b: _combine_segments(b, max_turns=cap), batch_format="pandas"
     ).to_pandas()
     hot = segments[segments["conv_id"] == "hot"]
-    shipped = int(hot["turn_idxs"].map(len).sum())
+    # turn_idxs is a packed int32 buffer → 4 bytes per shipped turn
+    shipped = int(hot["turn_idxs"].map(len).sum()) // 4
     assert shipped <= cap * 16, shipped
     assert shipped < 50_000 * 0.05  # ≥95% of the hot turns never shuffle
 

@@ -326,6 +326,9 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, log_to_driver=False)
+    from kire_ray.config import tune_data_context
+
+    tune_data_context(num_cpus)
     t_all = time.time()
     timings, extras = _bench_queries(sf_dir)
     total = round(time.time() - t_all, 3)
@@ -496,6 +499,9 @@ def _scaling_child() -> None:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, log_to_driver=False)
+    from kire_ray.config import tune_data_context
+
+    tune_data_context(NUM_CPUS)
     import ray as _ray
 
     # warm the WHOLE worker pool first: a small pipeline slice only

@@ -53,3 +53,33 @@ PROFILES = {p.name: p for p in (DOCRED, DWIE)}
 
 def profile(name: str) -> DatasetProfile:
     return PROFILES[name]
+
+
+def tune_data_context(num_cpus: int | None = None) -> None:
+    """Width-aware Ray Data executor tuning — call AFTER ray.init by
+    whoever owns the session (bench.py, CLI scripts, scaling children;
+    never at import, the driver owns its own session).
+
+    Measured r5 on the fused flagship DAG (read → combine → exchange →
+    link → score, 64×-sf0.1, packed segments):
+
+    - 8 CPUs: op resource reservation throttles the deep operator
+      chain to near-serial phases — 77.7 s with the default
+      reservation vs 38.4 s without (the r1–r4 "super-linear scaling"
+      ratios were exactly this artifact halving the narrow leg).
+    - 32 CPUs: reservation HELPS (15.1 s vs 16.7 s) — with plenty of
+      slots it keeps every stage of the pipeline resourced.
+
+    Policy: disable reservation when the session is narrower than 16
+    CPUs (fewer than ~2 slots per operator of the deepest DAG).
+    """
+    import ray
+    import ray.data
+
+    if num_cpus is None:
+        try:
+            num_cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            num_cpus = 4
+    if num_cpus < 16:
+        ray.data.DataContext.get_current().op_resource_reservation_enabled = False

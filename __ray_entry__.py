@@ -458,6 +458,11 @@ def _q_kg_triangles(sf_dir: str) -> Any:
 
 
 def _q_kg_clustering_coef(sf_dir: str) -> Any:
+    # A/B'd r5: data-sizing the dedup/wedge/close exchange widths from
+    # parquet metadata measured NEUTRAL-to-worse (2.55 s baseline vs
+    # 2.66 s dedup-only sizing vs 3.74 s all-stage P=4 — the wedge
+    # explode is output-dominated and needs the full cluster width), so
+    # the default widths stand.
     from kire_ray.pipelines.graph_algos import clustering_coefficients
 
     corpus = _corpus(sf_dir)

@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="auto" if "RAY_ADDRESS" in __import__("os").environ else "local",
                  include_dashboard=False)
+    # width-aware executor policy (op reservation off below 16 CPUs —
+    # measured 2× on the fused DAG at 8 CPUs, see config.py docstring)
+    from kire_ray.config import tune_data_context
+
+    tune_data_context()
 
     if args.synth_convs:
         from kire_ray.sources.synth import SynthConfig, write_corpus

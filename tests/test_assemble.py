@@ -1,5 +1,6 @@
 """Document assembly: the per-turn text-equality invariant (BASELINE.json)."""
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
@@ -100,3 +101,39 @@ def test_hot_conv_skew_bounded_by_combiner(ray_session):
     assert texts[0] == "h0" and texts[-1] == f"h{n_hot-1}"
     assert list(texts[:5]) == [f"h{t}" for t in range(5)]
     assert len(docs) == 1 + n_cold
+
+
+def test_assemble_packed_roundtrip_nasty_strings(ray_session):
+    """The packed-segment exchange is length-sliced (no separator), so
+    control bytes, unicode, empty strings and None tools must all
+    round-trip exactly."""
+    texts = [
+        "",  # empty turn
+        "a\x00b\x1fc\x1ed",  # control chars that a separator scheme would break on
+        "héllo wörld ☃ \U0001F600",  # multi-byte unicode
+        "trailing  spaces  ",
+        "\n\ttabs\nand\nnewlines",
+    ]
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 5,
+            "turn_idx": np.arange(5, dtype=np.int32),
+            "role": ["user", "assistant", None, "user", "tool"],
+            "text": texts,
+            "tool": [None, "grep", None, "", "bash"],
+            "ts": pd.to_datetime([1, 2, 3, 4, 5], unit="us"),
+        }
+    )
+    import ray as _ray
+
+    from kire_ray.stages.assemble import assemble_documents
+
+    docs = assemble_documents(
+        _ray.data.from_pandas(df).repartition(3), num_partitions=2
+    ).to_pandas()
+    assert len(docs) == 1
+    row = docs.iloc[0]
+    assert list(row["turn_texts"]) == texts
+    assert list(row["roles"]) == ["user", "assistant", None, "user", "tool"]
+    assert list(row["tools"]) == [None, "grep", None, "", "bash"]
+    assert row["n_turns"] == 5

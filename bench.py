@@ -432,6 +432,57 @@ def _scaling_child_run(cpus: int, sf_dir: str, corpus: str) -> dict:
     return json.loads(lines[-1])
 
 
+def _hw_inflation(cpus_lo: int, cpus_hi: int) -> dict:
+    """Hardware concurrency penalty of THIS box, measured: mean CPU
+    time of an identical fixed-work task at ``cpus_lo``-way vs
+    ``cpus_hi``-way concurrency (turbo clocks + shared memory
+    bandwidth/L3). A perfectly-scaling engine can measure at most
+    1/inflation efficiency on a single-box CPU-slice proxy; real
+    N→4N-NODE clusters keep per-core hardware constant and do not pay
+    this. Runs in a fresh session sized to cpus_hi; ~20 s."""
+    import ray as _ray
+
+    _ray.init(
+        address="local", num_cpus=cpus_hi, include_dashboard=False,
+        log_to_driver=False,
+    )
+
+    @_ray.remote(num_cpus=1)
+    def work(seed: int):
+        import time as _t
+
+        import numpy as _np
+        import pandas as _pd
+
+        rng = _np.random.RandomState(seed)
+        df = _pd.DataFrame(
+            {
+                "k": rng.randint(0, 50_000, 400_000).astype(str),
+                "i": rng.randint(0, 100, 400_000),
+            }
+        )
+        c0 = _t.process_time()
+        for _ in range(2):
+            s = df.sort_values(["k", "i"], kind="stable")
+            s.groupby("k", sort=False)["i"].sum()
+        return _t.process_time() - c0
+
+    _ray.get([work.remote(i) for i in range(cpus_hi)])  # warm
+    means = {}
+    for conc in (cpus_lo, cpus_hi):
+        done: list[float] = []
+        for base in range(0, 2 * cpus_hi, conc):
+            done.extend(_ray.get([work.remote(1000 + base + i) for i in range(conc)]))
+        means[conc] = sum(done) / len(done)
+    _ray.shutdown()
+    infl = means[cpus_hi] / means[cpus_lo]
+    return {
+        "task_cpu_sec_lo_conc": round(means[cpus_lo], 3),
+        "task_cpu_sec_hi_conc": round(means[cpus_hi], 3),
+        "task_cpu_inflation": round(infl, 3),
+    }
+
+
 def run_scaling(
     sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32, repeats: int = 2
 ) -> dict:
@@ -474,8 +525,14 @@ def run_scaling(
             "partitioning-invariant"
         )
     eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
+    hw = _hw_inflation(cpus_lo, cpus_hi)
     return {
         "n_triples": n_lo,
+        **hw,
+        # raw efficiency × the measured single-box per-core inflation:
+        # what the same engine would measure if the wide leg kept the
+        # narrow leg's per-core hardware (as N→4N NODES does)
+        "efficiency_hw_normalized": round(eff * hw["task_cpu_inflation"], 3),
         "metric": "scaling efficiency (flagship triples/sec, fresh ray sessions)",
         "value": round(eff, 3),
         "unit": "efficiency",

@@ -2514,7 +2514,6 @@ def _q_kg_eval_official(sf_dir: str, *, collect_limit: int = 2_000_000) -> Any:
             ),
             ray.data.read_parquet(gold_path),
             train_mask=_md5_is_train_vec,
-            gold_nrows=n_gold_rows,
         )
     else:
         preds = (

@@ -111,7 +111,6 @@ def official_evaluate_distributed(
     gold: "pd.DataFrame | ray.data.Dataset",
     *,
     train_mask=None,
-    gold_nrows: int | None = None,
     broadcast_limit: int = 2_000_000,
     num_partitions: int | None = None,
 ) -> dict:

@@ -305,8 +305,14 @@ def mark_membership(
 
     if isinstance(keys, pd.DataFrame):
         n_keys = len(keys)
+    elif keys_nrows is not None:
+        n_keys = keys_nrows
     else:
-        n_keys = keys_nrows if keys_nrows is not None else keys.count()
+        # same single-execution discipline as connected_components'
+        # gate: the count would run the keys DAG once and the
+        # broadcast's to_pandas() would run it again
+        keys = keys.materialize()
+        n_keys = keys.count()
 
     def canon(b: pd.DataFrame) -> pd.Series:
         s = b[on[0]].astype(str)

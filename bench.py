@@ -470,10 +470,24 @@ def _hw_inflation(cpus_lo: int, cpus_hi: int) -> dict:
     _ray.get([work.remote(i) for i in range(cpus_hi)])  # warm
     means = {}
     for conc in (cpus_lo, cpus_hi):
-        done: list[float] = []
-        for base in range(0, 2 * cpus_hi, conc):
-            done.extend(_ray.get([work.remote(1000 + base + i) for i in range(conc)]))
-        means[conc] = sum(done) / len(done)
+        # sliding window keeps EXACTLY `conc` tasks in flight; the last
+        # `conc` completions (the drain, running at falling concurrency)
+        # are excluded so the mean reflects steady-state contention —
+        # synchronous waves let stragglers run nearly alone and diluted
+        # the hi-concurrency mean (review r5 finding)
+        total = 3 * conc
+        seed = iter(range(1000, 1000 + total))
+        inflight = [work.remote(next(seed)) for _ in range(conc)]
+        done_order: list[float] = []
+        submitted = conc
+        while inflight:
+            ready, inflight = _ray.wait(inflight, num_returns=1)
+            done_order.append(_ray.get(ready[0]))
+            if submitted < total:
+                inflight.append(work.remote(next(seed)))
+                submitted += 1
+        steady = done_order[: total - conc]
+        means[conc] = sum(steady) / len(steady)
     _ray.shutdown()
     infl = means[cpus_hi] / means[cpus_lo]
     return {

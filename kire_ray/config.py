@@ -81,5 +81,7 @@ def tune_data_context(num_cpus: int | None = None) -> None:
             num_cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
             num_cpus = 4
-    if num_cpus < 16:
-        ray.data.DataContext.get_current().op_resource_reservation_enabled = False
+    # two-directional: DataContext is process-global, so a wide session
+    # tuned after an earlier narrow one must get reservation BACK
+    ctx = ray.data.DataContext.get_current()
+    ctx.op_resource_reservation_enabled = num_cpus >= 16

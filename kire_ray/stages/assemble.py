@@ -103,14 +103,18 @@ def _combine_segments(batch: pd.DataFrame, max_turns: int | None = None) -> pd.D
     idx_all = batch["turn_idx"].to_numpy().astype(np.int32, copy=False)
 
     def pack_str(col: str) -> tuple[list, list]:
-        # None round-trips as length -1 contributing no chars (tool
-        # columns are nullable; the per-turn invariant is exact)
+        # missing values (None OR NaN/pd.NA — pandas nullable columns
+        # arrive as floats) round-trip as length -1 contributing no
+        # chars and unpack as None; strings round-trip exactly (the
+        # per-turn invariant)
         a = batch[col].to_numpy()
         lens = np.fromiter(
-            (-1 if x is None else len(x) for x in a), np.int32, count=len(a)
+            (len(x) if isinstance(x, str) else -1 for x in a),
+            np.int32,
+            count=len(a),
         )
         cats = [
-            "".join([x for x in a[s:e].tolist() if x is not None])
+            "".join([x for x in a[s:e].tolist() if isinstance(x, str)])
             for s, e in zip(starts, ends)
         ]
         lens_b = [lens[s:e].tobytes() for s, e in zip(starts, ends)]

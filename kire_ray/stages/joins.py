@@ -181,28 +181,43 @@ def salted_hash_join(
         "— use hash_join or dedup unmatched rows first"
     )
     key = on[0]
-    sk = f"{key}_salted"
-    left_s = salt_column(left, key, hot_keys, n_salts)
+    # the join runs on the NATIVE key column plus a small int salt —
+    # not on a stringified composite — so key-equality semantics are
+    # identical to the plain hash_join this substitutes for (review r5
+    # finding: a stringified key silently changes int-vs-float matches
+    # when the size threshold flips strategies)
+    sk = "\x00__salt"
     hot_ref = ray.put(frozenset(str(k) for k in hot_keys))
+
+    def salt_probe(b: pd.DataFrame) -> pd.DataFrame:
+        hot = ray.get(hot_ref)
+        b = b.copy()
+        k = b[key].astype(str)
+        row_h = hash64_fast((k + "#" + np.arange(len(k)).astype(str)).to_numpy())
+        b[sk] = np.where(k.isin(hot).to_numpy(), row_h % n_salts, 0).astype(
+            np.int64
+        )
+        return b
 
     def replicate(b: pd.DataFrame) -> pd.DataFrame:
         hot = ray.get(hot_ref)
-        k = b[key].astype(str)
-        is_hot = k.isin(hot).to_numpy()
+        is_hot = b[key].astype(str).isin(hot).to_numpy()
         cold = b[~is_hot].copy()
-        cold[sk] = k[~is_hot] + "#0"
+        cold[sk] = np.int64(0)
         outs = [cold]
         h = b[is_hot]
-        hk = k[is_hot]
         for j in range(n_salts):
             rep = h.copy()
-            rep[sk] = hk + f"#{j}"
+            rep[sk] = np.int64(j)
             outs.append(rep)
-        return pd.concat(outs, ignore_index=True).drop(columns=[key])
+        return pd.concat(outs, ignore_index=True)
 
-    right_s = right.map_batches(replicate, batch_format="pandas")
     out = hash_join(
-        left_s, right_s, on=[sk], join_type=join_type, num_partitions=num_partitions
+        left.map_batches(salt_probe, batch_format="pandas"),
+        right.map_batches(replicate, batch_format="pandas"),
+        on=[key, sk],
+        join_type=join_type,
+        num_partitions=num_partitions,
     )
     return out.map_batches(lambda b: b.drop(columns=[sk]), batch_format="pandas")
 
@@ -237,28 +252,29 @@ def frag_replicate_join(
         f"join_type={join_type!r} would duplicate unmatched build rows"
     )
     key = on[0]
-    sk = f"{key}__frag"
+    # native [key, salt] join — same key-equality semantics as the
+    # plain hash_join this substitutes for (see salted_hash_join note)
+    sk = "\x00__salt"
 
     def salt_probe(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         k = b[key].astype(str)
         row_h = hash64_fast((k + "#" + np.arange(len(k)).astype(str)).to_numpy())
-        b[sk] = k + "#" + pd.Series(row_h % n_salts, index=b.index).astype(str)
+        b[sk] = (row_h % n_salts).astype(np.int64)
         return b
 
     def replicate(b: pd.DataFrame) -> pd.DataFrame:
-        k = b[key].astype(str)
         outs = []
         for j in range(n_salts):
             rep = b.copy()
-            rep[sk] = k + f"#{j}"
+            rep[sk] = np.int64(j)
             outs.append(rep)
-        return pd.concat(outs, ignore_index=True).drop(columns=[key])
+        return pd.concat(outs, ignore_index=True)
 
     out = hash_join(
         left.map_batches(salt_probe, batch_format="pandas"),
         right.map_batches(replicate, batch_format="pandas"),
-        on=[sk],
+        on=[key, sk],
         join_type=join_type,
         num_partitions=num_partitions,
     )
@@ -320,7 +336,7 @@ def mark_membership(
             s = s + "\x1f" + b[c].astype(str)
         return s
 
-    if n_keys <= broadcast_limit:
+    if broadcast_limit and n_keys <= broadcast_limit:
         key_df = keys if isinstance(keys, pd.DataFrame) else keys.to_pandas()
         ref = ray.put(frozenset(canon(key_df)))
 
@@ -332,32 +348,44 @@ def mark_membership(
 
         return ds.map_batches(mark, batch_format="pandas")
 
+    # the exchange path joins on the SAME canonical string the
+    # broadcast path hashes, so the two paths agree for ANY key dtypes
+    # (a native-value join would match int 5 to float 5.0 where the
+    # broadcast isin would not — review r5 finding)
     keys_ds = keys if not isinstance(keys, pd.DataFrame) else rd.from_pandas(keys)
     tag = "\x00__member"
+    ckey = "\x00__canon"
+
+    def key_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({ckey: canon(b).drop_duplicates()})
+
     if keys_distinct:
         tagged = keys_ds.map_batches(
-            lambda b: b[on].assign(**{tag: np.int8(1)}), batch_format="pandas"
+            lambda b: key_rows(b).assign(**{tag: np.int8(1)}),
+            batch_format="pandas",
         )
     else:
         # block-local dedup combiner, then a per-key-partition global
         # dedup: duplicate key rows MUST collapse to one before the
         # left-outer join or probe rows would multiply
         tagged = partitioned_map_groups(
-            keys_ds.map_batches(
-                lambda b: b[on].drop_duplicates(), batch_format="pandas"
-            ),
-            on,
+            keys_ds.map_batches(key_rows, batch_format="pandas"),
+            [ckey],
             lambda part: part.drop_duplicates().assign(**{tag: np.int8(1)}),
             num_partitions=num_partitions,
         )
+    probe = ds.map_batches(
+        lambda b: b.assign(**{ckey: canon(b)}), batch_format="pandas"
+    )
     joined = hash_join(
-        ds, tagged, on=on, join_type="left_outer", num_partitions=num_partitions
+        probe, tagged, on=[ckey], join_type="left_outer",
+        num_partitions=num_partitions,
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         b[out_col] = b[tag].notna()
-        return b.drop(columns=[tag])
+        return b.drop(columns=[tag, ckey])
 
     return joined.map_batches(finish, batch_format="pandas")
 

@@ -264,3 +264,37 @@ def test_salted_join_matches_plain(ray_session, seed, n_salts):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "v", "w"]], want[["k", "v", "w"]])
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 8))
+@settings(max_examples=8, deadline=None)
+def test_frag_replicate_join_matches_plain(ray_session, seed, n_salts):
+    """frag_replicate_join ≡ hash_join under random skew and salt
+    counts (skew-oblivious: no hot-key set at all), inner + left_outer
+    with unmatched probe rows present."""
+    from kire_ray.stages.joins import frag_replicate_join, hash_join
+
+    rng = np.random.RandomState(seed)
+    n = rng.randint(50, 500)
+    keys = rng.choice([f"k{i}" for i in range(rng.randint(2, 12))], n)
+    fact = pd.DataFrame({"k": keys.astype(object), "v": np.arange(n, dtype=np.int64)})
+    dim_keys = sorted(set(keys))[: max(1, len(set(keys)) - 1)]
+    dim = pd.DataFrame(
+        {"k": np.array(dim_keys, object), "w": np.arange(len(dim_keys), dtype=np.int64)}
+    )
+    fds = ray.data.from_pandas(fact).repartition(3)
+    dds = ray.data.from_pandas(dim)
+    for jt in ("inner", "left_outer"):
+        want = (
+            hash_join(fds, dds, on=["k"], join_type=jt)
+            .to_pandas()
+            .sort_values(["v"])
+            .reset_index(drop=True)
+        )
+        got = (
+            frag_replicate_join(fds, dds, ["k"], n_salts=n_salts, join_type=jt)
+            .to_pandas()
+            .sort_values(["v"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "v", "w"]], want[["k", "v", "w"]])

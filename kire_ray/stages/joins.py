@@ -336,6 +336,14 @@ def mark_membership(
             s = s + "\x1f" + b[c].astype(str)
         return s
 
+    if n_keys == 0:
+        # empty key set: every row is a non-member on both paths — the
+        # exchange would otherwise ship a zero-block tagged side whose
+        # schema the join can't resolve
+        return ds.map_batches(
+            lambda b: b.assign(**{out_col: False}), batch_format="pandas"
+        )
+
     if broadcast_limit and n_keys <= broadcast_limit:
         key_df = keys if isinstance(keys, pd.DataFrame) else keys.to_pandas()
         ref = ray.put(frozenset(canon(key_df)))

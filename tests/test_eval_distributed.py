@@ -177,3 +177,34 @@ def test_theta_and_official_forced_fallback_at_sf0001(ray_session):
     pd.testing.assert_frame_equal(
         base_off[sorted(base_off.columns)], forced_off[sorted(forced_off.columns)]
     )
+
+
+def test_mark_membership_dtype_mismatch_paths_agree(ray_session):
+    """Review r5: with MISMATCHED key dtypes (int probe vs float keys)
+    both paths must agree — the exchange path joins on the same
+    canonical string the broadcast path hashes, so int 5 and float 5.0
+    consistently do NOT match on either path."""
+    ds_df = pd.DataFrame({"k": np.arange(10, dtype=np.int64)})
+    keys = pd.DataFrame({"k": np.arange(0, 10, 2, dtype=np.float64)})
+    ds = ray.data.from_pandas(ds_df).repartition(2)
+    fast = _norm(mark_membership(ds, keys, ["k"], "hit", broadcast_limit=100))
+    slow = _norm(mark_membership(ds, keys, ["k"], "hit", broadcast_limit=0))
+    pd.testing.assert_frame_equal(fast, slow)
+    # '4' != '4.0' canonically — consistent non-matches, never a
+    # path-dependent answer
+    assert not fast["hit"].any()
+
+
+def test_mark_membership_zero_limit_forces_exchange_on_empty_keys(ray_session):
+    """Review r5: broadcast_limit=0 must force the exchange path even
+    when the key set is EMPTY (0 <= 0 used to take the broadcast
+    branch, leaving the fallback unexercised at exactly that edge)."""
+    ds_df = pd.DataFrame({"k": np.arange(5, dtype=np.int64)})
+    empty_keys = pd.DataFrame({"k": pd.Series([], dtype=np.int64)})
+    out = _norm(
+        mark_membership(
+            ray.data.from_pandas(ds_df), empty_keys, ["k"], "hit",
+            broadcast_limit=0,
+        )
+    )
+    assert len(out) == 5 and not out["hit"].any()

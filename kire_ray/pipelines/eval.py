@@ -58,7 +58,13 @@ def split_train_valid(
     distributed operator: a seeded content hash of the key column
     replaces the RNG shuffle, so the split is the same on every worker,
     partition order, and cluster size, rows are never duplicated or
-    dropped, and no global shuffle is needed. Returns (train, valid)."""
+    dropped, and no global shuffle is needed. Returns (train, valid).
+
+    Both returns are LAZY views over the same input: consuming both
+    executes the upstream DAG twice. That is the intended trade at
+    100 TB (re-reading beats materializing the full corpus into the
+    object store); a caller whose upstream is expensive-compute rather
+    than a read should pass ``ds.materialize()``."""
     cut = int(valid_proportion * 1_000_000)
 
     def part(keep_valid: bool):
@@ -288,6 +294,11 @@ def tune_theta_distributed(
     from kire_ray.stages.shuffle import partitioned_map_groups as pmg
 
     B = n_buckets
+    # consumed three times (min/max pass, bucket counts, the bucketed
+    # exchange) — materialize ONCE so an unmaterialized upstream (e.g.
+    # the mark_membership exchange) isn't executed per pass (review r5;
+    # same single-execution discipline as connected_components' gate)
+    preds = preds.materialize()
     mm = preds.map_batches(
         lambda b: pd.DataFrame(
             {"lo": [b[score_col].min()], "hi": [b[score_col].max()]}

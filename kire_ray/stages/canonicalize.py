@@ -104,6 +104,18 @@ def connected_components(
         edges = edges.materialize()
         nrows = edges.count()
 
+    if nrows == 0:
+        # no edges (e.g. a dedup pass that found no duplicate pairs) is
+        # a normal outcome — an empty (node, label) table, not a
+        # KeyError from a column-less to_pandas() (review r5)
+        connected_components.last_rounds = 0
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"node": pd.Series([], dtype=object),
+                 "label": pd.Series([], dtype=object)}
+            )
+        )
+
     if collect_limit and nrows <= collect_limit:
         pairs_df = (
             edges.map_batches(

@@ -331,9 +331,15 @@ def mark_membership(
         n_keys = keys.count()
 
     def canon(b: pd.DataFrame) -> pd.Series:
-        s = b[on[0]].astype(str)
-        for c in on[1:]:
-            s = s + "\x1f" + b[c].astype(str)
+        # LENGTH-PREFIXED concatenation, not plain '\x1f' joining: a
+        # separator byte inside a key value would let distinct tuples
+        # collide (('x\x1fy','z') vs ('x','y\x1fz') — review r5); the
+        # length prefix delimits fields unambiguously for any content
+        s = None
+        for c in on:
+            v = b[c].astype(str)
+            part = v.str.len().astype(str) + ":" + v
+            s = part if s is None else s + "\x1f" + part
         return s
 
     if n_keys == 0:

@@ -122,18 +122,42 @@ def detect_mentions(
         first_tokens = {k[0] for k in trie}
     memo = norm_memo if norm_memo is not None else {}
     for ti, toks in enumerate(turn_tokens):
-        norm = [
-            memo[t] if t in memo else memo.setdefault(t, normalize_label(t))
-            for t in toks
-        ]
-        i, n = 0, len(norm)
+        # each token normalizes to a TUPLE of words — the reference's
+        # _handleLabel turns '-' into ' ' (gen_kg_data.py:92-94), so a
+        # single token 'New-York' must match the 2-word alias key
+        # ('new','york') exactly like the reference's substring scan
+        # does (review r5: the old 1:1 token→string normalization could
+        # never match multi-word normalizations — silent recall loss).
+        # For 1-word-per-token input (the common case) words == the old
+        # norm list and the scan is bit-identical.
+        words: list[str] = []
+        w2tok: list[int] = []
+        for j, t in enumerate(toks):
+            ws = memo.get(t)
+            if ws is None:
+                ws = memo.setdefault(t, tuple(normalize_label(t).split()))
+            for w in ws:
+                words.append(w)
+                w2tok.append(j)
+        i, n = 0, len(words)
+        # word i starts / ends a token iff its neighbors belong to
+        # other tokens — matches must consume COMPLETE original tokens
+        # so spans stay on the original token grid
         while i < n:
-            if norm[i] not in first_tokens:
+            if words[i] not in first_tokens or (i > 0 and w2tok[i - 1] == w2tok[i]):
                 i += 1
                 continue
             match = None
             for ln in range(min(max_len, n - i), 0, -1):
-                key = tuple(norm[i : i + ln])
+                last = i + ln - 1
+                # end on a token boundary; reject spans bridging a
+                # token that contributed no words (punct-only) — the
+                # old scan never matched across those either
+                if last + 1 < n and w2tok[last + 1] == w2tok[last]:
+                    continue
+                if w2tok[last] - w2tok[i] >= ln:
+                    continue
+                key = tuple(words[i : i + ln])
                 if key in trie:
                     match = (ln, trie[key])
                     break
@@ -141,7 +165,8 @@ def detect_mentions(
                 i += 1
                 continue
             ln, (cands, lexes) = match
-            out.append((ti, i, i + ln, " ".join(toks[i : i + ln]), cands, lexes))
+            ts_, te_ = w2tok[i], w2tok[i + ln - 1] + 1
+            out.append((ti, ts_, te_, " ".join(toks[ts_:te_]), cands, lexes))
             i += ln
     return out
 
@@ -249,11 +274,11 @@ class MentionLinker:
         for turns in docs_turns:
             turn_tokens = [t.split() for t in turns]
             # word count rides along so downstream stages (embedder's
-            # long-doc gate) never rescan the text; SAME formula as the
-            # embedder/oracle word grid (count(" ")+1, scorer.py
-            # doc_mention_vecs) so the gate is bit-identical even on
-            # inputs where split() would disagree (double spaces)
-            nw_col.append(sum((t.count(" ") + 1) if t else 0 for t in turns))
+            # long-doc gate) never rescan the text; the split() grid IS
+            # the grid mention positions index, and since review r5 the
+            # embedder/oracle word grid (doc_mention_vecs) uses the
+            # same split() counts — consistent on any whitespace
+            nw_col.append(sum(len(tt) for tt in turn_tokens))
             raw = detect_mentions(
                 turn_tokens, self.trie, self.max_len, self.first_tokens, self.norm_memo
             )

@@ -95,7 +95,21 @@ def logsumexp_pool(vecs: np.ndarray) -> np.ndarray:
 
 
 class KGIndex:
-    """Per-actor index over the (canonicalized) KG stores."""
+    """Per-actor index over the (canonicalized) KG stores.
+
+    Attribute policy under P_eq canonicalization: relational evidence
+    keys are canon-MAPPED (both endpoints), but ``attrs`` stays keyed
+    by raw qid and lookups use the (canonical) qid the linker emits —
+    i.e. the REPRESENTATIVE's own attributes win; attributes recorded
+    only under a merged-away member are not unioned in. This is a
+    deliberate policy (the reference has no cross-entity
+    canonicalization at all, so there is no reference behavior to
+    match), it is what the SQL chain oracle reconstructs, and the
+    synthetic corpus gives every linkable qid its own label +
+    instance-of so representative lookups never miss. A union-of-
+    members policy would need a matching oracle change and a
+    deterministic merge rule — revisit if a real corpus hangs
+    attributes off non-representative members."""
 
     def __init__(self, kg: dict, canon: dict[str, str], eq_prop: str = "P_eq"):
         self.canon = canon
@@ -265,9 +279,13 @@ def doc_mention_vecs(
     untouched."""
     from kire_ray.functions.chunking import chunk_spans
 
-    # word-grid length (transcripts are space-tokenized by
-    # construction, FIXTURES.md §1 — count matches .split())
-    turn_lens = [(t.count(" ") + 1) if t else 0 for t in turns]
+    # word-grid length = len(t.split()) — the SAME grid the linker's
+    # mention positions index (turn_tokens = t.split()), so a mention's
+    # global offset always falls inside a chunk span. The old
+    # count(' ')+1 formula disagreed with split() on tabs/newlines/
+    # double spaces, leaving an out-of-grid mention with no covering
+    # window → None/0 division (review r5, confirmed by repro)
+    turn_lens = [len(t.split()) for t in turns]
     n_words = sum(turn_lens)
     by_ent: dict[int, list[np.ndarray]] = {}
     if n_words <= max_len:
@@ -284,6 +302,8 @@ def doc_mention_vecs(
                 w_out = vec_of(m["surface"])  # per-window output
                 acc = w_out if acc is None else acc + w_out
                 cnt += 1
+        if acc is None:  # belt: a foreign-grid mention still embeds
+            acc, cnt = vec_of(m["surface"]), 1
         by_ent.setdefault(m["ent_idx"], []).append(acc / cnt)
     return by_ent
 
@@ -355,21 +375,23 @@ class EntityEmbedder:
             self._tok.clear()
             self._attr.clear()
             self._surf.clear()
+        if len(self._fused) > 500_000:
+            # separate gate: _fused keys are corpus-combinatorial
+            # (qid, label, surface sequence) while _tok is dimension-
+            # bounded (trie + attr vocabulary) — gating _fused on
+            # len(_tok) never fired and the memo grew without bound on
+            # long streaming runs (review r5)
             self._fused.clear()
         doc_ids = batch.column("doc_id").to_pylist()
         turns_col = batch.column("turn_texts").to_pylist()
         ents_col = batch.column("entities").to_pylist()
         ments_col = batch.column("mentions").to_pylist()
-        # linker-provided word counts skip the per-char text rescan in
-        # the long-doc gate (same number by construction: transcripts
-        # are space-tokenized, FIXTURES.md §1)
+        # linker-provided word counts skip the per-token text rescan in
+        # the long-doc gate (same split() grid by construction)
         nw_col = (
             batch.column("n_words").to_pylist()
             if "n_words" in batch.schema.names
-            else [
-                sum((t.count(" ") + 1) if t else 0 for t in turns)
-                for turns in turns_col
-            ]
+            else [sum(len(t.split()) for t in turns) for turns in turns_col]
         )
         out_doc, out_idx, out_qid, out_label, out_nm, out_vec = [], [], [], [], [], []
         fused = self._fused

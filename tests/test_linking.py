@@ -94,3 +94,31 @@ def test_normalization_in_detection():
     # '.' removed, '-'→' ', lowercase — whitespace folds at tokenization
     assert normalize_label("N.ew-York\n") == "new york "
     assert normalize_label("N.ew-York\n").split() == ["new", "york"]
+
+
+def test_hyphenated_token_matches_multiword_alias():
+    """Review r5: _handleLabel turns '-' into ' ' (gen_kg_data.py:92-94),
+    so the ONE-token surface 'New-York' must match the alias 'New York'
+    — the reference's substring scan would. Spans stay on the original
+    token grid (complete tokens only); punct-only tokens still block."""
+    from kire_ray.stages.linking import build_alias_trie, detect_mentions
+
+    trie = build_alias_trie(["New York", "Big Apple"], ["Q60", "Q60"])
+    ml = max(len(k) for k in trie)
+    # single hyphenated token
+    ms = detect_mentions([["visit", "New-York", "today"]], trie, ml)
+    assert len(ms) == 1
+    ti, s, e, surface, cands, _ = ms[0]
+    assert (ti, s, e) == (0, 1, 2) and surface == "New-York" and cands == ["Q60"]
+    # split across two tokens still works (the old path)
+    ms2 = detect_mentions([["New", "York"]], trie, ml)
+    assert [(m[1], m[2]) for m in ms2] == [(0, 2)]
+    # a PARTIAL token never matches: alias 'new' alone must not claim
+    # half of 'New-York'
+    trie2 = build_alias_trie(["New"], ["Q1"])
+    ms3 = detect_mentions([["New-York"]], trie2, max(len(k) for k in trie2))
+    assert ms3 == []
+    # a punct-only token between words still blocks bridging
+    trie3 = build_alias_trie(["New York"], ["Q60"])
+    ms4 = detect_mentions([["New", "...", "York"]], trie3, 2)
+    assert ms4 == []

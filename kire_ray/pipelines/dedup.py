@@ -121,7 +121,16 @@ class MinHasher:
             if len(sh) == 0:
                 out.append(np.full(self.num_perm, _MERSENNE, dtype=np.uint64))
                 continue
-            # (P, S) = (a ⊗ shingle + b) mod M, min over shingles
+            # (P, S) = (a ⊗ shingle + b) mod M, min over shingles.
+            # NOTE (review r5): a·x can reach ~2^122, so the product
+            # wraps mod 2^64 BEFORE the mod-M — the realized family is
+            # ((a·x mod 2^64) + b) mod M, a deterministic well-mixing
+            # hash but NOT the textbook Carter–Wegman construction;
+            # the SQL oracle reproduces this exact arithmetic, and
+            # banding recall is measured (1.0 at driver scale) rather
+            # than assumed from the s^r formula. A 128-bit mulmod would
+            # restore the family at ~3× the cost; revisit if measured
+            # recall ever degrades on a real corpus.
             v = (self.a[:, None] * (sh[None, :] % _MERSENNE) + self.b[:, None]) % _MERSENNE
             out.append(v.min(axis=1).astype(np.uint64))
         return pd.DataFrame({self.id_col: batch[self.id_col], "sig": [s.tolist() for s in out]})
@@ -169,6 +178,14 @@ def lsh_candidate_pairs(
         # vectorized band hashing: (docs, bands, rows_per_band) → one
         # Weyl-mix reduction over the band axis, no per-doc python loop
         S = np.stack([np.asarray(s, dtype=np.uint64) for s in b["sig"]])
+        assert S.shape[1] % bands == 0 and S.shape[1] >= bands, (
+            f"num_perm={S.shape[1]} must be a positive multiple of "
+            f"bands={bands}: r = num_perm // bands = 0 would hash every "
+            "doc into one bucket (recall collapses silently under the "
+            "max_bucket cap), and a remainder would drop trailing "
+            "signature values, changing the documented s^r banding "
+            "probability (review r5)"
+        )
         r = S.shape[1] // bands
         Sb = S[:, : bands * r].reshape(len(S), bands, r)
         with np.errstate(over="ignore"):
@@ -383,6 +400,14 @@ def _verify_jaccard_joined(
     )
 
     def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if "sh_a" not in b.columns:  # schema-less empty join block
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64),
+                 "id_b": pd.Series([], dtype=np.int64),
+                 "n_common": pd.Series([], dtype=np.int64),
+                 "n_union": pd.Series([], dtype=np.int64),
+                 "jaccard": pd.Series([], dtype=np.float64)}
+            )
         inter = np.empty(len(b), dtype=np.int64)
         union = np.empty(len(b), dtype=np.int64)
         for i, (sa, sb) in enumerate(zip(b["sh_a"], b["sh_b"])):
@@ -707,16 +732,23 @@ def dedup_corpus(
     dual-path contract as ``verify_jaccard``.
     """
     lab = clusters.to_pandas()
-    dropped = np.sort(
-        lab.loc[lab["node"] != lab["label"], "node"].astype(np.int64).to_numpy()
-    )
+    if lab.empty or "node" not in lab.columns:
+        # clean corpus: dup_clusters found nothing — an empty Dataset's
+        # to_pandas() may be column-less (review r5)
+        dropped = np.array([], dtype=np.int64)
+    else:
+        dropped = np.sort(
+            lab.loc[lab["node"] != lab["label"], "node"].astype(np.int64).to_numpy()
+        )
     ref = ray.put(dropped)
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         drop = ray.get(ref)
+        if len(drop) == 0:  # clean corpus: nothing to drop (review r5:
+            return b        # indexing a size-0 array crashed here)
         ids = b[id_col].to_numpy(np.int64)
         pos = np.searchsorted(drop, ids)
-        hit = (pos < len(drop)) & (drop[np.minimum(pos, max(len(drop) - 1, 0))] == ids)
+        hit = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)] == ids)
         return b[~hit].reset_index(drop=True)
 
     return docs.map_batches(keep, batch_format="pandas")

@@ -1032,7 +1032,10 @@ def _kmeans_fit_distributed(
         cnt = np.bincount(
             parts["cluster"].to_numpy(),
             weights=parts["n"].to_numpy(),
-            minlength=k,
+            # len(C), not k: a corpus with fewer than k vectors seeds
+            # fewer centroids and a k-length count mask would not align
+            # with C (review r5: boolean-index crash on n < k)
+            minlength=len(C),
         )
         nz = cnt > 0
         C[nz] = _norm_rows(agg[nz] / cnt[nz, None])
@@ -1247,6 +1250,11 @@ def _pq_fit(
     seeds = seeds.sort_values(["h", "vec_id"], kind="mergesort").head(k)
     S = np.stack([np.asarray(v, dtype=np.float64) for v in seeds["embedding"]])
     d = S.shape[1]
+    assert d % m == 0, (
+        f"embedding dim {d} must split evenly into m={m} subspaces — a "
+        f"remainder would silently drop the last {d % m} dimensions from "
+        "both the codes and recon_err (review r5)"
+    )
     ds_ = d // m
     C = np.stack([S[:, j * ds_ : (j + 1) * ds_].copy() for j in range(m)])
 
@@ -1395,7 +1403,13 @@ def docsim_cosine(
         words = ex.to_numpy(object)
         docs = b[id_col].reindex(ex.index).to_numpy()
         if len(words) < ngram:
-            return pd.DataFrame({"doc": [], "term": [], "tf": []})
+            # typed empty frame — an all-float64 default would break
+            # Arrow schema unification at the term exchange (review r5);
+            # slice the REAL arrays so doc keeps the block's id dtype
+            return pd.DataFrame(
+                {"doc": docs[:0], "term": words[:0],
+                 "tf": pd.Series([], dtype=np.int64)}
+            )
         # explicit end index so ngram=1 works ([:1-ngram] would be [:0])
         end = len(words) - ngram + 1
         same = docs[:end] == docs[ngram - 1 :]

@@ -1253,3 +1253,38 @@ def test_cc_single_upstream_execution(ray_session, tmp_path):
         out.sort_values("node").reset_index(drop=True),
         out2.sort_values("node").reset_index(drop=True),
     )
+
+
+def test_dedup_corpus_clean_corpus_no_drops(ray_session):
+    """Review r5: a corpus with ZERO near-duplicates must pass through
+    dedup_corpus unchanged (indexing the empty drop array crashed)."""
+    import ray as _ray
+
+    from kire_ray.pipelines.dedup import dedup_corpus
+
+    docs = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64), "text": "t"})
+    clusters = pd.DataFrame(
+        {"node": pd.Series([], dtype=object), "label": pd.Series([], dtype=object)}
+    )
+    out = dedup_corpus(
+        _ray.data.from_pandas(docs), _ray.data.from_pandas(clusters)
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(10))
+
+
+def test_kmeans_fit_fewer_vectors_than_k(ray_session):
+    """Review r5: n < k seeds fewer centroids; the driver fold's count
+    mask must align with the actual centroid matrix, not k."""
+    import ray as _ray
+
+    from kire_ray.pipelines.similarity import _kmeans_fit_distributed
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(5, dtype=np.int64),
+            "embedding": [np.random.RandomState(i).rand(8).tolist() for i in range(5)],
+        }
+    )
+    C = _kmeans_fit_distributed(_ray.data.from_pandas(emb), k=8, iters=2)
+    assert C.shape[0] == 5 and C.shape[1] == 8
+    assert np.isfinite(C).all()

@@ -6281,7 +6281,7 @@ def oracle_sql() -> dict[str, str]:
                             ELSE text END AS text
                 FROM documents WHERE doc_id % 10 <> 0
                 UNION ALL
-                SELECT doc_id + 1000000, text
+                SELECT -doc_id - 1, text
                 FROM documents WHERE doc_id % 13 = 0),
             j AS (
                 SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,

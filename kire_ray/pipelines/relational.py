@@ -445,10 +445,19 @@ def customers_without_orders(
         ),
         batch_format="pandas",
     )
-    return hash_join(cust, marker, on=["c_custkey"], join_type="left_outer").map_batches(
-        lambda b: b.loc[b["_hit"].isna(), ["c_custkey", "c_name"]],
-        batch_format="pandas",
-    )
+    def unmatched(b: pd.DataFrame) -> pd.DataFrame:
+        if "_hit" not in b.columns:  # schema-less empty join block
+            if "c_custkey" not in b.columns:
+                return pd.DataFrame(
+                    {"c_custkey": pd.Series([], dtype=np.int64),
+                     "c_name": pd.Series([], dtype=object)}
+                )
+            return b[["c_custkey", "c_name"]]
+        return b.loc[b["_hit"].isna(), ["c_custkey", "c_name"]]
+
+    return hash_join(
+        cust, marker, on=["c_custkey"], join_type="left_outer"
+    ).map_batches(unmatched, batch_format="pandas")
 
 
 def price_bucket_histogram(sf_dir: str) -> "ray.data.Dataset":
@@ -541,6 +550,12 @@ def events_hopping_window(
     window_s/hop_s overlapping windows — a vectorized explode (numpy
     tile, no per-row loop) + partial agg + one grouped exchange."""
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    assert window_s % hop_s == 0 and window_s >= hop_s, (
+        f"window_s={window_s} must be a positive multiple of hop_s="
+        f"{hop_s}: a remainder silently shrinks the effective window to "
+        "fan*hop_s and understates every count (review r5; same guard "
+        "as temporal.hopping_window_counts)"
+    )
     fan = window_s // hop_s
 
     def explode_agg(b: pd.DataFrame) -> pd.DataFrame:
@@ -1225,7 +1240,11 @@ def snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
         rev = ids_k % 7 == 0
         txt_k[rev] = np.char.add(txt_k[rev].astype(str), " v2")
         add = ids % 13 == 0
-        out_ids = np.concatenate([ids_k, ids[add] + 1_000_000])
+        # re-added ids shift to the NEGATIVE range (-id - 1): doc_ids
+        # are non-negative, so the synthetic ids can never collide with
+        # a real kept id at any corpus size (review r5: +1_000_000
+        # collided once the table passed ~1M rows)
+        out_ids = np.concatenate([ids_k, -ids[add] - 1])
         out_txt = np.concatenate([txt_k, txt[add]])
         return pd.DataFrame(
             {"doc_id": out_ids, "text": out_txt,
@@ -2502,6 +2521,8 @@ def q14_promo_revenue(
         joined = hash_join(li, part_ds, ["l_partkey"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if "l_extendedprice" not in b.columns:  # schema-less empty join
+            return pd.DataFrame({"promo": [0.0], "total": [0.0]})
         rev = b["l_extendedprice"].to_numpy(np.float64) * (
             1.0 - b["l_discount"].to_numpy(np.float64)
         )
@@ -2860,13 +2881,12 @@ def q17_small_quantity_revenue(
         partitioned_map_groups(pruned, ["l_partkey"], reduce_part)
         .to_pandas()
     )
+    # all-filtered collect is schema-less (the q11/q16/q21 guard): a
+    # brand with no matching lineitems means avg_yearly = 0
+    total = float(parts["s"].sum()) if "s" in parts.columns and len(parts) else 0.0
     return ray.data.from_pandas(
         pd.DataFrame(
-            {
-                "avg_yearly": round_half_up(
-                    np.array([parts["s"].sum() / 7.0]), 6
-                )
-            }
+            {"avg_yearly": round_half_up(np.array([total / 7.0]), 6)}
         )
     )
 
@@ -3604,16 +3624,27 @@ def q15_top_supplier(
         return pd.DataFrame({"m": [float(b["total_revenue"].max())]})
 
     mx = per_supp.map_batches(block_max, batch_format="pandas").to_pandas()
-    best = float(mx["m"].max()) if len(mx) else float("nan")
+    best = (
+        float(mx["m"].max()) if "m" in mx.columns and len(mx) else float("nan")
+    )
 
     winners = (
         per_supp.map_batches(
-            lambda b: b[b["total_revenue"] == best], batch_format="pandas"
+            lambda b: (
+                b[b["total_revenue"] == best]
+                if "total_revenue" in b.columns
+                else b  # schema-less empty block (empty date window)
+            ),
+            batch_format="pandas",
         )
         .to_pandas()
-        .sort_values("s_suppkey")
-        .reset_index(drop=True)
     )
+    if "s_suppkey" not in winners.columns:
+        winners = pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype=np.int64),
+             "total_revenue": pd.Series([], dtype=np.float64)}
+        )
+    winners = winners.sort_values("s_suppkey").reset_index(drop=True)
 
     import pyarrow.dataset as pads
 
@@ -3864,7 +3895,11 @@ def q2_min_cost_supplier(
             sf_dir, "supplier",
             ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
         ).map_batches(sup_side, batch_format="pandas")
-        eligible = hash_join(li, sup_ds, ["l_suppkey"])
+        from kire_ray.stages.joins import normalize_blocks
+
+        # join outputs can carry schema-less empty partitions that the
+        # exchange's add_pid would KeyError on (the q7/q16 guard)
+        eligible, _ = normalize_blocks(hash_join(li, sup_ds, ["l_suppkey"]))
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["l_partkey", "l_suppkey"])
@@ -3988,6 +4023,11 @@ def q11_important_stock(
         pruned = hash_join(li, sup_ds, ["l_suppkey"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if "l_extendedprice" not in b.columns:  # schema-less empty join
+            return pd.DataFrame(
+                {"l_partkey": pd.Series([], dtype=np.int64),
+                 "value": pd.Series([], dtype=np.float64)}
+            )
         v = b["l_extendedprice"].to_numpy() * b["l_quantity"].to_numpy()
         g = pd.DataFrame({"l_partkey": b["l_partkey"].to_numpy(), "v": v}).groupby(
             "l_partkey", sort=False

@@ -629,7 +629,16 @@ def events_rolling_mean(sf_dir: str, *, window: int = 3) -> "ray.data.Dataset":
     partition-wide mergesort by (user, ts, event_id), then a C-speed
     ``groupby.rolling`` — no per-user loop. Total order (event_id
     breaks ts ties) keeps the addend set deterministic.
-    """
+
+    Implementation note vs ``relational.events_rolling_avg`` (the
+    trailing-window twin): that one hand-rolls shift-subtracted sums
+    because pandas' ONLINE rolling accumulator can drift and flip a
+    6 dp half-up boundary; here ``groupby.rolling().mean()`` recomputes
+    each window exactly for the small fixed ``window`` (pandas uses a
+    fresh windowed mean, not a running one, for ROWS frames this
+    small), and the SQL oracle hash-matches — if the window ever grows
+    large enough that pandas switches to the online kernel, port the
+    twin's shift-sum here."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def to_us(b: pd.DataFrame) -> pd.DataFrame:
@@ -841,8 +850,10 @@ def events_dow_chisq(sf_dir: str) -> "ray.data.Dataset":
     expected mass, exactly like the oracle's 7-day grid.
 
     Shape: block-local (type, dow) count combiner → one type-keyed
-    exchange → in-reducer 7-term fold. dow = (epoch_days + 4) % 7
-    (Monday = 0), mirrored in SQL."""
+    exchange → in-reducer 7-term fold. dow = (epoch_days + 4) % 7 —
+    epoch day 0 (1970-01-01) was a Thursday, so this convention is
+    SUNDAY = 0 / Thursday = 4 (NOT pandas' Monday = 0), mirrored in
+    SQL; the χ² statistic itself is label-invariant."""
     import numpy as np
 
     from kire_ray.functions.rounding import round_half_up

@@ -4862,17 +4862,13 @@ def oracle_sql() -> dict[str, str]:
                        length(text) AS n_chars,
                        length(replace(text, ' ', '')) AS no_space,
                        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-                       ' ' || text || ' ' AS p
+                       len(list_filter(string_split(text, ' '),
+                           x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS stop
                 FROM documents),
             m2 AS (
                 SELECT doc_id, n_chars, n_tokens,
                        no_space / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_wl,
-                       ((length(p) - length(replace(p, ' the ', ''))) // 5
-                        + (length(p) - length(replace(p, ' a ', ''))) // 3
-                        + (length(p) - length(replace(p, ' of ', ''))) // 4
-                        + (length(p) - length(replace(p, ' to ', ''))) // 4
-                        + (length(p) - length(replace(p, ' and ', ''))) // 5)
-                       / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio
+                       stop / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio
                 FROM m)
             SELECT doc_id, n_chars, n_tokens,
                    floor(mean_wl * 1000000 + 0.501) / 1000000 AS mean_word_len,
@@ -6682,8 +6678,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             s AS (
                 SELECT doc_id, sort_key,
-                       CAST(((strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1) * 16
-                             + strpos('0123456789abcdef', substr(sort_key, 2, 1)) - 1)
+                       CAST(('0x' || substr(sort_key, 1, 8))::BIGINT
                             % {_SHUFFLE_SHARDS} AS BIGINT) AS shard
                 FROM k)
             SELECT doc_id, shard, sort_key,

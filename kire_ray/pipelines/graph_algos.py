@@ -413,10 +413,11 @@ def lpa_communities(
         df = pd.DataFrame({"a": s, "b": t})
         return df[df["a"] != df["b"]].drop_duplicates()
 
-    adj = (
-        edges.select_columns([src_col, dst_col])
-        .map_batches(undirected, batch_format="pandas")
-        .map_batches(lambda b: b.drop_duplicates(), batch_format="pandas")
+    # undirected() already dedups per block; the global distinct is the
+    # exchange right below (an intermediate drop_duplicates pass was a
+    # pure extra scan — review r5)
+    adj = edges.select_columns([src_col, dst_col]).map_batches(
+        undirected, batch_format="pandas"
     )
     # global distinct via one exchange, then materialize once at
     # iteration-friendly block width

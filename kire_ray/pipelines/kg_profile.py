@@ -534,7 +534,10 @@ def meta_paths(
                  "n_pairs": pd.Series([], dtype=np.int64),
                  "n_closed": pd.Series([], dtype=np.int64)}
             )
-        # (r1, r2, a, c) is globally unique here: shuffle #1 grouped it
+        # (r1, r2, a, c) is NOT unique here — the same composition and
+        # endpoints via different middle nodes arrive from different
+        # shuffle-#1 partitions; this sum is the required fold (do not
+        # "optimize" it away)
         pp = pp.groupby(["r1", "r2", "a", "c"], sort=False)["n_paths"].sum().reset_index()
         closed = np.fromiter(
             ((a, c) in direct for a, c in zip(pp["a"], pp["c"])),

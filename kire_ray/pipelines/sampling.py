@@ -70,8 +70,11 @@ def training_shuffle(
     id_col: str = "doc_id",
 ) -> "ray.data.Dataset":
     """Deterministic global shuffle into training shards: shard =
-    first md5 byte mod ``n_shards`` (uniform, content-addressed), order
-    within a shard = full md5 hex (a reproducible random permutation).
+    first 8 md5 hex digits (32 bits) mod ``n_shards`` (content-
+    addressed; 32 bits keep the mod uniform for any realistic shard
+    count — a single byte skewed shards 20% whenever 256 % P != 0 and
+    left shards ≥256 permanently EMPTY, review r5), order within a
+    shard = full md5 hex (a reproducible random permutation).
 
     One hash exchange co-locates each shard, then a vectorized
     in-partition sort + cumcount assigns positions — no global sort,
@@ -82,7 +85,7 @@ def training_shuffle(
 
     def key(b: pd.DataFrame) -> pd.DataFrame:
         h = _md5_hex(b[id_col].to_numpy())
-        shard = np.array([int(x[:2], 16) for x in h], dtype=np.int64) % P
+        shard = np.array([int(x[:8], 16) for x in h], dtype=np.int64) % P
         return pd.DataFrame(
             {id_col: b[id_col].to_numpy(), "shard": shard, "sort_key": h}
         )

@@ -115,8 +115,14 @@ def hll_distinct(
 
     if group_keys:
         return partitioned_map_groups(regs, group_keys, finalize)
-    # global sketch: the register table is m rows — one reduce task
-    return regs.repartition(1).map_batches(finalize, batch_format="pandas")
+    # global sketch: the register table is m rows — one reduce task.
+    # batch_size=None = whole-block batches: finalize counts absent
+    # registers as zero, so it MUST see the entire sketch at once (the
+    # default 1024-row batching only worked because HLL_M == 1024;
+    # review r5)
+    return regs.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
+    )
 
 
 CMS_D = 4                  # hash rows
@@ -777,6 +783,15 @@ def tdigest_quantiles(
     ).to_pandas()
 
     fin = merge_part(merged)
+    if fin.empty or "tag" not in fin.columns or not (fin["tag"] == "lo").any():
+        # empty / all-NaN value column: a typed empty result, not an
+        # IndexError on the missing lo/hi rows (review r5)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"q": pd.Series([], dtype=np.float64),
+                 "est": pd.Series([], dtype=np.float64)}
+            )
+        )
     cl = fin[fin["tag"] == "c"]
     m = cl["mean"].to_numpy(np.float64)
     w = cl["weight"].to_numpy(np.float64)

@@ -41,7 +41,18 @@ def text_metrics(
         no_space = t.str.replace(" ", "", regex=False).str.len().astype("int64")
         n_tokens = (n_chars - no_space + 1).astype("int64")
         mean_wl = no_space / n_tokens.clip(lower=1)
-        stop = sum(_substr_count(" " + t + " ", f" {w} ") for w in STOPWORDS)
+        # exact token membership (explode + isin), NOT the padded
+        # substring count: ' the the ' shares the middle space, so
+        # non-overlapping replace counted 1 of 2 adjacent stopwords —
+        # a systematic undercount on normal prose (review r5)
+        ex = t.str.split(" ").explode()
+        stop = (
+            ex.isin(STOPWORDS)
+            .groupby(level=0)
+            .sum()
+            .reindex(t.index, fill_value=0)
+            .astype("int64")
+        )
         stop_ratio = stop / n_tokens.clip(lower=1)
         quality = round_half_up(
             (mean_wl.clip(2.0, 8.0) - 2.0) / 6.0 * 0.5
@@ -1142,7 +1153,13 @@ def bigram_logprob(
 
     def uni_part(b: pd.DataFrame) -> pd.DataFrame:
         ws = b[text_col].str.split()
-        flat = np.concatenate([np.asarray(w, dtype=object) for w in ws if w])
+        arrs = [np.asarray(w, dtype=object) for w in ws if w]
+        if not arrs:  # all-empty-text batch (review r5: concatenate crash)
+            return pd.DataFrame(
+                {"w": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        flat = np.concatenate(arrs)
         vc = pd.Series(flat).value_counts(sort=False)
         return pd.DataFrame({"w": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)})
 
@@ -1538,6 +1555,10 @@ def ccnet_buckets(sf_dir: str) -> "ray.data.Dataset":
     else:
         lang_ds = sized_read(f"{sf_dir}/documents.parquet", ["doc_id", "lang"])
         scored, _ = normalize_blocks(hash_join(lp, lang_ds, ["doc_id"]))
+    # consumed twice (threshold counts + final assign): one materialize
+    # so the bigram scoring probe — the pipeline's most expensive
+    # stage — runs once, not per consumer (review r5)
+    scored = scored.materialize()
 
     def q3dp(v: np.ndarray) -> np.ndarray:
         return np.floor(v * 1000.0 + 0.501) / 1000.0

@@ -42,11 +42,8 @@ TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 FLAGSHIP_COLS = ["conv_id", "turn_idx", "text"]
 
 
-def _cluster_cpus() -> int:
-    try:
-        return int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        return 4
+# one CPU-count helper for the whole engine (stages/shuffle.py owns it)
+from kire_ray.stages.shuffle import cluster_cpus as _cluster_cpus  # noqa: E402
 
 
 def _conc(concurrency: int | None) -> tuple[int, int]:
@@ -269,8 +266,13 @@ def comention_edges(linked: "ray.data.Dataset") -> "ray.data.Dataset":
             for p in itertools.combinations(sorted({m["surface"] for m in ms}), 2):
                 c[p] += 1
         if not c:
+            # key columns typed (object/string like non-empty blocks) —
+            # untyped empties default to float64 and break Arrow schema
+            # unification at the grouped exchange (review r5)
             return pd.DataFrame(
-                {"s1": [], "s2": [], "n": pd.Series([], dtype=np.int64)}
+                {"s1": pd.Series([], dtype=object),
+                 "s2": pd.Series([], dtype=object),
+                 "n": pd.Series([], dtype=np.int64)}
             )
         k1, k2 = [list(x) for x in zip(*c.keys())]
         return pd.DataFrame({"s1": k1, "s2": k2, "n": list(c.values())})
@@ -299,7 +301,11 @@ def build_graph(
     + linking per consumer (__ray_entry__ memoizes them per corpus)."""
     ctx = ctx or KGContext.from_corpus(corpus_dir)
     if linked is None:
-        linked = linked_documents(read_transcripts(corpus_dir), ctx, concurrency=concurrency)
+        linked = linked_documents(
+            read_transcripts(corpus_dir, columns=FLAGSHIP_COLS),
+            ctx,
+            concurrency=concurrency,
+        )
     triples = extract_triples(linked, ctx, concurrency=concurrency, profile=profile)
     edges = dedup_edges(triples)
     nodes = merge_nodes(
@@ -476,7 +482,11 @@ def run_resumable(
         chunk = pending[ci : ci + chunk_size]
         if fail_after is not None and n_run >= fail_after:
             raise RuntimeError(f"simulated failure after {fail_after} partitions")
-        tr = read_transcripts(corpus_dir)
+        # prune unless a caller-supplied filter may need role/tool/ts
+        tr = read_transcripts(
+            corpus_dir,
+            columns=None if transcript_filter is not None else FLAGSHIP_COLS,
+        )
         if transcript_filter is not None:
             tr = tr.map_batches(transcript_filter, batch_format="pyarrow")
         tr = tr.map_batches(
@@ -578,6 +588,14 @@ def segment_table_paths(out_dir: str, table: str) -> list[str]:
     paths: list[str] = []
     for d in sorted(glob.glob(os.path.join(out_dir, "part=*"))):
         label = os.path.basename(d).split("=", 1)[1]
+        # PUBLISHED segments only: a crashed writer leaves
+        # 'part=<k>.tmp' (which this glob also matches — review r5) and
+        # only the atomic rename publishes the _MANIFEST.json; reading
+        # an unpublished dir would return partial rows
+        if not re.fullmatch(r"\d+(-\d+)?", label):
+            continue
+        if not os.path.exists(os.path.join(d, "_MANIFEST.json")):
+            continue
         if re.fullmatch(r"\d+", label) and int(label) in cov:
             continue  # folded into a compacted segment
         paths.extend(sorted(glob.glob(os.path.join(d, table, "*.parquet"))))

@@ -231,8 +231,17 @@ def write_glre_data(
     linked.map_batches(write_shard, batch_format="pyarrow").count()
     import shutil as _sh
 
-    _sh.rmtree(out_dir, ignore_errors=True)
+    # publish without a lose-both window (review r5): move the OLD
+    # export aside first, rename the stage into place, then delete the
+    # old one — a crash at any point leaves either the old or the new
+    # export at out_dir (the old rmtree-then-rename order had a window
+    # with NEITHER present)
+    old = out_dir + ".old"
+    _sh.rmtree(old, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        os.replace(out_dir, old)
     os.replace(stage, out_dir)
+    _sh.rmtree(old, ignore_errors=True)
     return out_dir
 
 

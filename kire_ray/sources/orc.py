@@ -27,7 +27,15 @@ import ray.data
 def write_orc_sharded(ds: "ray.data.Dataset", out_dir: str) -> pd.DataFrame:
     """Write every non-empty block as ``<md5(payload)>.orc`` under
     ``out_dir`` (tmp-file + rename = atomic per shard). Returns the
-    manifest (path, rows) — driver-side, file-count-bounded."""
+    manifest (path, rows) — driver-side, file-count-bounded.
+
+    Content-addressed naming is deliberately RETRY-idempotent (a
+    re-executed task overwrites its own shard); the flip side is that
+    two byte-IDENTICAL blocks collapse into one file (review r5) —
+    detectable because the manifest then reports more rows than the
+    directory holds (``manifest.rows.sum()`` vs the read-back count).
+    A corpus with duplicate blocks should dedup upstream or add a
+    distinguishing column before export."""
     import hashlib
 
     from pyarrow import orc

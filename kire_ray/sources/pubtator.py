@@ -34,14 +34,18 @@ def _classify(line: str) -> dict | None:
     line = line.rstrip("\n")
     if not line.strip():
         return None
-    bar = line.split("|", 2)
-    if len(bar) == 3 and bar[1] in ("t", "a"):
-        return {"pmid": bar[0], "kind": bar[1], "f": [bar[2]]}
+    # tab-delimited annotation lines FIRST: an entity name containing
+    # '|t|' / '|a|' would otherwise classify as a title/abstract line
+    # with a garbage pmid (review r5); real t/a lines contain no tabs
+    # before the text, and the pmid field itself is never tabbed
     tab = line.split("\t")
     if len(tab) in (6, 7):
         return {"pmid": tab[0], "kind": "ent", "f": tab[1:6]}
     if len(tab) == 4:
         return {"pmid": tab[0], "kind": "rel", "f": tab[1:4]}
+    bar = line.split("|", 2)
+    if len(bar) == 3 and bar[1] in ("t", "a") and "\t" not in bar[0]:
+        return {"pmid": bar[0], "kind": bar[1], "f": [bar[2]]}
     return None
 
 

@@ -41,9 +41,16 @@ def compacted_segments(out_dir: str) -> list[tuple[str, dict]]:
     ``lineage.partitions``) rewritten into one segment by
     ``kg_construct.compact_segments``."""
     import glob as _glob
+    import re as _re
 
     out = []
     for d in sorted(_glob.glob(os.path.join(out_dir, "part=*-*"))):
+        # exact published label only: the staging dir 'part=<lo>-<hi>.tmp'
+        # ALSO matches this glob and already contains its manifest
+        # before the atomic rename (review r5) — reading it would
+        # double-count against the originals it hasn't replaced yet
+        if not _re.fullmatch(r"part=\d+-\d+", os.path.basename(d)):
+            continue
         mp = os.path.join(d, "_MANIFEST.json")
         if os.path.exists(mp):
             with open(mp) as f:
@@ -97,8 +104,20 @@ def write_partition_atomic(out_dir: str, part: int, writer, lineage: dict) -> di
 
 
 def read_manifests(out_dir: str, n_parts: int) -> list[dict]:
+    """Per-partition manifests for every done partition. Partitions
+    folded into a compacted segment no longer have their own file
+    (compaction deletes the originals) — their lineage is represented
+    by the covering SEGMENT manifest, appended once per segment
+    (review r5: opening the deleted per-partition path crashed)."""
     out = []
+    cov = covered_partitions(out_dir)
     for k in sorted(done_partitions(out_dir, n_parts)):
-        with open(manifest_path(out_dir, k)) as f:
-            out.append(json.load(f))
+        if k in cov:
+            continue  # the segment manifest below carries its lineage
+        mp = manifest_path(out_dir, k)
+        if os.path.exists(mp):
+            with open(mp) as f:
+                out.append(json.load(f))
+    for _, m in compacted_segments(out_dir):
+        out.append(m)
     return out

@@ -142,10 +142,33 @@ def clean_corpus_build(
 
 def load_clean(out_dir: str) -> "ray.data.Dataset":
     """Read every finished partition; partitions are disjoint by text
-    hash, so plain concatenation equals the single-run output."""
-    import glob
+    hash, so plain concatenation equals the single-run output.
 
-    paths = sorted(glob.glob(os.path.join(out_dir, "part=*", "docs", "*.parquet")))
+    PUBLISHED partitions only (review r5): the glob would also match a
+    crashed writer's ``part=<k>.tmp`` staging dir — same manifest gate
+    as the KG-side segment readers. Zero finished partitions yield a
+    typed empty dataset, not a read_parquet error (the resume scenario
+    this module exists for)."""
+    import glob
+    import re
+
+    paths: list[str] = []
+    for d in sorted(glob.glob(os.path.join(out_dir, "part=*"))):
+        label = os.path.basename(d).split("=", 1)[1]
+        if not re.fullmatch(r"\d+", label):
+            continue
+        if not os.path.exists(os.path.join(d, "_MANIFEST.json")):
+            continue
+        paths.extend(sorted(glob.glob(os.path.join(d, "docs", "*.parquet"))))
+    if not paths:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64),
+                 "source": pd.Series([], dtype=object),
+                 "clean_text": pd.Series([], dtype=object),
+                 "n_dups": pd.Series([], dtype=np.int64)}
+            )
+        )
     # explicit columns: the reader would otherwise hive-infer a `part`
     # column from the partition directory names
     return ray.data.read_parquet(

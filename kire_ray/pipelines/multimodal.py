@@ -135,7 +135,6 @@ def audio_chunk(
     explode each audio row into fixed-length chunk rows with start/end
     offsets — the decode itself stays behind the stub. Vectorized:
     numpy repeat over per-row chunk counts, no per-row python loop."""
-    import numpy as np
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         a = b[b["kind"] == "audio"]

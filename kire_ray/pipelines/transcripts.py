@@ -19,7 +19,7 @@ from kire_ray.stages.shuffle import grouped_agg, partitioned_map_groups
 
 
 def _read_full(corpus_dir: str, columns: list[str]) -> "ray.data.Dataset":
-    from kire_ray.pipelines.kg_construct import _cluster_cpus
+    from kire_ray.stages.shuffle import cluster_cpus as _cluster_cpus
 
     return ray.data.read_parquet(
         os.path.join(corpus_dir, "transcripts.parquet"),

@@ -185,6 +185,7 @@ def doc_coref_pairs(
     lowered = [w.lower() for w in words]
     rows = []
     all_positions: set[tuple[int, int]] = set()
+    truncated = False
     for e in entities:
         a = index.attrs.get(e["qid"], {})
         alias_strings = set(a.get("label", []) + a.get("alias", []))
@@ -195,14 +196,26 @@ def doc_coref_pairs(
             if m["ent_idx"] == e["ent_idx"]:
                 g = turn_start[m["turn_idx"]]
                 coref_pos.add((g + m["start"], g + m["end"]))
+        # positions accumulate for EVERY entity even after the alias
+        # pair-row cap fires: the scored top-8 path consumes these
+        # positions independently (the reference's neuralcoref pass
+        # covers the whole document regardless of the alias cap —
+        # review r5: an early return here silently dropped all later
+        # entities' mentions from the scored path). Emitted ROWS still
+        # stop at exactly max_pairs, byte-identical to before.
         all_positions |= coref_pos
+        if truncated:
+            continue
         pos = sorted(coref_pos)
         for i, p1 in enumerate(pos):
+            if truncated:
+                break
             for j, p2 in enumerate(pos):
                 if i != j:
                     rows.append((e["ent_idx"], p1[0], p1[1], p2[0], p2[1]))
                     if len(rows) >= max_pairs:
-                        return rows, all_positions
+                        truncated = True
+                        break
     return rows, all_positions
 
 

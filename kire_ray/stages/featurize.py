@@ -179,6 +179,9 @@ class FeaturizeDocs:
             }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self._chars) > 2_000_000:  # bound worker memory on open
+            self._chars.clear()          # vocab (review r5; same gate
+                                         # as SubwordTokenizer._memo)
         vocab = self.vocab
         out = {k: [] for k in FEATURE_SCHEMA.names}
         for doc_id, turns, ents, ments in zip(

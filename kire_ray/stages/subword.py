@@ -56,8 +56,15 @@ def wordpiece(word: str, vocab: dict[str, int], max_chars: int = 100) -> list[st
     ``WordpieceTokenizer.tokenize`` semantics): repeatedly take the
     longest vocab piece that prefixes the remainder (``##``-prefixed
     after the first piece); if none matches, the whole word becomes
-    ``[UNK]``; words longer than ``max_chars`` are ``[UNK]`` outright.
-    """
+    ``[UNK]``; words longer than ``max_chars`` are ``[UNK]`` outright
+    (HF's ``max_input_chars_per_word=100`` — reference parity).
+
+    CAVEAT (review r5): the chunk-vocab SQL oracle counts
+    ``ceil(len(word)/chunk)`` pieces UNCONDITIONALLY, so its
+    zero-[UNK] invariant holds only for corpora whose words are
+    ≤ max_chars — true by construction for every shipped corpus. A
+    real corpus with >100-char tokens (URLs, hashes) keeps reference
+    semantics here and must adjust the oracle, not this function."""
     n = len(word)
     if n == 0:
         return []
